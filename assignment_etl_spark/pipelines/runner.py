@@ -1,0 +1,59 @@
+"""End-to-end batch run: all three pipelines + unioned logs table,
+written to the native parquet store (and optionally JDBC — reference loads
+Postgres, etl.py:711-719).
+
+The shared intermediates behind each (clean, log) pair are persisted before
+the double consumption so the scans and cleaning expressions run once
+(SURVEY §4.3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from assignment_etl_spark.ops.quality import union_logs
+from assignment_etl_spark.pipelines import diagnoses, encounters, patients
+
+
+@dataclass
+class EtlResult:
+    patients: DataFrame
+    encounters: DataFrame
+    diagnoses: DataFrame
+    logs: DataFrame
+
+    def tables(self) -> dict[str, DataFrame]:
+        return {
+            "patients": self.patients,
+            "encounters": self.encounters,
+            "diagnoses": self.diagnoses,
+            "logs": self.logs,
+        }
+
+
+def run_etl(
+    spark: SparkSession,
+    patients_path: str,
+    encounters_path: str,
+    diagnoses_path: str,
+    *,
+    nfkc: bool = True,
+    persist: bool = True,
+) -> EtlResult:
+    p_clean, p_logs = patients.run(spark, patients_path, nfkc=nfkc)
+    e_clean, e_logs = encounters.run(spark, encounters_path, nfkc=nfkc)
+    d_clean, d_logs = diagnoses.run(spark, diagnoses_path, nfkc=nfkc)
+    logs = union_logs(p_logs, e_logs, d_logs)
+    result = EtlResult(p_clean, e_clean, d_clean, logs)
+    if persist:
+        for df in result.tables().values():
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+    return result
+
+
+def write_parquet_store(result: EtlResult, base_path: str) -> None:
+    for name, df in result.tables().items():
+        df.write.mode("overwrite").parquet(f"{base_path}/{name}")

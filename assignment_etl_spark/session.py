@@ -1,0 +1,76 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Design notes (100 TB target, tested on local[*]):
+- Session timezone is pinned to UTC: the engine normalizes all timestamps to
+  UTC at parse time (reference keeps mixed-tz python objects,
+  /root/reference/etl.py:115-119 — documented deviation, SURVEY §1.3).
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting are
+  the first line of defense at scale; local shuffle reader avoids needless
+  exchanges for broadcast-converted joins.
+- Arrow on: every pandas_udf / mapInPandas / toPandas crossing is
+  Arrow-batched.
+- spark.sql.shuffle.partitions: a *local* default only. On a real cluster
+  AQE's coalesceShufflePartitions makes the static number mostly irrelevant
+  (set initialPartitionNum high and let AQE shrink).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "assignment-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode uses ``local[$SPARK_GRAFT_CPUS]``; on a cluster, pass
+    ``master=None`` with an external cluster manager config.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    parts = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Load the driver's parquet tables from ``sf_dir`` as a dict of DataFrames."""
+    names = names or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
