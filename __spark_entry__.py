@@ -1,38 +1,927 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is implemented Spark-first through the engine library
+(assignment_etl_spark.*) and paired with an ANSI-SQL oracle DuckDB runs on
+the same parquet tables. Numeric policy for hash-stable cross-engine
+results: money/quantity sums go through DECIMAL(18,x) casts (exact,
+associative — immune to float summation order), then cast to double and
+round; raw per-row doubles are emitted unrounded (bit-identical in both
+engines); averages are computed as exact-decimal-sum / count so the final
+double division is a single identical IEEE op.
+
+Queries without an oracle_sql entry (hash-inexpressible in SQL): minhash
+LSH pair mining (xxhash64-based) and the multimodal feature extraction
+(custom decoder) — the driver records rows-only checks for those.
 """
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _prep(spark: SparkSession) -> None:
+    """Runtime confs the engine depends on, applied to the *driver's*
+    session (which may default to ANSI mode / non-UTC tz on Spark 4)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # timestamps: read parquet µs-NTZ as instants (UTC session), and allow
+    # the events table's TIMESTAMP(NANOS) by surfacing it as a nanos long
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → µs truncation, matching DuckDB's read of the same file
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dec_sum(col, scale: int = 4):
+    """Exact associative sum: cast to decimal first (identical per-row
+    values in both engines), so partial-aggregation order cannot shift the
+    result."""
+    return F.sum(col.cast(f"decimal(18,{scale})"))
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (flagship). Single scan, partial+
+    final hash aggregation, all expressions in whole-stage codegen."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dec_sum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(_dec_sum(F.col("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(_dec_sum(disc, 6).cast("double"), 2).alias("sum_disc_price"),
+            F.round(_dec_sum(charge, 6).cast("double"), 2).alias("sum_charge"),
+            F.round((_dec_sum(F.col("l_quantity")).cast("double") / cnt), 6).alias("avg_qty"),
+            F.round((_dec_sum(F.col("l_extendedprice")).cast("double") / cnt), 6).alias("avg_price"),
+            F.round((_dec_sum(F.col("l_discount"), 6).cast("double") / cnt), 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by lineitem revenue; agg-then-broadcast-join the tiny
+    top-k result to orders (never the other way)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return (
+        F.broadcast(rev)
+        .join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+WITH rev AS (
+  SELECT l_orderkey AS orderkey,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+  ORDER BY revenue DESC, orderkey LIMIT 10)
+SELECT r.orderkey, r.revenue, o.o_orderpriority
+FROM rev r JOIN orders o ON r.orderkey = o.o_orderkey
+"""
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: dims broadcast, single shuffle for the final agg."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_REVENUE_BY_REGION = """
+SELECT r_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving order-less customers (count(o) skips NULLs)."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SEGMENT_ORDER_STATS = """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(o_orderkey) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_revenue
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the engine's referential-integrity/orphan pattern
+    (ops.quality.orphan_check). Scoped to URGENT orders so the result is
+    non-vacuous on the synthetic data."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    keys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return customer.join(keys, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_semi",
+    ).select("c_custkey", "c_name")
+
+
+SQL_CUSTOMERS_WITH_ORDERS_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer, deterministic tie-break."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window sum (decimal → exact, identical accumulation)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"), 2
+        ).alias("running_revenue"),
+    )
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_revenue
+FROM orders WHERE o_custkey < 100
+"""
+
+
+def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 value_counts through the analytics layer."""
+    from assignment_etl_spark.analytics.queries import value_counts
+
+    _prep(spark)
+    return value_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+SQL_EVENT_TYPE_COUNTS = """
+SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+"""
+
+
+def q_top_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 top-k (plans as TakeOrderedAndProject, no global sort)."""
+    from assignment_etl_spark.analytics.queries import top_k
+
+    _prep(spark)
+    return top_k(_t(spark, sf_dir, "events"), "user_id", 10)
+
+
+SQL_TOP_USERS_BY_EVENTS = """
+SELECT user_id, count(*) AS count FROM events
+GROUP BY user_id ORDER BY count DESC, user_id LIMIT 10
+"""
+
+
+def q_histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 numeric histogram, 30 equal-width bins."""
+    from assignment_etl_spark.analytics.queries import histogram_numeric
+
+    _prep(spark)
+    return histogram_numeric(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 30)
+
+
+SQL_HISTOGRAM_EXTENDEDPRICE = """
+WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+SELECT least(greatest(CAST(floor((l_extendedprice - mn) / ((mx - mn) / 30.0)) AS BIGINT), 0), 29) AS bucket,
+       count(*) AS count
+FROM lineitem, b
+WHERE l_extendedprice IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_histogram_orders_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 records-over-time histogram, 50 bins over epoch seconds."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    from assignment_etl_spark.analytics.queries import bucketize
+
+    epoch = F.col("o_orderdate").cast("double")
+    mn, mx = orders.agg(F.min(epoch), F.max(epoch)).first()
+    return (
+        orders.groupBy(bucketize(epoch, mn, mx, 50).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bucket")
+    )
+
+
+SQL_HISTOGRAM_ORDERS_TIME = """
+WITH b AS (SELECT min(epoch(o_orderdate)) AS mn, max(epoch(o_orderdate)) AS mx FROM orders)
+SELECT least(greatest(CAST(floor((epoch(o_orderdate) - mn) / ((mx - mn) / 50.0)) AS BIGINT), 0), 49) AS bucket,
+       count(*) AS count
+FROM orders, b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 exact distinct count."""
+    from assignment_etl_spark.analytics.queries import distinct_count
+
+    _prep(spark)
+    return distinct_count(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+SQL_DISTINCT_CUSTOMERS = """
+SELECT count(DISTINCT o_custkey) AS distinct_count FROM orders
+"""
+
+
+def q_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 grouped distinct count."""
+    from assignment_etl_spark.analytics.queries import grouped_distinct_count
+
+    _prep(spark)
+    return grouped_distinct_count(_t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey")
+
+
+SQL_PRIORITY_DISTINCT_CUSTOMERS = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_count
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_priority_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with both URGENT and HIGH orders (INTERSECT)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.intersect(high)
+
+
+SQL_PRIORITY_CUSTOMER_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+def q_event_pairs_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: event pairs of the same user within 15 minutes — equi on
+    user_id (shuffle) + range predicate filtered in the sort-merge join."""
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    a = events.alias("a")
+    b = events.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 15 MINUTES")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENT_PAIRS_15MIN = """
+SELECT a.event_type, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+GROUP BY a.event_type
+"""
+
+
+def q_unit_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F1 scalar library exercised at scale: synthesize mixed-unit
+    height strings from lineitem quantities, normalize with height_to_cm,
+    aggregate exactly."""
+    from assignment_etl_spark.ops.units import height_to_cm
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty_s = F.col("l_quantity").cast("string")
+    feet_s = F.floor(F.col("l_quantity")).cast("bigint").cast("string")
+    pattern = (F.col("l_linenumber") % 4).alias("pattern")
+    hs = (
+        F.when(F.col("l_linenumber") % 4 == 0, F.concat(qty_s, F.lit(" cm")))
+        .when(F.col("l_linenumber") % 4 == 1, F.concat(qty_s, F.lit(" in")))
+        .when(F.col("l_linenumber") % 4 == 2, F.concat(feet_s, F.lit("ft 6in")))
+        .otherwise(F.lit("1.75"))
+    )
+    return (
+        li.select(pattern, height_to_cm(hs).alias("h"))
+        .groupBy("pattern")
+        .agg(
+            F.round(_dec_sum(F.col("h"), 6).cast("double"), 2).alias("total_cm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("pattern")
+    )
+
+
+SQL_UNIT_NORMALIZATION = """
+SELECT (l_linenumber % 4) AS pattern,
+       round(CAST(sum(CAST(
+         CASE (l_linenumber % 4)
+           WHEN 0 THEN l_quantity
+           WHEN 1 THEN l_quantity * 2.54
+           WHEN 2 THEN CAST(floor(l_quantity) AS BIGINT) * 30.48 + 6 * 2.54
+           ELSE 175.0
+         END AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_cm,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_date_lattice_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F5 multi-format date lattice: format order dates three ways,
+    parse them back through the engine lattice, count by year."""
+    from assignment_etl_spark.ops.dates import DATE_FORMATS, parse_timestamp_multi
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 3
+    ds = (
+        F.when(k == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(k == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
+    )
+    parsed = parse_timestamp_multi(ds, DATE_FORMATS)
+    return (
+        orders.select(F.year(parsed).cast("int").alias("order_year"))
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("order_year")
+    )
+
+
+SQL_DATE_LATTICE_ROUNDTRIP = """
+SELECT CAST(year(CASE (o_orderkey % 3)
+  WHEN 0 THEN strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')
+  WHEN 1 THEN strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')
+  ELSE strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y')
+END) AS INTEGER) AS order_year, count(*) AS count
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_sex_code_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F4 ISO/IEC 5218 mapper + log-reason branch over synthetic codes."""
+    from assignment_etl_spark.ops.codes import sex_log_reason, sex_to_iso5218
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    codes = F.array(
+        F.lit("M"), F.lit("F"), F.lit("U"), F.lit("O"),
+        F.lit("x"), F.lit(""), F.lit(None).cast("string"), F.lit(" f "),
+    )
+    code = F.element_at(codes, (F.col("c_custkey") % 8 + 1).cast("int"))
+    return (
+        customer.select(
+            sex_to_iso5218(code).alias("sex_iso"), sex_log_reason(code).alias("reason")
+        )
+        .groupBy("sex_iso", "reason")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("sex_iso", "reason")
+    )
+
+
+SQL_SEX_CODE_MAPPING = """
+WITH coded AS (
+  SELECT CASE (c_custkey % 8)
+    WHEN 0 THEN 'M' WHEN 1 THEN 'F' WHEN 2 THEN 'U' WHEN 3 THEN 'O'
+    WHEN 4 THEN 'x' WHEN 5 THEN '' WHEN 6 THEN NULL ELSE ' f ' END AS code
+  FROM customer),
+mapped AS (
+  SELECT CAST(CASE
+           WHEN code IS NULL THEN 0
+           WHEN upper(trim(code)) = 'M' THEN 1
+           WHEN upper(trim(code)) = 'F' THEN 2
+           WHEN upper(trim(code)) = 'O' THEN 9
+           ELSE 0 END AS INTEGER) AS sex_iso,
+         CASE
+           WHEN code IS NULL THEN 'missing_value'
+           WHEN upper(trim(code)) NOT IN ('M','F','U','O') THEN 'invalid_code'
+           WHEN upper(trim(code)) = 'U' THEN 'unknown_or_missing'
+         END AS reason
+  FROM coded)
+SELECT sex_iso, reason, count(*) AS count FROM mapped GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, keep-first by doc_id."""
+    from assignment_etl_spark.ext.dedup import exact_dedup
+
+    _prep(spark)
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+SQL_DEDUP_EXACT_DOCUMENTS = r"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text profiling aggregates per language tag."""
+    from assignment_etl_spark.ext.text import whitespace_token_count
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(whitespace_token_count(F.col("text"))) / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            F.round(F.sum(F.length("text")) / F.count(F.lit(1)), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_STATS_BY_LANG = r"""
+SELECT lang, count(*) AS n_docs,
+       round(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(regexp_extract_all(trim(text), '\S+')) END) * 1.0 / count(*), 4) AS avg_tokens,
+       round(sum(length(text)) * 1.0 / count(*), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lang_detect_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the corpus label."""
+    from assignment_etl_spark.ext.text import detect_language
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", detect_language(F.col("text")).alias("lang_detected"))
+        .groupBy("lang", "lang_detected")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("lang", "lang_detected")
+    )
+
+
+SQL_LANG_DETECT_AGREEMENT = r"""
+WITH hits AS (
+  SELECT lang,
+         length(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) AS c_en,
+         length(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS c_de,
+         length(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|que|une|dans)\b')) AS c_fr,
+         length(regexp_extract_all(text, '(?i)\b(el|los|las|es|que|una|por|con)\b')) AS c_es
+  FROM documents),
+det AS (
+  SELECT lang, CASE
+    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+    WHEN c_fr >= c_es THEN 'fr'
+    ELSE 'es' END AS lang_detected
+  FROM hits)
+SELECT lang, lang_detected, count(*) AS count FROM det
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors (exact baseline;
+    candidates broadcast)."""
+    from assignment_etl_spark.ext.similarity import brute_force_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, 5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_SIMILARITY_TOPK = """
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                     c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 8) WHERE rank <= 5
+"""
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard for adjacent doc pairs (the verify
+    step of a near-dup pipeline)."""
+    from assignment_etl_spark.ext.dedup import ngram_jaccard
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id"), F.col("text").alias("_ta"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_tb"))
+    return (
+        a.join(b, on="doc_id")
+        .select(
+            "doc_id",
+            F.round(ngram_jaccard(F.col("_ta"), F.col("_tb"), 3), 6).alias("jaccard3"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD_ADJACENT = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substr(s, i, 3) FOR i IN range(1, greatest(length(s) - 2, 1) + 1)]) AS grams
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents))
+SELECT a.doc_id AS doc_id,
+       round(CASE WHEN (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) > 0
+             THEN len(list_intersect(a.grams, b.grams)) * 1.0 /
+                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             ELSE 0.0 END, 6) AS jaccard3
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pair count by label (brute-force verify
+    slice — the LSH-bucketed variant is the scale path, q_minhash shows the
+    banding shape)."""
+    from assignment_etl_spark.ext.similarity import cosine
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.label").alias("label"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.label, count(*) AS n_pairs
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.3
+GROUP BY a.label ORDER BY a.label
+"""
+
+
+def q_streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: watermarked hourly windows drained with
+    availableNow into a memory sink — must hash-match the batch oracle."""
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        run_streaming_query_once,
+        windowed_event_counts,
+    )
+
+    _prep(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) parquet
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(stream, window_size="1 hour", watermark="2 hours")
+    name = "stream_" + uuid.uuid4().hex[:8]
+    return run_streaming_query_once(agg, output_mode="complete", table_name=name)
+
+
+SQL_STREAMING_HOURLY_EVENTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user, computed with Spark's native
+    session_window operator."""
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    sessions = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("s"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+              WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_session
+  FROM events),
+sessioned AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM sessioned GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-quality score distribution."""
+    from assignment_etl_spark.ext.text import quality_score
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(quality_score(F.col("text")).alias("quality_score"))
+        .groupBy("quality_score")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("quality_score")
+    )
+
+
+SQL_QUALITY_SCORE_DISTRIBUTION = r"""
+WITH scored AS (
+  SELECT round(
+    (least(length(text) / 500.0, 1.0) * (CASE WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END))
+    * (CASE WHEN (CASE WHEN length(text) > 0
+                  THEN length(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text)
+                  ELSE 0.0 END) > 0.3 THEN 0.3 ELSE 1.0 END)
+    * (CASE WHEN (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE length(regexp_extract_all(trim(text), '\S+')) END) > 0
+                  THEN length(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) * 1.0 /
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_extract_all(trim(text), '\S+')) END)
+                  ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.6 END), 6) AS quality_score
+  FROM documents)
+SELECT quality_score, count(*) AS count FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate mining (shingle → 32 minhashes →
+    8 bands → bucket self-join). xxhash64-based → no SQL oracle; the driver
+    records a rows-only check."""
+    from assignment_etl_spark.ext.dedup import minhash_lsh_pairs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents → synthetic binary payloads →
+    Arrow-batched feature extraction (deterministic fake decoder — real
+    codecs are out-of-container; see ext.multimodal). Rows-only check."""
+    from assignment_etl_spark.ext.multimodal import extract_features
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "revenue_by_region": q_revenue_by_region,
+        "segment_order_stats": q_segment_order_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "customers_with_orders_semi": q_customers_with_orders_semi,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "running_revenue": q_running_revenue,
+        "event_type_counts": q_event_type_counts,
+        "top_users_by_events": q_top_users_by_events,
+        "histogram_extendedprice": q_histogram_extendedprice,
+        "histogram_orders_time": q_histogram_orders_time,
+        "distinct_customers": q_distinct_customers,
+        "priority_distinct_customers": q_priority_distinct_customers,
+        "priority_customer_intersect": q_priority_customer_intersect,
+        "event_pairs_15min": q_event_pairs_15min,
+        "unit_normalization": q_unit_normalization,
+        "date_lattice_roundtrip": q_date_lattice_roundtrip,
+        "sex_code_mapping": q_sex_code_mapping,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "text_stats_by_lang": q_text_stats_by_lang,
+        "lang_detect_agreement": q_lang_detect_agreement,
+        "similarity_topk": q_similarity_topk,
+        "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+        "embedding_near_dup": q_embedding_near_dup,
+        "streaming_hourly_events": q_streaming_hourly_events,
+        "session_windows": q_session_windows,
+        "quality_score_distribution": q_quality_score_distribution,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+        "revenue_by_region": SQL_REVENUE_BY_REGION,
+        "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "customers_with_orders_semi": SQL_CUSTOMERS_WITH_ORDERS_SEMI,
+        "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+        "running_revenue": SQL_RUNNING_REVENUE,
+        "event_type_counts": SQL_EVENT_TYPE_COUNTS,
+        "top_users_by_events": SQL_TOP_USERS_BY_EVENTS,
+        "histogram_extendedprice": SQL_HISTOGRAM_EXTENDEDPRICE,
+        "histogram_orders_time": SQL_HISTOGRAM_ORDERS_TIME,
+        "distinct_customers": SQL_DISTINCT_CUSTOMERS,
+        "priority_distinct_customers": SQL_PRIORITY_DISTINCT_CUSTOMERS,
+        "priority_customer_intersect": SQL_PRIORITY_CUSTOMER_INTERSECT,
+        "event_pairs_15min": SQL_EVENT_PAIRS_15MIN,
+        "unit_normalization": SQL_UNIT_NORMALIZATION,
+        "date_lattice_roundtrip": SQL_DATE_LATTICE_ROUNDTRIP,
+        "sex_code_mapping": SQL_SEX_CODE_MAPPING,
+        "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
+        "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
+        "lang_detect_agreement": SQL_LANG_DETECT_AGREEMENT,
+        "similarity_topk": SQL_SIMILARITY_TOPK,
+        "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD_ADJACENT,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "streaming_hourly_events": SQL_STREAMING_HOURLY_EVENTS,
+        "session_windows": SQL_SESSION_WINDOWS,
+        "quality_score_distribution": SQL_QUALITY_SCORE_DISTRIBUTION,
+    }

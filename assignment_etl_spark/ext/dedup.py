@@ -1,0 +1,293 @@
+"""Deduplication family for LLM training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket-join),
+SimHash (hamming buckets), n-gram Jaccard verification, and embedding-cosine
+near-dup. The generalization of the reference's exact/fuzzy dedup (SURVEY
+§2.7) to web-corpus scale.
+
+Scale shape: every variant reduces to *bucket then compare within bucket* —
+the only joins are equi-joins on bucket keys (shuffle on a well-distributed
+hash), never a cross product. Pair verification (Jaccard) touches only
+candidate pairs emitted by banding.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from assignment_etl_spark.ext.text import fingerprint
+
+# Mersenne prime + LCG-style universal hashing for minhash permutations.
+MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint; deterministic keep-first
+    by id. One shuffle on a 64-bit key (never on the text itself)."""
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Character n-gram shingle hashes over normalized text (distinct)."""
+    s = F.lower(F.regexp_replace(col, r"\s+", " "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.substring(s, i, n)))
+    return F.array_distinct(grams)
+
+
+def make_minhash_signature_udf(
+    num_hashes: int = 32, shingle_n: int = 5, seed: int = 7
+):
+    """Arrow-batched numpy minhash: normalize text, roll a polynomial hash
+    over byte n-grams (sliding_window_view · powers, uint64 wraparound —
+    deterministic everywhere), then min over (a·h + b) per permutation.
+
+    This is the hot path for corpus-scale dedup: the JVM expression variant
+    (minhash_signature) re-evaluates a ~num_hashes×shingles expression tree
+    per row in interpreted mode (the tree exceeds codegen limits); the numpy
+    path is one BLAS-shaped pass per Arrow batch, ~100× faster, and the
+    signature column it produces feeds the same JVM-side banding join.
+    """
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(1, 1 << 61, size=num_hashes).astype(np.uint64) | np.uint64(1))
+    b = rng.randint(0, 1 << 61, size=num_hashes).astype(np.uint64)
+    powers = np.uint64(1099511628211) ** np.arange(shingle_n, dtype=np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+        for t in texts:
+            if t is None:
+                out.append(empty_sig.tolist())
+                continue
+            norm = " ".join(str(t).lower().split())
+            data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+            if data.size < shingle_n:
+                data = np.pad(data, (0, shingle_n - data.size), constant_values=32)
+            with np.errstate(over="ignore"):
+                windows = np.lib.stride_tricks.sliding_window_view(data, shingle_n)
+                h = (windows.astype(np.uint64) * powers).sum(axis=1)  # wraps mod 2^64
+                h = np.unique(h)
+                sig = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            out.append(sig.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32, seed: int = 7) -> Column:
+    """num_hashes minhash values: min over shingles of (a*x + b) mod p.
+    JVM-expression variant — prefer make_minhash_signature_udf for large
+    corpora (see its docstring)."""
+    sigs = []
+    rnd = _perm_params(num_hashes, seed)
+    for a, b in rnd:
+        hashed = F.transform(
+            shingle_col,
+            lambda x: (F.lit(a) * (x.bitwiseAND(F.lit((1 << 31) - 1))) + F.lit(b))
+            % F.lit(MERSENNE),
+        )
+        sigs.append(F.array_min(hashed))
+    return F.array(*sigs)
+
+
+def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    # deterministic LCG so signatures are reproducible across runs
+    params, state = [], seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.5,
+    use_numpy: bool = True,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding, verified with estimated
+    Jaccard (signature agreement rate).
+
+    shingle → minhash(num_hashes) → split into bands → explode(band hash) →
+    self-equi-join on (band_idx, band_hash) → verify. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    if use_numpy:
+        sig_udf = make_minhash_signature_udf(num_hashes, shingle_n, seed)
+        sig = df.select(
+            F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("_sig")
+        )
+    else:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(
+                shingles(F.col(text_col), shingle_n), num_hashes, seed
+            ).alias("_sig"),
+        )
+    # Materialize signatures once: Catalyst's CollapseProject would otherwise
+    # inline the (shingle → num_hashes×min-hash) expression into every band
+    # hash AND both sides of the self-join — an O(bands × 2) recompute of the
+    # most expensive projection. At cluster scale this is where you'd
+    # checkpoint signatures to the store instead.
+    sig = sig.persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band)
+                ).alias("bhash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "_id", "_sig", F.explode(band_structs).alias("_b")
+    ).select("_id", "_sig", F.col("_b.band").alias("_band"), F.col("_b.bhash").alias("_bhash"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bhash") == F.col("b._bhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("_sa"),
+            F.col("b._sig").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup removal: greedy survivor = smallest id in each candidate
+    cluster (union by repeated min propagation is overkill at one LSH hop;
+    pairs are treated as edges id_b → drop)."""
+    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
+def ngram_jaccard(
+    a: Column, b: Column, n: int = 3
+) -> Column:
+    """Exact n-gram Jaccard between two text columns (pair verification)."""
+    sa, sb = shingles(a, n), shingles(b, n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash over word tokens: sign of per-bit weighted sums of token
+    hashes. Near-dups differ in few bits (compare via hamming distance)."""
+    tokens = F.split(F.lower(F.regexp_replace(col, r"\s+", " ")), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(bits):
+        contrib = F.transform(
+            hashes,
+            lambda h: F.when(h.bitwiseAND(F.lit(1 << i if i < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        total = F.aggregate(contrib, F.lit(0), lambda acc, v: acc + v)
+        bit_cols.append(F.when(total > 0, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for i, bit in enumerate(bit_cols[:63]):  # keep sign bit clear
+        out = out + (bit.cast("long") * F.lit(1 << i))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: LSH-bucket then verify cosine
+    within bucket (one equi-join shuffle; no cross product)."""
+    from assignment_etl_spark.ext.similarity import (
+        cosine,
+        lsh_signature,
+        random_hyperplanes,
+    )
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    sig = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

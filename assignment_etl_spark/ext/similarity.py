@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one shuffle, fine up to ~10^6
+candidates per query batch when the candidate side is broadcast. Scale path:
+LSH bucketing (random hyperplane signs) so each query only scores its
+bucket's candidates — sublinear candidate sets at 100 TB, tunable recall.
+
+Dot products run JVM-side via ``F.zip_with`` + ``F.aggregate`` (no Python).
+For very wide vectors a Pandas-UDF/numpy batch variant wins on constant
+factors; both are provided and plan-compatible.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest candidates.
+
+    Output: (query_id, neighbor_id, cos_sim), k rows per query, excluding
+    the self-pair. The candidate side is broadcast by default (dimension
+    tables / sampled candidate pools); at full scale flip to shuffling the
+    queries instead.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ------------------------------------------------------------------ LSH path
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature (random hyperplane LSH) packed into a long —
+    cosine-similar vectors collide with probability 1 - theta/pi per bit."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. One equi-join on the signature (shuffle on bucket id) instead of
+    a cross product — the 100 TB-shaped plan. Recall is tuned by n_planes
+    (fewer planes → bigger buckets → higher recall, more work)."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = (
+        q.join(c, on="_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ------------------------------------------- numpy batch variant (wide vectors)
+
+
+def brute_force_topk_pandas(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy variant: the candidate matrix is shipped to each
+    task once (collected — use only when candidates fit in executor memory,
+    e.g. an IVF cell or LSH bucket) and each query batch is one BLAS matmul.
+    ~10-50× the zip_with path on wide vectors."""
+    cand = candidates.select(id_col, vec_col).toPandas()
+    cand_ids = cand[id_col].to_numpy()
+    cmat = np.stack(cand[vec_col].to_numpy())
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = pdf[id_col].to_numpy()
+            qmat = np.stack(pdf[vec_col].to_numpy())
+            qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            sims = qmat @ cmat.T  # (nq, nc)
+            out = []
+            for row_i in range(sims.shape[0]):
+                s = sims[row_i]
+                mask = cand_ids != qids[row_i]
+                order = sorted(
+                    (j for j in range(len(s)) if mask[j]),
+                    key=lambda j: (-s[j], cand_ids[j]),
+                )[:k]
+                for rank, j in enumerate(order, 1):
+                    out.append(
+                        (int(qids[row_i]), int(cand_ids[j]), float(s[j]), rank)
+                    )
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "cos_sim", "rank"]
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(score, schema=schema)

