@@ -104,6 +104,24 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def lsh_buckets(
+    vec_col: Column, dim: int, *, n_planes: int, n_tables: int, seed: int
+) -> Column:
+    """Array of (table, bucket) structs — one signature per hash table.
+    AND over n_planes bits per table (precision), OR over n_tables tables
+    (recall): P(candidate) = 1 - (1 - p^planes)^tables, p = 1 - θ/π."""
+    out = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        out.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_signature(vec_col, planes).alias("bucket"),
+            )
+        )
+    return F.array(*out)
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -111,30 +129,36 @@ def lsh_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates sharing the query's LSH
-    bucket. One equi-join on the signature (shuffle on bucket id) instead of
-    a cross product — the 100 TB-shaped plan. Recall is tuned by n_planes
-    (fewer planes → bigger buckets → higher recall, more work)."""
+    """Approximate top-k: score only candidates sharing an LSH bucket with
+    the query in at least one of n_tables hash tables. The plan is one
+    equi-join on (table, bucket) — shuffle on a well-distributed key, never
+    a cross product — plus a candidate-pair dedup: the 100 TB shape.
+    Tune (n_planes ↑ = smaller buckets/less work, n_tables ↑ = recall)."""
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+        F.explode(
+            lsh_buckets(F.col(vec_col), dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+        ).alias("_b"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        lsh_signature(F.col(vec_col), planes).alias("_bucket"),
+        F.explode(
+            lsh_buckets(F.col(vec_col), dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+        ).alias("_b"),
     )
     scored = (
-        q.join(c, on="_bucket")
+        q.join(c, on="_b")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # OR over tables
         .select(
             "query_id",
             "neighbor_id",

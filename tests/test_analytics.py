@@ -1,0 +1,94 @@
+"""Analytics layer (A1-A8) + plan-shape assertions for the scale story."""
+
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.analytics.queries import (
+    affected_entities,
+    bucketize,
+    distinct_count,
+    group_sizes,
+    grouped_distinct_count,
+    histogram_numeric,
+    top_k,
+    value_counts,
+)
+
+
+def test_value_counts_and_topk(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"]], "k string"
+    )
+    vc = value_counts(df, "k").collect()
+    assert [(r.k, r["count"]) for r in vc] == [("a", 5), ("b", 3), ("c", 3), ("d", 1)]
+    tk = top_k(df, "k", 2).collect()
+    assert [(r.k, r["count"]) for r in tk] == [("a", 5), ("b", 3)]
+
+
+def test_topk_plans_take_ordered(spark):
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    plan = top_k(df, "k", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_group_sizes_and_distinct(spark):
+    df = spark.createDataFrame(
+        [("f1", "r1", "p1"), ("f1", "r1", "p2"), ("f1", "r2", "p1"), ("f2", "r1", "p3")],
+        "filename string, reason string, patient_id string",
+    )
+    gs = {(r.filename, r.reason): r["count"] for r in group_sizes(df, ["filename", "reason"]).collect()}
+    assert gs == {("f1", "r1"): 2, ("f1", "r2"): 1, ("f2", "r1"): 1}
+    assert distinct_count(df, "patient_id").first().distinct_count == 3
+    gd = {r.filename: r.distinct_count for r in grouped_distinct_count(df, "filename", "patient_id").collect()}
+    assert gd == {"f1": 2, "f2": 1}
+
+
+def test_histogram_bounds_and_clamp(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(101)], "v double")
+    h = {r.bucket: r["count"] for r in histogram_numeric(df, "v", 10).collect()}
+    assert sum(h.values()) == 101
+    assert h[9] == 11  # 90..100: the max value folds into the last bucket
+    assert min(h) == 0 and max(h) == 9
+
+
+def test_affected_entities_na_false_semantics(spark):
+    df = spark.createDataFrame(
+        [("patients.csv", "p1", "r1"), (None, "p2", "r1"), ("enc.csv", "p3", "r1"),
+         ("PATIENTS.csv", "p1", "r2")],
+        "filename string, patient_id string, reason string",
+    )
+    row = affected_entities(df).first()
+    assert row.affected == 1  # NULL filename excluded (pandas na=False), case-insensitive
+    assert row.entity_reason_pairs == 2
+
+
+def test_parquet_pushdown(spark, sf_dir):
+    """Filters and projections must reach the parquet scan."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    """Dimension joins must broadcast, not sort-merge."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_in_plan(spark, sf_dir):
+    """groupBy must plan partial (map-side) + final hash aggregation."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = df.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bucketize_edges(spark):
+    df = spark.createDataFrame([(0.0,), (50.0,), (100.0,)], "v double")
+    got = [r.b for r in df.select(bucketize(F.col("v"), 0.0, 100.0, 10).alias("b")).collect()]
+    assert got == [0, 5, 9]

@@ -1,0 +1,51 @@
+"""Driver-contract sanity: entry() runs, queries()/oracle_sql() keys line
+up, and a fast subset hash-matches DuckDB at sf0.001 (the full sweep lives
+in tools/check_correctness.py at sf0.01)."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod
+from tools.check_correctness import canon
+
+FAST_SUBSET = [
+    "pricing_summary",
+    "revenue_by_region",
+    "top_orders_per_customer",
+    "histogram_extendedprice",
+    "unit_normalization",
+    "sex_code_mapping",
+    "text_stats_by_lang",
+    "session_windows",
+]
+
+
+def test_contract_keys():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"minhash_lsh_pairs", "multimodal_features"}
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "sum_qty" in df.columns
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
+    got = entry_mod.queries()[name](spark, sf_dir).toPandas()
+    exp = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
+    assert canon(got) == canon(exp)

@@ -1,0 +1,128 @@
+"""Dedup family + similarity search (ext.dedup, ext.similarity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.dedup import (
+    exact_dedup,
+    hamming64,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from assignment_etl_spark.ext.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    cosine,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the fence "
+    "and the birds sing in the morning light across the quiet meadow near the river"
+)
+NEAR = BASE.replace("quiet meadow", "silent meadow")
+OTHER = (
+    "completely unrelated content about distributed query engines shuffling data "
+    "across partitions with adaptive execution and columnar storage formats"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, BASE),  # exact dup of 0
+            (2, NEAR),  # near dup of 0
+            (3, OTHER),
+            (4, "  " + BASE + "  "),  # whitespace-variant exact dup
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_first(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 2, 3]  # 1 and 4 are exact dups of 0 after normalization
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found or (1, 2) in found  # near dup found
+    assert all({p[0], p[1]} != {0, 3} for p in found)  # unrelated not paired
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(0, 1)] == 1.0
+
+
+def test_minhash_dedup_survivors(docs):
+    kept = sorted(r.doc_id for r in minhash_dedup(docs, jaccard_threshold=0.3).collect())
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame([(BASE, BASE), (BASE, OTHER)], "a string, b string")
+    got = [r.j for r in df.select(ngram_jaccard(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert got[0] == 1.0
+    assert got[1] < 0.2
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame([(0, BASE), (1, NEAR), (2, OTHER)], "i int, text string")
+    sh = {r.i: r.h for r in df.select("i", simhash(F.col("text"), bits=16).alias("h")).collect()}
+    d_near = spark.range(1).select(hamming64(F.lit(sh[0]), F.lit(sh[1])).alias("d")).first().d
+    d_far = spark.range(1).select(hamming64(F.lit(sh[0]), F.lit(sh[2])).alias("d")).first().d
+    assert d_near <= d_far
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def test_brute_force_topk(embeddings):
+    out = brute_force_topk(embeddings.filter(F.col("vec_id") < 3), embeddings, 4)
+    rows = out.collect()
+    assert len(rows) == 12  # 3 queries × k=4
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    for q, rs in by_q.items():
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_pandas_topk_matches_jvm(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 3)
+    jvm = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(q, embeddings, 4).collect()
+    }
+    pnd = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk_pandas(q, embeddings, 4).collect()
+    }
+    assert jvm == pnd
+
+
+def test_lsh_topk_recall(embeddings):
+    """LSH with few planes must recover most of the exact top-1s."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    exact_top1 = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(q, embeddings, 1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in lsh_topk(q, embeddings, 1, n_planes=4).collect()
+    }
+    hits = sum(1 for k, v in approx.items() if exact_top1.get(k) == v)
+    assert len(approx) >= 15  # most queries find a same-bucket neighbor
+    assert hits / max(len(approx), 1) >= 0.5
