@@ -439,7 +439,7 @@ def q_unit_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The F1 scalar library exercised at scale: synthesize mixed-unit
     height strings from lineitem quantities, normalize with height_to_cm,
     aggregate exactly."""
-    from assignment_etl_spark.ops.units import height_to_cm
+    from assignment_etl_spark.ops.units import with_height_cm
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
@@ -452,9 +452,9 @@ def q_unit_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_linenumber") % 4 == 2, F.concat(feet_s, F.lit("ft 6in")))
         .otherwise(F.lit("1.75"))
     )
+    staged = with_height_cm(li.select(pattern, hs.alias("hs")), "hs", out="h")
     return (
-        li.select(pattern, height_to_cm(hs).alias("h"))
-        .groupBy("pattern")
+        staged.groupBy("pattern")
         .agg(
             F.round(_dec_sum(F.col("h"), 6).cast("double"), 2).alias("total_cm"),
             F.count(F.lit(1)).alias("n"),
@@ -476,6 +476,96 @@ SELECT (l_linenumber % 4) AS pattern,
 FROM lineitem
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q_weight_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F2 scalar library at scale: synthesize mixed-unit weight strings
+    (+ per-branch heights) from lineitem quantities, run the BMI-inferring
+    normalizer, aggregate per reason."""
+    from assignment_etl_spark.ops.units import with_weight_struct
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_linenumber") % 6
+    kg_v = (F.col("l_quantity") + 40).cast("string")
+    lb_v = (F.col("l_quantity") * 2 + 100).cast("string")
+    lb_big = (F.col("l_quantity") + 150).cast("string")
+    ws = (
+        F.when(k == 0, F.concat(kg_v, F.lit(" kg")))
+        .when(k == 1, F.concat(lb_v, F.lit(" lb")))
+        .when(k == 2, kg_v)
+        .when(k == 3, lb_big)
+        .when(k == 4, F.lit("n/a"))
+        .otherwise(F.lit("heavy"))
+    )
+    height = F.when(k == 3, F.lit(180.0)).otherwise(F.lit(175.0))
+    staged = with_weight_struct(
+        li.select(ws.alias("ws"), height.alias("hcm")), "ws", "hcm", out="_w"
+    )
+    return (
+        staged.select(
+            F.col("_w.reason").alias("reason"), F.col("_w.weight_kg").alias("wkg")
+        )
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dec_sum(F.col("wkg"), 6).cast("double"), 2).alias("total_kg"),
+        )
+        .orderBy("reason")
+    )
+
+
+SQL_WEIGHT_NORMALIZATION = """
+WITH w AS (
+  SELECT CASE (l_linenumber % 6)
+           WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+           WHEN 2 THEN 'missing_unit_assumed_kg'
+           WHEN 3 THEN 'missing_unit_assumed_lb'
+           WHEN 4 THEN 'missing_marker'
+           ELSE 'no_numeric_found' END AS reason,
+         CASE (l_linenumber % 6)
+           WHEN 0 THEN l_quantity + 40
+           WHEN 1 THEN (l_quantity * 2 + 100) * 0.453592
+           WHEN 2 THEN l_quantity + 40
+           WHEN 3 THEN (l_quantity + 150) * 0.453592
+           ELSE NULL END AS wkg
+  FROM lineitem)
+SELECT reason, count(*) AS n,
+       round(CAST(sum(CAST(wkg AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_kg
+FROM w GROUP BY reason ORDER BY reason
+"""
+
+
+def q_priority_customer_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with URGENT orders but no HIGH orders (EXCEPT)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.subtract(high)  # EXCEPT (distinct)
+
+
+SQL_PRIORITY_CUSTOMER_EXCEPT = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via multi-table LSH — the 100 TB similarity path
+    (bucket equi-join, no cross product). Approximate by construction →
+    rows-only check; exactness is covered by similarity_topk and the recall
+    test in tests/test_ext_dedup_similarity.py."""
+    from assignment_etl_spark.ext.similarity import lsh_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 50), emb, 3, n_planes=4, n_tables=8
+    )
 
 
 def q_date_lattice_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,6 +968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_customer_intersect": q_priority_customer_intersect,
         "event_pairs_15min": q_event_pairs_15min,
         "unit_normalization": q_unit_normalization,
+        "weight_normalization": q_weight_normalization,
+        "priority_customer_except": q_priority_customer_except,
+        "lsh_similarity_topk": q_lsh_similarity_topk,
         "date_lattice_roundtrip": q_date_lattice_roundtrip,
         "sex_code_mapping": q_sex_code_mapping,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -913,6 +1006,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_customer_intersect": SQL_PRIORITY_CUSTOMER_INTERSECT,
         "event_pairs_15min": SQL_EVENT_PAIRS_15MIN,
         "unit_normalization": SQL_UNIT_NORMALIZATION,
+        "weight_normalization": SQL_WEIGHT_NORMALIZATION,
+        "priority_customer_except": SQL_PRIORITY_CUSTOMER_EXCEPT,
         "date_lattice_roundtrip": SQL_DATE_LATTICE_ROUNDTRIP,
         "sex_code_mapping": SQL_SEX_CODE_MAPPING,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,

@@ -2,10 +2,22 @@
 
 Re-expresses the reference's per-row Python (height_to_cm at
 /root/reference/etl.py:146-183, weight_to_kg at etl.py:220-284,
-normalize_weights at etl.py:287-308) as pure Catalyst ``when``-chains over
-``regexp_extract`` — fully whole-stage-codegen-able, no Python in the hot
-path. Branch order is preserved exactly (SURVEY §2.5 F1/F2): the cm check
-precedes ft/in; the plausibility pass can override explicit units.
+normalize_weights at etl.py:287-308) as pure Catalyst expressions — no
+Python in the hot path. Branch order is preserved exactly (SURVEY §2.5
+F1/F2): the cm check precedes ft/in; the plausibility pass can override
+explicit units.
+
+Codegen note (the load-bearing design decision here): written as one
+monolithic Column, these ~40-branch chains inline the regex/normalize
+subtrees into every branch — the generated Java method passes 64 KB, janino
+refuses, and Spark falls back to interpreted eval which re-evaluates each
+regex per reference (~10× slower). The staged operators
+(``with_height_cm`` / ``with_weight_struct``) therefore compute the
+expensive primitives (lowercase/trim, number extraction, BMI denominator)
+as named columns in a *separate projection*; CollapseProject keeps the
+stages apart (non-cheap aliases referenced more than once), each stage
+codegens small, and every regex runs exactly once per row. The plain
+Column builders remain for expression-level composition and tests.
 
 Verified goldens (SURVEY §5.3): "68 in"→172.72, "5ft 6in"→167.64,
 "1.75"→175.0, "162"→162.0; ("300 kg", 220cm)→(300.0, implausible_bmi_62.0);
@@ -28,22 +40,19 @@ LB_TO_KG = 0.453592
 FIRST_NUM = r"([\d.]+)"
 
 
-def height_to_cm(col: Column) -> Column:
-    """F1: mixed-format height string → centimeters (double)."""
-    s = F.lower(F.trim(col.cast("string")))
-    first_num = F.nullif(F.regexp_extract(s, FIRST_NUM, 1), F.lit("")).cast("double")
-    # meters, e.g. "1.8m" — standalone m (word-boundary), and not a cm string
+# ------------------------------------------------------------------ height F1
+
+
+def _height_decision(
+    raw: Column, s: Column, first_num: Column, ft: Column, inches: Column
+) -> Column:
+    """The F1 branch chain over pre-computed primitives."""
     is_m = s.rlike(r"\b\d+(\.\d+)?\s*m\b") & ~s.contains("cm")
     is_cm = s.contains("cm")
-    # feet/inches, anchored at start like the reference's re.match: 5ft 6in, 5'6", 5'6
-    ft = F.nullif(F.regexp_extract(s, r"^(\d+)\s*(?:ft|')", 1), F.lit("")).cast("double")
-    inches = F.nullif(
-        F.regexp_extract(s, r"^(?:\d+)\s*(?:ft|')\s*(\d+)", 1), F.lit("")
-    ).cast("double")
     is_in = s.contains("in")
     is_bare = s.rlike(r"^[\d.]+$")
     return (
-        F.when(col.isNull(), F.lit(None).cast("double"))
+        F.when(raw.isNull(), F.lit(None).cast("double"))
         .when(is_m, first_num * 100.0)
         .when(is_cm, first_num)
         .when(ft.isNotNull(), ft * 30.48 + F.coalesce(inches, F.lit(0.0)) * 2.54)
@@ -54,28 +63,57 @@ def height_to_cm(col: Column) -> Column:
     )
 
 
-def weight_to_kg_struct(weight_col: Column, height_cm_col: Column) -> Column:
-    """F2: mixed-format weight → struct(weight_kg, flagged, reason).
+def _num(col: Column, pattern: str, group: int = 1) -> Column:
+    return F.nullif(F.regexp_extract(col, pattern, group), F.lit("")).cast("double")
 
-    Implements all nine reason branches of the reference (etl.py:220-284):
-    missing_value, missing_marker, no_numeric_found, (ok for explicit
-    kg/lb), missing_unit_assumed_kg, missing_unit_assumed_lb,
-    ambiguous_missing_unit, no_height_missing_unit, then the final
-    plausibility pass (implausible_bmi_fixed / implausible_bmi_{x:.1f})
-    which applies even to explicit units.
-    """
-    s = F.lower(F.trim(weight_col.cast("string")))
-    is_missing = weight_col.isNull()
+
+def height_to_cm(col: Column) -> Column:
+    """F1 as a single Column (compose-anywhere variant; prefer
+    with_height_cm on wide scans — see module docstring)."""
+    s = F.lower(F.trim(col.cast("string")))
+    return _height_decision(
+        col,
+        s,
+        _num(s, FIRST_NUM),
+        _num(s, r"^(\d+)\s*(?:ft|')"),
+        _num(s, r"^(?:\d+)\s*(?:ft|')\s*(\d+)"),
+    )
+
+
+def with_height_cm(
+    df: DataFrame, column: str = "height", out: str = "height_cm"
+) -> DataFrame:
+    """Staged F1: primitives projected once, decision chain over columns."""
+    s = F.lower(F.trim(F.col(column).cast("string")))
+    staged = df.withColumns(
+        {
+            "_h_s": s,
+            "_h_num": _num(s, FIRST_NUM),
+            "_h_ft": _num(s, r"^(\d+)\s*(?:ft|')"),
+            "_h_in": _num(s, r"^(?:\d+)\s*(?:ft|')\s*(\d+)"),
+        }
+    )
+    out_col = _height_decision(
+        F.col(column), F.col("_h_s"), F.col("_h_num"), F.col("_h_ft"), F.col("_h_in")
+    )
+    return staged.withColumn(out, out_col).drop("_h_s", "_h_num", "_h_ft", "_h_in")
+
+
+# ------------------------------------------------------------------ weight F2
+
+
+def _weight_decision(raw: Column, s: Column, val: Column, h2: Column) -> Column:
+    """The F2 branch chain (all nine reasons + plausibility override) over
+    pre-computed primitives: s = normalized string, val = first number,
+    h2 = (height_cm/100)^2 or NULL."""
+    is_missing = raw.isNull()
     is_marker = s.isin("", "na", "n/a", "none", "null", "-")
-    num_str = F.nullif(F.regexp_extract(s, FIRST_NUM, 1), F.lit(""))
-    val = num_str.cast("double")
-    no_num = num_str.isNull() | val.isNull()
-
+    no_num = val.isNull()
     has_kg = s.contains("kg")
     has_lb = s.contains("lb")
-    h_m2 = F.pow(height_cm_col / 100.0, F.lit(2.0))  # height in meters, squared
-    bmi_kg = val / h_m2
-    bmi_lb = (val * LB_TO_KG) / h_m2
+
+    bmi_kg = val / h2
+    bmi_lb = (val * LB_TO_KG) / h2
     heuristic = F.when(val > 140.0, val * LB_TO_KG).otherwise(val)
 
     # --- base pass: explicit units, else BMI-plausibility inference ---
@@ -83,7 +121,7 @@ def weight_to_kg_struct(weight_col: Column, height_cm_col: Column) -> Column:
         F.when(has_kg, val)
         .when(has_lb, val * LB_TO_KG)
         .when(
-            height_cm_col.isNotNull(),
+            h2.isNotNull(),
             F.when(bmi_kg.between(10.0, 45.0), val)
             .when(bmi_lb.between(10.0, 45.0), val * LB_TO_KG)
             .otherwise(heuristic),
@@ -93,7 +131,7 @@ def weight_to_kg_struct(weight_col: Column, height_cm_col: Column) -> Column:
     base_reason = (
         F.when(has_kg | has_lb, F.lit("ok"))
         .when(
-            height_cm_col.isNotNull(),
+            h2.isNotNull(),
             F.when(bmi_kg.between(10.0, 45.0), F.lit("missing_unit_assumed_kg"))
             .when(bmi_lb.between(10.0, 45.0), F.lit("missing_unit_assumed_lb"))
             .otherwise(F.lit("ambiguous_missing_unit")),
@@ -103,10 +141,10 @@ def weight_to_kg_struct(weight_col: Column, height_cm_col: Column) -> Column:
     base_flagged = ~(has_kg | has_lb)
 
     # --- plausibility pass (etl.py:269-283): may override explicit units ---
-    bmi = base_w / h_m2
-    implausible = height_cm_col.isNotNull() & ((bmi < 10.0) | (bmi > 60.0))
+    bmi = base_w / h2
+    implausible = h2.isNotNull() & ((bmi < 10.0) | (bmi > 60.0))
     flipped = F.when(has_kg, base_w / LB_TO_KG).otherwise(base_w * LB_TO_KG)
-    new_bmi = flipped / h_m2
+    new_bmi = flipped / h2
     fix_ok = new_bmi.between(10.0, 45.0)
 
     final_w = F.when(implausible & fix_ok, flipped).otherwise(base_w)
@@ -129,11 +167,45 @@ def weight_to_kg_struct(weight_col: Column, height_cm_col: Column) -> Column:
     )
 
 
+def weight_to_kg_struct(weight_col: Column, height_cm_col: Column) -> Column:
+    """F2 as a single Column → struct(weight_kg, flagged, reason)
+    (compose-anywhere variant; prefer with_weight_struct on wide scans)."""
+    s = F.lower(F.trim(weight_col.cast("string")))
+    val = _num(s, FIRST_NUM)
+    h2 = F.pow(height_cm_col / 100.0, F.lit(2.0))
+    return _weight_decision(weight_col, s, val, h2)
+
+
+def with_weight_struct(
+    df: DataFrame,
+    column: str = "weight",
+    height_col: str = "height_cm",
+    out: str = "_w",
+) -> DataFrame:
+    """Staged F2: string normalize / number extraction / BMI denominator
+    projected once, the 9-reason decision chain over columns."""
+    s = F.lower(F.trim(F.col(column).cast("string")))
+    staged = df.withColumns(
+        {
+            "_w_s": s,
+            "_w_val": _num(s, FIRST_NUM),
+            "_w_h2": F.pow(F.col(height_col) / 100.0, F.lit(2.0)),
+        }
+    )
+    out_col = _weight_decision(
+        F.col(column), F.col("_w_s"), F.col("_w_val"), F.col("_w_h2")
+    )
+    return staged.withColumn(out, out_col).drop("_w_s", "_w_val", "_w_h2")
+
+
+# ------------------------------------------------------------- operator forms
+
+
 def normalize_heights(df: DataFrame, column: str = "height") -> DataFrame:
     """Derive ``height_cm``. The reference never logs height issues
     (acknowledged TODO at etl.py:666) — parity kept; see normalize_weights
     for the logged pattern."""
-    return df.withColumn("height_cm", height_to_cm(F.col(column)))
+    return with_height_cm(df, column)
 
 
 def normalize_weights(
@@ -143,9 +215,7 @@ def normalize_weights(
     filename: str = "patients.csv",
 ) -> tuple[DataFrame, DataFrame]:
     """Derive ``weight_kg`` + the flagged-row log stream (etl.py:287-308)."""
-    with_struct = df.withColumn(
-        "_w", weight_to_kg_struct(F.col(column), F.col(height_col))
-    )
+    with_struct = with_weight_struct(df, column, height_col, out="_w")
     clean = with_struct.withColumn("weight_kg", F.col("_w.weight_kg")).drop("_w")
     logs = log_frame(
         with_struct.filter(F.col("_w.flagged")),

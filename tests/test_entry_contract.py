@@ -27,7 +27,11 @@ def test_contract_keys():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"minhash_lsh_pairs", "multimodal_features"}
+    assert rows_only == {
+        "minhash_lsh_pairs",
+        "multimodal_features",
+        "lsh_similarity_topk",
+    }
 
 
 def test_entry_runs(spark):
