@@ -1,0 +1,96 @@
+"""Property tests (SURVEY §5.4.3): the scalar library is total over
+arbitrary strings, dedup is idempotent, normalization is idempotent.
+
+Hypothesis generates the inputs; each property runs as ONE Spark job over
+the whole generated batch (not one job per example) to keep the suite fast.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.text import quality_score, whitespace_token_count
+from assignment_etl_spark.ops.dedup import keep_first
+from assignment_etl_spark.ops.strings import nfkc_lower_py
+from assignment_etl_spark.ops.units import height_to_cm, weight_to_kg_struct
+from assignment_etl_spark.schemas import ROW_ID
+
+TEXTY = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(TEXTY, min_size=80, max_size=120))
+def test_height_total_never_throws(spark, values):
+    """F1 is total: any junk string → double or NULL, never an error
+    (the reference crashes on e.g. '..' — documented deviation)."""
+    df = spark.createDataFrame([(v,) for v in values], "height string")
+    rows = df.select(height_to_cm(F.col("height")).alias("cm")).collect()
+    assert len(rows) == len(values)
+    for r in rows:
+        assert r.cm is None or isinstance(r.cm, float)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(TEXTY, st.one_of(st.none(), st.floats(50, 250))),
+        min_size=80,
+        max_size=120,
+    )
+)
+def test_weight_struct_invariants(spark, pairs):
+    """F2 invariants: always a reason; flagged=False only for explicit
+    plausible units; assumed_* implies BMI in [10, 45]."""
+    df = spark.createDataFrame(
+        [(w, h) for w, h in pairs], "weight string, height_cm double"
+    )
+    rows = df.select(
+        "height_cm",
+        weight_to_kg_struct(F.col("weight"), F.col("height_cm")).alias("w"),
+    ).collect()
+    for r in rows:
+        assert r.w.reason is not None
+        if not r.w.flagged:
+            assert r.w.reason == "ok"
+        if r.w.reason in ("missing_unit_assumed_kg", "missing_unit_assumed_lb"):
+            bmi = r.w.weight_kg / (r.height_cm / 100.0) ** 2
+            assert 10.0 <= bmi <= 45.0 or not math.isfinite(bmi)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), TEXTY), min_size=30, max_size=60))
+def test_keep_first_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        f"{ROW_ID} long, key int, val string",
+    )
+    once = keep_first(df, ["key"])
+    twice = keep_first(once, ["key"])
+    a = sorted((r.key, r.val) for r in once.collect())
+    b = sorted((r.key, r.val) for r in twice.collect())
+    assert a == b
+    assert len(a) == len({k for k, _ in [(r[0], 0) for r in a]})
+
+
+@settings(max_examples=50, deadline=None)
+@given(TEXTY)
+def test_nfkc_lower_idempotent_py(s):
+    once = nfkc_lower_py(s)
+    assert nfkc_lower_py(once) == once
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(TEXTY, min_size=50, max_size=80))
+def test_text_metrics_bounded(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "text string")
+    rows = df.select(
+        whitespace_token_count(F.col("text")).alias("t"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    for r in rows:
+        assert r.t >= 0
+        assert r.q is None or 0.0 <= r.q <= 1.0
