@@ -92,6 +92,38 @@ def read_events_stream(
     return reader.schema(schema).load(path)
 
 
+def stream_clean_with_quality(
+    stream_df: DataFrame,
+    clean_fn,
+    *,
+    clean_path: str,
+    logs_path: str,
+    checkpoint: str,
+) -> "StreamingQuery":  # noqa: F821
+    """The streaming twin of the batch dual-output contract (SURVEY §2.9):
+    ``clean_fn`` is any batch operator ``DataFrame -> (clean_df, log_df)``;
+    each micro-batch runs it once and writes BOTH sinks via foreachBatch —
+    the shared intermediate is computed per batch, never twice, and the
+    audit log stays exactly-once alongside the data (same epoch id).
+    """
+
+    def write_both(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            clean, logs = clean_fn(batch_df)
+            clean.write.mode("append").parquet(clean_path)
+            logs.write.mode("append").parquet(logs_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_query_once(
     stream_df: DataFrame,
     *,

@@ -1,0 +1,63 @@
+"""Native store: partition pruning + shuffle-free bucketed joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.io.store import (
+    read_table,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_partition_pruning(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("part")
+    )
+    path = str(tmp_path / "pp")
+    write_partitioned(df, path, ["part"])
+    q = spark.read.parquet(path).filter(F.col("part") == 2)
+    assert q.count() == 250
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the partition filter prunes directories at planning time
+    assert "PartitionFilters: [isnotnull(part" in plan
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    # a previous session's warehouse dir survives while the in-memory
+    # catalog does not — drop both so saveAsTable starts clean
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed_table(orders, "orders_b", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed_table(
+        lineitem, "lineitem_b", ["l_orderkey"], 8, sort_by=["l_orderkey"]
+    )
+    return read_table(spark, "orders_b"), read_table(spark, "lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    orders_b, lineitem_b = bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        j = orders_b.join(lineitem_b, orders_b.o_orderkey == lineitem_b.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: neither side shuffles
+        assert j.count() == lineitem_b.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_agg_skips_exchange(spark, bucketed):
+    orders_b, _ = bucketed
+    q = orders_b.groupBy("o_orderkey").agg(F.sum("o_totalprice"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # grouping key == bucket key
