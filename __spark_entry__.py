@@ -212,6 +212,40 @@ GROUP BY c_mktsegment
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (region, priority) — subtotals + grand
+    total in one pass (Catalyst expands to a single Expand+Aggregate)."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("r_name", "o_orderpriority")
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT r_name, o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, o_orderpriority)
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the engine's referential-integrity/orphan pattern
     (ops.quality.orphan_check). Scoped to URGENT orders so the result is
@@ -954,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_region": q_revenue_by_region,
+        "rollup_revenue": q_rollup_revenue,
         "segment_order_stats": q_segment_order_stats,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_orders_semi": q_customers_with_orders_semi,
@@ -992,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,
+        "rollup_revenue": SQL_ROLLUP_REVENUE,
         "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "customers_with_orders_semi": SQL_CUSTOMERS_WITH_ORDERS_SEMI,
