@@ -69,11 +69,14 @@ def clean_diagnoses(
             reason=F.lit("filled missing is_primary"),
         ),
     )
+    # is_primary first: fill_prim's strict-parity guard reads the ORIGINAL
+    # encounter_id nullness, and Column exprs resolve against the frame
+    # they're applied to — filling encounter_id first would flip the guard
     df = df.withColumn(
+        "is_primary", F.when(fill_prim, F.lit(False)).otherwise(F.col("is_primary"))
+    ).withColumn(
         "encounter_id",
         F.when(fill_enc, F.lit("UNKNOWN")).otherwise(F.col("encounter_id")),
-    ).withColumn(
-        "is_primary", F.when(fill_prim, F.lit(False)).otherwise(F.col("is_primary"))
     )
 
     # Rule 4: keep-first dedup on (encounter_id, code) in document order
