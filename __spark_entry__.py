@@ -678,6 +678,118 @@ SELECT sex_iso, reason, count(*) AS count FROM mapped GROUP BY 1, 2 ORDER BY 1, 
 """
 
 
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + sample stddev + correlation per
+    group (the A7 statistical-aggregate surface)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PERCENTILE_STATS = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per region × order-priority as columns (explicit
+    pivot values → no extra distinct pass at scale)."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    pivoted = (
+        joined.groupBy("r_name")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 2))
+    )
+    return pivoted.toDF("r_name", "urgent_rev", "high_rev", "medium_rev").orderBy("r_name")
+
+
+SQL_PIVOT_REVENUE = """
+SELECT r_name,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS urgent_rev,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE), 2) AS high_rev,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE), 2) AS medium_rev
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator surface: explode the token stream, global top-20 words —
+    the corpus vocabulary query."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col("word"))
+        .limit(20)
+    )
+
+
+SQL_TOP_WORDS = """
+SELECT word, count(*) AS count
+FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 0
+GROUP BY word ORDER BY count DESC, word LIMIT 20
+"""
+
+
+def q_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column (semi-structured
+    surface): numeric field stats per event type."""
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_EXTRACT_STATS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       round(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 1.0 /
+             count(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS k_avg
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text fingerprint, keep-first by doc_id."""
     from assignment_etl_spark.ext.dedup import exact_dedup
@@ -1008,6 +1120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_similarity_topk": q_lsh_similarity_topk,
         "date_lattice_roundtrip": q_date_lattice_roundtrip,
         "sex_code_mapping": q_sex_code_mapping,
+        "percentile_stats": q_percentile_stats,
+        "pivot_revenue": q_pivot_revenue,
+        "top_words": q_top_words,
+        "json_extract_stats": q_json_extract_stats,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats_by_lang": q_text_stats_by_lang,
         "lang_detect_agreement": q_lang_detect_agreement,
@@ -1046,6 +1162,10 @@ def oracle_sql() -> dict[str, str]:
         "priority_customer_except": SQL_PRIORITY_CUSTOMER_EXCEPT,
         "date_lattice_roundtrip": SQL_DATE_LATTICE_ROUNDTRIP,
         "sex_code_mapping": SQL_SEX_CODE_MAPPING,
+        "percentile_stats": SQL_PERCENTILE_STATS,
+        "pivot_revenue": SQL_PIVOT_REVENUE,
+        "top_words": SQL_TOP_WORDS,
+        "json_extract_stats": SQL_JSON_EXTRACT_STATS,
         "dedup_exact_documents": SQL_DEDUP_EXACT_DOCUMENTS,
         "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
         "lang_detect_agreement": SQL_LANG_DETECT_AGREEMENT,
