@@ -92,6 +92,54 @@ def read_events_stream(
     return reader.schema(schema).load(path)
 
 
+def stateful_user_totals(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    (event count, value total) maintained in the state store across
+    micro-batches, emitted in update mode.
+
+    This is the engine's template for stateful logic Spark's built-in
+    windows can't express (per-entity accumulators, custom TTL policies,
+    sequence detection): Arrow-batched per-group pandas with explicit
+    GroupState. State size = O(distinct keys) × a few longs — bounded and
+    store-backed at 100 TB key cardinalities.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupStateTimeout,
+    )
+
+    output_schema = f"{key_col} long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update_totals(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_totals,
+            output_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_clean_with_quality(
     stream_df: DataFrame,
     clean_fn,
