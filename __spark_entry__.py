@@ -895,6 +895,30 @@ SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, CAST(rank AS INTEGER
 """
 
 
+def q_ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed top-k (coarse k-means cells + probed-cell scoring).
+    Probing ALL cells makes IVF exact — so this gate entry hash-matches the
+    brute-force oracle while exercising the full index path (train, assign,
+    probe, join, rank). Production uses nprobe << n_cells; recall tests
+    live in tests/test_ivf_cc.py."""
+    from assignment_etl_spark.ext.similarity import build_ivf_index, ivf_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    assigned, centroids = build_ivf_index(emb, n_cells=8)
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 8), assigned, centroids, 5, nprobe=8
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard for adjacent doc pairs (the verify
     step of a near-dup pipeline)."""
@@ -1128,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_by_lang": q_text_stats_by_lang,
         "lang_detect_agreement": q_lang_detect_agreement,
         "similarity_topk": q_similarity_topk,
+        "ivf_similarity_topk": q_ivf_similarity_topk,
         "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
         "embedding_near_dup": q_embedding_near_dup,
         "streaming_hourly_events": q_streaming_hourly_events,
@@ -1170,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
         "lang_detect_agreement": SQL_LANG_DETECT_AGREEMENT,
         "similarity_topk": SQL_SIMILARITY_TOPK,
+        "ivf_similarity_topk": SQL_SIMILARITY_TOPK,  # full-probe IVF ≡ exact
         "ngram_jaccard_adjacent": SQL_NGRAM_JACCARD_ADJACENT,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "streaming_hourly_events": SQL_STREAMING_HOURLY_EVENTS,

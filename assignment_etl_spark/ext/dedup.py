@@ -205,6 +205,84 @@ def minhash_lsh_pairs(
     )
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list by min-label
+    propagation: each node's label converges to the smallest id reachable
+    from it. Returns (node, cluster) — cluster = min id of the component.
+
+    Iterative joins, O(diameter) rounds — near-dup graphs are
+    shallow (dup clusters are cliques-ish), so this converges in 2-3
+    rounds in practice. Each round is one shuffle on node id; frames are
+    persisted per round and the loop stops when no label changes (checked
+    with a cheap aggregate, not a collect of the data).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup removal with transitive closure: connected components over
+    the LSH candidate pairs, keep the min-id representative per component.
+    Unlike minhash_dedup (drop id_b per edge), a chain a~b~c keeps only a."""
+    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    comps = cluster_pairs(pairs)
+    to_drop = comps.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
 def minhash_dedup(
     df: DataFrame,
     *,
