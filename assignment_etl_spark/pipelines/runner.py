@@ -42,11 +42,33 @@ def run_etl(
     *,
     nfkc: bool = True,
     persist: bool = True,
+    ri_audit: bool = False,
 ) -> EtlResult:
+    """Full batch run. ``ri_audit=True`` adds the referential-integrity
+    audit the reference lacks (SURVEY §2.3): orphan encounters (patient_id
+    not in patients) and orphan diagnoses (encounter_id not in encounters)
+    are reported to the logs table — the data itself still flows through
+    unchanged, matching reference behavior."""
     p_clean, p_logs = patients.run(spark, patients_path, nfkc=nfkc)
     e_clean, e_logs = encounters.run(spark, encounters_path, nfkc=nfkc)
     d_clean, d_logs = diagnoses.run(spark, diagnoses_path, nfkc=nfkc)
-    logs = union_logs(p_logs, e_logs, d_logs)
+    log_parts = [p_logs, e_logs, d_logs]
+    if ri_audit:
+        from assignment_etl_spark.ops.quality import orphan_check
+
+        log_parts.append(
+            orphan_check(
+                e_clean, p_clean, "patient_id", "patient_id",
+                filename="encounters.csv",
+            )
+        )
+        log_parts.append(
+            orphan_check(
+                d_clean, e_clean, "encounter_id", "encounter_id",
+                filename="diagnoses.xml",
+            )
+        )
+    logs = union_logs(*log_parts)
     result = EtlResult(p_clean, e_clean, d_clean, logs)
     if persist:
         for df in result.tables().values():

@@ -24,15 +24,21 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
     "revenue_by_region",
+    "rollup_revenue",
     "segment_order_stats",
     "top_orders_per_customer",
     "histogram_extendedprice",
+    "percentile_stats",
     "event_pairs_15min",
     "unit_normalization",
+    "weight_normalization",
     "date_lattice_roundtrip",
+    "json_extract_stats",
     "dedup_exact_documents",
     "text_stats_by_lang",
+    "top_words",
     "similarity_topk",
+    "ivf_similarity_topk",
     "minhash_lsh_pairs",
     "streaming_hourly_events",
     "session_windows",
