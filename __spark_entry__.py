@@ -469,6 +469,72 @@ GROUP BY a.event_type
 """
 
 
+def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, union+window — no range explosion):
+    each event matched to the same user's latest purchase at or before it;
+    per-type match counts and mean gap. Oracle: DuckDB's native ASOF JOIN."""
+    from assignment_etl_spark.ops.asof import asof_join
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(events, purchases, on="ts", by="user_id")
+    gap = F.col("ts").cast("double") - F.col("ts_right").cast("double")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ts_right").alias("n_matched"),
+            F.round(F.sum(gap.cast("decimal(28,6)")).cast("double") / F.count("ts_right"), 2).alias("avg_gap_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ASOF_JOIN_PURCHASES = """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT e.event_type, e.ts AS lts, p.ts AS rts
+  FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts)
+SELECT event_type, count(*) AS n, count(rts) AS n_matched,
+       round(CAST(sum(CAST(epoch(lts) - epoch(rts) AS DECIMAL(28,6))) AS DOUBLE) / count(rts), 2) AS avg_gap_sec
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-pattern continuous aggregate: daily stats computed by
+    MERGING hourly partials (never re-reading raw rows); the oracle
+    aggregates the raw table directly — equality proves the partials are
+    lossless."""
+    from assignment_etl_spark.analytics.rollup import merge_rollup, rollup_time
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    hourly = rollup_time(events, unit="hour", keys=["event_type"])
+    daily = merge_rollup(hourly, unit="day", keys=["event_type"])
+    return daily.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("bucket_start", "event_type")
+
+
+SQL_HOURLY_TO_DAILY_ROLLUP = """
+SELECT date_trunc('day', ts) AS bucket_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_unit_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The F1 scalar library exercised at scale: synthesize mixed-unit
     height strings from lineitem quantities, normalize with height_to_cm,
@@ -1138,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_distinct_customers": q_priority_distinct_customers,
         "priority_customer_intersect": q_priority_customer_intersect,
         "event_pairs_15min": q_event_pairs_15min,
+        "asof_join_purchases": q_asof_join_purchases,
+        "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
         "unit_normalization": q_unit_normalization,
         "weight_normalization": q_weight_normalization,
         "priority_customer_except": q_priority_customer_except,
@@ -1182,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_distinct_customers": SQL_PRIORITY_DISTINCT_CUSTOMERS,
         "priority_customer_intersect": SQL_PRIORITY_CUSTOMER_INTERSECT,
         "event_pairs_15min": SQL_EVENT_PAIRS_15MIN,
+        "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
+        "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,
         "unit_normalization": SQL_UNIT_NORMALIZATION,
         "weight_normalization": SQL_WEIGHT_NORMALIZATION,
         "priority_customer_except": SQL_PRIORITY_CUSTOMER_EXCEPT,

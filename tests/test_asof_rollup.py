@@ -1,0 +1,72 @@
+"""As-of join (union+window custom operator) + hypertable rollup merge."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.analytics.rollup import merge_rollup, rollup_time
+from assignment_etl_spark.ops.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _m(0)), (1, _m(10)), (1, _m(20)), (2, _m(5))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _m(4), 100.0), (1, _m(10), 200.0), (1, _m(25), 300.0), (3, _m(0), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        (r.user_id, r.ts): (r.value_right, r.ts_right)
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert out[(1, _m(0))] == (None, None)  # no prior right row
+    assert out[(1, _m(10))] == (200.0, _m(10))  # tie is inclusive
+    assert out[(1, _m(20))] == (200.0, _m(10))  # latest at-or-before
+    assert out[(2, _m(5))] == (None, None)  # group with no right rows
+
+
+def test_asof_carries_multiple_columns(spark):
+    left = spark.createDataFrame([(1, _m(10))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _m(5), 7.0, "a")], "user_id long, ts timestamp, value double, tag string"
+    )
+    row = asof_join(left, right, on="ts", by="user_id").first()
+    assert row.value_right == 7.0 and row.tag_right == "a"
+
+
+def test_rollup_merge_lossless(spark):
+    rows = [
+        (i, T0 + dt.timedelta(minutes=37 * i), "t%d" % (i % 2), float(i))
+        for i in range(200)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    hourly = rollup_time(events, keys=["event_type"], unit="hour")
+    daily_merged = merge_rollup(hourly, unit="day", keys=["event_type"])
+    daily_direct = rollup_time(events, keys=["event_type"], unit="day")
+    a = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in daily_merged.collect()
+    }
+    b = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in daily_direct.collect()
+    }
+    assert a == b  # exact: decimal partials are mergeable
+
+
+def test_rollup_rejects_bad_unit(spark):
+    events = spark.createDataFrame([(1, T0, "a", 1.0)], "e long, ts timestamp, event_type string, value double")
+    import pytest
+
+    with pytest.raises(ValueError):
+        rollup_time(events, unit="fortnight")
