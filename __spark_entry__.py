@@ -329,6 +329,42 @@ FROM orders WHERE o_custkey < 100
 """
 
 
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic windows: mean days between consecutive orders per
+    priority (inter-arrival analysis)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap_days = (
+        F.col("o_orderdate").cast("double") - F.lag("o_orderdate").over(w).cast("double")
+    ) / 86400.0
+    return (
+        orders.select("o_orderpriority", gap_days.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_gap_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_GAPS = """
+WITH g AS (
+  SELECT o_orderpriority,
+         (epoch(o_orderdate) - epoch(lag(o_orderdate) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))) / 86400.0 AS gap
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n_gaps,
+       round(CAST(sum(CAST(gap AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS avg_gap_days
+FROM g WHERE gap IS NOT NULL
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 value_counts through the analytics layer."""
     from assignment_etl_spark.analytics.queries import value_counts
@@ -1196,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders_semi": q_customers_with_orders_semi,
         "top_orders_per_customer": q_top_orders_per_customer,
         "running_revenue": q_running_revenue,
+        "order_gaps": q_order_gaps,
         "event_type_counts": q_event_type_counts,
         "top_users_by_events": q_top_users_by_events,
         "histogram_extendedprice": q_histogram_extendedprice,
@@ -1242,6 +1279,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders_semi": SQL_CUSTOMERS_WITH_ORDERS_SEMI,
         "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
         "running_revenue": SQL_RUNNING_REVENUE,
+        "order_gaps": SQL_ORDER_GAPS,
         "event_type_counts": SQL_EVENT_TYPE_COUNTS,
         "top_users_by_events": SQL_TOP_USERS_BY_EVENTS,
         "histogram_extendedprice": SQL_HISTOGRAM_EXTENDEDPRICE,

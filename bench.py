@@ -30,6 +30,8 @@ HEADLINE = [
     "histogram_extendedprice",
     "percentile_stats",
     "event_pairs_15min",
+    "asof_join_purchases",
+    "hourly_to_daily_rollup",
     "unit_normalization",
     "weight_normalization",
     "date_lattice_roundtrip",
