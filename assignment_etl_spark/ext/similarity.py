@@ -184,6 +184,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
+    max_iter: int = 8,
 ):
     """IVF coarse quantizer: spherical k-means cells over L2-normalized
     vectors (pyspark.ml KMeans — trains on a sample at scale), plus the
@@ -206,7 +207,10 @@ def build_ivf_index(
     )
     feats = normed.withColumn("features", array_to_vector("_v"))
     train = feats.sample(fraction=sample_fraction, seed=seed) if sample_fraction else feats
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    # recall depends on nprobe more than on centroid polish — a handful of
+    # Lloyd iterations is the right train-cost/recall trade (and full-probe
+    # correctness is centroid-independent)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
     assigned = (
         model.transform(feats)
         .select("_id", "_v", F.col("prediction").alias("_cell"))
