@@ -704,6 +704,106 @@ def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_messy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S2 messy-CSV source, gate-verified end to end: deterministically
+    corrupt the first 1000 lineitem rows into a mixed-delimiter file (blank
+    lines, repeated interior headers, semicolon rows with an EXTRA field,
+    short rows, padded cells), parse it back with the distributed reader,
+    and aggregate. The oracle computes the same aggregates straight from
+    the clean table, modeling exactly which rows the corruption destroys
+    (blank/header replacements) or truncates (short rows → NULL price).
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from assignment_etl_spark.io.messy_csv import read_messy_csv
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_orderkey", "l_linenumber")
+    sel = (
+        li.select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_linenumber"
+        )
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 1000)
+        .drop("l_linenumber")
+    )
+    comma = F.concat_ws(
+        ",",
+        F.concat(F.lit("  "), F.col("l_orderkey").cast("string"), F.lit(" ")),
+        F.col("l_partkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_extendedprice").cast("string"),
+    )
+    semi = F.concat_ws(
+        ";",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+        F.col("l_extendedprice").cast("string"),
+        F.lit("EXTRA"),
+    )
+    short = F.concat_ws(
+        ",",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_quantity").cast("string"),
+    )
+    line = (
+        F.when(F.col("rn") % 101 == 50, F.lit(""))  # blank line — row lost
+        .when(
+            F.col("rn") % 251 == 100,  # repeated interior header — row lost
+            F.lit("l_orderkey,l_partkey,l_quantity,l_extendedprice"),
+        )
+        .when(F.col("rn") % 11 == 5, short)  # ragged: price column lost
+        .when(F.col("rn") % 7 == 3, semi)  # semicolon + 5th EXTRA field
+        .otherwise(comma)
+    )
+    rows = sel.select("rn", line.alias("line")).orderBy("rn").collect()
+    d = tempfile.mkdtemp(prefix="messy_gate_")
+    path = os.path.join(d, "lineitem_messy.csv")
+    with open(path, "w") as f:
+        f.write("l_orderkey,l_partkey,l_quantity,l_extendedprice\n")
+        for r in rows:
+            f.write(r.line + "\n")
+
+    parsed = read_messy_csv(
+        spark, path, ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    return parsed.withColumn(
+        "l_extendedprice_v",
+        F.nullif(F.col("l_extendedprice"), F.lit("")).cast("double"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_extendedprice_v").alias("n_priced"),
+        F.round(_dec_sum(F.col("l_quantity").cast("double")).cast("double"), 2).alias("sum_qty"),
+        F.round(
+            _dec_sum(F.col("l_extendedprice_v"), 6).cast("double"), 2
+        ).alias("sum_price"),
+    )
+
+
+SQL_MESSY_CSV_ROUNDTRIP = """
+WITH sel AS (
+  SELECT l_quantity, l_extendedprice,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000),
+survived AS (
+  SELECT l_quantity,
+         CASE WHEN rn % 11 = 5 THEN NULL ELSE l_extendedprice END AS price
+  FROM sel
+  WHERE NOT (rn % 101 = 50) AND NOT (rn % 251 = 100))
+SELECT count(*) AS n_rows,
+       count(price) AS n_priced,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+FROM survived
+"""
+
+
 def q_date_lattice_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The F5 multi-format date lattice: format order dates three ways,
     parse them back through the engine lattice, count by year."""
@@ -1241,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_distinct_customers": q_priority_distinct_customers,
         "priority_customer_intersect": q_priority_customer_intersect,
         "event_pairs_15min": q_event_pairs_15min,
+        "messy_csv_roundtrip": q_messy_csv_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
         "unit_normalization": q_unit_normalization,
@@ -1288,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_distinct_customers": SQL_PRIORITY_DISTINCT_CUSTOMERS,
         "priority_customer_intersect": SQL_PRIORITY_CUSTOMER_INTERSECT,
         "event_pairs_15min": SQL_EVENT_PAIRS_15MIN,
+        "messy_csv_roundtrip": SQL_MESSY_CSV_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,
         "unit_normalization": SQL_UNIT_NORMALIZATION,
