@@ -505,6 +505,85 @@ GROUP BY a.event_type
 """
 
 
+def q_xml_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S3 namespaced-XML source, gate-verified end to end: serialize
+    the first 200 orders into a namespaced XML document with
+    deterministically missing elements (priority dropped every 7th record,
+    price every 11th), shred it back with the mapInPandas reader
+    (attribute extraction included), aggregate per priority. Oracle models
+    the omissions directly on the clean table."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from assignment_etl_spark.io.xml import read_xml_records
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy("o_orderkey")
+    sel = (
+        orders.withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 200)
+        .select("rn", "o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("rn")
+        .collect()
+    )
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>']
+    parts.append('<Orders xmlns="http://example.org/order">')
+    for r in sel:
+        parts.append("  <Order>")
+        parts.append(f"    <orderKey>{r.o_orderkey}</orderKey>")
+        if r.rn % 11 != 5:
+            parts.append(f'    <price cur="USD">{r.o_totalprice!r}</price>')
+        if r.rn % 7 != 3:
+            parts.append(f"    <priority>{r.o_orderpriority}</priority>")
+        parts.append("  </Order>")
+    parts.append("</Orders>")
+    d = tempfile.mkdtemp(prefix="xml_gate_")
+    path = os.path.join(d, "orders.xml")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+
+    shredded = read_xml_records(
+        spark,
+        path,
+        record_tag="Order",
+        namespace="http://example.org/order",
+        fields={
+            "order_key": ("orderKey", None),
+            "price": ("price", None),
+            "currency": ("price", "cur"),
+            "priority": ("priority", None),
+        },
+    )
+    return (
+        shredded.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("price").alias("n_priced"),
+            F.count("currency").alias("n_cur"),
+            F.round(_dec_sum(F.col("price").cast("double")).cast("double"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+SQL_XML_SHRED_ROUNDTRIP = """
+WITH sel AS (
+  SELECT o_totalprice, o_orderpriority,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+  FROM orders ORDER BY o_orderkey LIMIT 200),
+modeled AS (
+  SELECT CASE WHEN rn % 7 = 3 THEN NULL ELSE o_orderpriority END AS priority,
+         CASE WHEN rn % 11 = 5 THEN NULL ELSE o_totalprice END AS price
+  FROM sel)
+SELECT priority, count(*) AS n, count(price) AS n_priced, count(price) AS n_cur,
+       round(CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price
+FROM modeled GROUP BY priority ORDER BY priority
+"""
+
+
 def q_asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator, union+window — no range explosion):
     each event matched to the same user's latest purchase at or before it;
@@ -1342,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_customer_intersect": q_priority_customer_intersect,
         "event_pairs_15min": q_event_pairs_15min,
         "messy_csv_roundtrip": q_messy_csv_roundtrip,
+        "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
         "unit_normalization": q_unit_normalization,
@@ -1390,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_customer_intersect": SQL_PRIORITY_CUSTOMER_INTERSECT,
         "event_pairs_15min": SQL_EVENT_PAIRS_15MIN,
         "messy_csv_roundtrip": SQL_MESSY_CSV_ROUNDTRIP,
+        "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,
         "unit_normalization": SQL_UNIT_NORMALIZATION,
