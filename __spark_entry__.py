@@ -185,6 +185,128 @@ GROUP BY r_name
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped-revenue orders for one market
+    segment (selective filters on both join sides, pushed to the scans;
+    broadcast the filtered customer keys)."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-table join, revenue by nation where customer and
+    supplier share the nation (all dims broadcast; one shuffle for the
+    final agg)."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT r_name, n_name, count(*) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by returned-item revenue."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
 def q_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join preserving order-less customers (count(o) skips NULLs)."""
     _prep(spark)
@@ -1406,6 +1528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_region": q_revenue_by_region,
         "rollup_revenue": q_rollup_revenue,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
         "segment_order_stats": q_segment_order_stats,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_orders_semi": q_customers_with_orders_semi,
@@ -1455,6 +1580,9 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "returned_items": SQL_RETURNED_ITEMS,
         "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "customers_with_orders_semi": SQL_CUSTOMERS_WITH_ORDERS_SEMI,

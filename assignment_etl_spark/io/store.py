@@ -42,3 +42,60 @@ def write_bucketed_table(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str | list[str],
+    *,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Key-based upsert (MERGE) into a plain parquet store: existing rows
+    whose key appears in ``updates`` are replaced, new keys appended.
+    Plain parquet has no row-level transaction log, so this is the
+    copy-on-write merge table formats (Delta/Iceberg/Hudi CoW) perform
+    under the hood. With ``partition_by``, dynamic partition overwrite
+    rewrites ONLY the partitions present in ``updates`` — the
+    partition-pruned merge that makes CoW viable on a 100 TB table.
+
+    The merged frame is locally checkpointed before the overwrite
+    (lineage would otherwise read the path being replaced); on a cluster,
+    checkpoint to reliable storage instead.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if not os.path.exists(path):
+        writer = updates.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return
+
+    current = spark.read.parquet(path)
+    dedup_updates = updates.dropDuplicates(keys)
+    if partition_by:
+        touched = dedup_updates.select(*partition_by).distinct()
+        merged = (
+            current.join(F.broadcast(touched), on=partition_by, how="left_semi")
+            .join(dedup_updates.select(*keys).distinct(), on=keys, how="left_anti")
+            .unionByName(dedup_updates)
+            .localCheckpoint(eager=True)
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        merged = (
+            current.join(dedup_updates.select(*keys).distinct(), on=keys, how="left_anti")
+            .unionByName(dedup_updates)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(path)
