@@ -25,6 +25,9 @@ HEADLINE = [
     "top_revenue_orders",
     "revenue_by_region",
     "rollup_revenue",
+    "shipping_priority",
+    "local_supplier_volume",
+    "returned_items",
     "segment_order_stats",
     "top_orders_per_customer",
     "histogram_extendedprice",
