@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # parquet timestamp policy (mirrors __spark_entry__._prep): µs-NTZ
+        # columns read as instants; TIMESTAMP(NANOS) surfaces as a long
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -42,6 +42,38 @@ def test_asof_carries_multiple_columns(spark):
     assert row.value_right == 7.0 and row.tag_right == "a"
 
 
+def test_asof_equivalent_to_quadratic(spark):
+    """Property: the union+window as-of equals the naive quadratic
+    definition (max right.ts <= left.ts per left row) on randomized data."""
+    import random
+
+    rng = random.Random(42)
+    left_rows = [
+        (u, _m(rng.randrange(0, 500)), i) for i, u in enumerate(rng.choices(range(5), k=120))
+    ]
+    right_rows = [
+        (u, _m(rng.randrange(0, 500)), float(i)) for i, u in enumerate(rng.choices(range(5), k=80))
+    ]
+    left = spark.createDataFrame(left_rows, "user_id long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp, value double"
+    ).dropDuplicates(["user_id", "ts"])  # unique as-of keys → deterministic
+
+    got = {
+        r.lid: r.ts_right
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+
+    r2 = right.toDF("user_id", "rts", "value")
+    quad = (
+        left.join(r2, (left.user_id == r2.user_id) & (r2.rts <= left.ts), "left")
+        .groupBy("lid")
+        .agg(F.max("rts").alias("rts"))
+    )
+    expected = {r.lid: r.rts for r in quad.collect()}
+    assert got == expected
+
+
 def test_rollup_merge_lossless(spark):
     rows = [
         (i, T0 + dt.timedelta(minutes=37 * i), "t%d" % (i % 2), float(i))
