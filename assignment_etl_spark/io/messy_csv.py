@@ -46,5 +46,12 @@ def read_messy_csv(
     parts = F.when(delim_is_semi, F.split("value", ";")).otherwise(
         F.split("value", ",")
     )
-    fields = [F.trim(F.get(parts, i)).alias(c) for i, c in enumerate(columns)]
-    return lines.select(*fields, F.col(ROW_ID))
+    # stage the split array in its own projection: referenced by every
+    # field extraction, it would otherwise be inlined (and the split regex
+    # re-run) once per column — CollapseProject keeps non-cheap
+    # multi-referenced aliases in their own Project
+    split_once = lines.select(parts.alias("_parts"), F.col(ROW_ID))
+    fields = [
+        F.trim(F.get(F.col("_parts"), i)).alias(c) for i, c in enumerate(columns)
+    ]
+    return split_once.select(*fields, F.col(ROW_ID))

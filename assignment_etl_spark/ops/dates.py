@@ -55,17 +55,23 @@ DATETIME_FORMATS = [
 ]
 
 
-def parse_timestamp_multi(col: Column, formats: list[str]) -> Column:
-    """Try each format in priority order; NULL if none matches (non-ANSI).
-
-    Inputs may arrive already lowercased (the reference runs clean_utf8
+def _ts_preprocess(col: Column) -> Column:
+    """Inputs may arrive already lowercased (the reference runs clean_utf8
     before parsing, etl.py:509→512; pandas parses "...t...z" fine, Java
-    patterns don't) — so the ISO 'T' separator and a trailing 'z' offset are
-    re-uppercased before matching.
-    """
+    patterns don't) — re-uppercase the ISO 'T' separator and a trailing
+    'z' offset before matching."""
     s = F.trim(col.cast("string"))
     s = F.regexp_replace(s, r"(?<=[0-9])t(?=[0-9])", "T")
-    s = F.regexp_replace(s, r"z$", "Z")
+    return F.regexp_replace(s, r"z$", "Z")
+
+
+def parse_timestamp_multi(
+    col: Column, formats: list[str], *, preprocessed: bool = False
+) -> Column:
+    """Try each format in priority order; NULL if none matches (non-ANSI).
+    preprocessed=True skips the normalization (caller staged it — the
+    preprocess would otherwise inline into every format attempt)."""
+    s = col if preprocessed else _ts_preprocess(col)
     return F.coalesce(*[F.to_timestamp(s, f) for f in formats])
 
 
@@ -116,8 +122,12 @@ def parse_datetime_columns(
     log_parts = []
     for c in columns:
         raw = F.col(c)
-        blank = raw.isNull() | (F.trim(raw.cast("string")) == "")
-        parsed = parse_timestamp_multi(raw, formats)
+        # stage the normalized string once per column — inlined, the two
+        # regexp_replaces would re-run inside every to_timestamp attempt
+        out = out.withColumn(f"_{c}_pre", _ts_preprocess(raw))
+        pre = F.col(f"_{c}_pre")
+        blank = raw.isNull() | (pre == "")
+        parsed = parse_timestamp_multi(pre, formats, preprocessed=True)
         failed = ~blank & parsed.isNull()
         log_parts.append(
             log_frame(
@@ -129,7 +139,9 @@ def parse_datetime_columns(
                 reason=F.lit("invalid_datetime_format"),
             )
         )
-        out = out.withColumn(c, F.when(blank, F.lit(None)).otherwise(parsed))
+        out = out.withColumn(c, F.when(blank, F.lit(None)).otherwise(parsed)).drop(
+            f"_{c}_pre"
+        )
     logs = log_parts[0]
     for p in log_parts[1:]:
         logs = logs.unionByName(p)

@@ -103,7 +103,16 @@ def clean_diagnoses(
 
 
 def run(
-    spark: SparkSession, path: str, *, nfkc: bool = True, strict_parity: bool = False
+    spark: SparkSession,
+    path: str,
+    *,
+    nfkc: bool = True,
+    strict_parity: bool = False,
+    persist_intermediates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     raw = read_diagnoses_xml(spark, path)
+    if persist_intermediates:
+        # the XML shred (mapInPandas) is the expensive shared base of the
+        # clean output and every log stream (SURVEY §4.3.2)
+        raw = raw.persist()
     return clean_diagnoses(raw, nfkc=nfkc, strict_parity=strict_parity)

@@ -29,13 +29,23 @@ VALID_ENCOUNTER_TYPES = ["inpatient", "outpatient", "ed"]
 
 
 def clean_encounters(
-    raw: DataFrame, *, filename: str = "encounters.csv", nfkc: bool = True
+    raw: DataFrame,
+    *,
+    filename: str = "encounters.csv",
+    nfkc: bool = True,
+    persist_intermediates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
+    """persist_intermediates caches the post-parse frame — the shared base
+    of the clean output and every log stream (SURVEY §4.3.2). Without it,
+    materializing clean + logs re-runs the messy-CSV split and the
+    13-format timestamp lattice once per consumer branch."""
     df = normalize_strings(raw, nfkc=nfkc)
 
     df, dt_logs = parse_datetime_columns(
         df, ["admit_dt", "discharge_dt"], filename=filename
     )
+    if persist_intermediates:
+        df = df.persist()
 
     df, dup_logs = dedup_with_log(
         df,
@@ -89,7 +99,13 @@ def clean_encounters(
 
 
 def run(
-    spark: SparkSession, path: str, *, nfkc: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    nfkc: bool = True,
+    persist_intermediates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     raw = read_messy_csv(spark, path, ENCOUNTER_COLUMNS)
-    return clean_encounters(raw, nfkc=nfkc)
+    return clean_encounters(
+        raw, nfkc=nfkc, persist_intermediates=persist_intermediates
+    )

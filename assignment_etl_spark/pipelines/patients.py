@@ -22,11 +22,21 @@ from assignment_etl_spark.schemas import PATIENTS_RAW, ROW_ID
 
 
 def clean_patients(
-    raw: DataFrame, *, filename: str = "patients.csv", nfkc: bool = True
+    raw: DataFrame,
+    *,
+    filename: str = "patients.csv",
+    nfkc: bool = True,
+    persist_intermediates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """raw (string cols + _row_id) → (clean patients, log stream)."""
+    """raw (string cols + _row_id) → (clean patients, log stream).
+
+    persist_intermediates caches the frame after the expensive F1/F2
+    unit-normalization — the shared base every log branch re-derives
+    (SURVEY §4.3.2)."""
     df = normalize_heights(raw)
     df, w_logs = normalize_weights(df, filename=filename)
+    if persist_intermediates:
+        df = df.persist()
     df, s_logs = map_sex(df, filename=filename)
     df, d_logs = parse_dob(df, filename=filename)
     df, dup_logs = patient_dedup(df, filename=filename)
@@ -38,7 +48,13 @@ def clean_patients(
 
 
 def run(
-    spark: SparkSession, path: str, *, nfkc: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    nfkc: bool = True,
+    persist_intermediates: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     raw = read_csv(spark, path, schema=PATIENTS_RAW)
-    return clean_patients(raw, nfkc=nfkc)
+    return clean_patients(
+        raw, nfkc=nfkc, persist_intermediates=persist_intermediates
+    )

@@ -49,9 +49,15 @@ def run_etl(
     not in patients) and orphan diagnoses (encounter_id not in encounters)
     are reported to the logs table — the data itself still flows through
     unchanged, matching reference behavior."""
-    p_clean, p_logs = patients.run(spark, patients_path, nfkc=nfkc)
-    e_clean, e_logs = encounters.run(spark, encounters_path, nfkc=nfkc)
-    d_clean, d_logs = diagnoses.run(spark, diagnoses_path, nfkc=nfkc)
+    p_clean, p_logs = patients.run(
+        spark, patients_path, nfkc=nfkc, persist_intermediates=persist
+    )
+    e_clean, e_logs = encounters.run(
+        spark, encounters_path, nfkc=nfkc, persist_intermediates=persist
+    )
+    d_clean, d_logs = diagnoses.run(
+        spark, diagnoses_path, nfkc=nfkc, persist_intermediates=persist
+    )
     log_parts = [p_logs, e_logs, d_logs]
     if ri_audit:
         from assignment_etl_spark.ops.quality import orphan_check
