@@ -1489,6 +1489,22 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
 
 
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprints over the documents table: 16-bit
+    signatures, bucketed by hamming weight (xxhash-based → rows-only
+    check; pairwise hamming tests live in tests/test_ext_dedup_similarity)."""
+    from assignment_etl_spark.ext.dedup import make_simhash_udf
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(make_simhash_udf(bits=16)(F.col("text")).alias("sh"))
+    return (
+        sig.groupBy(F.bit_count("sh").alias("hamming_weight"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("hamming_weight")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents → synthetic binary payloads →
     Arrow-batched feature extraction (deterministic fake decoder — real
@@ -1570,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "quality_score_distribution": q_quality_score_distribution,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
     }
 

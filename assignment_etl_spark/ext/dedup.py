@@ -308,6 +308,41 @@ def ngram_jaccard(
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def make_simhash_udf(bits: int = 64, seed: int = 11):
+    """Arrow-batched numpy SimHash: FNV-1a token hashes vote per bit,
+    sign of the vote sum becomes the bit. The fast path for corpus-scale
+    fingerprinting (the Column-expression variant below builds a
+    bits×aggregate tree that runs interpreted)."""
+    assert 1 <= bits <= 63
+    mask = np.uint64((1 << bits) - 1)
+
+    fnv_offset, fnv_prime, m64 = 14695981039346656037 + seed, 1099511628211, (1 << 64) - 1
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    def _fnv(tok: str) -> int:
+        h = fnv_offset
+        for byte in tok.encode("utf-8"):
+            h = ((h ^ byte) * fnv_prime) & m64
+        return h & int(mask)
+
+    @pandas_udf(T.LongType())
+    def simhash_sig(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            tokens = str(t).lower().split()
+            if not tokens:
+                continue
+            hashes = np.fromiter((_fnv(tok) for tok in tokens), dtype=np.uint64)
+            ones = ((hashes[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0)
+            votes = 2 * ones.astype(np.int64) - len(tokens)
+            out[i] = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+        return pd.Series(out)
+
+    return simhash_sig
+
+
 def simhash(col: Column, bits: int = 64) -> Column:
     """SimHash over word tokens: sign of per-bit weighted sums of token
     hashes. Near-dups differ in few bits (compare via hamming distance)."""

@@ -31,6 +31,7 @@ def test_contract_keys():
         "minhash_lsh_pairs",
         "multimodal_features",
         "lsh_similarity_topk",
+        "simhash_buckets",
     }
 
 
