@@ -185,6 +185,28 @@ GROUP BY r_name
 """
 
 
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations in
+    one Expand+Aggregate pass (completes the rollup/cube family)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(_dec_sum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: top-10 unshipped-revenue orders for one market
     segment (selective filters on both join sides, pushed to the scans;
@@ -1544,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "revenue_by_region": q_revenue_by_region,
         "rollup_revenue": q_rollup_revenue,
+        "cube_lineitem": q_cube_lineitem,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "returned_items": q_returned_items,
@@ -1597,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,
         "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "cube_lineitem": SQL_CUBE_LINEITEM,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "returned_items": SQL_RETURNED_ITEMS,
