@@ -9,9 +9,12 @@ round; raw per-row doubles are emitted unrounded (bit-identical in both
 engines); averages are computed as exact-decimal-sum / count so the final
 double division is a single identical IEEE op.
 
-Queries without an oracle_sql entry (hash-inexpressible in SQL): minhash
-LSH pair mining (xxhash64-based) and the multimodal feature extraction
-(custom decoder) — the driver records rows-only checks for those.
+Every query has an oracle_sql entry. The formerly rows-only LSH family is
+oracle-checked via portable hashing (PORTABLE_P polynomial family — int64
+arithmetic both engines compute bit-identically; see ext/dedup.py) and via
+embedding the seeded hyperplane literals into generated DuckDB SQL with
+Spark's exact IEEE fold order (_sql_lsh_similarity_topk). The multimodal
+gate is sha256 math, recomputed by DuckDB from the same payload bytes.
 """
 
 from __future__ import annotations
@@ -838,24 +841,30 @@ GROUP BY 1 ORDER BY 1
 
 
 def q_weight_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The F2 scalar library at scale: synthesize mixed-unit weight strings
-    (+ per-branch heights) from lineitem quantities, run the BMI-inferring
-    normalizer, aggregate per reason."""
+    """The F2 scalar library at scale, now covering ALL NINE reasons
+    (reference etl.py:220-283) including the plausibility-override pair:
+    implausible_bmi_fixed (mislabeled lb fixed by the flip) and
+    implausible_bmi_{x} (unfixable kg — weight kept, bmi stamped into the
+    reason with %.1f). Patterns keyed on (l_orderkey*3 + l_linenumber) % 10
+    so every branch appears at every scale factor; reason-level aggregate
+    hash-matched against the closed-form oracle."""
     from assignment_etl_spark.ops.units import with_weight_struct
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
-    k = F.col("l_linenumber") % 6
-    kg_v = (F.col("l_quantity") + 40).cast("string")
-    lb_v = (F.col("l_quantity") * 2 + 100).cast("string")
-    lb_big = (F.col("l_quantity") + 150).cast("string")
+    k = (F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 10
+    q_s = lambda off: (F.col("l_quantity") + off).cast("string")  # noqa: E731
     ws = (
-        F.when(k == 0, F.concat(kg_v, F.lit(" kg")))
-        .when(k == 1, F.concat(lb_v, F.lit(" lb")))
-        .when(k == 2, kg_v)
-        .when(k == 3, lb_big)
-        .when(k == 4, F.lit("n/a"))
-        .otherwise(F.lit("heavy"))
+        F.when(k == 0, F.concat(q_s(40), F.lit(" kg")))  # ok (kg)
+        .when(k == 1, F.concat((F.col("l_quantity") * 2 + 100).cast("string"), F.lit(" lb")))  # ok (lb)
+        .when(k == 2, q_s(40))  # missing_unit_assumed_kg
+        .when(k == 3, q_s(150))  # missing_unit_assumed_lb (h=180)
+        .when(k == 4, F.lit("n/a"))  # missing_marker
+        .when(k == 5, F.lit("heavy"))  # no_numeric_found
+        .when(k == 6, F.lit(None).cast("string"))  # missing_value
+        .when(k == 7, q_s(310))  # ambiguous_missing_unit (heuristic lb, plausible)
+        .when(k == 8, F.concat(q_s(500), F.lit(" lb")))  # implausible_bmi_fixed
+        .otherwise(F.concat(q_s(200), F.lit(" kg")))  # implausible_bmi_{x}
     )
     height = F.when(k == 3, F.lit(180.0)).otherwise(F.lit(175.0))
     staged = with_weight_struct(
@@ -874,24 +883,147 @@ def q_weight_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Branch math (h2 = 1.75² = 3.0625 except k=3's 1.8² = 3.24), q ∈ [1, 50]:
+#  k=7: val = q+310 ∈ [311,360]: bmi_kg ∉ [10,45], bmi_lb ∉ [10,45] →
+#       heuristic (val > 140) → w = val·0.453592; final bmi ≤ 60 → survives
+#       as ambiguous_missing_unit.
+#  k=8: "val lb", val = q+500: bmi = val·0.453592/3.0625 > 60 → implausible;
+#       flip (non-kg: ×0.453592 again) lands in [10,45] → fixed.
+#  k=9: "val kg", val = q+200: bmi = val/3.0625 ∈ (65,82] > 60; flip for kg
+#       DIVIDES by 0.453592 (reference quirk, etl.py:274) → worse → reason
+#       implausible_bmi_{bmi:.1f}, weight kept at val.
 SQL_WEIGHT_NORMALIZATION = """
 WITH w AS (
-  SELECT CASE (l_linenumber % 6)
+  SELECT CASE ((l_orderkey * 3 + l_linenumber) % 10)
            WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
            WHEN 2 THEN 'missing_unit_assumed_kg'
            WHEN 3 THEN 'missing_unit_assumed_lb'
            WHEN 4 THEN 'missing_marker'
-           ELSE 'no_numeric_found' END AS reason,
-         CASE (l_linenumber % 6)
+           WHEN 5 THEN 'no_numeric_found'
+           WHEN 6 THEN 'missing_value'
+           WHEN 7 THEN 'ambiguous_missing_unit'
+           WHEN 8 THEN 'implausible_bmi_fixed'
+           ELSE printf('implausible_bmi_%.1f', (l_quantity + 200) / 3.0625) END AS reason,
+         CASE ((l_orderkey * 3 + l_linenumber) % 10)
            WHEN 0 THEN l_quantity + 40
            WHEN 1 THEN (l_quantity * 2 + 100) * 0.453592
            WHEN 2 THEN l_quantity + 40
            WHEN 3 THEN (l_quantity + 150) * 0.453592
+           WHEN 7 THEN (l_quantity + 310) * 0.453592
+           WHEN 8 THEN ((l_quantity + 500) * 0.453592) * 0.453592
+           WHEN 9 THEN l_quantity + 200
            ELSE NULL END AS wkg
   FROM lineitem)
 SELECT reason, count(*) AS n,
        round(CAST(sum(CAST(wkg AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_kg
 FROM w GROUP BY reason ORDER BY reason
+"""
+
+
+def q_quality_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.9 — the dual-output (clean, logs) audit contract, gate-
+    verified end to end: synthesize a deterministic 600-row patients CSV
+    hitting every log family (F2 weight missing, F4 sex unknown/invalid/
+    missing, F5 dob missing/unparseable incl. the whitespace-only P-0004
+    quirk, D1 id+person dedup), run the FULL patients pipeline
+    (reference etl.py:287-308 weight logs, 312-367 sex logs, 370-424 dob
+    logs, 430-490 dedup logs), and hash-match the logs table's
+    (column_name, reason) histogram. The oracle re-derives the histogram
+    from the same synthesized feed — including the dedup windows — in SQL.
+
+    Feed: rows 0..549 unique (fields driven by base-row modular patterns);
+    rows 550..599 are full copies of rows 0..49 (id dup AND person dup).
+    """
+    import os
+    import tempfile
+
+    from assignment_etl_spark.pipelines import patients
+
+    _prep(spark)
+    n_rows, dup_at = 600, 550
+    # comma-free formats only (fields are written unquoted)
+    dob_pat = ["1985-6-15", "6/15/1985", "1987/3/1", "", " "]
+    sex_pat = ["M", "F", "O", "U", "xx", ""]
+    h_pat = ["170 cm", "68 in", "5ft 6in", "1.75"]
+    w_pat = ["70 kg", "154 lb", ""]
+    lines = []
+    for rn in range(n_rows):
+        base = rn if rn < dup_at else rn - dup_at
+        lines.append(
+            f"p-{base},g{base},f{base},{dob_pat[base % 5]},{sex_pat[base % 6]},"
+            f"{h_pat[base % 4]},{w_pat[base % 3]}"
+        )
+    d = tempfile.mkdtemp(prefix="quality_gate_")
+    path = os.path.join(d, "patients.csv")
+    with open(path, "w") as f:
+        f.write("patient_id,given_name,family_name,dob,sex,height,weight\n")
+        f.write("\n".join(lines) + "\n")
+
+    _clean, logs = patients.run(spark, path)
+    return (
+        logs.groupBy("column_name", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_logs"),
+            F.countDistinct("patient_id").alias("n_patients"),
+        )
+        .orderBy("column_name", "reason")
+    )
+
+
+# The oracle re-implements the pipeline's log semantics over the SAME
+# synthesized feed: missing markers (empty CSV field → NULL, whitespace-only
+# → trimmed to '' non-null), sex mapping, dob parse lattice (which patterns
+# parse is constant per pattern), and the D1 dedup mask via the same two
+# row_number windows (id, person-key with raw dob + half-rounded units).
+SQL_QUALITY_LOGS_ROUNDTRIP = """
+WITH synth AS (
+  SELECT rn,
+         CASE WHEN rn < 550 THEN rn ELSE rn - 550 END AS base
+  FROM (SELECT unnest(range(0, 600)) AS rn)),
+fields AS (
+  SELECT rn,
+         'p-' || base AS patient_id,
+         'g' || base AS gname,
+         'f' || base AS fname,
+         CASE base % 5 WHEN 0 THEN '1985-6-15' WHEN 1 THEN '6/15/1985'
+              WHEN 2 THEN '1987/3/1' WHEN 3 THEN NULL ELSE '' END AS dob,
+         base % 5 AS dobk,
+         CASE base % 6 WHEN 0 THEN 'M' WHEN 1 THEN 'F' WHEN 2 THEN 'O'
+              WHEN 3 THEN 'U' WHEN 4 THEN 'xx' ELSE NULL END AS sex,
+         CASE base % 4 WHEN 0 THEN 170.0 WHEN 1 THEN 172.72
+              WHEN 2 THEN 167.64 ELSE 175.0 END AS height_cm,
+         CASE base % 3 WHEN 0 THEN 70.0 WHEN 1 THEN 154 * 0.453592
+              ELSE NULL END AS weight_kg
+  FROM synth),
+dedup AS (
+  SELECT rn, patient_id,
+         row_number() OVER (PARTITION BY patient_id ORDER BY rn) AS rid,
+         row_number() OVER (
+           PARTITION BY gname, fname, dob, round(height_cm), round(weight_kg)
+           ORDER BY rn) AS rp
+  FROM fields),
+logs AS (
+  SELECT 'weight' AS column_name, 'missing_value' AS reason, patient_id
+  FROM fields WHERE weight_kg IS NULL
+  UNION ALL
+  -- reference keyset quirk (etl.py:333-363): sex logs carry NO column_name
+  SELECT CAST(NULL AS VARCHAR),
+         CASE WHEN sex IS NULL THEN 'missing_value'
+              WHEN sex NOT IN ('M','F','U','O') THEN 'invalid_code'
+              ELSE 'unknown_or_missing' END,
+         patient_id
+  FROM fields WHERE sex IS NULL OR sex NOT IN ('M','F','O') -- U + invalid + missing log
+  UNION ALL
+  SELECT 'dob',
+         CASE WHEN dob IS NULL THEN 'missing_value' ELSE 'unparseable_date' END,
+         patient_id
+  FROM fields WHERE dob IS NULL OR dobk = 4
+  UNION ALL
+  SELECT 'duplicate_entry', 'duplicate_removed', patient_id
+  FROM dedup WHERE rid > 1 OR rp > 1)
+SELECT column_name, reason, count(*) AS n_logs,
+       count(DISTINCT patient_id) AS n_patients
+FROM logs GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -913,18 +1045,82 @@ SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
 
 def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via multi-table LSH — the 100 TB similarity path
-    (bucket equi-join, no cross product). Approximate by construction →
-    rows-only check; exactness is covered by similarity_topk and the recall
-    test in tests/test_ext_dedup_similarity.py."""
+    (bucket equi-join, no cross product). Oracle-checked: the hyperplanes
+    are seeded Python floats embedded as literals in BOTH plans, and the
+    DuckDB SQL (generated by _sql_lsh_similarity_topk) replays the exact
+    fold order of the Spark-side dot products, so buckets, candidates, and
+    ranks are bit-identical across engines."""
     from assignment_etl_spark.ext.similarity import lsh_topk
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return lsh_topk(
-        emb.filter(F.col("vec_id") < 50), emb, 3, n_planes=4, n_tables=8
+    out = lsh_topk(
+        emb.filter(F.col("vec_id") < 50), emb, 3, dim=64, n_planes=4, n_tables=8
     )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _sql_lsh_similarity_topk(
+    k: int = 3, n_planes: int = 4, n_tables: int = 8, dim: int = 64,
+    seed: int = 42, n_queries: int = 50,
+) -> str:
+    """DuckDB replica of q_lsh_similarity_topk. Exactness notes: plane
+    literals via repr() round-trip to the same doubles; dots/norms use
+    list_reduce (left fold) matching Spark's F.aggregate(zip_with) order,
+    so every IEEE operation happens in the same sequence in both engines."""
+    from assignment_etl_spark.ext.similarity import random_hyperplanes
+
+    def dot(vec: str, lits: list[float]) -> str:
+        arr = "[" + ", ".join(repr(float(x)) for x in lits) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> {vec}[i] * ({arr})[i]), (a, b) -> a + b)"
+        )
+
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN {dot('e', p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        bucket_cols.append(f"({bits})::BIGINT AS bk{t}")
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, bk{t} AS bucket FROM sigs"
+        for t in range(n_tables)
+    )
+    sq = f"list_reduce(list_transform(range(1, {dim + 1}), i -> qe[i] * ce[i]), (a, b) -> a + b)"
+    nrm = "sqrt(list_reduce(list_transform(range(1, %d), i -> %s[i] * %s[i]), (a, b) -> a + b))"
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sigs AS (
+  SELECT vec_id, {", ".join(bucket_cols)} FROM vecs),
+banded AS (
+  {banded}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {n_queries} AND q.vec_id != c.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {sq} / ({nrm % (dim + 1, 'qe', 'qe')} * {nrm % (dim + 1, 'ce', 'ce')}) AS cos_sim
+  FROM cand
+  JOIN (SELECT vec_id, e AS qe FROM vecs) q ON q.vec_id = cand.query_id
+  JOIN (SELECT vec_id, e AS ce FROM vecs) c ON c.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def q_messy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1428,7 +1624,8 @@ def q_streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAMING_HOURLY_EVENTS = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -1502,24 +1699,99 @@ SELECT quality_score, count(*) AS count FROM scored GROUP BY 1 ORDER BY 1
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate mining (shingle → 32 minhashes →
-    8 bands → bucket self-join). xxhash64-based → no SQL oracle; the driver
-    records a rows-only check."""
+    8 bands → bucket self-join), oracle-checked: portable=True swaps
+    xxhash64/numpy for the PORTABLE_P polynomial hash family that DuckDB
+    replays bit-for-bit (_sql_minhash_lsh_pairs), exercising the identical
+    explode → equi-join → zip-verify plan. The numpy production path is
+    benched separately (bench.py) and quality-evaluated in
+    tools/dedup_eval.py."""
     from assignment_etl_spark.ext.dedup import minhash_lsh_pairs
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.4, portable=True)
+    return out.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_minhash_lsh_pairs(
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 5,
+    seed: int = 7, threshold: float = 0.4,
+) -> str:
+    """DuckDB replica of the portable MinHash+LSH pipeline: same gram
+    polynomial, same (a, b) permutation constants, same band fold — all
+    int64 arithmetic mod PORTABLE_P, so the candidate pairs and estimated
+    Jaccards hash-match exactly."""
+    from assignment_etl_spark.ext.dedup import (
+        PORTABLE_BAND_MULT,
+        PORTABLE_P,
+        portable_perm_params,
+    )
+
+    P = PORTABLE_P
+    n = shingle_n
+    rows_per_band = num_hashes // bands
+    gh = "0::BIGINT"
+    for j in range(n):
+        gh = f"(({gh}) * 31 + ord(substr(s, i + {j}, 1))) % {P}"
+    mins = ",\n         ".join(
+        f"list_min(list_transform(gh, h -> ({a}::BIGINT * h + {b}) % {P})) AS m{k}"
+        for k, (a, b) in enumerate(portable_perm_params(num_hashes, seed))
+    )
+    bhs = []
+    for t in range(bands):
+        acc = "0::BIGINT"
+        for r in range(rows_per_band):
+            acc = f"(({acc}) * {PORTABLE_BAND_MULT} + m{t * rows_per_band + r}) % {P}"
+        bhs.append(f"({acc}) AS bh{t}")
+    sig_list = "[" + ", ".join(f"m{k}" for k in range(num_hashes)) + "]"
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sig, {t} AS band, bh{t} AS bh FROM sigs"
+        for t in range(bands)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, CASE WHEN length(s) < {n} THEN rpad(s, {n}, ' ') ELSE s END AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS s FROM documents)),
+grams AS (
+  SELECT doc_id, list_distinct([{gh} FOR i IN range(1, length(s) - {n - 1} + 1)]) AS gh
+  FROM norm),
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams),
+sigs AS (
+  SELECT doc_id, {sig_list} AS sig, {", ".join(bhs)} FROM mins),
+banded AS (
+  {banded}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+est AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(range(1, {num_hashes + 1}), j -> sa.sig[j] = sb.sig[j]))
+           / {float(num_hashes)} AS est_jaccard
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.id_a
+  JOIN sigs sb ON sb.doc_id = p.id_b)
+SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup fingerprints over the documents table: 16-bit
-    signatures, bucketed by hamming weight (xxhash-based → rows-only
-    check; pairwise hamming tests live in tests/test_ext_dedup_similarity)."""
-    from assignment_etl_spark.ext.dedup import make_simhash_udf
+    portable signatures (polynomial codepoint token hash + per-bit majority
+    vote), bucketed by hamming weight. Oracle-checked — the DuckDB SQL
+    replays the same int64 formula. The numpy FNV production variant keeps
+    its pairwise-hamming tests in tests/test_ext_dedup_similarity.py."""
+    from assignment_etl_spark.ext.dedup import simhash_portable
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select(make_simhash_udf(bits=16)(F.col("text")).alias("sh"))
+    sig = docs.select(simhash_portable(F.col("text"), bits=16).alias("sh"))
     return (
         sig.groupBy(F.bit_count("sh").alias("hamming_weight"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1527,10 +1799,37 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_simhash_buckets(bits: int = 16) -> str:
+    """DuckDB replica of simhash_portable → hamming-weight histogram."""
+    from assignment_etl_spark.ext.dedup import PORTABLE_P
+
+    mask = (1 << bits) - 1
+    tok = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> length(t) > 0)"
+    hsh = (
+        f"list_transform({tok}, t -> "
+        f"list_reduce([ord(substr(t, i, 1))::BIGINT FOR i IN range(1, length(t) + 1)], "
+        f"(a, x) -> (a * 31 + x) % {PORTABLE_P}) & {mask})"
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x & {1 << b}) != 0)) > n "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT ({bitsum})::BIGINT AS sh
+  FROM (SELECT {hsh} AS h, len({tok}) AS n FROM documents))
+SELECT CAST(bit_count(sh) AS INTEGER) AS hamming_weight, count(*) AS n_docs
+FROM sigs GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents → synthetic binary payloads →
-    Arrow-batched feature extraction (deterministic fake decoder — real
-    codecs are out-of-container; see ext.multimodal). Rows-only check."""
+    Arrow-batched feature extraction. The decoder is the documented
+    DETERMINISTIC_FAKE_DECODER (real codecs are out-of-container), but its
+    outputs are pure sha256 math — so the gate IS oracle-checked: DuckDB
+    recomputes n_bytes/sha256/width/height from the same payload bytes."""
     from assignment_etl_spark.ext.multimodal import extract_features
 
     _prep(spark)
@@ -1546,8 +1845,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("sha256").alias("n_distinct_sha"),
         F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
     )
+
+
+# hex-nibble parse: strpos over the hex alphabet (DuckDB can't cast BLOB
+# bytes to ints); width/height replicate fake_decode's digest[0..1] % 64
+_HEXB = "(strpos('0123456789abcdef', substr(h, {p1}, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, {p2}, 1)) - 1)"
+SQL_MULTIMODAL_FEATURES = f"""
+WITH feats AS (
+  SELECT 'image' AS kind,
+         sha256(text) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents),
+parsed AS (
+  SELECT kind, h, n_bytes,
+         16 + ({_HEXB.format(p1=1, p2=2)}) % 64 AS width,
+         16 + ({_HEXB.format(p1=3, p2=4)}) % 64 AS height
+  FROM feats)
+SELECT kind,
+       count(*) AS n_media,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       count(DISTINCT h) AS n_distinct_sha,
+       round(avg(width), 4) AS avg_width,
+       round(avg(height), 4) AS avg_height
+FROM parsed GROUP BY kind
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1590,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
         "unit_normalization": q_unit_normalization,
         "weight_normalization": q_weight_normalization,
+        "quality_logs_roundtrip": q_quality_logs_roundtrip,
         "priority_customer_except": q_priority_customer_except,
         "lsh_similarity_topk": q_lsh_similarity_topk,
         "date_lattice_roundtrip": q_date_lattice_roundtrip,
@@ -1644,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,
         "unit_normalization": SQL_UNIT_NORMALIZATION,
         "weight_normalization": SQL_WEIGHT_NORMALIZATION,
+        "quality_logs_roundtrip": SQL_QUALITY_LOGS_ROUNDTRIP,
         "priority_customer_except": SQL_PRIORITY_CUSTOMER_EXCEPT,
         "date_lattice_roundtrip": SQL_DATE_LATTICE_ROUNDTRIP,
         "sex_code_mapping": SQL_SEX_CODE_MAPPING,
@@ -1661,4 +1988,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_events": SQL_STREAMING_HOURLY_EVENTS,
         "session_windows": SQL_SESSION_WINDOWS,
         "quality_score_distribution": SQL_QUALITY_SCORE_DISTRIBUTION,
+        "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "simhash_buckets": _sql_simhash_buckets(),
+        "lsh_similarity_topk": _sql_lsh_similarity_topk(),
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }

@@ -27,6 +27,14 @@ from assignment_etl_spark.ext.text import fingerprint
 # Mersenne prime + LCG-style universal hashing for minhash permutations.
 MERSENNE = (1 << 61) - 1
 
+# Portable-hash prime (2^31 - 1): with all operands < 2^31 every product in
+# the portable hash family stays inside int64, so ANY engine with 64-bit
+# integer arithmetic (Spark, DuckDB, Trino, ...) computes bit-identical
+# signatures. Used by the `portable=True` variants that exist so the LSH
+# pipelines can be replayed — and hash-verified — in a second engine.
+PORTABLE_P = (1 << 31) - 1
+PORTABLE_BAND_MULT = 1000003
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -119,6 +127,56 @@ def _perm_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
+def portable_perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """(a, b) pairs reduced below PORTABLE_P so a*h + b never leaves int64."""
+    return [
+        (a % (PORTABLE_P - 1) + 1, b % PORTABLE_P)
+        for a, b in _perm_params(num_hashes, seed)
+    ]
+
+
+def portable_gram_hashes(col: Column, n: int = 5) -> Column:
+    """Distinct character n-gram hashes via a 31-ary polynomial over
+    codepoints mod PORTABLE_P — the cross-engine-exact sibling of
+    ``shingles`` (which uses JVM-only xxhash64). Whitespace-normalized,
+    lowercased, right-padded to n so short texts still emit one gram."""
+    s = F.lower(F.regexp_replace(col, r"\s+", " "))
+    s = F.when(F.length(s) < n, F.rpad(s, n, " ")).otherwise(s)
+    idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
+
+    def gram(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(n):
+            acc = (acc * 31 + F.ascii(F.substring(s, i + F.lit(j), F.lit(1)))) % PORTABLE_P
+        return acc
+
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def portable_minhash_signature(
+    col: Column, num_hashes: int = 32, shingle_n: int = 5, seed: int = 7
+) -> Column:
+    """Minhash signature over portable gram hashes: min of (a·h + b) mod
+    PORTABLE_P per permutation. Bit-identical in any int64 SQL engine."""
+    grams = portable_gram_hashes(col, shingle_n)
+    # F.transform is invoked eagerly per iteration, so the closure over
+    # (a, b) is bound before the next loop step.
+    sigs = [
+        F.array_min(F.transform(grams, lambda h: (F.lit(a) * h + F.lit(b)) % PORTABLE_P))
+        for a, b in portable_perm_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def portable_band_hash(sig_col: Column, start: int, rows: int) -> Column:
+    """Polynomial fold of sig[start .. start+rows-1] (1-based) mod
+    PORTABLE_P — the cross-engine band key (xxhash64-free)."""
+    acc = F.lit(0).cast("long")
+    for r in range(rows):
+        acc = (acc * PORTABLE_BAND_MULT + F.element_at(sig_col, start + r)) % PORTABLE_P
+    return acc
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -129,6 +187,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.5,
     use_numpy: bool = True,
+    portable: bool = False,
     seed: int = 7,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding, verified with estimated
@@ -137,9 +196,31 @@ def minhash_lsh_pairs(
     shingle → minhash(num_hashes) → split into bands → explode(band hash) →
     self-equi-join on (band_idx, band_hash) → verify. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``portable=True`` swaps the xxhash64/numpy hashing for the PORTABLE_P
+    polynomial family so a second engine (DuckDB oracle) reproduces the
+    exact pairs — identical plan shape (explode → self-equi-join on
+    (band, bhash) → zip-verify), different hash constants.
     """
     rows_per_band = num_hashes // bands
-    if use_numpy:
+    if portable:
+        # Materialize the gram arrays BEFORE fanning out to 32 permutation
+        # branches: each array_min(transform(...)) embeds its child
+        # expression wholesale, so without the persist barrier the O(len·n)
+        # gram hashing would be recomputed num_hashes times per row
+        # (measured: ~50× slower at 500 docs).
+        grams = df.select(
+            F.col(id_col).alias("_id"),
+            portable_gram_hashes(F.col(text_col), shingle_n).alias("_gh"),
+        ).persist()
+        mins = [
+            F.array_min(
+                F.transform(F.col("_gh"), lambda h: (F.lit(a) * h + F.lit(b)) % PORTABLE_P)
+            )
+            for a, b in portable_perm_params(num_hashes, seed)
+        ]
+        sig = grams.select("_id", F.array(*mins).alias("_sig"))
+    elif use_numpy:
         sig_udf = make_minhash_signature_udf(num_hashes, shingle_n, seed)
         sig = df.select(
             F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("_sig")
@@ -157,14 +238,17 @@ def minhash_lsh_pairs(
     # most expensive projection. At cluster scale this is where you'd
     # checkpoint signatures to the store instead.
     sig = sig.persist()
+    if portable:
+        _bh = lambda i: portable_band_hash(  # noqa: E731
+            F.col("_sig"), i * rows_per_band + 1, rows_per_band
+        )
+    else:
+        _bh = lambda i: F.xxhash64(  # noqa: E731
+            F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band)
+        )
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band)
-                ).alias("bhash"),
-            )
+            F.struct(F.lit(i).alias("band"), _bh(i).alias("bhash"))
             for i in range(bands)
         ]
     )
@@ -366,9 +450,36 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_portable(col: Column, bits: int = 16) -> Column:
+    """Cross-engine-exact SimHash: whitespace tokens → 31-ary polynomial
+    codepoint hash mod PORTABLE_P masked to ``bits`` → per-bit majority
+    vote. Pure Catalyst expressions; replayable in any int64 SQL engine
+    (the DuckDB oracle for the simhash gate query runs the same formula).
+    Production corpora use make_simhash_udf (numpy FNV); this variant
+    exists so the bucketing math itself is hash-verifiable."""
+    assert 1 <= bits <= 31
+    mask = (1 << bits) - 1
+    tokens = F.filter(F.split(F.lower(col), r"\s+"), lambda t: F.length(t) > 0)
+    hashes = F.transform(
+        tokens,
+        lambda t: F.aggregate(
+            F.sequence(F.lit(1), F.length(t)),
+            F.lit(0).cast("long"),
+            lambda acc, i: (acc * 31 + F.ascii(F.substring(t, i, F.lit(1)))) % PORTABLE_P,
+        ).bitwiseAND(F.lit(mask)),
+    )
+    n = F.size(tokens)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0))
+        out = out + F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     *,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
@@ -376,14 +487,15 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidates: LSH-bucket then verify cosine
-    within bucket (one equi-join shuffle; no cross product)."""
+    within bucket (one equi-join shuffle; no cross product). ``dim`` is
+    required — schema-derivable array lengths don't exist for ArrayType and
+    a first()-probe would cost a driver-side job per call."""
     from assignment_etl_spark.ext.similarity import (
         cosine,
         lsh_signature,
         random_hyperplanes,
     )
 
-    dim = len(emb.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     sig = emb.select(
         F.col(id_col).alias("_id"),

@@ -127,20 +127,21 @@ def lsh_topk(
     candidates: DataFrame,
     k: int,
     *,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 4,
     n_tables: int = 8,
-    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an LSH bucket with
     the query in at least one of n_tables hash tables. The plan is one
     equi-join on (table, bucket) — shuffle on a well-distributed key, never
     a cross product — plus a candidate-pair dedup: the 100 TB shape.
-    Tune (n_planes ↑ = smaller buckets/less work, n_tables ↑ = recall)."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+    Tune (n_planes ↑ = smaller buckets/less work, n_tables ↑ = recall).
+
+    ``dim`` is required (ArrayType carries no length): inferring it with a
+    ``first()`` would launch a driver-side job per plan build."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

@@ -36,7 +36,11 @@ def windowed_event_counts(
     )
     return src.groupBy(win.alias("w"), F.col(key_col)).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        # exact decimal sum (associative — immune to partial-agg order),
+        # matching the repo-wide _dec_sum hash-stability policy
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias(
+            "sum_value"
+        ),
     ).select(
         F.col("w.start").alias("window_start"),
         F.col(key_col),

@@ -79,10 +79,26 @@ def upsert_parquet(
     current = spark.read.parquet(path)
     dedup_updates = updates.dropDuplicates(keys)
     if partition_by:
-        touched = dedup_updates.select(*partition_by).distinct()
+        update_keys = dedup_updates.select(*keys).distinct()
+        # Partitions to rewrite = partitions the updates land in PLUS the
+        # partitions currently holding any updated key: when an update moves
+        # a key to a new partition value, the old partition must be
+        # rewritten too or the stale copy would survive the dynamic
+        # overwrite. Finding those partitions costs one semi join against
+        # the store — the same key lookup a Delta/Iceberg MERGE performs.
+        stale_parts = (
+            current.join(F.broadcast(update_keys), on=keys, how="left_semi")
+            .select(*partition_by)
+            .distinct()
+        )
+        touched = (
+            dedup_updates.select(*partition_by).distinct()
+            .unionByName(stale_parts)
+            .distinct()
+        )
         merged = (
             current.join(F.broadcast(touched), on=partition_by, how="left_semi")
-            .join(dedup_updates.select(*keys).distinct(), on=keys, how="left_anti")
+            .join(update_keys, on=keys, how="left_anti")
             .unionByName(dedup_updates)
             .localCheckpoint(eager=True)
         )

@@ -57,16 +57,36 @@ def read_xml_records(
     """
     import xml.etree.ElementTree as ET  # noqa: PLC0415 — executor-side import
 
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     ns = f"{{{namespace}}}" if namespace else ""
     schema = _shred_schema(fields)
     files = with_row_id(spark.read.text(path, wholetext=True))
+    # Compact 0-based file ordinal: monotonically_increasing_id already uses
+    # the high bits (partition_index << 33), so shifting IT would overflow
+    # past ~1k input partitions. The rank window runs over a projection of
+    # the ids only (one row per FILE, text column pruned away), then
+    # broadcast-joins back.
+    ordinals = files.select("_row_id").withColumn(
+        "_file_ord", F.row_number().over(Window.orderBy("_row_id")) - 1
+    )
+    files = files.join(F.broadcast(ordinals), on="_row_id").drop("_row_id")
+
+    # 2^28 records per document, 2^35 documents before sign-bit trouble
+    _REC_BUDGET = 1 << 28
 
     def shred(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
-            for doc, file_id in zip(pdf["value"], pdf["_row_id"]):
+            for doc, file_ord in zip(pdf["value"], pdf["_file_ord"]):
                 root = ET.fromstring(doc)
                 for i, rec in enumerate(root.iter(f"{ns}{record_tag}")):
+                    if i >= _REC_BUDGET:
+                        raise ValueError(
+                            f"XML document exceeds the {_REC_BUDGET} record-"
+                            "ordinal budget; split the file or widen _row_id"
+                        )
                     row: dict = {}
                     for name, (tag, attr) in fields.items():
                         el = rec.find(f"{ns}{tag}")
@@ -76,7 +96,7 @@ def read_xml_records(
                             row[name] = el.get(attr)
                         else:
                             row[name] = el.text
-                    row["_row_id"] = (int(file_id) << 20) + i
+                    row["_row_id"] = (int(file_ord) << 28) + i
                     out.append(row)
             yield pd.DataFrame(out, columns=list(fields) + ["_row_id"])
 

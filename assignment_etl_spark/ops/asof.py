@@ -36,19 +36,25 @@ def asof_join(
         right_cols = [c for c in right.columns if c != on and c not in by_keys]
 
     carried = [f"{c}{suffix}" for c in right_cols]
+    # All carried values ride in ONE struct per right row, filled by a single
+    # last(ignorenulls=True): every carried column comes from the SAME
+    # matched right row, and that row's own NULLs survive (a per-column fill
+    # would silently back-fill each NULL from an older right row).
+    payload = F.struct(
+        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
+        F.col(on).alias(f"{on}{suffix}"),
+    )
     r = right.select(
         *by_keys,
         F.col(on).alias(on),
         F.lit(0).alias("_side"),  # right sorts first at equal ts → inclusive tie
-        *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)],
-        F.col(on).alias(f"{on}{suffix}"),
+        payload.alias("_asof"),
     )
     l_cols = left.columns
     l = left.select(
         *l_cols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(r.schema[cc].dataType).alias(cc) for cc in carried],
-        F.lit(None).cast(r.schema[f"{on}{suffix}"].dataType).alias(f"{on}{suffix}"),
+        F.lit(None).cast(r.schema["_asof"].dataType).alias("_asof"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -60,7 +66,11 @@ def asof_join(
     filled = unioned.select(
         *[F.col(c) for c in l_cols],
         F.col("_side"),
-        *[F.last(cc, ignorenulls=True).over(w).alias(cc) for cc in carried],
-        F.last(f"{on}{suffix}", ignorenulls=True).over(w).alias(f"{on}{suffix}"),
+        F.last("_asof", ignorenulls=True).over(w).alias("_asof"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1)
+    return out.select(
+        *l_cols,
+        *[F.col("_asof").getField(cc).alias(cc) for cc in carried],
+        F.col("_asof").getField(f"{on}{suffix}").alias(f"{on}{suffix}"),
+    )

@@ -47,16 +47,21 @@ def clean_encounters(
     if persist_intermediates:
         df = df.persist()
 
+    # Reference quirk (etl.py:543,556,569,582): row.get("source_file",
+    # default) returns NaN — NOT the default — when the column exists with a
+    # missing value, because Series.get only falls back on an absent KEY. So
+    # every encounter log stream carries the RAW source_file (NULL stays
+    # NULL), consistent with validate_enum's behavior.
     df, dup_logs = dedup_with_log(
         df,
         ["encounter_id"],
         log_all_members=True,
-        filename_col=F.coalesce(F.col("source_file"), F.lit(filename)),
+        filename_col=F.col("source_file"),
         column_name="encounter_id",
         reason="duplicate_encounter_id",
     )
     # reference logs the encounter_id itself as original_value (etl.py:545)
-    src_file = F.coalesce(F.col("source_file"), F.lit(filename))
+    src_file = F.col("source_file")
 
     bad_order = F.col("discharge_dt") < F.col("admit_dt")  # NULL-safe: NULL→skip
     order_logs = log_frame(

@@ -57,6 +57,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
+
+    # The minhash GATE entry runs the portable-hash variant (cross-engine
+    # oracle); the bench keeps timing the production numpy path — the one a
+    # 100 TB corpus would run — exactly as benched in round 1.
+    def _minhash_production(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from assignment_etl_spark.ext.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
+
+    queries["minhash_lsh_pairs"] = _minhash_production
     # warm-up: JVM, parquet footer caches, and the Python UDF worker pool
     # (first pandas_udf call forks the daemon) — not billed to any query
     queries["event_type_counts"](spark, sf_dir).collect()

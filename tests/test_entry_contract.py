@@ -26,13 +26,9 @@ FAST_SUBSET = [
 def test_contract_keys():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "minhash_lsh_pairs",
-        "multimodal_features",
-        "lsh_similarity_topk",
-        "simhash_buckets",
-    }
+    # round 2: every gate query is oracle-checked (portable hashing for the
+    # LSH family, sha256 math for multimodal) — zero rows-only entries
+    assert set(qs) == set(oracles)
 
 
 def test_entry_runs(spark):

@@ -121,7 +121,7 @@ def test_lsh_topk_recall(embeddings):
     }
     approx = {
         r.query_id: r.neighbor_id
-        for r in lsh_topk(q, embeddings, 1, n_planes=4).collect()
+        for r in lsh_topk(q, embeddings, 1, dim=64, n_planes=4).collect()
     }
     hits = sum(1 for k, v in approx.items() if exact_top1.get(k) == v)
     assert len(approx) >= 15  # most queries find a same-bucket neighbor
