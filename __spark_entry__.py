@@ -920,6 +920,49 @@ FROM w GROUP BY reason ORDER BY reason
 """
 
 
+def q_skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation gate: collapse 70% of event rows onto one hot key
+    (the bot-user shape), aggregate through ops.skew.salted_agg's two-phase
+    salted plan, and hash-match against the oracle's PLAIN aggregate — the
+    equivalence that makes salting safe to deploy: same answer, hot key fanned
+    across n_salts tasks. Decimal sums keep the comparison exact under any
+    partial-agg order; tools/skew_bench.py measures the wall-clock win."""
+    from assignment_etl_spark.ops.skew import salted_agg
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when((F.col("user_id") % 10) < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+    )
+    out = salted_agg(
+        skewed,
+        ["k"],
+        {"n_events": ("v", "count"), "total": ("v", "sum"), "vmax": ("v", "max")},
+        n_salts=8,
+    )
+    return out.select(
+        "k",
+        "n_events",
+        F.round(F.col("total").cast("double"), 4).alias("total"),
+        F.round(F.col("vmax").cast("double"), 6).alias("vmax"),
+    ).orderBy("k")
+
+
+SQL_SKEWED_AGG_SALTED = """
+SELECT k, count(*) AS n_events,
+       round(CAST(sum(v) AS DOUBLE), 4) AS total,
+       round(CAST(max(v) AS DOUBLE), 6) AS vmax
+FROM (SELECT CASE WHEN user_id % 10 < 7 THEN CAST(0 AS BIGINT) ELSE user_id END AS k,
+             CAST(value AS DECIMAL(28,6)) AS v
+      FROM events)
+GROUP BY k ORDER BY k
+"""
+
+
 def q_quality_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.9 — the dual-output (clean, logs) audit contract, gate-
     verified end to end: synthesize a deterministic 600-row patients CSV
@@ -959,7 +1002,7 @@ def q_quality_logs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write("patient_id,given_name,family_name,dob,sex,height,weight\n")
         f.write("\n".join(lines) + "\n")
 
-    _clean, logs = patients.run(spark, path)
+    _clean, logs = patients.run(spark, path, persist_intermediates=True)
     return (
         logs.groupBy("column_name", "reason")
         .agg(
@@ -1916,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_normalization": q_unit_normalization,
         "weight_normalization": q_weight_normalization,
         "quality_logs_roundtrip": q_quality_logs_roundtrip,
+        "skewed_agg_salted": q_skewed_agg_salted,
         "priority_customer_except": q_priority_customer_except,
         "lsh_similarity_topk": q_lsh_similarity_topk,
         "date_lattice_roundtrip": q_date_lattice_roundtrip,
@@ -1971,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "unit_normalization": SQL_UNIT_NORMALIZATION,
         "weight_normalization": SQL_WEIGHT_NORMALIZATION,
         "quality_logs_roundtrip": SQL_QUALITY_LOGS_ROUNDTRIP,
+        "skewed_agg_salted": SQL_SKEWED_AGG_SALTED,
         "priority_customer_except": SQL_PRIORITY_CUSTOMER_EXCEPT,
         "date_lattice_roundtrip": SQL_DATE_LATTICE_ROUNDTRIP,
         "sex_code_mapping": SQL_SEX_CODE_MAPPING,

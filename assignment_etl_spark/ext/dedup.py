@@ -349,17 +349,58 @@ def cluster_pairs(
     return labels
 
 
+def verify_pairs_exact(
+    pairs: DataFrame,
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs: join the two
+    texts back onto the (small) candidate edge list and keep pairs at/above
+    the TRUE Jaccard threshold. Pair-local — the joins shuffle only the
+    edges plus their matched texts, never the corpus against itself; this is
+    the second stage that turns banding's S-curve (precision ~0.6 at the
+    band knee) into an exact cut."""
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        pairs.join(ta, on="id_a")
+        .join(tb, on="id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("_ta"), F.col("_tb"), shingle_n))
+        .filter(F.col("jaccard") >= threshold)
+        .drop("_ta", "_tb")
+    )
+
+
 def minhash_dedup_cc(
     df: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup removal with transitive closure: connected components over
     the LSH candidate pairs, keep the min-id representative per component.
-    Unlike minhash_dedup (drop id_b per edge), a chain a~b~c keeps only a."""
+    Unlike minhash_dedup (drop id_b per edge), a chain a~b~c keeps only a.
+
+    ``verify`` (default ON) re-checks every candidate edge with exact
+    n-gram Jaccard before clustering — false LSH edges would otherwise
+    merge unrelated components transitively (the failure mode that
+    deletes good documents at corpus scale)."""
     pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    if verify:
+        pairs = verify_pairs_exact(
+            pairs,
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=lsh_kwargs.get("shingle_n", 5),
+            threshold=lsh_kwargs.get("jaccard_threshold", 0.5),
+        )
     comps = cluster_pairs(pairs)
     to_drop = comps.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
@@ -372,12 +413,24 @@ def minhash_dedup(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup removal: greedy survivor = smallest id in each candidate
     cluster (union by repeated min propagation is overkill at one LSH hop;
-    pairs are treated as edges id_b → drop)."""
+    pairs are treated as edges id_b → drop). ``verify`` (default ON) gates
+    every drop behind exact n-gram Jaccard — est-Jaccard alone deletes
+    ~40% false positives at the banding knee (measured, SCALE.md)."""
     pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    if verify:
+        pairs = verify_pairs_exact(
+            pairs,
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=lsh_kwargs.get("shingle_n", 5),
+            threshold=lsh_kwargs.get("jaccard_threshold", 0.5),
+        )
     to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, on=id_col, how="left_anti")
 
@@ -396,32 +449,63 @@ def make_simhash_udf(bits: int = 64, seed: int = 11):
     """Arrow-batched numpy SimHash: FNV-1a token hashes vote per bit,
     sign of the vote sum becomes the bit. The fast path for corpus-scale
     fingerprinting (the Column-expression variant below builds a
-    bits×aggregate tree that runs interpreted)."""
+    bits×aggregate tree that runs interpreted).
+
+    Fully vectorized: ALL tokens of an Arrow batch are hashed in one padded
+    byte-matrix FNV sweep (one numpy op per byte POSITION, not per token),
+    and the per-text bit votes reduce via np.add.reduceat over token
+    segments. Output is bit-identical to the original per-token loop."""
     assert 1 <= bits <= 63
     mask = np.uint64((1 << bits) - 1)
 
-    fnv_offset, fnv_prime, m64 = 14695981039346656037 + seed, 1099511628211, (1 << 64) - 1
+    fnv_offset = np.uint64((14695981039346656037 + seed) & ((1 << 64) - 1))
+    fnv_prime = np.uint64(1099511628211)
     bit_idx = np.arange(bits, dtype=np.uint64)
 
-    def _fnv(tok: str) -> int:
-        h = fnv_offset
-        for byte in tok.encode("utf-8"):
-            h = ((h ^ byte) * fnv_prime) & m64
-        return h & int(mask)
+    def _fnv_batch(tokens: list[bytes]) -> np.ndarray:
+        """FNV-1a of every token at once: pad to (n, maxlen) and sweep byte
+        positions; each step updates only the tokens still that long."""
+        n = len(tokens)
+        lens = np.fromiter((len(b) for b in tokens), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        maxlen = int(lens.max()) if n else 0
+        flat = np.frombuffer(b"".join(tokens), dtype=np.uint8, count=total)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(total) - np.repeat(starts, lens)
+        mat = np.zeros((n, maxlen), dtype=np.uint8)
+        mat[rows, cols] = flat
+        h = np.full(n, fnv_offset, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(maxlen):
+                active = lens > j
+                h[active] = (h[active] ^ mat[active, j]) * fnv_prime
+        return h & mask
 
     @pandas_udf(T.LongType())
     def simhash_sig(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
+        tok_bytes: list[bytes] = []
+        counts, slots = [], []
         for i, t in enumerate(texts):
             if t is None:
                 continue
-            tokens = str(t).lower().split()
-            if not tokens:
+            toks = str(t).lower().split()
+            if not toks:
                 continue
-            hashes = np.fromiter((_fnv(tok) for tok in tokens), dtype=np.uint64)
-            ones = ((hashes[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0)
-            votes = 2 * ones.astype(np.int64) - len(tokens)
-            out[i] = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+            tok_bytes.extend(tok.encode("utf-8") for tok in toks)
+            counts.append(len(toks))
+            slots.append(i)
+        if not tok_bytes:
+            return pd.Series(out)
+        hashes = _fnv_batch(tok_bytes)
+        bit_mat = ((hashes[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+        counts_arr = np.asarray(counts, dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts_arr)[:-1]))
+        ones = np.add.reduceat(bit_mat, offsets, axis=0)  # (n_texts, bits)
+        votes = 2 * ones - counts_arr[:, None]
+        sigs = ((votes > 0).astype(np.uint64) << bit_idx).sum(axis=1)
+        out[np.asarray(slots)] = sigs.astype(np.int64)
         return pd.Series(out)
 
     return simhash_sig

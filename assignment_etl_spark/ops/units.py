@@ -102,21 +102,19 @@ def with_height_cm(
 # ------------------------------------------------------------------ weight F2
 
 
-def _weight_decision(raw: Column, s: Column, val: Column, h2: Column) -> Column:
-    """The F2 branch chain (all nine reasons + plausibility override) over
-    pre-computed primitives: s = normalized string, val = first number,
-    h2 = (height_cm/100)^2 or NULL."""
-    is_missing = raw.isNull()
-    is_marker = s.isin("", "na", "n/a", "none", "null", "-")
-    no_num = val.isNull()
+def _weight_base(s: Column, val: Column, h2: Column) -> tuple[Column, Column]:
+    """F2 base pass (explicit units, else BMI-plausibility inference) →
+    (base_w, base_reason). Kept separate from the plausibility pass so the
+    staged operator can project base_w as a NAMED column: referenced as an
+    expression, the base when-chain would be re-inlined into bmi / flipped /
+    final_w and the single fused projection overruns janino's 64 KB method
+    limit (measured: whole-stage codegen fallback in the patients pipeline)."""
     has_kg = s.contains("kg")
     has_lb = s.contains("lb")
-
     bmi_kg = val / h2
     bmi_lb = (val * LB_TO_KG) / h2
     heuristic = F.when(val > 140.0, val * LB_TO_KG).otherwise(val)
 
-    # --- base pass: explicit units, else BMI-plausibility inference ---
     base_w = (
         F.when(has_kg, val)
         .when(has_lb, val * LB_TO_KG)
@@ -138,9 +136,26 @@ def _weight_decision(raw: Column, s: Column, val: Column, h2: Column) -> Column:
         )
         .otherwise(F.lit("no_height_missing_unit"))
     )
+    return base_w, base_reason
+
+
+def _weight_final(
+    raw: Column,
+    s: Column,
+    val: Column,
+    h2: Column,
+    base_w: Column,
+    base_reason: Column,
+) -> Column:
+    """F2 plausibility pass (etl.py:269-283, may override explicit units) +
+    missing/marker/no-numeric guards, over a pre-computed base pass."""
+    is_missing = raw.isNull()
+    is_marker = s.isin("", "na", "n/a", "none", "null", "-")
+    no_num = val.isNull()
+    has_kg = s.contains("kg")
+    has_lb = s.contains("lb")
     base_flagged = ~(has_kg | has_lb)
 
-    # --- plausibility pass (etl.py:269-283): may override explicit units ---
     bmi = base_w / h2
     implausible = h2.isNotNull() & ((bmi < 10.0) | (bmi > 60.0))
     flipped = F.when(has_kg, base_w / LB_TO_KG).otherwise(base_w * LB_TO_KG)
@@ -165,6 +180,13 @@ def _weight_decision(raw: Column, s: Column, val: Column, h2: Column) -> Column:
     return F.struct(
         w.alias("weight_kg"), flagged.alias("flagged"), reason.alias("reason")
     )
+
+
+def _weight_decision(raw: Column, s: Column, val: Column, h2: Column) -> Column:
+    """The F2 branch chain as ONE Column (compose-anywhere/test variant —
+    the staged operator projects the base pass separately; see _weight_base)."""
+    base_w, base_reason = _weight_base(s, val, h2)
+    return _weight_final(raw, s, val, h2, base_w, base_reason)
 
 
 def weight_to_kg_struct(weight_col: Column, height_cm_col: Column) -> Column:
@@ -192,10 +214,21 @@ def with_weight_struct(
             "_w_h2": F.pow(F.col(height_col) / 100.0, F.lit(2.0)),
         }
     )
-    out_col = _weight_decision(
-        F.col(column), F.col("_w_s"), F.col("_w_val"), F.col("_w_h2")
+    base_w, base_reason = _weight_base(
+        F.col("_w_s"), F.col("_w_val"), F.col("_w_h2")
     )
-    return staged.withColumn(out, out_col).drop("_w_s", "_w_val", "_w_h2")
+    staged = staged.withColumns({"_w_base": base_w, "_w_breason": base_reason})
+    out_col = _weight_final(
+        F.col(column),
+        F.col("_w_s"),
+        F.col("_w_val"),
+        F.col("_w_h2"),
+        F.col("_w_base"),
+        F.col("_w_breason"),
+    )
+    return staged.withColumn(out, out_col).drop(
+        "_w_s", "_w_val", "_w_h2", "_w_base", "_w_breason"
+    )
 
 
 # ------------------------------------------------------------- operator forms
@@ -213,9 +246,19 @@ def normalize_weights(
     column: str = "weight",
     height_col: str = "height_cm",
     filename: str = "patients.csv",
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Derive ``weight_kg`` + the flagged-row log stream (etl.py:287-308)."""
+    """Derive ``weight_kg`` + the flagged-row log stream (etl.py:287-308).
+
+    ``persist`` caches the struct stage — the shared base of BOTH outputs.
+    Without the cache barrier, the log branch's flagged-filter is pushed
+    down through every staged projection into the scan, re-inlining the
+    full F2 chain into one Filter expression (janino 64 KB overrun →
+    interpreted fallback) and re-scanning the source. Pipelines pass
+    persist=True; leave False for single-output composition."""
     with_struct = with_weight_struct(df, column, height_col, out="_w")
+    if persist:
+        with_struct = with_struct.persist()
     clean = with_struct.withColumn("weight_kg", F.col("_w.weight_kg")).drop("_w")
     logs = log_frame(
         with_struct.filter(F.col("_w.flagged")),

@@ -30,13 +30,15 @@ def clean_patients(
 ) -> tuple[DataFrame, DataFrame]:
     """raw (string cols + _row_id) → (clean patients, log stream).
 
-    persist_intermediates caches the frame after the expensive F1/F2
-    unit-normalization — the shared base every log branch re-derives
-    (SURVEY §4.3.2)."""
+    persist_intermediates caches the post-F2 struct stage inside
+    normalize_weights — the shared base of the clean output and every log
+    branch (SURVEY §4.3.2). The cache barrier also stops the flagged-filter
+    pushdown that would re-inline the full F2 chain into the scan (see
+    normalize_weights docstring)."""
     df = normalize_heights(raw)
-    df, w_logs = normalize_weights(df, filename=filename)
-    if persist_intermediates:
-        df = df.persist()
+    df, w_logs = normalize_weights(
+        df, filename=filename, persist=persist_intermediates
+    )
     df, s_logs = map_sex(df, filename=filename)
     df, d_logs = parse_dob(df, filename=filename)
     df, dup_logs = patient_dedup(df, filename=filename)

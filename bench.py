@@ -47,6 +47,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "streaming_hourly_events",
     "session_windows",
+    "skewed_agg_salted",
 ]
 
 
@@ -95,6 +96,25 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s (cold {cold[name]:.2f}s)", file=sys.stderr)
 
+    # regression check vs the committed baseline (BENCH_BASELINE.json):
+    # per-query slowdowns beyond 1.5× AND 0.3s absolute are NAMED on stderr
+    # so a regression can't hide inside an averaged total.
+    regressions = {}
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == sf:
+            for name, t in timings.items():
+                b = base["queries"].get(name)
+                if b is not None and t > b * 1.5 and t - b > 0.3:
+                    regressions[name] = {"baseline": b, "now": t}
+                    print(
+                        f"# REGRESSION {name}: {b:.2f}s -> {t:.2f}s "
+                        f"({t / b:.1f}x)",
+                        file=sys.stderr,
+                    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -105,6 +125,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "regressions_vs_baseline": regressions,
             }
         )
     )

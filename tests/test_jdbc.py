@@ -1,55 +1,81 @@
-"""S4/S5 JDBC sink/scan round-trip against embedded Derby (the JDBC driver
-that ships with Spark; Postgres in production differs only by URL/driver —
-reference loads Postgres via to_sql at /root/reference/etl.py:711-719)."""
+"""S4/S5 JDBC sink + scan, executed end to end against embedded Derby.
+
+The reference's actual load path is JDBC (to_sql at
+/root/reference/etl.py:711-719; the dashboard reads tables back at
+interactive_dashboard.py:23-27). Derby ships on Spark's classpath, so the
+round-trip — write_jdbc → read_jdbc (plain + partitioned) → value compare —
+runs for real in-container; only the URL changes for Postgres/MySQL.
+"""
+
+import tempfile
 
 import pytest
 from pyspark.sql import functions as F
 
 from assignment_etl_spark.io.jdbc import read_jdbc, write_jdbc
 
-DERBY_PROPS = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 @pytest.fixture(scope="module")
-def derby_url(tmp_path_factory):
-    db = tmp_path_factory.mktemp("derby") / "etldb"
-    return f"jdbc:derby:{db};create=true"
+def derby_url():
+    d = tempfile.mkdtemp(prefix="derby_")
+    return f"jdbc:derby:{d}/testdb;create=true"
 
 
-def test_jdbc_roundtrip(spark, derby_url):
-    df = spark.createDataFrame(
-        [(1, "ana", 170.0), (2, "ben", None), (3, "李", 180.5)],
-        "id int, name string, height double",
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .filter(F.col("o_orderkey") < 2000)
     )
-    write_jdbc(df, derby_url, "patients_t", properties=DERBY_PROPS, num_partitions=2)
-    back = read_jdbc(spark, derby_url, "patients_t", properties=DERBY_PROPS)
-    assert back.count() == 3
-    rows = {r.id: r for r in back.collect()}
-    assert rows[1].name == "ana" and rows[1].height == 170.0
-    assert rows[2].height is None
-    assert rows[3].name == "李"
 
 
-def test_jdbc_overwrite_mode(spark, derby_url):
-    df1 = spark.range(5).select(F.col("id").cast("int").alias("id"))
-    df2 = spark.range(2).select(F.col("id").cast("int").alias("id"))
-    write_jdbc(df1, derby_url, "ow_t", properties=DERBY_PROPS)
-    write_jdbc(df2, derby_url, "ow_t", properties=DERBY_PROPS)
-    assert read_jdbc(spark, derby_url, "ow_t", properties=DERBY_PROPS).count() == 2
+def _key_sum(df):
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("k"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias("p"),
+    ).first()
+    return (row.n, row.k, float(row.p))
 
 
-def test_jdbc_partitioned_read(spark, derby_url):
-    df = spark.range(100).select(F.col("id").cast("int").alias("id"))
-    write_jdbc(df, derby_url, "part_t", properties=DERBY_PROPS)
+def test_jdbc_roundtrip(spark, derby_url, sample):
+    props = {"driver": DRIVER}
+    write_jdbc(sample, derby_url, "orders_jdbc", properties=props, num_partitions=4)
+    back = read_jdbc(spark, derby_url, "orders_jdbc", properties=props)
+    assert _key_sum(back) == _key_sum(sample)
+    assert set(c.lower() for c in back.columns) == set(sample.columns)
+
+
+def test_jdbc_partitioned_read(spark, derby_url, sample):
+    """S5: partitioned scan splits the table into numPartitions range
+    predicates on the partition column — same rows, parallel fetch."""
+    props = {"driver": DRIVER}
+    bounds = sample.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
     back = read_jdbc(
         spark,
         derby_url,
-        "part_t",
-        properties=DERBY_PROPS,
-        partition_column="id",
-        lower_bound=0,
-        upper_bound=100,
+        "orders_jdbc",
+        properties=props,
+        partition_column="o_orderkey",
+        lower_bound=int(bounds.lo),
+        upper_bound=int(bounds.hi) + 1,
         num_partitions=4,
     )
     assert back.rdd.getNumPartitions() == 4
-    assert back.count() == 100
+    assert _key_sum(back) == _key_sum(sample)
+
+
+def test_jdbc_overwrite_truncates(spark, derby_url, sample):
+    """Overwrite with truncate=true reuses the DDL and replaces the rows —
+    the reference's if_exists='replace' contract (etl.py:715)."""
+    props = {"driver": DRIVER}
+    half = sample.filter(F.col("o_orderkey") < 1000)
+    write_jdbc(half, derby_url, "orders_trunc", properties=props, num_partitions=2)
+    write_jdbc(sample, derby_url, "orders_trunc", properties=props, num_partitions=2)
+    back = read_jdbc(spark, derby_url, "orders_trunc", properties=props)
+    assert _key_sum(back) == _key_sum(sample)

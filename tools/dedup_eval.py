@@ -56,6 +56,19 @@ def main() -> None:
         f"recall {recall:.3f}"
     )
 
+    # stage 2: the default-ON exact verify (what minhash_dedup actually drops)
+    from assignment_etl_spark.ext.dedup import verify_pairs_exact  # noqa: PLC0415
+
+    ver = verify_pairs_exact(cand, docs, threshold=thresh).persist()
+    n_ver = ver.count()
+    v_hits = ver.join(truth, on=["id_a", "id_b"], how="left_semi").count()
+    v_precision = v_hits / n_ver if n_ver else float("nan")
+    v_recall = v_hits / n_truth if n_truth else float("nan")
+    print(
+        f"verified pairs: {n_ver} | verified precision {v_precision:.3f} | "
+        f"verified recall {v_recall:.3f}"
+    )
+
 
 if __name__ == "__main__":
     main()
