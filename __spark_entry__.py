@@ -1740,6 +1740,142 @@ SELECT quality_score, count(*) AS count FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (ops.quality.orphan_check — the check
+    the reference lacks, SURVEY §2.3): model a partially-loaded customer
+    dim (every 10th custkey missing) and report orders whose custkey has no
+    parent. Broadcast left-anti on the distinct parent keyset; oracle is
+    the equivalent NOT IN."""
+    from assignment_etl_spark.ops.quality import orphan_check
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    parent = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 != 0)
+    logs = orphan_check(
+        orders, parent, "o_custkey", "c_custkey", filename="orders.parquet"
+    )
+    return logs.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.countDistinct("original_value").alias("n_keys"),
+        F.sum(F.col("original_value").cast("long")).alias("key_checksum"),
+    )
+
+
+SQL_RI_ORPHAN_ORDERS = """
+SELECT 'orphan_o_custkey' AS reason,
+       count(*) AS n_orphans,
+       count(DISTINCT o_custkey) AS n_keys,
+       CAST(sum(o_custkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 10 != 0)
+"""
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma-style corpus-curation flags over the documents table —
+    word-count bounds, mean word length, symbol ratio, bullet/ellipsis/
+    duplicate line shares — aggregated per language and hash-matched
+    against a DuckDB re-implementation of the same published heuristics.
+    Sentence boundaries ('. ') stand in for newlines as the line separator
+    (the synthetic docs are single-line)."""
+    from assignment_etl_spark.ext.text import gopher_flags
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("lang", gopher_flags(F.col("text"), line_sep=r"\. ").alias("g"))
+
+    def _exact_avg(col, scale):
+        return F.round(
+            (F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))),
+            scale,
+        )
+
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("g.passes").cast("int")).alias("n_pass"),
+            _exact_avg(F.col("g.mean_word_len"), 4).alias("avg_word_len"),
+            _exact_avg(F.col("g.symbol_ratio"), 6).alias("avg_symbol_ratio"),
+            _exact_avg(F.col("g.dup_line_frac"), 6).alias("avg_dup_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_GOPHER_QUALITY_FLAGS = r"""
+WITH per_doc AS (
+  SELECT lang,
+         len(words) AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+               ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN len(words) > 0
+               THEN len(regexp_extract_all(t, '#|\.\.\.'))::DOUBLE / len(words)
+               ELSE 0.0 END, 6) AS symbol_ratio,
+         round(CASE WHEN len(lines) > 0
+               THEN len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]')))::DOUBLE / len(lines)
+               ELSE 0.0 END, 6) AS bullet_frac,
+         round(CASE WHEN len(lines) > 0
+               THEN len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$')))::DOUBLE / len(lines)
+               ELSE 0.0 END, 6) AS ellipsis_frac,
+         round(CASE WHEN len(lines) > 0
+               THEN (len(lines) - len(list_distinct(list_transform(lines, ln -> trim(ln)))))::DOUBLE / len(lines)
+               ELSE 0.0 END, 6) AS dup_line_frac
+  FROM (
+    SELECT lang, trim(text) AS t,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), w -> length(w) > 0) AS words,
+           list_filter(regexp_split_to_array(trim(text), '\. '), ln -> length(trim(ln)) > 0) AS lines
+    FROM documents)),
+flagged AS (
+  SELECT lang, mean_word_len, symbol_ratio, dup_line_frac,
+         (n_words BETWEEN 50 AND 100000
+          AND mean_word_len BETWEEN 3.0 AND 10.0
+          AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+          AND ellipsis_frac < 0.3 AND dup_line_frac < 0.3) AS passes
+  FROM per_doc)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(CAST(sum(CAST(mean_word_len AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_word_len,
+       round(CAST(sum(CAST(symbol_ratio AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_symbol_ratio,
+       round(CAST(sum(CAST(dup_line_frac AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_dup_frac
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
+def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by hashed doc_id — a pure
+    projection (no sampling state, no shuffle) using the PORTABLE_P hash
+    family, so ANY engine re-derives the exact assignment: the
+    reproducibility contract for training-data splits. Oracle recomputes
+    every row's bucket and hash-matches counts + id checksums."""
+    from assignment_etl_spark.ext.text import hash_split
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 90, "val": 5, "test": 5})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_HASH_SPLIT_DOCUMENTS = """
+WITH b AS (
+  SELECT doc_id,
+         (((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) % 100 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate mining (shingle → 32 minhashes →
     8 bands → bucket self-join), oracle-checked: portable=True swaps
@@ -1981,6 +2117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
+        "gopher_quality_flags": q_gopher_quality_flags,
+        "hash_split_documents": q_hash_split_documents,
+        "ri_orphan_orders": q_ri_orphan_orders,
     }
 
 
@@ -2037,4 +2176,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_buckets": _sql_simhash_buckets(),
         "lsh_similarity_topk": _sql_lsh_similarity_topk(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
+        "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
+        "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
     }

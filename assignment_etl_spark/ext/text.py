@@ -94,6 +94,111 @@ def fingerprint(col: Column, *, normalize: bool = True) -> Column:
     return F.xxhash64(F.trim(s))
 
 
+def gopher_flags(
+    col: Column, *, line_sep: str = r"\n"
+) -> Column:
+    """Gopher/Dolma-style document-quality flags (public corpus-curation
+    heuristics: word count bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line shares, duplicate-line share) as ONE struct of
+    native expressions — a single narrow projection over the corpus scan.
+
+    Returns struct(n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, dup_line_frac, passes) where ``passes`` applies the
+    published Gopher bounds (50 ≤ words ≤ 100k, 3 ≤ mean_word_len ≤ 10,
+    symbol ratio < 0.1, bullets < 0.9, ellipses < 0.3, dup lines < 0.3).
+    """
+    t = F.trim(col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("double")
+    symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+
+    lines = F.filter(F.split(t, line_sep), lambda ln: F.length(F.trim(ln)) > 0)
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+        .cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+        .cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(F.transform(lines, F.trim))))
+        .cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    passes = (
+        n_words.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (dup_line_frac < 0.3)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        passes.alias("passes"),
+    )
+
+
+# train/val/test split hashing: same PORTABLE_P family as ext.dedup so any
+# engine reproduces the assignment (no Spark-only hash in a contract that
+# downstream systems must re-derive).
+_SPLIT_A, _SPLIT_B, _SPLIT_P = 1103515245, 12345, (1 << 31) - 1
+
+
+def split_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from a numeric id. The id is
+    reduced mod P first so the multiply stays inside int64 for any id."""
+    h = F.pmod(id_col.cast("long"), F.lit(_SPLIT_P))
+    return F.pmod(h * _SPLIT_A + _SPLIT_B, F.lit(_SPLIT_P)) % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row a stable train/val/test label by hashed id.
+
+    ``weights`` maps label → integer percent (must sum to 100). The
+    assignment is a pure projection (no shuffle, no sampling state): the
+    same row lands in the same split on every run, any engine, any
+    partitioning — the reproducibility contract a training pipeline needs.
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = split_bucket(F.col(id_col))
+    expr = None
+    lo = 0
+    for label, w in weights.items():
+        cond = bucket < lo + w
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+        lo += w
+    return df.withColumn(out, expr)
+
+
 def text_profile(df: DataFrame, column: str = "text") -> DataFrame:
     """One-pass text-statistics projection over a documents table."""
     c = F.col(column)

@@ -102,3 +102,20 @@ def test_rollup_rejects_bad_unit(spark):
 
     with pytest.raises(ValueError):
         rollup_time(events, unit="fortnight")
+
+
+def test_asof_null_in_matched_row_preserved(spark):
+    """A NULL in the matched (latest) right row must SURVIVE — not be
+    back-filled from an older right row — and all carried columns must come
+    from the same matched row (single-struct carry)."""
+    from assignment_etl_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "ts long, lid int").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1000))
+    )
+    right = spark.createDataFrame(
+        [(900, "old", 1.0), (950, None, 2.0)], "t long, tag string, v double"
+    ).select(F.timestamp_seconds("t").alias("ts"), "tag", "v")
+    row = asof_join(left, right, on="ts").first()
+    assert row.v_right == 2.0  # latest right row matched
+    assert row.tag_right is None  # its NULL tag NOT back-filled from "old"

@@ -89,3 +89,40 @@ def test_text_profile_columns(spark):
     ]:
         assert c in out.columns
     assert out.first().n_tokens_ws == 4
+
+
+def test_gopher_flags(spark):
+    from assignment_etl_spark.ext.text import gopher_flags
+
+    good = " ".join(["word"] * 60)  # 60 words, mean len 4 → passes
+    short = "too short"  # < 50 words → fails
+    bullety = "\n".join(f"- item {i}" for i in range(20))  # all bullet lines
+    dupy = "\n".join(["same line"] * 10)  # 90% duplicate lines
+    symbols = " ".join(["#tag"] * 60)  # symbol ratio 1.0 → fails
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, bullety), (4, dupy), (5, symbols)],
+        "i int, text string",
+    )
+    got = {r.i: r.g.asDict() for r in df.select("i", gopher_flags(F.col("text")).alias("g")).collect()}
+    assert got[1]["passes"] is True
+    assert got[2]["passes"] is False and got[2]["n_words"] == 2
+    assert got[3]["bullet_frac"] == 1.0 and got[3]["passes"] is False
+    assert got[4]["dup_line_frac"] == 0.9 and got[4]["passes"] is False
+    assert got[5]["symbol_ratio"] == 1.0 and got[5]["passes"] is False
+
+
+def test_hash_split(spark, sf_dir):
+    from assignment_etl_spark.ext.text import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(docs, {"train": 90, "val": 5, "test": 5})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()  # every row labeled
+    assert counts["train"] / n > 0.8  # roughly proportional
+    # deterministic: second run assigns identically
+    again = {r.doc_id: r.split for r in hash_split(docs, {"train": 90, "val": 5, "test": 5}).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    with __import__("pytest").raises(ValueError):
+        hash_split(docs, {"train": 50, "val": 5})
