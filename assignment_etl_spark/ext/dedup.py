@@ -135,11 +135,40 @@ def portable_perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]
     ]
 
 
+def portable_codepoints(col: Column, n: int = 5) -> Column:
+    """Codepoint array of the normalized text (lowercased, whitespace
+    collapsed, right-padded to n): one O(len) split pass — the staging
+    column for portable gram hashing. Per-position substring() would seek
+    from the string start each call (O(len²) per row — measured 16s vs 3s
+    on the 500-doc gate)."""
+    s = F.lower(F.regexp_replace(col, r"\s+", " "))
+    s = F.when(F.length(s) < n, F.rpad(s, n, " ")).otherwise(s)
+    return F.transform(F.split(s, ""), F.ascii)
+
+
+def portable_gram_hashes_from_cp(cp: Column, n: int = 5) -> Column:
+    """Distinct n-gram polynomial hashes from a MATERIALIZED codepoint
+    array column (O(1) element_at per char). The cp argument must be a
+    stored column (persist barrier), not an expression — element_at
+    re-evaluates its child per access."""
+    idx = F.sequence(F.lit(1), F.size(cp) - (n - 1))
+
+    def gram(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(n):
+            acc = (acc * 31 + F.element_at(cp, i + F.lit(j))) % PORTABLE_P
+        return acc
+
+    return F.array_distinct(F.transform(idx, gram))
+
+
 def portable_gram_hashes(col: Column, n: int = 5) -> Column:
     """Distinct character n-gram hashes via a 31-ary polynomial over
     codepoints mod PORTABLE_P — the cross-engine-exact sibling of
-    ``shingles`` (which uses JVM-only xxhash64). Whitespace-normalized,
-    lowercased, right-padded to n so short texts still emit one gram."""
+    ``shingles`` (which uses JVM-only xxhash64). Compose-anywhere Column
+    variant; the staged two-step (portable_codepoints → persist →
+    portable_gram_hashes_from_cp) is what minhash_lsh_pairs(portable=True)
+    runs — see portable_codepoints for why."""
     s = F.lower(F.regexp_replace(col, r"\s+", " "))
     s = F.when(F.length(s) < n, F.rpad(s, n, " ")).otherwise(s)
     idx = F.sequence(F.lit(1), F.length(s) - (n - 1))
@@ -204,14 +233,19 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     if portable:
-        # Materialize the gram arrays BEFORE fanning out to 32 permutation
-        # branches: each array_min(transform(...)) embeds its child
-        # expression wholesale, so without the persist barrier the O(len·n)
-        # gram hashing would be recomputed num_hashes times per row
-        # (measured: ~50× slower at 500 docs).
-        grams = df.select(
+        # Two persist barriers: (1) codepoint arrays — element_at in the
+        # gram fold must read a STORED column or its child is re-evaluated
+        # per access; (2) gram arrays — each of the num_hashes
+        # array_min(transform(...)) branches embeds its child wholesale,
+        # so unmaterialized grams would be recomputed 32× per row
+        # (measured: 50× slower without these barriers at 500 docs).
+        cps = df.select(
             F.col(id_col).alias("_id"),
-            portable_gram_hashes(F.col(text_col), shingle_n).alias("_gh"),
+            portable_codepoints(F.col(text_col), shingle_n).alias("_cp"),
+        ).persist()
+        grams = cps.select(
+            "_id",
+            portable_gram_hashes_from_cp(F.col("_cp"), shingle_n).alias("_gh"),
         ).persist()
         mins = [
             F.array_min(
