@@ -1740,6 +1740,232 @@ SELECT quality_score, count(*) AS count FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    a 6-table join where BOTH nation dims and supplier/customer broadcast,
+    the lineitem fact never shuffles for the joins, and the only exchange
+    is the final (supp_nation, cust_nation, year) aggregation."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                .cast("double"),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_priority_count_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counting after a fact-fact join —
+    high/low-priority order counts per lineitem status in a ship-date
+    window. The CASE aggregation is map-side combinable."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_PRIORITY_COUNT_BY_STATUS = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share — conditional ratio over
+    one join window; both sums are exact decimals so the single final
+    double division is identical cross-engine."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double")
+            / F.sum(rev.cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join — the
+    brand/size conjuncts reach the part scan, the quantity conjuncts reach
+    the lineitem scan, and the residual OR evaluates post-join."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
+SQL_BRAND_QUANTITY_REVENUE = """
+SELECT count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (average positive balance,
+    exact-decimal-sum ÷ count) + left-anti join (customers with no
+    orders), grouped by a derived segment code. The scalar rides a
+    broadcast cross join — no collect."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    # "no orders placed recently" — every customer has SOME order at these
+    # scale factors, so the anti-join runs against a recent window (Q22's
+    # seven-year-idle spirit)
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent.select("o_custkey").distinct(),
+              cust.c_custkey == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy((F.col("c_custkey") % 7).alias("seg_code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(_dec_sum(F.col("c_acctbal"), 2).cast("double"), 2).alias(
+                "total_bal"
+            ),
+        )
+        .orderBy("seg_code")
+    )
+
+
+SQL_IDLE_CUSTOMER_BALANCE = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_custkey % 7 AS seg_code, count(*) AS n_custs,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (ops.quality.orphan_check — the check
     the reference lacks, SURVEY §2.3): model a partially-loaded customer
@@ -2120,6 +2346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "hash_split_documents": q_hash_split_documents,
         "ri_orphan_orders": q_ri_orphan_orders,
+        "nation_trade_volume": q_nation_trade_volume,
+        "priority_count_by_status": q_priority_count_by_status,
+        "promo_revenue": q_promo_revenue,
+        "brand_quantity_revenue": q_brand_quantity_revenue,
+        "idle_customer_balance": q_idle_customer_balance,
     }
 
 
@@ -2179,4 +2410,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
+        "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+        "priority_count_by_status": SQL_PRIORITY_COUNT_BY_STATUS,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "brand_quantity_revenue": SQL_BRAND_QUANTITY_REVENUE,
+        "idle_customer_balance": SQL_IDLE_CUSTOMER_BALANCE,
     }

@@ -48,6 +48,8 @@ HEADLINE = [
     "streaming_hourly_events",
     "session_windows",
     "skewed_agg_salted",
+    "nation_trade_volume",
+    "brand_quantity_revenue",
 ]
 
 
