@@ -69,6 +69,39 @@ def sessionized_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "15 minutes",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: equality on ``on`` plus the
+    time-bound condition left_ts ≤ right_ts ≤ left_ts + within.
+
+    The time bound + watermarks are what make the state BOUNDED: each side
+    buffers only rows younger than (watermark + within), so state size is
+    rate × horizon, not the whole stream — the only join shape that
+    survives an unbounded stream. The timestamp columns must be named
+    differently on the two sides (rename before calling).
+
+    Works identically on batch frames (no watermark applied) — the
+    batch-equivalence tests rely on that.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (lw[on] == rw[on])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[on])
+
+
 def stream_dedup(
     events: DataFrame, keys: list[str], *, watermark: str = "2 hours", ts_col: str = "ts"
 ) -> DataFrame:

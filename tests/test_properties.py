@@ -94,3 +94,47 @@ def test_text_metrics_bounded(spark, values):
     for r in rows:
         assert r.t >= 0
         assert r.q is None or 0.0 <= r.q <= 1.0
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(TEXTY, min_size=40, max_size=60))
+def test_portable_minhash_matches_python_model(spark, values):
+    """The portable minhash signature (Spark expressions) must equal an
+    independent pure-Python model of the same math on arbitrary text —
+    the cross-engine-exactness claim the DuckDB oracle relies on."""
+    from assignment_etl_spark.ext.dedup import (
+        PORTABLE_P,
+        portable_minhash_signature,
+        portable_perm_params,
+    )
+
+    n, num_hashes, seed = 5, 8, 7
+    params = portable_perm_params(num_hashes, seed)
+
+    def model(text: str) -> list[int]:
+        # normalize exactly like the operator: lower + collapse whitespace
+        import re as _re
+
+        s = _re.sub(r"\s+", " ", text.lower())
+        if len(s) < n:
+            s = s + " " * (n - len(s))
+        grams = []
+        seen = set()
+        for i in range(len(s) - n + 1):
+            acc = 0
+            for ch in s[i : i + n]:
+                acc = (acc * 31 + ord(ch)) % PORTABLE_P
+            if acc not in seen:
+                seen.add(acc)
+                grams.append(acc)
+        return [min((a * g + b) % PORTABLE_P for g in grams) for a, b in params]
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, t string")
+    got = {
+        r.i: list(r.sig)
+        for r in df.select(
+            "i", portable_minhash_signature(F.col("t"), num_hashes, n, seed).alias("sig")
+        ).collect()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == model(v), f"mismatch for {v!r}"

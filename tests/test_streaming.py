@@ -89,3 +89,34 @@ def test_multimodal_feature_extraction(spark):
         assert feats[i].n_bytes == 10 + i
         assert len(feats[i].feature) == 8
         assert feats[i].feature == pytest.approx(vec.tolist(), abs=1e-6)
+
+
+def test_stream_stream_join_matches_batch(spark, events_path):
+    """Watermarked stream-stream join (views → clicks within 15 min per
+    user) must equal the same join computed in batch."""
+    from assignment_etl_spark.ext.streaming import stream_stream_join
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("click_id")
+        )
+        return views, clicks
+
+    batch = spark.read.parquet(events_path)
+    bv, bc = split(batch)
+    expected = {
+        (r.view_id, r.click_id)
+        for r in stream_stream_join(bv, bc, on="user_id", within="45 minutes", watermark="1 day").collect()
+    }
+    assert expected  # non-vacuous
+
+    sv, sc = split(read_events_stream(spark, events_path))
+    joined = stream_stream_join(sv, sc, on="user_id", within="45 minutes", watermark="1 day")
+    got = {
+        (r.view_id, r.click_id)
+        for r in run_streaming_query_once(joined, table_name="t_ssj").collect()
+    }
+    assert got == expected
