@@ -1708,6 +1708,58 @@ FROM sessioned GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_streaming_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join gate: the events stream joined AGAINST ITSELF
+    (same user, within 15 minutes, inclusive) with watermarked bounded
+    state, drained via availableNow — the per-type pair counts must
+    hash-match the batch SQL oracle. The streaming twin of
+    event_pairs_15min (which uses a strict > bound; this one is the
+    inclusive stream_stream_join contract, self-pairs included)."""
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        run_streaming_query_once,
+        stream_stream_join,
+    )
+
+    _prep(spark)
+    path = f"{sf_dir}/events.parquet"
+
+    def prep(side: str) -> DataFrame:
+        s = read_events_stream(spark, path)
+        if dict(s.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) parquet
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.select(
+            "user_id",
+            F.col("ts").alias(f"{side}_ts"),
+            F.col("event_type").alias(f"{side}_type"),
+        )
+
+    joined = stream_stream_join(
+        prep("l"),
+        prep("r"),
+        on="user_id",
+        left_ts="l_ts",
+        right_ts="r_ts",
+        within="15 minutes",
+        watermark="1 day",
+    )
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    out = run_streaming_query_once(joined, output_mode="append", table_name=name)
+    return (
+        out.groupBy(F.col("l_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("event_type")
+    )
+
+
+SQL_STREAMING_JOIN_PAIRS = """
+SELECT a.event_type AS event_type, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite text-quality score distribution."""
     from assignment_etl_spark.ext.text import quality_score
@@ -2346,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_flags": q_gopher_quality_flags,
         "hash_split_documents": q_hash_split_documents,
         "ri_orphan_orders": q_ri_orphan_orders,
+        "streaming_join_pairs": q_streaming_join_pairs,
         "nation_trade_volume": q_nation_trade_volume,
         "priority_count_by_status": q_priority_count_by_status,
         "promo_revenue": q_promo_revenue,
@@ -2410,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
+        "streaming_join_pairs": SQL_STREAMING_JOIN_PAIRS,
         "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
         "priority_count_by_status": SQL_PRIORITY_COUNT_BY_STATUS,
         "promo_revenue": SQL_PROMO_REVENUE,
