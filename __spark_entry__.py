@@ -1708,6 +1708,64 @@ FROM sessioned GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the documents table: inject
+    deterministic emails/IPs (derived from doc_id), count matches, scrub,
+    and prove zero residue — all native regexp expressions, oracle-matched
+    by DuckDB running the same patterns (chosen for Java/RE2 parity)."""
+    from assignment_etl_spark.ext.text import pii_counts, scrub_pii
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    stats = dirty.select(
+        "doc_id",
+        pii_counts(F.col("text")).alias("pii"),
+        pii_counts(scrub_pii(F.col("text"))).alias("residue"),
+        (F.length(F.col("text")) - F.length(scrub_pii(F.col("text")))).alias("delta"),
+    )
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pii.email").alias("n_emails"),
+        F.sum("pii.ipv4").alias("n_ips"),
+        F.sum(F.col("residue.email") + F.col("residue.ipv4")).alias("n_residue"),
+        F.sum("delta").alias("chars_removed"),
+    )
+
+
+SQL_PII_SCRUB_STATS = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 200) || '.' || (doc_id % 250) AS t
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g') AS s
+  FROM dirty)
+SELECT count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS n_ips,
+       CAST(sum(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(s, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))) AS BIGINT) AS n_residue,
+       CAST(sum(length(t) - length(s)) AS BIGINT) AS chars_removed
+FROM scrubbed
+"""
+
+
 def q_streaming_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join gate: the events stream joined AGAINST ITSELF
     (same user, within 15 minutes, inclusive) with watermarked bounded
@@ -2399,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split_documents,
         "ri_orphan_orders": q_ri_orphan_orders,
         "streaming_join_pairs": q_streaming_join_pairs,
+        "pii_scrub_stats": q_pii_scrub_stats,
         "nation_trade_volume": q_nation_trade_volume,
         "priority_count_by_status": q_priority_count_by_status,
         "promo_revenue": q_promo_revenue,
@@ -2464,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
         "streaming_join_pairs": SQL_STREAMING_JOIN_PAIRS,
+        "pii_scrub_stats": SQL_PII_SCRUB_STATS,
         "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
         "priority_count_by_status": SQL_PRIORITY_COUNT_BY_STATUS,
         "promo_revenue": SQL_PROMO_REVENUE,

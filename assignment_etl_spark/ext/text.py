@@ -199,6 +199,35 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+# PII patterns chosen for cross-engine regex parity (Java regex and RE2
+# agree on these constructs — no backreferences, no lookaround):
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_counts(col: Column) -> Column:
+    """struct of per-type PII match counts — the detection pass a curation
+    pipeline runs before deciding to scrub or drop."""
+    return F.struct(
+        *[
+            F.coalesce(F.regexp_count(col, F.lit(pat)), F.lit(0)).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def scrub_pii(col: Column, replacement: str = "[PII]") -> Column:
+    """Redact every PII pattern (chained regexp_replace — one projection,
+    no Python). Scrub order = PII_PATTERNS order; email first so addresses
+    aren't partially eaten by the IP pattern's digit runs."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
 def text_profile(df: DataFrame, column: str = "text") -> DataFrame:
     """One-pass text-statistics projection over a documents table."""
     c = F.col(column)

@@ -126,3 +126,27 @@ def test_hash_split(spark, sf_dir):
     assert first == again
     with __import__("pytest").raises(ValueError):
         hash_split(docs, {"train": 50, "val": 5})
+
+
+def test_pii_scrub(spark):
+    from assignment_etl_spark.ext.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org thanks"),
+            (2, "server at 192.168.1.254 responded"),
+            (3, "no pii here at all"),
+        ],
+        "i int, text string",
+    )
+    got = {
+        r.i: (r.c.email, r.c.ipv4, r.s)
+        for r in df.select(
+            "i",
+            pii_counts(F.col("text")).alias("c"),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert got[1][0] == 1 and "@" not in got[1][2] and "[PII]" in got[1][2]
+    assert got[2][1] == 1 and "192.168" not in got[2][2]
+    assert got[3] == (0, 0, "no pii here at all")
