@@ -1708,6 +1708,88 @@ FROM sessioned GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff (CDC primitive): mutate orders deterministically
+    (drop keys %13, bump price for %7, append %17 under offset keys), run
+    analytics.table_diff's single full-outer-join classification, and
+    hash-match the per-status counts against the closed-form oracle."""
+    from assignment_etl_spark.analytics.queries import table_diff
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice")
+    surviving = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    added = orders.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"), "o_totalprice"
+    )
+    new = surviving.unionByName(added)
+    diff = table_diff(old, new, "o_orderkey")
+    return (
+        diff.groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("diff_status")
+    )
+
+
+SQL_TABLE_DIFF_ORDERS = """
+WITH statuses AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'removed'
+              WHEN o_orderkey % 7 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS diff_status
+  FROM orders
+  UNION ALL
+  SELECT 'added' FROM orders WHERE o_orderkey % 17 = 0)
+SELECT diff_status, count(*) AS n FROM statuses GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the feed health check): count/nulls/
+    distinct/min/max per column as a tidy frame, oracle-matched column by
+    column."""
+    from assignment_etl_spark.analytics.queries import profile_columns
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"]
+    ).orderBy("column")
+
+
+SQL_PROFILE_ORDERS = """
+SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderdate),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+ORDER BY 1
+"""
+
+
 def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over the documents table: inject
     deterministic emails/IPs (derived from doc_id), count matches, scrub,
@@ -2458,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_orphan_orders": q_ri_orphan_orders,
         "streaming_join_pairs": q_streaming_join_pairs,
         "pii_scrub_stats": q_pii_scrub_stats,
+        "table_diff_orders": q_table_diff_orders,
+        "profile_orders": q_profile_orders,
         "nation_trade_volume": q_nation_trade_volume,
         "priority_count_by_status": q_priority_count_by_status,
         "promo_revenue": q_promo_revenue,
@@ -2524,6 +2608,8 @@ def oracle_sql() -> dict[str, str]:
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
         "streaming_join_pairs": SQL_STREAMING_JOIN_PAIRS,
         "pii_scrub_stats": SQL_PII_SCRUB_STATS,
+        "table_diff_orders": SQL_TABLE_DIFF_ORDERS,
+        "profile_orders": SQL_PROFILE_ORDERS,
         "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
         "priority_count_by_status": SQL_PRIORITY_COUNT_BY_STATUS,
         "promo_revenue": SQL_PROMO_REVENUE,

@@ -142,3 +142,56 @@ def affected_entities(
         F.countDistinct(id_col).alias("affected"),
         F.countDistinct(id_col, "reason").alias("entity_reason_pairs"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff (the CDC primitive a copy-on-write store needs):
+    classify every key as added / removed / changed / unchanged via ONE
+    full-outer join on the key — no collect, no per-column passes.
+    ``compare_cols`` defaults to all shared non-key columns; change
+    detection is null-safe (<=> semantics)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    o = old.select(*keys, F.struct(*compare_cols).alias("_old"), F.lit(1).alias("_in_old"))
+    n = new.select(*keys, F.struct(*compare_cols).alias("_new"), F.lit(1).alias("_in_new"))
+    j = o.join(n, on=keys, how="full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_old").eqNullSafe(F.col("_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("diff_status"))
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Tidy per-column profile (one row per column): count, nulls,
+    distinct, min/max as strings. ONE aggregation pass over the scan —
+    the summary a pipeline health check reads before trusting a feed."""
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(col.isNull().cast("long")).alias("n_null"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_value"),
+                F.max(col).cast("string").alias("max_value"),
+            ).alias(f"_p_{c}")
+        )
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(F.array(*[F.col(f"_p_{c}") for c in columns])).alias("p")
+    )
+    return stacked.select("p.*")

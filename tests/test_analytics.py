@@ -92,3 +92,36 @@ def test_bucketize_edges(spark):
     df = spark.createDataFrame([(0.0,), (50.0,), (100.0,)], "v double")
     got = [r.b for r in df.select(bucketize(F.col("v"), 0.0, 100.0, 10).alias("b")).collect()]
     assert got == [0, 5, 9]
+
+
+def test_table_diff(spark):
+    from assignment_etl_spark.analytics.queries import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", None), (4, "D", 4.0), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    got = {r.k: r.diff_status for r in table_diff(old, new, "k").collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "unchanged",  # NULL == NULL under eqNullSafe — no false 'changed'
+        4: "changed",
+        5: "added",
+    }
+
+
+def test_profile_columns(spark):
+    from assignment_etl_spark.analytics.queries import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k int, s string"
+    )
+    got = {r.column: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert got["k"].n_rows == 3 and got["k"].n_null == 0 and got["k"].n_distinct == 2
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+    assert got["k"].min_value == "1" and got["k"].max_value == "2"
