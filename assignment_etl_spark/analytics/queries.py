@@ -173,11 +173,19 @@ def table_diff(
     return j.select(*keys, status.alias("diff_status"))
 
 
-def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, columns: list[str], *, approx: bool = False
+) -> DataFrame:
     """Tidy per-column profile (one row per column): count, nulls,
     distinct, min/max as strings. ONE aggregation pass over the scan —
-    the summary a pipeline health check reads before trusting a feed."""
+    the summary a pipeline health check reads before trusting a feed.
+
+    ``approx=True`` swaps exact distinct counts for HLL++ sketches: exact
+    multi-column countDistinct plans an Expand (row duplicated per
+    profiled column before the shuffle) — fine for the gate, wrong cost at
+    100 TB; the sketch version stays one unexpanded pass."""
     aggs = []
+    distinct = F.approx_count_distinct if approx else F.countDistinct
     for c in columns:
         col = F.col(c)
         aggs.append(
@@ -185,7 +193,7 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
                 F.lit(c).alias("column"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum(col.isNull().cast("long")).alias("n_null"),
-                F.countDistinct(col).alias("n_distinct"),
+                distinct(col).alias("n_distinct"),
                 F.min(col).cast("string").alias("min_value"),
                 F.max(col).cast("string").alias("max_value"),
             ).alias(f"_p_{c}")
