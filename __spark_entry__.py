@@ -1724,8 +1724,11 @@ def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
         ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
     )
+    # negated keys can never collide with genuine (positive) orderkeys at
+    # ANY scale factor — a fixed offset would wrap into the real key range
+    # once max(o_orderkey) crossed it
     added = orders.filter(F.col("o_orderkey") % 17 == 0).select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"), "o_totalprice"
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_totalprice"
     )
     new = surviving.unionByName(added)
     diff = table_diff(old, new, "o_orderkey")

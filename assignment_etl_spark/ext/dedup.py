@@ -253,7 +253,13 @@ def minhash_lsh_pairs(
             )
             for a, b in portable_perm_params(num_hashes, seed)
         ]
-        sig = grams.select("_id", F.array(*mins).alias("_sig"))
+        # materialize signatures here, then drop the scaffolding caches —
+        # repeated callers would otherwise accumulate two cached frames
+        # (codepoints ≈ 4× the text size) per invocation
+        sig = grams.select("_id", F.array(*mins).alias("_sig")).persist()
+        sig.count()
+        cps.unpersist()
+        grams.unpersist()
     elif use_numpy:
         sig_udf = make_minhash_signature_udf(num_hashes, shingle_n, seed)
         sig = df.select(

@@ -94,12 +94,22 @@ def stream_stream_join(
     """
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    # rename the key per side BEFORE joining: distinct names sidestep
+    # self-join lineage ambiguity, and the post-join coalesce keeps the key
+    # of whichever side produced an outer row (dropping the right key
+    # outright would NULL it for unmatched right rows)
+    lw = lw.withColumnRenamed(on, "_ssj_lkey")
+    rw = rw.withColumnRenamed(on, "_ssj_rkey")
     cond = (
-        (lw[on] == rw[on])
+        (F.col("_ssj_lkey") == F.col("_ssj_rkey"))
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, how).drop(rw[on])
+    return (
+        lw.join(rw, cond, how)
+        .withColumn(on, F.coalesce("_ssj_lkey", "_ssj_rkey"))
+        .drop("_ssj_lkey", "_ssj_rkey")
+    )
 
 
 def stream_dedup(

@@ -189,6 +189,16 @@ def hash_split(
     """
     if sum(weights.values()) != 100:
         raise ValueError("weights must sum to 100")
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    dtype = df.schema[id_col].dataType
+    if not isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"hash_split needs an integral id column; {id_col} is {dtype}. "
+            "For string ids, derive a numeric key first (e.g. xxhash64 — "
+            "or the portable polynomial hash if a second engine must "
+            "re-derive the split)."
+        )
     bucket = split_bucket(F.col(id_col))
     expr = None
     lo = 0

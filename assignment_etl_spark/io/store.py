@@ -102,6 +102,24 @@ def upsert_parquet(
             .unionByName(dedup_updates)
             .localCheckpoint(eager=True)
         )
+        # Dynamic overwrite only rewrites partitions PRESENT in `merged` —
+        # a partition all of whose keys moved elsewhere has zero merged
+        # rows, so its stale files would survive. Partition values are
+        # few by definition (they're directories), so compare them on the
+        # driver and fall back to a full static rewrite when any touched
+        # partition empties out.
+        touched_vals = {tuple(r) for r in touched.collect()}
+        merged_vals = {
+            tuple(r) for r in merged.select(*partition_by).distinct().collect()
+        }
+        if touched_vals - merged_vals:
+            full = (
+                current.join(update_keys, on=keys, how="left_anti")
+                .unionByName(dedup_updates)
+                .localCheckpoint(eager=True)
+            )
+            full.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+            return
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

@@ -60,14 +60,22 @@ def read_xml_records(
     from pyspark.sql import Window  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
     ns = f"{{{namespace}}}" if namespace else ""
     schema = _shred_schema(fields)
-    files = with_row_id(spark.read.text(path, wholetext=True))
+    # Persist the wholetext scan BEFORE deriving file ordinals: a wholetext
+    # source must read each file's bytes to produce its row even when the
+    # value column is pruned, so an unpersisted second consumer would
+    # re-read the whole corpus (2× input I/O). MEMORY_AND_DISK spills
+    # large corpora instead of re-fetching them.
+    files = with_row_id(spark.read.text(path, wholetext=True)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Compact 0-based file ordinal: monotonically_increasing_id already uses
     # the high bits (partition_index << 33), so shifting IT would overflow
     # past ~1k input partitions. The rank window runs over a projection of
-    # the ids only (one row per FILE, text column pruned away), then
-    # broadcast-joins back.
+    # the ids only (one row per FILE), then broadcast-joins back.
     ordinals = files.select("_row_id").withColumn(
         "_file_ord", F.row_number().over(Window.orderBy("_row_id")) - 1
     )

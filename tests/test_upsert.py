@@ -46,3 +46,20 @@ def test_upsert_creates_store(spark, tmp_path):
     df = spark.range(5).select(F.col("id").cast("int").alias("id"))
     upsert_parquet(spark, path, df, "id")
     assert spark.read.parquet(path).count() == 5
+
+
+def test_upsert_emptied_partition_is_rewritten(spark, tmp_path):
+    """When an update moves a partition's ONLY key elsewhere, the emptied
+    partition must not keep a stale copy (dynamic overwrite alone never
+    rewrites a partition with zero merged rows)."""
+    from assignment_etl_spark.io.store import upsert_parquet
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "p1", "old"), (2, "p2", "two")], "k int, part string, v string"
+    )
+    upsert_parquet(spark, path, base, "k", partition_by=["part"])
+    moved = spark.createDataFrame([(1, "p2", "moved")], "k int, part string, v string")
+    upsert_parquet(spark, path, moved, "k", partition_by=["part"])
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "p2", "moved"), (2, "p2", "two")}
