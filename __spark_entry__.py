@@ -2480,6 +2480,89 @@ FROM parsed GROUP BY kind
 # --------------------------------------------------------------------------
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL source (io/jsonl.py), gate-verified end to end: serialize
+    the first 1000 lineitem rows to NDJSON with deterministic damage —
+    truncated lines (rn%13==7, unparseable → corrupt channel) and objects
+    missing the price field (rn%17==4, parse fine with NULL price) — read
+    the file back with the schema-explicit PERMISSIVE reader, and
+    aggregate both channels. The oracle recomputes every aggregate from
+    the clean table by modeling exactly which rows each damage class
+    destroys or degrades. Reference has no JSONL path (etl.py loads only
+    CSV/XML/JDBC) — this is a coverage extension."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from assignment_etl_spark.io.jsonl import CORRUPT_COL, read_jsonl, split_corrupt
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_orderkey", "l_linenumber")
+    sel = (
+        li.select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_linenumber"
+        )
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .filter(F.col("rn") < 1000)
+        .drop("l_linenumber")
+    )
+    full = F.to_json(
+        F.struct("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+    no_price = F.to_json(F.struct("l_orderkey", "l_partkey", "l_quantity"))
+    line = (
+        F.when(F.col("rn") % 13 == 7, F.substring(full, 1, 14))  # truncated
+        .when(F.col("rn") % 17 == 4, no_price)  # price field absent → NULL
+        .otherwise(full)
+    )
+    rows = sel.select("rn", line.alias("line")).orderBy("rn").collect()
+    d = tempfile.mkdtemp(prefix="jsonl_gate_")
+    path = os.path.join(d, "lineitem.jsonl")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(r.line + "\n")
+
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, "
+        "l_quantity double, l_extendedprice double"
+    )
+    parsed = read_jsonl(spark, path, schema)
+    clean, bad = split_corrupt(parsed)
+    agg = clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.count("l_extendedprice").alias("n_priced"),
+        F.round(_dec_sum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(_dec_sum(F.col("l_extendedprice"), 6).cast("double"), 2).alias(
+            "sum_price"
+        ),
+    )
+    n_bad = bad.agg(F.count(F.lit(1)).alias("n_corrupt"))
+    _ = CORRUPT_COL  # contract column name, asserted parsed by read_jsonl
+    return agg.crossJoin(n_bad).select(
+        "n_clean", "n_corrupt", "n_priced", "sum_qty", "sum_price"
+    )
+
+
+SQL_JSONL_ROUNDTRIP = """
+WITH sel AS (
+  SELECT l_quantity, l_extendedprice,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000),
+survived AS (
+  SELECT l_quantity,
+         CASE WHEN rn % 17 = 4 THEN NULL ELSE l_extendedprice END AS price
+  FROM sel WHERE rn % 13 != 7)
+SELECT CAST(count(*) AS BIGINT) AS n_clean,
+       (SELECT CAST(count(*) AS BIGINT) FROM sel WHERE rn % 13 = 7) AS n_corrupt,
+       CAST(count(price) AS BIGINT) AS n_priced,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+FROM survived
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2510,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_customer_intersect": q_priority_customer_intersect,
         "event_pairs_15min": q_event_pairs_15min,
         "messy_csv_roundtrip": q_messy_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -2578,6 +2662,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_customer_intersect": SQL_PRIORITY_CUSTOMER_INTERSECT,
         "event_pairs_15min": SQL_EVENT_PAIRS_15MIN,
         "messy_csv_roundtrip": SQL_MESSY_CSV_ROUNDTRIP,
+        "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,
