@@ -2563,6 +2563,76 @@ FROM survived
 """
 
 
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (ext/sampling.py): keep 30%
+    of en, all of de, half of fr, 10% of zh, drop es — the language-
+    rebalancing step of a corpus-curation pipeline, as a pure projection
+    (hash id, compare threshold; no RNG state, no shuffle). The oracle
+    replays the two-round affine hash in int64 and must reproduce the
+    EXACT member set (id checksums), not just the counts."""
+    from assignment_etl_spark.ext.sampling import stratified_hash_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "de": 1.0, "fr": 0.5, "zh": 0.1}
+    kept = stratified_hash_sample(
+        docs, rates, stratum_col="lang", id_col="doc_id", salt=17
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_stratified_sample_documents() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("doc_id", salt=17)
+    return f"""
+WITH kept AS (
+  SELECT doc_id, lang FROM documents
+  WHERE {u} <= CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0
+                         WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.1 ELSE 0.0 END)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+def q_priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Priority Sampling — top-k
+    rows by weight/uniform(id)): 50 orders weighted by o_totalprice.
+    Transcendental-free (one IEEE division per row), so DuckDB reproduces
+    the identical sample member-by-member. Plan: per-partition top-k heaps
+    (TakeOrderedAndProject) — no full sort, no data shuffle at 100 TB."""
+    from assignment_etl_spark.ext.sampling import priority_sample
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    s = priority_sample(orders, 50, weight_col="o_totalprice", id_col="o_orderkey", salt=29)
+    return s.select(
+        "o_orderkey",
+        F.round("priority", 4).alias("priority"),
+    ).orderBy(F.col("priority").desc(), "o_orderkey")
+
+
+def _sql_priority_sample_orders() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("o_orderkey", salt=29)
+    return f"""
+WITH pri AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) / ({u}) AS priority
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+SELECT o_orderkey, round(priority, 4) AS priority
+FROM pri ORDER BY priority DESC, o_orderkey LIMIT 50
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2594,6 +2664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs_15min": q_event_pairs_15min,
         "messy_csv_roundtrip": q_messy_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "priority_sample_orders": q_priority_sample_orders,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -2663,6 +2735,8 @@ def oracle_sql() -> dict[str, str]:
         "event_pairs_15min": SQL_EVENT_PAIRS_15MIN,
         "messy_csv_roundtrip": SQL_MESSY_CSV_ROUNDTRIP,
         "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+        "stratified_sample_documents": _sql_stratified_sample_documents(),
+        "priority_sample_orders": _sql_priority_sample_orders(),
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,

@@ -1,0 +1,122 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample()`` / ``df.sampleBy()`` draw from a per-partition RNG: the
+result changes with partitioning, task retries, and engine version — a
+reproducibility hazard for any pipeline whose sample feeds a training run.
+Everything here is a PURE PROJECTION of row content instead: hash the id,
+compare against a threshold. Same row → same decision, any run, any
+partitioning, any engine — and the whole operator is one codegen'd filter
+(no shuffle, no sampling state), so it costs a scan at 100 TB.
+
+Two operators:
+
+- :func:`stratified_hash_sample` — per-stratum keep-rates (downsample the
+  dominant language / source, keep the rare ones), the deterministic
+  counterpart of ``sampleBy``.
+- :func:`priority_sample` — weighted sampling without replacement via
+  Priority Sampling (Duffield, Lund, Thorup, JACM 2007): per row draw
+  uniform u from the id hash and set priority = weight / u; the top-k
+  priorities are the sample. Transcendental-free by construction — the
+  classic Efraimidis–Spirakis key u^(1/w) needs pow(), whose low bits are
+  implementation-defined, while IEEE division is correctly rounded and
+  therefore bit-identical across engines (the property every cross-engine
+  oracle here leans on).
+
+Hashing: the same mod-P affine family as ext/text.split_bucket (P =
+2^31-1), applied twice so the uniform isn't an affine image of the id.
+All arithmetic stays inside int64: operands are < 2^31 and the multiplier
+< 2^31, so products are < 2^62. For adversarial inputs (ids chosen to
+collide) swap in ``F.xxhash64`` — kept out of the default because DuckDB
+cannot replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_A, _B, _P = 1103515245, 12345, (1 << 31) - 1
+
+
+def portable_hash01(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform in (0, 1] from an integral id: two affine
+    rounds mod P, then (h+1)/(P+1). Never 0, so it is safe as a divisor."""
+    h = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(_P))
+    h = F.pmod(h * _A + _B, F.lit(_P))
+    h = F.pmod(h * _A + _B, F.lit(_P))
+    return (h + F.lit(1)).cast("double") / F.lit(float(_P + 1))
+
+
+def sql_hash01(id_expr: str, salt: int = 0) -> str:
+    """DuckDB replica of :func:`portable_hash01` (int64 arithmetic is
+    engine-independent; the final division is one IEEE op)."""
+    h1 = f"((({id_expr}) + {salt}) % {_P} + {_P}) % {_P}"
+    h2 = f"(({h1}) * {_A} + {_B}) % {_P}"
+    h3 = f"(({h2}) * {_A} + {_B}) % {_P}"
+    return f"CAST(({h3}) + 1 AS DOUBLE) / {float(_P + 1)!r}"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each row of stratum s iff hash01(id) <= rates[s].
+
+    Strata absent from ``rates`` are dropped (rate 0), matching
+    ``sampleBy``. The filter is a single projection — no shuffle, no
+    collected stratum list, so new strata appearing at 100 TB need no
+    replan. Expected sample size per stratum is rate × N exactly in
+    distribution; for exact-count quotas compose with
+    :func:`priority_sample` (uniform weights) per stratum instead.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    u = portable_hash01(F.col(id_col), salt)
+    rate = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )[F.col(stratum_col)]
+    return df.filter(u <= F.coalesce(rate, F.lit(0.0)))
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str,
+    by: list[str] | None = None,
+    salt: int = 0,
+    priority_out: str = "priority",
+) -> DataFrame:
+    """Weighted sample without replacement: top-k rows by w / u.
+
+    Global form compiles to TakeOrderedAndProject (per-partition heaps +
+    single driver merge of k×partitions rows — no full sort, no shuffle of
+    the data). Grouped form (``by``) is one window over a shuffle on the
+    group keys. Ties are impossible for distinct ids (u is injective below
+    P) but ordering is (priority DESC, id) anyway so the plan is
+    deterministic by construction, not by luck.
+
+    Rows with NULL or non-positive weight are excluded — they cannot carry
+    sampling mass.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    pri = (w / portable_hash01(F.col(id_col), salt)).alias(priority_out)
+    base = df.filter(w.isNotNull() & (w > 0)).select("*", pri)
+    if by:
+        win = Window.partitionBy(*by).orderBy(
+            F.col(priority_out).desc(), F.col(id_col)
+        )
+        return (
+            base.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+    return base.orderBy(F.col(priority_out).desc(), F.col(id_col)).limit(k)
