@@ -2633,6 +2633,52 @@ FROM pri ORDER BY priority DESC, o_orderkey LIMIT 50
 """
 
 
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ext/decontam.py): treat every doc_id
+    divisible by 97 as a held-out eval set, mine 5-word-gram overlap, and
+    report per-document distinct-hit counts plus the post-filter corpus
+    size. Plan: codegen n-gram projection → broadcast-hash join on the
+    (small) benchmark gram set → partial-count agg; the corpus text is
+    never shuffled. Oracle replays the identical gram construction with
+    DuckDB list slicing."""
+    from assignment_etl_spark.ext.decontam import contamination_hits, decontaminate
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    hits = contamination_hits(docs, bench, n=5)
+    clean = decontaminate(docs, bench, n=5, min_hits=2)
+    summary = hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("n_hits").alias("total_hits"),
+        F.sum("doc_id").alias("id_checksum"),
+    ).crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean_min2")))
+    return summary.select("n_contaminated", "total_hits", "id_checksum", "n_clean_min2")
+
+
+SQL_DECONTAMINATE_DOCUMENTS = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+pos AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+  FROM words WHERE len(w) >= 5),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM pos),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM grams JOIN bench USING (gram) GROUP BY doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 2))
+         AS n_clean_min2
+FROM hits
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2666,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "stratified_sample_documents": q_stratified_sample_documents,
         "priority_sample_orders": q_priority_sample_orders,
+        "decontaminate_documents": q_decontaminate_documents,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -2737,6 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
         "stratified_sample_documents": _sql_stratified_sample_documents(),
         "priority_sample_orders": _sql_priority_sample_orders(),
+        "decontaminate_documents": SQL_DECONTAMINATE_DOCUMENTS,
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,

@@ -1,0 +1,65 @@
+"""Decontamination: n-gram construction, hit counting, anti-join filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.decontam import (
+    contamination_hits,
+    decontaminate,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a quick brown fox jumps over a sleeping cat"),
+            (3, "completely unrelated text about spark joins"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_word_ngrams_basic(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    got = df.select(word_ngrams(F.col("t"), 3).alias("g")).first().g
+    assert got == ["a b c", "b c d"]
+
+
+def test_word_ngrams_short_text_empty(spark):
+    df = spark.createDataFrame([("a b",), ("",)], "t string")
+    rows = df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()
+    assert all(r.g == [] for r in rows)
+
+
+def test_word_ngrams_whitespace_normalization(spark):
+    df = spark.createDataFrame([("  a   b\tc  ",)], "t string")
+    got = df.select(word_ngrams(F.col("t"), 2).alias("g")).first().g
+    assert got == ["a b", "b c"]
+
+
+def test_hits_and_decontaminate(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 1)
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench, n=4).collect()}
+    # doc 1 matches itself on all six 4-grams; doc 2 shares
+    # "quick brown fox jumps" and "brown fox jumps over"
+    assert hits[1] == 6
+    assert hits[2] == 2
+    assert 3 not in hits and 4 not in hits
+    clean = decontaminate(corpus, bench, n=4)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {3, 4}
+    # higher threshold spares the partially-overlapping doc
+    clean3 = decontaminate(corpus, bench, n=4, min_hits=3)
+    assert {r.doc_id for r in clean3.select("doc_id").collect()} == {2, 3, 4}
+
+
+def test_decontaminate_broadcast_plan(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 1)
+    plan = (
+        decontaminate(corpus, bench, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
