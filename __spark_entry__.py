@@ -2679,6 +2679,93 @@ FROM hits
 """
 
 
+def q_dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup (ext/dedup.py::dedup_lines), both policies, over a
+    synthesized multi-line corpus: one document per order whose lines are
+    categorical lineitem tuples — massively duplicated across documents,
+    exactly the boilerplate shape CCNet's paragraph dedup targets. Checks
+    document reassembly (order-preserving), the drop-frequent threshold,
+    and the global (id, pos) keep-first contract, via corpus-wide
+    line/length checksums the oracle recomputes."""
+    from assignment_etl_spark.ext.dedup import dedup_lines
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    line = F.concat_ws(
+        "|",
+        "l_returnflag",
+        "l_linestatus",
+        F.month("l_shipdate").cast("string"),
+        F.col("l_quantity").cast("int").cast("string"),
+    )
+    docs = (
+        li.select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.struct(F.col("l_linenumber").alias("pos"), line.alias("line")).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["line"]),
+                "\n",
+            ).alias("text")
+        )
+    )
+
+    def stats(deduped: DataFrame, policy: str) -> DataFrame:
+        return deduped.filter(F.col("n_kept") > 0).agg(
+            F.lit(policy).alias("policy"),
+            F.count(F.lit(1)).alias("n_docs_nonempty"),
+            F.sum("n_kept").alias("kept_lines"),
+            F.sum(F.length("text")).alias("text_len"),
+        )
+
+    d_freq = dedup_lines(docs, mode="drop_frequent", max_docs=8)
+    d_first = dedup_lines(docs, mode="keep_first")
+    return stats(d_freq, "drop_frequent").unionByName(
+        stats(d_first, "keep_first")
+    ).orderBy("policy")
+
+
+SQL_DEDUP_LINES_CORPUS = """
+WITH lines AS (
+  SELECT l_orderkey AS doc_id, l_linenumber AS pos,
+         l_returnflag || '|' || l_linestatus || '|' ||
+         CAST(month(l_shipdate) AS VARCHAR) || '|' ||
+         CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) AS line
+  FROM lineitem),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+  WHERE nd > 8),
+fq_kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM freq)),
+kf_kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+    FROM lines)
+  WHERE rk = 1),
+fq_docs AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n FROM fq_kept GROUP BY doc_id),
+kf_docs AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n FROM kf_kept GROUP BY doc_id)
+SELECT 'drop_frequent' AS policy,
+       CAST(count(*) AS BIGINT) AS n_docs_nonempty,
+       CAST(sum(n) AS BIGINT) AS kept_lines,
+       CAST(sum(length(text)) AS BIGINT) AS text_len
+FROM fq_docs
+UNION ALL
+SELECT 'keep_first', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT)
+FROM kf_docs
+ORDER BY policy
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2713,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "priority_sample_orders": q_priority_sample_orders,
         "decontaminate_documents": q_decontaminate_documents,
+        "dedup_lines_corpus": q_dedup_lines_corpus,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -2785,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_documents": _sql_stratified_sample_documents(),
         "priority_sample_orders": _sql_priority_sample_orders(),
         "decontaminate_documents": SQL_DECONTAMINATE_DOCUMENTS,
+        "dedup_lines_corpus": SQL_DEDUP_LINES_CORPUS,
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,

@@ -640,3 +640,83 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# line-level dedup (CCNet-style)
+# --------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "drop_frequent",
+    max_docs: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Sub-document dedup: remove duplicated LINES across the corpus and
+    reassemble each document (CCNet's paragraph-hash dedup, the standard
+    boilerplate-removal pass before document-level MinHash).
+
+    Policies:
+    - ``drop_frequent``: delete every occurrence of a line appearing in
+      more than ``max_docs`` distinct documents (nav bars, cookie banners,
+      license footers). Documents keep their relative line order.
+    - ``keep_first``: a line survives only in the document of its first
+      occurrence, globally ordered by (id, position) — the deterministic
+      tie-break the reference's keep-first row dedup uses (SURVEY §2.7),
+      applied at line granularity.
+
+    Returns (id, text, n_lines, n_kept); text is '' when every line was
+    removed, so the caller can chain a min-length quality filter.
+
+    Scale shape: explode to (id, pos, line) → one shuffle keyed on the
+    line (frequency count or first-occurrence window) → one shuffle keyed
+    on id to reassemble. Both keys are well-distributed (line text /
+    document id); no cross product, no driver state. The frequent-line set
+    is NOT collected or broadcast — it joins distributed, because at
+    100 TB even the boilerplate set can exceed driver memory.
+    """
+    if mode not in ("drop_frequent", "keep_first"):
+        raise ValueError(f"unknown mode {mode!r}")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    if mode == "drop_frequent":
+        freq = (
+            lines.groupBy("line")
+            .agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+            .filter(F.col("_n_docs") > max_docs)
+            .select("line")
+        )
+        kept = lines.join(freq, "line", "left_anti")
+    else:
+        w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
+        kept = (
+            lines.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
