@@ -2766,6 +2766,73 @@ ORDER BY policy
 """
 
 
+def q_gapfill_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (ops/timeseries.py): purchase events per
+    user onto a dense 6-hour grid (resample: exact-decimal avg per bucket;
+    gapfill: linear interpolation between neighboring observations). ~90%
+    of grid slots are gaps at this density, so the interpolation path IS
+    the query. The full filled series is hash-matched row by row — bucket
+    indices are int64 and the interpolation fraction is exact integer
+    arithmetic cast to double, so DuckDB reproduces every filled value."""
+    from assignment_etl_spark.ops.timeseries import gapfill, resample
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+    )
+    bucketed = resample(
+        ev, ts_col="ts", value_col="value", key_cols=["user_id"],
+        step_seconds=21600, agg="avg",
+    )
+    filled = gapfill(
+        bucketed, key_cols=["user_id"], method="linear"
+    )
+    return filled.select(
+        "user_id",
+        "bucket",
+        F.round("value", 6).alias("value"),
+        "is_gap",
+    ).orderBy("user_id", "bucket")
+
+
+SQL_GAPFILL_USER_TIMESERIES = """
+WITH obs AS (
+  SELECT user_id,
+         epoch_us(ts) // 21600000000 AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value) AS value
+  FROM events
+  WHERE event_type = 'purchase' AND user_id < 40
+  GROUP BY 1, 2),
+grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket
+  FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        FROM obs GROUP BY user_id)),
+j AS (
+  SELECT g.user_id, g.bucket, o.value, o.value IS NULL AS is_gap
+  FROM grid g LEFT JOIN obs o USING (user_id, bucket)),
+f AS (
+  SELECT user_id, bucket, value, is_gap,
+    last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wp AS pb,
+    last_value(value IGNORE NULLS) OVER wp AS pv,
+    first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wn AS nb,
+    first_value(value IGNORE NULLS) OVER wn AS nv
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket,
+       round(CASE WHEN value IS NOT NULL THEN value
+                  ELSE pv + (nv - pv) *
+                       (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+             END, 6) AS value,
+       is_gap
+FROM f ORDER BY user_id, bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2801,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample_orders": q_priority_sample_orders,
         "decontaminate_documents": q_decontaminate_documents,
         "dedup_lines_corpus": q_dedup_lines_corpus,
+        "gapfill_user_timeseries": q_gapfill_user_timeseries,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -2874,6 +2942,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample_orders": _sql_priority_sample_orders(),
         "decontaminate_documents": SQL_DECONTAMINATE_DOCUMENTS,
         "dedup_lines_corpus": SQL_DEDUP_LINES_CORPUS,
+        "gapfill_user_timeseries": SQL_GAPFILL_USER_TIMESERIES,
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,

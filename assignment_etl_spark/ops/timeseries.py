@@ -1,0 +1,130 @@
+"""Time-series resampling, gap-filling, and interpolation.
+
+The hypertable-rollup family (analytics/rollup.py) aggregates time DOWN;
+this module goes the other way: regularize an irregular event stream onto
+a fixed grid — the time_bucket_gapfill / locf / interpolate operators a
+timescale-style user expects, expressed as DataFrame ops.
+
+Scale shape: one shuffle to aggregate per (key, bucket); the dense grid is
+GENERATED per key with ``sequence`` + ``explode`` (never a driver-side
+range or a cross join against a calendar table — the grid never exists on
+the driver); filling is two ordered windows per key. Grid cardinality is
+(span / step) per key — the caller picks ``step_seconds`` so that stays
+bounded, exactly as with any gap-fill engine.
+
+Bucket representation is an int64 bucket INDEX (epoch-micros div step), not
+a timestamp: integer arithmetic is engine-portable (the oracle replays it
+exactly), avoids DST/timezone edge cases, and the linear-interpolation
+fraction (bucket - prev) / (next - prev) is exact in doubles. Convert back
+with :func:`bucket_ts` at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def resample(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    step_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Aggregate an event stream to (keys, bucket) — one hash-agg shuffle.
+
+    ``avg``/``sum`` go through exact decimal sums (associative — immune to
+    partial-aggregation order) so results are reproducible bit-for-bit
+    across partitionings and engines; the final double division of avg is
+    a single IEEE op.
+    """
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(step_seconds * _US)
+    ).cast("long")
+    v = F.col(value_col)
+    aggs = {
+        "avg": (F.sum(v.cast("decimal(28,6)")) / F.count(v)).cast("double"),
+        "sum": F.sum(v.cast("decimal(28,6)")).cast("double"),
+        "min": F.min(v),
+        "max": F.max(v),
+        "count": F.count(v),
+    }
+    if agg not in aggs:
+        raise ValueError(f"unknown agg {agg!r}; choose from {sorted(aggs)}")
+    return df.groupBy(*key_cols, bucket.alias("bucket")).agg(
+        aggs[agg].alias("value"), F.count(v).alias("n_obs")
+    )
+
+
+def gapfill(
+    bucketed: DataFrame,
+    *,
+    key_cols: list[str],
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    method: str = "linear",
+) -> DataFrame:
+    """Densify each key's [min, max] bucket range and fill the gaps.
+
+    Methods: ``none`` (gap rows appear with NULL), ``locf`` (last
+    observation carried forward; leading gaps stay NULL), ``linear``
+    (interpolate between the neighboring observations; leading/trailing
+    gaps stay NULL — they have no second endpoint).
+
+    Output: keys, bucket, value, is_gap. ``is_gap`` marks generated rows
+    so a quality gate can bound the imputation ratio.
+    """
+    if method not in ("none", "locf", "linear"):
+        raise ValueError(f"unknown method {method!r}")
+    b, v = F.col(bucket_col), F.col(value_col)
+    grid = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.min(b).alias("_lo"), F.max(b).alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(bucket_col),
+        )
+    )
+    joined = grid.join(
+        bucketed.select(*key_cols, bucket_col, value_col),
+        [*key_cols, bucket_col],
+        "left",
+    ).withColumn("is_gap", v.isNull())
+    if method == "none":
+        return joined
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(b)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if method == "locf":
+        return joined.withColumn(
+            value_col, F.last(v, ignorenulls=True).over(w_prev)
+        )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(b)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # carry (bucket, value) as ONE struct per direction so the endpoint's
+    # position and value always come from the same observation row
+    obs = F.when(v.isNotNull(), F.struct(b.alias("b"), v.alias("v")))
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    frac = (b - prev["b"]).cast("double") / (nxt["b"] - prev["b"]).cast("double")
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * frac
+    return joined.withColumn(
+        value_col, F.when(v.isNotNull(), v).otherwise(interp)
+    )
+
+
+def bucket_ts(bucket_col: str, step_seconds: int):
+    """Bucket index → timestamp of the bucket's start."""
+    return F.timestamp_seconds(F.col(bucket_col) * step_seconds)

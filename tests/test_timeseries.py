@@ -1,0 +1,86 @@
+"""Resample + gapfill: bucket math, grid densification, fill methods."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ops.timeseries import bucket_ts, gapfill, resample
+
+H = 3600
+
+
+def _ts(hour, minute=0):
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        ("a", _ts(0, 10), 10.0),
+        ("a", _ts(0, 50), 20.0),  # same bucket as above -> avg 15
+        ("a", _ts(3, 0), 45.0),  # buckets 1,2 are gaps
+        ("a", _ts(5, 0), 5.0),  # bucket 4 is a gap
+        ("b", _ts(2, 0), 7.0),  # single-bucket key: no gaps
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+@pytest.fixture(scope="module")
+def bucketed(series):
+    return resample(
+        series, ts_col="ts", value_col="v", key_cols=["k"],
+        step_seconds=H, agg="avg",
+    )
+
+
+def test_resample_buckets_and_avg(bucketed):
+    got = {(r.k, r.bucket % 24): (r.value, r.n_obs) for r in bucketed.collect()}
+    base = 473352  # hours since epoch for 2024-01-01 00:00
+    assert len(got) == 4
+    assert got[("a", base % 24)] == (15.0, 2)
+
+
+def test_gapfill_none_marks_gaps(bucketed):
+    out = gapfill(bucketed, key_cols=["k"], method="none")
+    a = out.filter(F.col("k") == "a")
+    assert a.count() == 6  # hours 0..5 dense
+    assert a.filter("is_gap").count() == 3
+    assert out.filter(F.col("k") == "b").count() == 1
+
+
+def test_gapfill_locf(bucketed):
+    out = gapfill(bucketed, key_cols=["k"], method="locf")
+    vals = [r.value for r in out.filter("k = 'a'").orderBy("bucket").collect()]
+    assert vals == [15.0, 15.0, 15.0, 45.0, 45.0, 5.0]
+
+
+def test_gapfill_linear(bucketed):
+    out = gapfill(bucketed, key_cols=["k"], method="linear")
+    vals = [r.value for r in out.filter("k = 'a'").orderBy("bucket").collect()]
+    assert vals == [15.0, 25.0, 35.0, 45.0, 25.0, 5.0]
+
+
+def test_gapfill_linear_leading_gap_stays_null(spark):
+    df = spark.createDataFrame(
+        [("a", 10, None), ("a", 11, 4.0), ("a", 13, 8.0)],
+        "k string, bucket long, value double",
+    )
+    out = {r.bucket: r.value for r in gapfill(df, key_cols=["k"]).collect()}
+    assert out == {10: None, 11: 4.0, 12: 6.0, 13: 8.0}
+
+
+def test_bucket_ts_roundtrip(spark, bucketed):
+    out = bucketed.select("bucket", bucket_ts("bucket", H).alias("t")).collect()
+    for r in out:
+        assert r.t == dt.datetime.fromtimestamp(r.bucket * H, dt.UTC).replace(tzinfo=None)
+
+
+def test_invalid_args(series, bucketed):
+    with pytest.raises(ValueError):
+        resample(series, ts_col="ts", value_col="v", key_cols=["k"], step_seconds=0)
+    with pytest.raises(ValueError):
+        resample(series, ts_col="ts", value_col="v", key_cols=["k"],
+                 step_seconds=H, agg="median")
+    with pytest.raises(ValueError):
+        gapfill(bucketed, key_cols=["k"], method="spline")
