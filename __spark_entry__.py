@@ -2833,6 +2833,45 @@ FROM f ORDER BY user_id, bucket
 """
 
 
+def q_cluster_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (ext/similarity.py): 64 per-index
+    sums in ONE hash aggregate — no posexplode of the data (that would
+    multiply the shuffle by dim), no collect_list; map-side partials make
+    the shuffle size independent of row count. Portable path rounds each
+    component to 6dp in double space then sums exactly as decimals, so
+    DuckDB reproduces all labels × 64 centroid components bit-for-bit."""
+    from assignment_etl_spark.ext.similarity import centroids_long, cluster_centroids
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = cluster_centroids(emb, dim=64, input_round=6)
+    return (
+        centroids_long(cents)
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("int").alias("pos"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+SQL_CLUSTER_CENTROIDS = """
+WITH x AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS e
+  FROM embeddings)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(pos AS INTEGER) AS pos,
+       round(CAST(sum(CAST(round(CAST(e AS DOUBLE), 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) / count(*), 6) AS value
+FROM x GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2869,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "dedup_lines_corpus": q_dedup_lines_corpus,
         "gapfill_user_timeseries": q_gapfill_user_timeseries,
+        "cluster_centroids": q_cluster_centroids,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -2943,6 +2983,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_documents": SQL_DECONTAMINATE_DOCUMENTS,
         "dedup_lines_corpus": SQL_DEDUP_LINES_CORPUS,
         "gapfill_user_timeseries": SQL_GAPFILL_USER_TIMESERIES,
+        "cluster_centroids": SQL_CLUSTER_CENTROIDS,
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,

@@ -337,3 +337,68 @@ def brute_force_topk_pandas(
             )
 
     return queries.select(id_col, vec_col).mapInPandas(score, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# cluster centroids
+# --------------------------------------------------------------------------
+
+
+def cluster_centroids(
+    emb: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    by: str = "label",
+    input_round: int | None = None,
+) -> DataFrame:
+    """Element-wise mean vector per group: (by, n, centroid array<double>).
+
+    Plan shape: ``dim`` per-index sums inside ONE hash aggregate — no
+    posexplode of the data (which would multiply the shuffle by dim and
+    plan an Expand), no collect_list (which would move whole vectors into
+    aggregation state). Partial aggregation runs map-side, so the shuffle
+    carries dim numbers per (partition, group), independent of row count —
+    the same state a k-means |E| step keeps. ``dim`` is an explicit param
+    for the same reason as everywhere in this module: ArrayType carries no
+    length, and a first()-probe would cost a driver job.
+
+    ``input_round``: with None (production), components are summed as raw
+    doubles — fastest, but the float addition order perturbs the last ~2
+    ulps across partitionings. With an integer scale s, each component is
+    rounded to s decimals first and summed EXACTLY as decimals — the
+    bit-reproducible path (round-half-away + single final IEEE division
+    are engine-portable; a raw float→decimal cast is not, because the two
+    engines may disagree on ties at the cast boundary, so the rounding
+    must happen in double space first).
+    """
+    v = F.col(vec_col)
+    if input_round is None:
+        sums = [F.sum(v[i].cast("double")).alias(f"_s{i}") for i in range(dim)]
+        def comp(i: int):
+            return F.col(f"_s{i}") / F.col("n")
+    else:
+        s = input_round
+        sums = [
+            F.sum(
+                F.round(v[i].cast("double"), s).cast(f"decimal(28,{s})")
+            ).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+        def comp(i: int):
+            return F.col(f"_s{i}").cast("double") / F.col("n")
+    agg = emb.groupBy(by).agg(F.count(F.lit(1)).alias("n"), *sums)
+    return agg.select(
+        by,
+        "n",
+        F.array(*[comp(i) for i in range(dim)]).alias("centroid"),
+    )
+
+
+def centroids_long(centroids: DataFrame, *, by: str = "label") -> DataFrame:
+    """(by, n, pos, value) exploded form of :func:`cluster_centroids` —
+    the join-friendly/oracle-friendly layout. Cheap by construction: it
+    explodes the AGGREGATED frame (groups × dim rows), never the data."""
+    return centroids.select(
+        by, "n", F.posexplode("centroid").alias("pos", "value")
+    )
