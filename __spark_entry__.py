@@ -2641,18 +2641,25 @@ def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small) benchmark gram set → partial-count agg; the corpus text is
     never shuffled. Oracle replays the identical gram construction with
     DuckDB list slicing."""
-    from assignment_etl_spark.ext.decontam import contamination_hits, decontaminate
+    from assignment_etl_spark.ext.decontam import contamination_hits
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    hits = contamination_hits(docs, bench, n=5)
-    clean = decontaminate(docs, bench, n=5, min_hits=2)
+    # one gram-mining pass, materialized: the decontaminate() filter is
+    # hits >= min_hits by definition, so deriving the post-filter corpus
+    # size from the SAME hits frame halves the work vs re-mining grams
+    # (decontaminate's anti-join path is unit-tested in test_decontam.py)
+    hits = contamination_hits(docs, bench, n=5).localCheckpoint(eager=True)
+    n_docs = docs.count()
     summary = hits.agg(
         F.count(F.lit(1)).alias("n_contaminated"),
         F.sum("n_hits").alias("total_hits"),
         F.sum("doc_id").alias("id_checksum"),
-    ).crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean_min2")))
+        (
+            F.lit(n_docs) - F.count(F.when(F.col("n_hits") >= 2, 1))
+        ).alias("n_clean_min2"),
+    )
     return summary.select("n_contaminated", "total_hits", "id_checksum", "n_clean_min2")
 
 
@@ -2710,6 +2717,10 @@ def q_dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "\n",
             ).alias("text")
         )
+        # materialized once: both policies re-read this 150k-doc corpus,
+        # and recomputing the collect_list shuffle per policy doubles the
+        # dominant cost of the whole query
+        .localCheckpoint(eager=True)
     )
 
     def stats(deduped: DataFrame, policy: str) -> DataFrame:

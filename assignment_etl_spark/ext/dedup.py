@@ -710,7 +710,12 @@ def dedup_lines(
         ).alias(text_col),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # n_lines is a pure projection of the original text (size of the
+    # split), NOT a second explode+aggregate — that would re-shuffle the
+    # whole corpus just to count what each row already knows
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+    )
     return (
         totals.join(rebuilt, id_col, "left")
         .select(

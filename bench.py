@@ -50,6 +50,11 @@ HEADLINE = [
     "skewed_agg_salted",
     "nation_trade_volume",
     "brand_quantity_revenue",
+    "dedup_lines_corpus",
+    "gapfill_user_timeseries",
+    "decontaminate_documents",
+    "cluster_centroids",
+    "priority_sample_orders",
 ]
 
 
