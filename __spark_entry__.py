@@ -2883,6 +2883,59 @@ FROM x GROUP BY label, pos ORDER BY label, pos
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (ext/packing.py::pack_next_fit): documents into
+    256-token training bins across 4 independent pack groups — one
+    cumulative-sum window per group over a portable-hash order, so the
+    assignment is reshuffle-stable and DuckDB replays every bin
+    membership. Output is the per-bin fill report (packing efficiency =
+    n_tokens / budget); hash-matching it checks ordering, the exclusive
+    prefix sum, and the floor-division bin id for every document."""
+    from assignment_etl_spark.ext.packing import bin_stats, pack_next_fit
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    packed = pack_next_fit(docs, 256, n_groups=4)
+    return (
+        bin_stats(packed)
+        .select(
+            "pack_group",
+            "bin",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("pack_group", "bin")
+    )
+
+
+def _sql_pack_sequences(budget: int = 256, n_groups: int = 4) -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u0 = sql_hash01("doc_id")
+    u1 = sql_hash01("doc_id", salt=1)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(floor(({u0}) * {n_groups}) AS INTEGER) % {n_groups} AS pack_group,
+         {u1} AS ord
+  FROM documents),
+packed AS (
+  SELECT pack_group, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_group
+                       ORDER BY ord, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {budget}) AS BIGINT) AS bin
+  FROM toks)
+SELECT pack_group, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY pack_group, bin ORDER BY pack_group, bin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2920,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_corpus": q_dedup_lines_corpus,
         "gapfill_user_timeseries": q_gapfill_user_timeseries,
         "cluster_centroids": q_cluster_centroids,
+        "pack_sequences": q_pack_sequences,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -2995,6 +3049,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_corpus": SQL_DEDUP_LINES_CORPUS,
         "gapfill_user_timeseries": SQL_GAPFILL_USER_TIMESERIES,
         "cluster_centroids": SQL_CLUSTER_CENTROIDS,
+        "pack_sequences": _sql_pack_sequences(),
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,

@@ -1,0 +1,112 @@
+"""Sequence packing: next-fit bound, strict greedy budget, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.packing import bin_stats, pack_greedy, pack_next_fit
+
+BUDGET = 100
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 5).cast("long").alias("n_tokens"),
+    )
+
+
+def test_next_fit_partitions_all_docs(docs):
+    packed = pack_next_fit(docs, BUDGET, n_groups=3)
+    assert packed.count() == 500
+    assert packed.select("pack_group").distinct().count() == 3
+    # every doc keeps its tokens; ids unique
+    assert packed.select("doc_id").distinct().count() == 500
+
+
+def test_next_fit_overshoot_bound(docs):
+    packed = pack_next_fit(docs, BUDGET, n_groups=3)
+    stats = bin_stats(packed).collect()
+    max_doc = 41  # id % 37 + 5 <= 41
+    assert all(r.n_tokens <= BUDGET + max_doc for r in stats)
+    # all but each group's last bin are filled past the budget boundary
+    last = {
+        r.pack_group: r.bin
+        for r in packed.groupBy("pack_group").agg(F.max("bin").alias("bin")).collect()
+    }
+    for r in stats:
+        if r.bin != last[r.pack_group]:
+            assert r.n_tokens + 41 > BUDGET
+
+
+def test_next_fit_deterministic(docs):
+    a = pack_next_fit(docs, BUDGET, n_groups=3)
+    b = pack_next_fit(docs.repartition(11), BUDGET, n_groups=3)
+    assert a.exceptAll(b).count() == 0
+
+
+def test_greedy_strict_budget(docs):
+    packed = pack_greedy(docs, BUDGET, n_groups=8)
+    assert packed.count() == 500
+    stats = bin_stats(packed).collect()
+    assert all(r.n_tokens <= BUDGET for r in stats)
+    assert packed.filter("oversize").count() == 0
+
+
+def test_greedy_oversize_doc_gets_solo_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 500), (3, 60), (4, 30)], "doc_id long, n_tokens long"
+    )
+    packed = pack_greedy(df, BUDGET, n_groups=1)
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert rows[2].oversize
+    solo_bin = rows[2].bin
+    assert all(r.bin != solo_bin for r in rows.values() if r.doc_id != 2)
+    # non-oversize bins respect the budget
+    ok = bin_stats(packed).filter(F.col("bin") != solo_bin).collect()
+    assert all(r.n_tokens <= BUDGET for r in ok)
+
+
+def test_greedy_matches_python_model(spark):
+    import random
+
+    rng = random.Random(11)
+    data = [(i, rng.randint(1, 120)) for i in range(300)]
+    df = spark.createDataFrame(data, "doc_id long, n_tokens long")
+    packed = pack_greedy(df, BUDGET, n_groups=4)
+    got = {
+        r.doc_id: (r.pack_group, r.bin, r.bin_pos) for r in packed.collect()
+    }
+
+    # independent model: same hash, same order, same next-fit-with-boundary
+    from assignment_etl_spark.ext.sampling import _A, _B, _P
+
+    def h01(x, salt=0):
+        h = (x + salt) % _P
+        h = (h * _A + _B) % _P
+        h = (h * _A + _B) % _P
+        return (h + 1) / (_P + 1)
+
+    groups: dict[int, list[tuple[float, int, int]]] = {}
+    for i, t in data:
+        g = int(h01(i) * 4) % 4
+        groups.setdefault(g, []).append((h01(i, 1), i, t))
+    for g, items in groups.items():
+        items.sort()
+        b = fill = pos = 0
+        for _, i, t in items:
+            big = t > BUDGET
+            if fill > 0 and (fill + t > BUDGET or big):
+                b, fill, pos = b + 1, 0, 0
+            assert got[i] == (g, b, pos), f"doc {i}"
+            fill += t
+            pos += 1
+            if big:
+                b, fill, pos = b + 1, 0, 0
+
+
+def test_invalid_budget(docs):
+    with pytest.raises(ValueError):
+        pack_next_fit(docs, 0)
+    with pytest.raises(ValueError):
+        pack_greedy(docs, -5)
