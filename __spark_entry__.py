@@ -2936,6 +2936,66 @@ FROM packed GROUP BY pack_group, bin ORDER BY pack_group, bin
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (ops/outliers.py): median/MAD
+    z-scores of extended price within each return flag, exact percentiles
+    (two grouped aggs + broadcast stat joins). The oracle recomputes
+    median and MAD with quantile_cont — both engines define the quantile
+    as the same linear interpolation — and must agree on every group's
+    stats AND the outlier count at k=3.5."""
+    from assignment_etl_spark.ops.outliers import flag_outliers
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = flag_outliers(
+        li, value_col="l_extendedprice", by=["l_returnflag"], k=3.5
+    )
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(F.col("l_extendedprice").cast("double"), 0.5), 6)
+            .alias("median"),
+            F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+            F.round(
+                _dec_sum(F.when(F.col("is_outlier"), F.col("l_extendedprice")), 6)
+                .cast("double"),
+                2,
+            ).alias("outlier_price_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS median
+  FROM lineitem GROUP BY l_returnflag),
+mad AS (
+  SELECT l.l_returnflag,
+         quantile_cont(abs(CAST(l.l_extendedprice AS DOUBLE) - m.median), 0.5) AS mad
+  FROM lineitem l JOIN med m USING (l_returnflag)
+  GROUP BY l.l_returnflag),
+flagged AS (
+  SELECT l.l_returnflag, l.l_extendedprice,
+         CASE WHEN s.mad > 0 AND l.l_extendedprice IS NOT NULL
+              THEN abs((CAST(l.l_extendedprice AS DOUBLE) - m.median)
+                       / (1.4826 * s.mad)) > 3.5
+         END AS is_outlier
+  FROM lineitem l
+  JOIN med m USING (l_returnflag) JOIN mad s USING (l_returnflag))
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round((SELECT median FROM med WHERE med.l_returnflag = f.l_returnflag), 6)
+         AS median,
+       CAST(count(CASE WHEN is_outlier THEN 1 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN is_outlier
+                           THEN CAST(l_extendedprice AS DECIMAL(18,6)) END)
+                  AS DOUBLE), 2) AS outlier_price_sum
+FROM flagged f GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2974,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_user_timeseries": q_gapfill_user_timeseries,
         "cluster_centroids": q_cluster_centroids,
         "pack_sequences": q_pack_sequences,
+        "robust_outliers": q_robust_outliers,
         "xml_shred_roundtrip": q_xml_shred_roundtrip,
         "asof_join_purchases": q_asof_join_purchases,
         "hourly_to_daily_rollup": q_hourly_to_daily_rollup,
@@ -3050,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_user_timeseries": SQL_GAPFILL_USER_TIMESERIES,
         "cluster_centroids": SQL_CLUSTER_CENTROIDS,
         "pack_sequences": _sql_pack_sequences(),
+        "robust_outliers": SQL_ROBUST_OUTLIERS,
         "xml_shred_roundtrip": SQL_XML_SHRED_ROUNDTRIP,
         "asof_join_purchases": SQL_ASOF_JOIN_PURCHASES,
         "hourly_to_daily_rollup": SQL_HOURLY_TO_DAILY_ROLLUP,

@@ -1,0 +1,86 @@
+"""Robust (median/MAD) outlier detection per group.
+
+The quality pipelines null out values by fixed plausibility bounds
+(ops/units.py, reference etl.py:269-283); this is the data-driven
+complement: flag values far from their group's median in MAD units — the
+standard robust z-score (Iglewicz–Hoaglin), insensitive to the outliers
+it is hunting, unlike mean/stddev.
+
+Scale shape: two grouped EXACT percentile aggregations (median of x, then
+median of |x − median|) + two joins of the per-group stats back onto the
+rows. Exact percentiles shuffle each group's values to one aggregation
+buffer — correct but memory-bound at extreme group sizes; for 100 TB hot
+paths swap ``exact=False`` to use ``approx_percentile`` (t-digest-style
+sketch, mergeable map-side, bounded memory) at the cost of oracle
+exactness. The stats frames are one row per group — broadcast when the
+group count is bounded (the default here), hash-join otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# scale factor making MAD a consistent sigma estimator under normality
+MAD_CONSISTENCY = 1.4826
+
+
+def group_robust_stats(
+    df: DataFrame,
+    *,
+    value_col: str,
+    by: list[str],
+    exact: bool = True,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """(by…, n, median, mad): one row per group."""
+    v = F.col(value_col).cast("double")
+    pct = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10_000))
+    )
+    med = df.groupBy(*by).agg(
+        F.count(v).alias("n"), pct(v, 0.5).alias("median")
+    )
+    med_b = F.broadcast(med) if broadcast_stats else med
+    dev = df.join(med_b, by).select(
+        *by, F.abs(v - F.col("median")).alias("_adev")
+    )
+    mad = dev.groupBy(*by).agg(pct(F.col("_adev"), 0.5).alias("mad"))
+    out = med.join(mad, by)
+    return F.broadcast(out) if broadcast_stats else out
+
+
+def flag_outliers(
+    df: DataFrame,
+    *,
+    value_col: str,
+    by: list[str],
+    k: float = 3.5,
+    exact: bool = True,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Rows + (robust_z, is_outlier).
+
+    robust_z = (x − median) / (MAD_CONSISTENCY × mad); NULL when the
+    group's MAD is 0 (a constant-majority group: every deviation is
+    either 0 or infinitely surprising — the caller decides, we don't
+    fabricate a verdict) or when x is NULL. is_outlier = |robust_z| > k.
+    """
+    stats = group_robust_stats(
+        df, value_col=value_col, by=by, exact=exact,
+        broadcast_stats=broadcast_stats,
+    )
+    v = F.col(value_col).cast("double")
+    z = F.when(
+        (F.col("mad") > 0) & v.isNotNull(),
+        (v - F.col("median")) / (F.lit(MAD_CONSISTENCY) * F.col("mad")),
+    )
+    return (
+        df.join(stats, by)
+        .withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("robust_z").isNotNull(), F.abs(F.col("robust_z")) > k),
+        )
+        .drop("n", "median", "mad")
+    )
