@@ -32,7 +32,7 @@ MERSENNE = (1 << 61) - 1
 # integer arithmetic (Spark, DuckDB, Trino, ...) computes bit-identical
 # signatures. Used by the `portable=True` variants that exist so the LSH
 # pipelines can be replayed — and hash-verified — in a second engine.
-PORTABLE_P = (1 << 31) - 1
+from assignment_etl_spark.portable import PRIME_P as PORTABLE_P  # noqa: E402
 PORTABLE_BAND_MULT = 1000003
 
 
@@ -681,9 +681,13 @@ def dedup_lines(
     """
     if mode not in ("drop_frequent", "keep_first"):
         raise ValueError(f"unknown mode {mode!r}")
+    # F.split takes a REGEX but reassembly joins the LITERAL sep — quote
+    # the pattern (\Q...\E) so metachar separators ('.', '|') split
+    # literally and the round-trip stays symmetric
+    sep_pat = f"\\Q{sep}\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_pat)).alias("pos", "line"),
     )
     if mode == "drop_frequent":
         freq = (
@@ -714,7 +718,7 @@ def dedup_lines(
     # split), NOT a second explode+aggregate — that would re-shuffle the
     # whole corpus just to count what each row already knows
     totals = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_lines")
+        F.col(id_col), F.size(F.split(F.col(text_col), sep_pat)).alias("n_lines")
     )
     return (
         totals.join(rebuilt, id_col, "left")

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from assignment_etl_spark.ext.sampling import portable_hash01
+from assignment_etl_spark.ext.sampling import portable_hash01, require_integral_id
 
 
 def pack_next_fit(
@@ -49,6 +49,7 @@ def pack_next_fit(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    require_integral_id(df, id_col, "pack_next_fit")
     grp = (
         (portable_hash01(F.col(id_col)) * n_groups).cast("int") % n_groups
         if n_groups > 1
@@ -88,6 +89,7 @@ def pack_greedy(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    require_integral_id(df, id_col, "pack_greedy")
     base = df.select(
         F.col(id_col),
         F.col(token_col).cast("long").alias(token_col),
@@ -96,8 +98,9 @@ def pack_greedy(
         ),
         portable_hash01(F.col(id_col), salt=1).alias("_ord"),
     )
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, {token_col} long, pack_group int, "
+        f"{id_col} {id_type}, {token_col} long, pack_group int, "
         "bin long, bin_pos int, oversize boolean"
     )
 

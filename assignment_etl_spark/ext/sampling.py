@@ -22,38 +22,62 @@ Two operators:
   therefore bit-identical across engines (the property every cross-engine
   oracle here leans on).
 
-Hashing: the same mod-P affine family as ext/text.split_bucket (P =
-2^31-1), applied twice so the uniform isn't an affine image of the id.
-All arithmetic stays inside int64: operands are < 2^31 and the multiplier
-< 2^31, so products are < 2^62. For adversarial inputs (ids chosen to
-collide) swap in ``F.xxhash64`` — kept out of the default because DuckDB
-cannot replay it.
+Hashing: the mod-P affine family of assignment_etl_spark/portable.py
+(P = 2^31-1) with one xor-shift between the two affine rounds — the
+non-linear step matters because affine∘affine is still affine, and a pure
+LCG chain would leave consecutive ids on a lattice that correlates
+keep-decisions. All arithmetic stays inside int64 (operands < 2^31,
+multiplier < 2^31 → products < 2^62) and xor/shift are exact in both
+engines. For adversarial inputs (ids chosen to collide) swap in
+``F.xxhash64`` — kept out of the default because DuckDB cannot replay it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-_A, _B, _P = 1103515245, 12345, (1 << 31) - 1
+from assignment_etl_spark.portable import ADD_B as _B
+from assignment_etl_spark.portable import MULT_A as _A
+from assignment_etl_spark.portable import PRIME_P as _P
+from assignment_etl_spark.portable import XSHIFT as _X
 
 
 def portable_hash01(id_col: Column, salt: int = 0) -> Column:
-    """Deterministic uniform in (0, 1] from an integral id: two affine
-    rounds mod P, then (h+1)/(P+1). Never 0, so it is safe as a divisor."""
+    """Deterministic uniform in (0, 1] from an integral id: affine round,
+    xor-shift mix (the non-linearity), affine round, then (h+1)/(P+1).
+    Never 0, so it is safe as a divisor. NULL/non-integral inputs yield
+    NULL — the frame-level operators validate the id column's type up
+    front so that can't silently empty a pipeline."""
     h = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(_P))
     h = F.pmod(h * _A + _B, F.lit(_P))
+    h = h.bitwiseXOR(F.shiftright(h, _X))
     h = F.pmod(h * _A + _B, F.lit(_P))
     return (h + F.lit(1)).cast("double") / F.lit(float(_P + 1))
 
 
 def sql_hash01(id_expr: str, salt: int = 0) -> str:
-    """DuckDB replica of :func:`portable_hash01` (int64 arithmetic is
-    engine-independent; the final division is one IEEE op)."""
+    """DuckDB replica of :func:`portable_hash01` (int64 arithmetic, xor,
+    and shifts are engine-independent; the final division is one IEEE
+    op)."""
     h1 = f"((({id_expr}) + {salt}) % {_P} + {_P}) % {_P}"
     h2 = f"(({h1}) * {_A} + {_B}) % {_P}"
-    h3 = f"(({h2}) * {_A} + {_B}) % {_P}"
-    return f"CAST(({h3}) + 1 AS DOUBLE) / {float(_P + 1)!r}"
+    h3 = f"xor(({h2}), ({h2}) >> {_X})"
+    h4 = f"(({h3}) * {_A} + {_B}) % {_P}"
+    return f"CAST(({h4}) + 1 AS DOUBLE) / {float(_P + 1)!r}"
+
+
+def require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """The portable hash needs an integral id: a string id would cast to
+    NULL (ANSI off) and silently empty the sample/packing instead of
+    erroring. For string ids derive a numeric key first (xxhash64, or a
+    portable polynomial hash if a second engine must re-derive it)."""
+    dtype = df.schema[id_col].dataType
+    if not isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"{op} needs an integral id column; {id_col} is {dtype.simpleString()}"
+        )
 
 
 def stratified_hash_sample(
@@ -73,6 +97,7 @@ def stratified_hash_sample(
     distribution; for exact-count quotas compose with
     :func:`priority_sample` (uniform weights) per stratum instead.
     """
+    require_integral_id(df, id_col, "stratified_hash_sample")
     for s, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
@@ -105,6 +130,7 @@ def priority_sample(
     Rows with NULL or non-positive weight are excluded — they cannot carry
     sampling mass.
     """
+    require_integral_id(df, id_col, "priority_sample")
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     w = F.col(weight_col).cast("double")

@@ -163,7 +163,11 @@ def gopher_flags(
 # train/val/test split hashing: same PORTABLE_P family as ext.dedup so any
 # engine reproduces the assignment (no Spark-only hash in a contract that
 # downstream systems must re-derive).
-_SPLIT_A, _SPLIT_B, _SPLIT_P = 1103515245, 12345, (1 << 31) - 1
+from assignment_etl_spark.portable import (  # noqa: E402 — split-hash family
+    ADD_B as _SPLIT_B,
+    MULT_A as _SPLIT_A,
+    PRIME_P as _SPLIT_P,
+)
 
 
 def split_bucket(id_col: Column, n_buckets: int = 100) -> Column:

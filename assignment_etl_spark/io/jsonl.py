@@ -54,47 +54,50 @@ def read_jsonl(
     without caching the scan — a non-starter at 100 TB.
 
     Without a schema (exploration only) Spark infers one by sampling
-    ``sampling_ratio`` of the input — a full extra pass at ratio 1.0.
+    ``sampling_ratio`` of the input — a full extra pass at ratio 1.0 —
+    and parsing still goes through the same from_json route, so the
+    corrupt channel behaves identically on both paths.
 
     Whitespace-only lines are skipped (feed-archival convention), not
     logged as corrupt.
     """
-    if schema is not None:
-        if isinstance(schema, str):
-            schema = T.StructType.fromDDL(schema)
-        if CORRUPT_COL not in schema.fieldNames():
-            schema = schema.add(CORRUPT_COL, T.StringType())
-        raw = spark.read.text(path).filter(F.trim("value") != "")
-        df = raw.select(
-            F.from_json(
-                "value",
-                schema,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-            ).alias("_rec"),
-            "value",
-        ).select(
-            "_rec.*",
-            # from_json(PERMISSIVE) null-fills an unparseable row but only
-            # fills the corrupt field when Jackson produced a partial
-            # token stream; coalesce with the raw line so EVERY corrupt
-            # row carries its source text for the audit sink
-            F.coalesce(F.col(f"_rec.{CORRUPT_COL}"), F.col("value")).alias("_raw"),
+    if schema is None:
+        # exploration path: infer by sampling, then parse through the SAME
+        # from_json route — handing back the native scan's internal
+        # corrupt column would make split_corrupt unqueryable without
+        # caching (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+        inferred = (
+            spark.read.option("samplingRatio", sampling_ratio).json(path).schema
         )
-        df = df.withColumn(
-            CORRUPT_COL,
-            F.when(F.col(CORRUPT_COL).isNotNull(), F.col("_raw")),
-        ).drop("_raw")
+        schema = T.StructType(
+            [f for f in inferred.fields if f.name != CORRUPT_COL]
+        )
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
     else:
-        df = (
-            spark.read.option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", CORRUPT_COL)
-            .option("multiLine", "false")
-            .option("samplingRatio", sampling_ratio)
-            .json(path)
-        )
-        if CORRUPT_COL not in df.columns:
-            # fully clean sample — keep the contract column anyway
-            df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
+        schema = T.StructType(list(schema.fields))  # never mutate the caller's
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = schema.add(CORRUPT_COL, T.StringType())
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    df = raw.select(
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_rec"),
+        "value",
+    ).select(
+        "_rec.*",
+        # from_json(PERMISSIVE) null-fills an unparseable row but only
+        # fills the corrupt field when Jackson produced a partial
+        # token stream; coalesce with the raw line so EVERY corrupt
+        # row carries its source text for the audit sink
+        F.coalesce(F.col(f"_rec.{CORRUPT_COL}"), F.col("value")).alias("_raw"),
+    )
+    df = df.withColumn(
+        CORRUPT_COL,
+        F.when(F.col(CORRUPT_COL).isNotNull(), F.col("_raw")),
+    ).drop("_raw")
     df = normalize_column_names(df)
     return with_row_id(df) if row_id else df
 
@@ -103,10 +106,10 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, bad) dual output. ``bad`` carries the raw offending line for
     the audit sink; ``clean`` drops the contract column.
 
-    Spark refuses a query that selects ONLY the corrupt column straight off
-    a JSON scan (the parser would have nothing to parse against); filtering
-    on IS NULL / IS NOT NULL alongside the data columns, as done here, is
-    the supported shape.
+    Works on anything read_jsonl returns: both its paths parse via
+    from_json, whose corrupt field is an ordinary column — unlike the
+    native JSON source's internal one, which Spark refuses to query alone
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) without caching the scan.
     """
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(

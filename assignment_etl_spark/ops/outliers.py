@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 MAD_CONSISTENCY = 1.4826
 
 
+def _join_nullsafe(
+    left: DataFrame, right: DataFrame, by: list[str], keep: list[str]
+) -> DataFrame:
+    """left ⟕ right on null-SAFE key equality, keeping left.* + ``keep``
+    from right. groupBy treats NULL as a real group; a plain equi-join
+    would silently drop every NULL-keyed row from an annotation pass."""
+    from functools import reduce
+
+    l, r = left.alias("_l"), right.alias("_r")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}")) for c in by],
+    )
+    return l.join(r, cond, "left").select(
+        "_l.*", *[F.col(f"_r.{c}") for c in keep]
+    )
+
+
 def group_robust_stats(
     df: DataFrame,
     *,
@@ -42,11 +60,11 @@ def group_robust_stats(
         F.count(v).alias("n"), pct(v, 0.5).alias("median")
     )
     med_b = F.broadcast(med) if broadcast_stats else med
-    dev = df.join(med_b, by).select(
-        *by, F.abs(v - F.col("median")).alias("_adev")
+    dev = _join_nullsafe(df.select(*by, v.alias("_v")), med_b, by, ["median"]).select(
+        *by, F.abs(F.col("_v") - F.col("median")).alias("_adev")
     )
     mad = dev.groupBy(*by).agg(pct(F.col("_adev"), 0.5).alias("mad"))
-    out = med.join(mad, by)
+    out = _join_nullsafe(med, mad, by, ["mad"])
     return F.broadcast(out) if broadcast_stats else out
 
 
@@ -76,11 +94,11 @@ def flag_outliers(
         (v - F.col("median")) / (F.lit(MAD_CONSISTENCY) * F.col("mad")),
     )
     return (
-        df.join(stats, by)
+        _join_nullsafe(df, stats, by, ["median", "mad"])
         .withColumn("robust_z", z)
         .withColumn(
             "is_outlier",
             F.when(F.col("robust_z").isNotNull(), F.abs(F.col("robust_z")) > k),
         )
-        .drop("n", "median", "mad")
+        .drop("median", "mad")
     )

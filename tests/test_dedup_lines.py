@@ -66,3 +66,13 @@ def test_partitioning_invariance(spark, corpus):
 def test_bad_mode_raises(spark, corpus):
     with pytest.raises(ValueError):
         dedup_lines(corpus, mode="nope")
+
+
+def test_metachar_separator_is_literal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha.common.beta"), (2, "common.gamma")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(df, mode="keep_first", sep=".").collect()}
+    assert out[1].text == "alpha.common.beta" and out[1].n_lines == 3
+    assert out[2].text == "gamma"  # "common" survived only in doc 1

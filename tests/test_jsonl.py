@@ -69,3 +69,18 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert bad.count() == 0
     assert clean.count() == 100
     assert clean.agg(F.sum("a")).first()[0] == src.agg(F.sum("a")).first()[0]
+
+
+def test_inference_path_handles_corrupt_rows(spark, jsonl_file):
+    df = read_jsonl(spark, jsonl_file)  # no schema: inferred by sampling
+    clean, bad = split_corrupt(df)
+    assert bad.count() == 2  # queryable without caching: ordinary column
+    assert clean.count() == 3
+
+
+def test_caller_schema_not_mutated(spark, jsonl_file):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    read_jsonl(spark, jsonl_file, schema)
+    assert schema.fieldNames() == ["a"]

@@ -54,3 +54,16 @@ def test_approx_mode_runs(data):
     out = flag_outliers(data, value_col="v", by=["g"], exact=False)
     a = {r.v: r.is_outlier for r in out.filter("g = 'a'").collect()}
     assert a[1000.0]  # the gross outlier survives approximation
+
+
+def test_null_group_key_rows_are_kept_and_flagged(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+        + [(None, float(x)) for x in [1, 2, 3, 4, 5, 200]],
+        "g string, v double",
+    )
+    out = flag_outliers(df, value_col="v", by=["g"], k=3.5)
+    assert out.count() == 9  # annotation operator: no row loss
+    nulls = {r.v: r.is_outlier for r in out.filter("g is null").collect()}
+    assert nulls[200.0] is True  # NULL is a group of its own, stats apply
+    assert nulls[3.0] is False

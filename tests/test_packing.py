@@ -79,13 +79,14 @@ def test_greedy_matches_python_model(spark):
     }
 
     # independent model: same hash, same order, same next-fit-with-boundary
-    from assignment_etl_spark.ext.sampling import _A, _B, _P
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
 
     def h01(x, salt=0):
-        h = (x + salt) % _P
-        h = (h * _A + _B) % _P
-        h = (h * _A + _B) % _P
-        return (h + 1) / (_P + 1)
+        h = (x + salt) % PRIME_P
+        h = (h * MULT_A + ADD_B) % PRIME_P
+        h = h ^ (h >> XSHIFT)
+        h = (h * MULT_A + ADD_B) % PRIME_P
+        return (h + 1) / (PRIME_P + 1)
 
     groups: dict[int, list[tuple[float, int, int]]] = {}
     for i, t in data:
@@ -110,3 +111,10 @@ def test_invalid_budget(docs):
         pack_next_fit(docs, 0)
     with pytest.raises(ValueError):
         pack_greedy(docs, -5)
+
+
+def test_greedy_int_id_type_preserved(spark):
+    df = spark.createDataFrame([(1, 50), (2, 60)], "doc_id int, n_tokens long")
+    packed = pack_greedy(df, 100, n_groups=1)
+    assert dict(packed.dtypes)["doc_id"] == "int"
+    assert packed.count() == 2

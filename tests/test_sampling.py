@@ -81,3 +81,11 @@ def test_priority_sample_global_plan_is_take_ordered(spark, pop):
     s = priority_sample(pop, 50, weight_col="w", id_col="id")
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_string_id_raises_instead_of_empty_sample(spark):
+    df = spark.createDataFrame([("u1", "a", 1.0)], "id string, grp string, w double")
+    with pytest.raises(TypeError):
+        stratified_hash_sample(df, {"a": 0.5}, stratum_col="grp", id_col="id")
+    with pytest.raises(TypeError):
+        priority_sample(df, 5, weight_col="w", id_col="id")
