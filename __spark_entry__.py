@@ -2161,6 +2161,440 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table predicate
+    (lineitem shipped >60 days after the order date), decorrelated to a
+    LEFT SEMI join whose condition mixes the equi key with a non-equi
+    comparison on both sides' columns. Spark plans the equi part as the
+    shuffle key and evaluates the date comparison as a join residual —
+    no pair explosion, one shuffle on orderkey."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1's share of AMERICA-region PROMO revenue by
+    order year. The share is a conditional-sum ÷ total-sum over one joined
+    frame — one aggregation, no second pass. Every dim (part-filtered,
+    supplier, customer, both nation copies, region) broadcasts; the only
+    shuffle is lineitem↔orders on orderkey. Decimal sums keep both
+    numerator and denominator exact; the share is a single IEEE division."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_sup = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rk")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rk") == region.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_sup), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                _dec_sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                ).cast("double")
+                / _dec_sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       round(
+         CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_1'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over a 5-table
+    join with a substring filter on part name. The testdata has no
+    partsupp, so supply cost is proxied as 10% of p_retailprice per unit
+    (documented deviation; the SHAPE — fact joins two broadcast dims plus
+    orders, per-row arithmetic combining columns of three tables, two-key
+    aggregation — is Q9's). Profit is computed per-row in doubles (IEEE,
+    engine-identical) then summed exactly as decimal."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(_dec_sum(profit).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * 0.1 * l_quantity
+                           AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count, where
+    the filter lives INSIDE the outer-join condition (customers whose
+    only orders are urgent must still appear with c_count=0 — a WHERE
+    would wrongly drop them). Two aggregations: per-customer count (shuffle
+    on custkey), then the tiny distribution aggregate."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose windowed revenue equals the
+    global maximum. The scalar max is aggregated to one row and broadcast
+    back — NOT a single-partition window (which would serialize the whole
+    revenue table through one task at scale). The equality join compares
+    exact decimals; rounding to double happens only in the final
+    projection, so float noise can never split the max group."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_rev"
+        )
+    )
+    top = rev.join(
+        F.broadcast(rev.agg(F.max("_rev").alias("_max_rev"))),
+        F.col("_rev") == F.col("_max_rev"),
+    )
+    return (
+        top.join(F.broadcast(sup), top.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(CAST(rev AS DOUBLE), 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    with a NOT IN sub-select (suppliers with negative balance) decorrelated
+    to a broadcast LEFT ANTI join on the supplier keys of lineitem (the
+    testdata's part↔supplier relation). The anti join runs BEFORE the
+    count-distinct shuffle so excluded rows never travel."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad_sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+    return (
+        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(20)
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated to a broadcast join of the per-part aggregate.
+    The per-part avg is exact-sum ÷ count (one IEEE division per part);
+    the threshold compare runs as a join residual, never materializing
+    below-average rows."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            _dec_sum(F.col("l_quantity"), 2).cast("double") / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(
+                (_dec_sum(F.col("l_extendedprice")).cast("double") / F.lit(7.0)),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT round(
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0,
+         2) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * (
+    SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM lineitem li2 WHERE li2.l_partkey = part.p_partkey)
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped HAVING sub-select (orders whose
+    total quantity exceeds 200), decorrelated to aggregate-then-semi-join.
+    The qualifying keyset is small (~900 at sf0.01) so it broadcasts to
+    both orders and lineitem; ties on totalprice are broken by orderkey so
+    the top-100 is deterministic."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), 2).alias("_qty"))
+        .filter(F.col("_qty") > 200)
+        .select("l_orderkey", "_qty")
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("_qty").cast("double"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(CAST(qty.q AS DOUBLE), 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      FROM lineitem GROUP BY l_orderkey HAVING q > 200) qty
+  ON o_orderkey = qty.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS with supplier-inequality
+    residuals — suppliers in finished orders who were the ONLY supplier
+    with returned lines on a multi-supplier order. Decorrelated to a
+    semi join (another supplier shipped the order) followed by an anti
+    join (no OTHER supplier had returns), both shuffling on orderkey with
+    the suppkey inequality as residual. Adapted: 'kept waiting' is keyed
+    on l_returnflag (the testdata has no commit/receipt dates)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    cand = l1.join(
+        orders.select("o_orderkey"), F.col("l1.l_orderkey") == F.col("o_orderkey")
+    )
+    multi = cand.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole = multi.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+SQL_SOLE_RETURNING_SUPPLIER = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (ops.quality.orphan_check — the check
     the reference lacks, SURVEY §2.3): model a partially-loaded customer
@@ -3075,6 +3509,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "brand_quantity_revenue": q_brand_quantity_revenue,
         "idle_customer_balance": q_idle_customer_balance,
+        "late_shipment_priority": q_late_shipment_priority,
+        "nation_market_share": q_nation_market_share,
+        "product_profit": q_product_profit,
+        "order_count_distribution": q_order_count_distribution,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "part_supplier_counts": q_part_supplier_counts,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "large_volume_customers": q_large_volume_customers,
+        "sole_returning_supplier": q_sole_returning_supplier,
     }
 
 
@@ -3152,4 +3595,13 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": SQL_PROMO_REVENUE,
         "brand_quantity_revenue": SQL_BRAND_QUANTITY_REVENUE,
         "idle_customer_balance": SQL_IDLE_CUSTOMER_BALANCE,
+        "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+        "nation_market_share": SQL_NATION_MARKET_SHARE,
+        "product_profit": SQL_PRODUCT_PROFIT,
+        "order_count_distribution": SQL_ORDER_COUNT_DISTRIBUTION,
+        "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
+        "part_supplier_counts": SQL_PART_SUPPLIER_COUNTS,
+        "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+        "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+        "sole_returning_supplier": SQL_SOLE_RETURNING_SUPPLIER,
     }

@@ -55,6 +55,9 @@ HEADLINE = [
     "decontaminate_documents",
     "cluster_centroids",
     "priority_sample_orders",
+    "nation_market_share",
+    "sole_returning_supplier",
+    "order_count_distribution",
 ]
 
 

@@ -20,6 +20,8 @@ FAST_SUBSET = [
     "sex_code_mapping",
     "text_stats_by_lang",
     "session_windows",
+    "order_count_distribution",
+    "sole_returning_supplier",
 ]
 
 
