@@ -2595,6 +2595,99 @@ LIMIT 20
 """
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher word-n-gram repetition suite (ext.repetition): per-source
+    mean of every top/dup fraction plus repetitive-doc counts. One
+    explode pass emits grams for ALL nine n's, one (doc,n,gram) count
+    shuffle, pivot on the fixed n-set — work linear in corpus tokens.
+    Means are exact decimal sums over the 6-dp-rounded fractions, so
+    partial-agg order can't move them."""
+    from assignment_etl_spark.ext.repetition import repetition_signals
+
+    _prep(spark)
+    raw = _t(spark, sf_dir, "documents")
+    # the synthetic corpus has no natural >=5-gram repeats, which would
+    # leave the dup branch vacuously zero — every 3rd document gets its
+    # first 25 words re-appended on BOTH engines, so dup fractions land
+    # strictly inside (0, 1) and the span-union/island merging is
+    # exercised (full doubling would saturate every fraction at 1.0)
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(F.slice(words, 1, 25), " "),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep = repetition_signals(docs)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("repetitive").cast("int")).alias("n_repetitive"),
+    ]
+    for col in [
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "dup_5gram_char_frac",
+        "dup_10gram_char_frac",
+    ]:
+        short = col.replace("gram_char_frac", "").replace("_", "")
+        aggs.append(
+            F.round(
+                (
+                    F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias(f"avg_{short}")
+        )
+    return (
+        rep.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(*aggs)
+        .orderBy("source")
+    )
+
+
+def _sql_repetition_profile() -> str:
+    from assignment_etl_spark.ext.repetition import sql_repetition_signals
+
+    cols = "\n".join(
+        f"       round(CAST(sum(CAST({col} AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_{col.replace('gram_char_frac', '').replace('_', '')},"
+        for col in [
+            "top_2gram_char_frac",
+            "top_3gram_char_frac",
+            "top_4gram_char_frac",
+            "dup_5gram_char_frac",
+            "dup_10gram_char_frac",
+        ]
+    ).rstrip(",")
+    amplified = (
+        "(SELECT doc_id, source, CASE WHEN doc_id % 3 = 0 "
+        "THEN text || ' ' || array_to_string("
+        "list_filter(string_split_regex(trim(text), '\\s+'),"
+        " x -> length(x) > 0)[1:25], ' ') "
+        "ELSE text END AS text FROM documents)"
+    )
+    return f"""
+WITH rep AS ({sql_repetition_signals(table=amplified + " amp")})
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(repetitive AS INT)) AS BIGINT) AS n_repetitive,
+{cols}
+FROM rep JOIN documents USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (ops.quality.orphan_check — the check
     the reference lacks, SURVEY §2.3): model a partially-loaded customer
@@ -3518,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "large_volume_customers": q_large_volume_customers,
         "sole_returning_supplier": q_sole_returning_supplier,
+        "repetition_profile": q_repetition_profile,
     }
 
 
@@ -3604,4 +3698,5 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
         "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
         "sole_returning_supplier": SQL_SOLE_RETURNING_SUPPLIER,
+        "repetition_profile": _sql_repetition_profile(),
     }
