@@ -2688,6 +2688,58 @@ GROUP BY source ORDER BY source
 """
 
 
+_MIXTURE_TARGETS = {"src0": 2000, "src1": 999_999, "src2": 3500, "src5": 500}
+
+
+def q_mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture step (ext.sampling.mixture_sample): per-source
+    token budgets -> deterministic hash rates (one tiny aggregate +
+    broadcast join + filter; domains outside the mixture drop). Targets
+    cover a capped domain (rate 1: under budget), two fractional rates,
+    and a tight budget. Achieved tokens and doc counts per source are
+    hash-matched against the SQL replay."""
+    from assignment_etl_spark.ext.sampling import mixture_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    picked = mixture_sample(
+        docs,
+        _MIXTURE_TARGETS,
+        domain_col="source",
+        token_col="n_chars",
+        id_col="doc_id",
+        salt=11,
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("kept_tokens"),
+            F.round(F.max("mix_rate"), 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_mixture_sample_documents() -> str:
+    from assignment_etl_spark.ext.sampling import sql_mixture_sample
+
+    inner = sql_mixture_sample(
+        _MIXTURE_TARGETS,
+        table="documents",
+        domain_col="source",
+        token_col="n_chars",
+        id_col="doc_id",
+        salt=11,
+    )
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_tokens,
+       round(max(mix_rate), 6) AS rate
+FROM ({inner}) GROUP BY source ORDER BY source
+"""
+
+
 def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (ops.quality.orphan_check — the check
     the reference lacks, SURVEY §2.3): model a partially-loaded customer
@@ -3612,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "sole_returning_supplier": q_sole_returning_supplier,
         "repetition_profile": q_repetition_profile,
+        "mixture_sample_documents": q_mixture_sample_documents,
     }
 
 
@@ -3699,4 +3752,5 @@ def oracle_sql() -> dict[str, str]:
         "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
         "sole_returning_supplier": SQL_SOLE_RETURNING_SUPPLIER,
         "repetition_profile": _sql_repetition_profile(),
+        "mixture_sample_documents": _sql_mixture_sample_documents(),
     }

@@ -146,3 +146,83 @@ def priority_sample(
             .drop("_rk")
         )
     return base.orderBy(F.col(priority_out).desc(), F.col(id_col)).limit(k)
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    *,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Down-sample each domain toward a target token budget — the mixture
+    step of a training-data pipeline ("this run wants 30B web tokens, 10B
+    code tokens, ...").
+
+    Per domain: rate = min(1, target_tokens / domain_tokens), then keep a
+    row iff hash01(id, salt) <= rate. Domains absent from ``targets`` are
+    dropped (an explicit mixture lists everything it wants). Achieved
+    tokens concentrate around the target (hash selection is independent
+    of document length); domains already under budget pass through whole
+    (rate caps at 1 — never upsampled, matching how mixtures treat
+    under-represented sources: reweight at training time, don't duplicate
+    rows here).
+
+    Scale: one partial-aggregated groupBy over the corpus for the
+    per-domain token totals (output rows = #domains, tiny), a broadcast
+    join of the rates, and a filter. Appending a ``mix_rate`` column for
+    audit. Deterministic across engines and partitionings — the oracle
+    replays it in SQL via :func:`sql_mixture_sample`.
+    """
+    require_integral_id(df, id_col, "mixture_sample")
+    for d, t in targets.items():
+        if t < 0:
+            raise ValueError(f"target for {d!r} must be >= 0, got {t}")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(targets.items())],
+        f"`{domain_col}` string, _target long",
+    )
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("_domain_tokens")
+    )
+    rates = totals.join(tgt, domain_col).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            F.col("_target").cast("double") / F.col("_domain_tokens"),
+        ).alias("mix_rate"),
+    )
+    u = portable_hash01(F.col(id_col), salt)
+    return df.join(F.broadcast(rates), domain_col).filter(
+        u <= F.col("mix_rate")
+    )
+
+
+def sql_mixture_sample(
+    targets: dict[str, int],
+    *,
+    table: str,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    salt: int = 0,
+) -> str:
+    """DuckDB replica of :func:`mixture_sample`: exact BIGINT token
+    totals, one IEEE division per domain rate, same hash comparison."""
+    values = ", ".join(f"('{k}', {int(v)})" for k, v in sorted(targets.items()))
+    return f"""
+WITH _tgt({domain_col}, _target) AS (VALUES {values}),
+_totals AS (
+  SELECT {domain_col}, CAST(sum(CAST({token_col} AS BIGINT)) AS BIGINT) AS _domain_tokens
+  FROM {table} GROUP BY 1),
+_rates AS (
+  SELECT {domain_col},
+         least(1.0, CAST(_target AS DOUBLE) / _domain_tokens) AS mix_rate
+  FROM _totals JOIN _tgt USING ({domain_col}))
+SELECT t.*, mix_rate
+FROM {table} t JOIN _rates USING ({domain_col})
+WHERE {sql_hash01(f"t.{id_col}", salt)} <= mix_rate
+"""

@@ -89,3 +89,86 @@ def test_string_id_raises_instead_of_empty_sample(spark):
         stratified_hash_sample(df, {"a": 0.5}, stratum_col="grp", id_col="id")
     with pytest.raises(TypeError):
         priority_sample(df, 5, weight_col="w", id_col="id")
+
+
+class TestMixtureSample:
+    def _pop(self, spark):
+        # 3 domains x 400 docs, 10 tokens each -> 4000 tokens per domain
+        rows = [(i, f"d{i % 3}", 10) for i in range(1200)]
+        return spark.createDataFrame(rows, "doc_id long, domain string, n_tok int")
+
+    def test_rates_and_drops(self, spark):
+        from assignment_etl_spark.ext.sampling import mixture_sample
+
+        pop = self._pop(spark)
+        out = mixture_sample(
+            pop,
+            {"d0": 1000, "d1": 999_999},
+            domain_col="domain",
+            token_col="n_tok",
+            id_col="doc_id",
+        )
+        by_dom = {
+            r.domain: r
+            for r in out.groupBy("domain")
+            .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+            .collect()
+        }
+        assert "d2" not in by_dom  # absent from targets -> dropped
+        assert by_dom["d1"].n == 400  # under budget -> rate caps at 1
+        # d0: rate 0.25, achieved tokens concentrate around the target
+        assert 500 <= by_dom["d0"].tok <= 1500
+
+    def test_matches_duckdb_replica(self, spark, tmp_path):
+        import duckdb
+
+        from assignment_etl_spark.ext.sampling import (
+            mixture_sample,
+            sql_mixture_sample,
+        )
+
+        pop = self._pop(spark)
+        p = str(tmp_path / "pop.parquet")
+        pop.write.mode("overwrite").parquet(p)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW pop AS SELECT * FROM '{p}/*.parquet'")
+        targets = {"d0": 1000, "d2": 2500}
+        got = sorted(
+            r.doc_id
+            for r in mixture_sample(
+                pop, targets, domain_col="domain", token_col="n_tok",
+                id_col="doc_id", salt=3,
+            ).collect()
+        )
+        exp = sorted(
+            con.execute(
+                sql_mixture_sample(
+                    targets, table="pop", domain_col="domain",
+                    token_col="n_tok", id_col="doc_id", salt=3,
+                )
+            ).df()["doc_id"]
+        )
+        assert got == exp and len(got) > 0
+
+    def test_partitioning_invariance(self, spark):
+        from assignment_etl_spark.ext.sampling import mixture_sample
+
+        pop = self._pop(spark)
+        kw = dict(domain_col="domain", token_col="n_tok", id_col="doc_id")
+        a = sorted(r.doc_id for r in mixture_sample(pop, {"d0": 800}, **kw).collect())
+        b = sorted(
+            r.doc_id
+            for r in mixture_sample(pop.repartition(13), {"d0": 800}, **kw).collect()
+        )
+        assert a == b
+
+    def test_negative_target_raises(self, spark):
+        import pytest as _pytest
+
+        from assignment_etl_spark.ext.sampling import mixture_sample
+
+        with _pytest.raises(ValueError):
+            mixture_sample(
+                self._pop(spark), {"d0": -1},
+                domain_col="domain", token_col="n_tok", id_col="doc_id",
+            )
