@@ -2740,6 +2740,108 @@ FROM ({inner}) GROUP BY source ORDER BY source
 """
 
 
+def q_url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation family (ext.urls): synthesize a deterministic URL per
+    document (mixed case, default + explicit ports, tracking params,
+    fragments, a two-level-suffix domain, two blocked domains), then
+    normalize -> registered domain -> blocklist anti-join -> per-domain
+    rollup. All native regexp/array expressions; the oracle replays the
+    identical patterns in DuckDB."""
+    from assignment_etl_spark.ext.urls import (
+        drop_blocked_domains,
+        normalize_url,
+        registered_domain,
+        url_parts,
+    )
+
+    _prep(spark)
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/a/"),
+                sid,
+                F.lit("?utm_source=feed&id="),
+                sid,
+                F.lit("#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://news.example.co.uk/p?id="),
+                sid,
+                F.lit("&fbclid=x"),
+                sid,
+            ),
+        )
+        .when(m == 2, F.lit("https://Sub.Tracker.NET:443/x/y?a=1&b=2"))
+        .when(m == 3, F.concat(F.lit("http://blocked.com/page/"), sid))
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.blocked.com:8080/asset?v="),
+                sid,
+                F.lit("&gclid=g"),
+            )
+        )
+    )
+    feed = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    kept = drop_blocked_domains(feed, ["blocked.com"])
+    return (
+        kept.select(
+            registered_domain(url_parts(F.col("url"))["host"]).alias("domain"),
+            normalize_url(F.col("url")).alias("norm_url"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("norm_url").alias("n_distinct"),
+            F.min("norm_url").alias("sample_url"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _sql_url_domain_curation() -> str:
+    from assignment_etl_spark.ext.urls import (
+        sql_normalize_url,
+        sql_registered_domain,
+        sql_url_parts,
+    )
+
+    parts = sql_url_parts("url")
+    return f"""
+WITH feed AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'HTTP://Example.COM:80/a/' || CAST(doc_id AS VARCHAR)
+                       || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#frag'
+           WHEN 1 THEN 'https://news.example.co.uk/p?id=' || CAST(doc_id AS VARCHAR)
+                       || '&fbclid=x' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'https://Sub.Tracker.NET:443/x/y?a=1&b=2'
+           WHEN 3 THEN 'http://blocked.com/page/' || CAST(doc_id AS VARCHAR)
+           ELSE 'https://cdn.blocked.com:8080/asset?v=' || CAST(doc_id AS VARCHAR) || '&gclid=g'
+         END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url, {parts['scheme']} AS scheme, {parts['host']} AS host,
+         {parts['port']} AS port, {parts['path']} AS path,
+         {parts['query']} AS query
+  FROM feed),
+d AS (
+  SELECT doc_id, {sql_registered_domain('host')} AS domain,
+         {sql_normalize_url('scheme', 'host', 'port', 'path', 'query')} AS norm_url
+  FROM p)
+SELECT domain, count(*) AS n_urls,
+       count(DISTINCT norm_url) AS n_distinct,
+       min(norm_url) AS sample_url
+FROM d WHERE domain <> 'blocked.com'
+GROUP BY domain ORDER BY domain
+"""
+
+
 def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (ops.quality.orphan_check — the check
     the reference lacks, SURVEY §2.3): model a partially-loaded customer
@@ -3665,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_returning_supplier": q_sole_returning_supplier,
         "repetition_profile": q_repetition_profile,
         "mixture_sample_documents": q_mixture_sample_documents,
+        "url_domain_curation": q_url_domain_curation,
     }
 
 
@@ -3753,4 +3856,5 @@ def oracle_sql() -> dict[str, str]:
         "sole_returning_supplier": SQL_SOLE_RETURNING_SUPPLIER,
         "repetition_profile": _sql_repetition_profile(),
         "mixture_sample_documents": _sql_mixture_sample_documents(),
+        "url_domain_curation": _sql_url_domain_curation(),
     }
