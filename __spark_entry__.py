@@ -2842,6 +2842,169 @@ GROUP BY domain ORDER BY domain
 """
 
 
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 build (ops.scd.scd2_build): orders become a change log
+    of each customer's priority (one state per (cust, day), max orderkey
+    wins ties deterministically), then versioned with lag-dedup + lead
+    intervals. Summary per priority of CURRENT rows: count, mean version
+    number (how churned the keys carrying that state are)."""
+    from assignment_etl_spark.ops.scd import scd2_build
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    log = (
+        orders.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    dim = scd2_build(
+        log,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+    )
+    return (
+        dim.filter(F.col("is_current"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_current"),
+            F.round(
+                F.sum(F.col("version").cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_version"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_SCD2_CUSTOMER_PRIORITY = """
+WITH log AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rk
+        FROM orders)
+  WHERE rk = 1),
+dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderdate, o_orderpriority,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate) AS prev
+    FROM log)
+  WHERE prev IS NULL OR o_orderpriority <> prev),
+dim AS (
+  SELECT o_custkey, o_orderpriority,
+         lead(o_orderdate) OVER w AS effective_to,
+         CAST(row_number() OVER w AS INT) AS version
+  FROM dedup
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+SELECT o_orderpriority, count(*) AS n_current,
+       round(CAST(sum(CAST(version AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6)
+         AS mean_version
+FROM dim WHERE effective_to IS NULL
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel (ops.funnel): view -> click -> purchase within
+    24h of the first view. Each step is a per-user min-aggregate joined
+    to the previous step's survivors — k tiny hash joins, no windows
+    over the raw stream. Mean delays are exact decimal sums of floored
+    epoch seconds (both engines floor, never round)."""
+    from assignment_etl_spark.ops.funnel import funnel
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    return funnel(
+        events,
+        ["view", "click", "purchase"],
+        within_seconds=24 * 3600,
+    )
+
+
+SQL_FUNNEL_VIEW_PURCHASE = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t, min(ts) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t, min(s1.t0) AS t0
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts >= s1.t
+  GROUP BY 1
+  HAVING CAST(floor(epoch(min(e.ts))) AS BIGINT)
+         - CAST(floor(epoch(min(s1.t0))) AS BIGINT) <= 86400),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t, min(s2.t0) AS t0
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+  GROUP BY 1
+  HAVING CAST(floor(epoch(min(e.ts))) AS BIGINT)
+         - CAST(floor(epoch(min(s2.t0))) AS BIGINT) <= 86400),
+steps AS (
+  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users,
+         round(CAST(sum(CAST(CAST(floor(epoch(t)) AS BIGINT)
+                             - CAST(floor(epoch(t0)) AS BIGINT)
+                             AS DECIMAL(18,0))) AS DOUBLE) / count(*), 2)
+           AS mean_secs_from_start
+  FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*),
+         round(CAST(sum(CAST(CAST(floor(epoch(t)) AS BIGINT)
+                             - CAST(floor(epoch(t0)) AS BIGINT)
+                             AS DECIMAL(18,0))) AS DOUBLE) / count(*), 2)
+  FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*),
+         round(CAST(sum(CAST(CAST(floor(epoch(t)) AS BIGINT)
+                             - CAST(floor(epoch(t0)) AS BIGINT)
+                             AS DECIMAL(18,0))) AS DOUBLE) / count(*), 2)
+  FROM s3)
+SELECT s.step, s.event_type, s.n_users,
+       CASE WHEN p.n_users IS NOT NULL AND p.n_users > 0
+            THEN round(CAST(s.n_users AS DOUBLE) / p.n_users, 6) END AS conversion,
+       s.mean_secs_from_start
+FROM steps s LEFT JOIN steps p ON s.step = p.step + 1
+ORDER BY s.step
+"""
+
+
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement time-series: daily active users vs monthly actives
+    (DAU/MAU stickiness). The MAU scalar is a one-row aggregate broadcast
+    back over the per-day counts — never a global window."""
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    dau = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = events.agg(F.countDistinct("user_id").alias("_mau"))
+    return (
+        dau.crossJoin(F.broadcast(mau))
+        .select(
+            "day",
+            "dau",
+            F.round(F.col("dau").cast("double") / F.col("_mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_USER_STICKINESS = """
+WITH mau AS (SELECT count(DISTINCT user_id) AS m FROM events)
+SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau,
+       round(CAST(count(DISTINCT user_id) AS DOUBLE) / max(mau.m), 6)
+         AS stickiness
+FROM events, mau
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (ops.quality.orphan_check — the check
     the reference lacks, SURVEY §2.3): model a partially-loaded customer
@@ -3768,6 +3931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "mixture_sample_documents": q_mixture_sample_documents,
         "url_domain_curation": q_url_domain_curation,
+        "scd2_customer_priority": q_scd2_customer_priority,
+        "funnel_view_purchase": q_funnel_view_purchase,
+        "user_stickiness": q_user_stickiness,
     }
 
 
@@ -3857,4 +4023,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_profile": _sql_repetition_profile(),
         "mixture_sample_documents": _sql_mixture_sample_documents(),
         "url_domain_curation": _sql_url_domain_curation(),
+        "scd2_customer_priority": SQL_SCD2_CUSTOMER_PRIORITY,
+        "funnel_view_purchase": SQL_FUNNEL_VIEW_PURCHASE,
+        "user_stickiness": SQL_USER_STICKINESS,
     }

@@ -1,0 +1,89 @@
+"""Slowly-changing-dimension (Type 2) builder.
+
+Turns a change log (one row per observed state of a key) into versioned
+dimension rows with validity intervals — the warehouse primitive behind
+"what did this customer look like when the order shipped?" joins (which
+then run as plain range/as-of joins, see ops/asof.py).
+
+Spark shape: one shuffle on the business key, two window functions
+(lag to drop no-change rows, lead for the closing timestamp). Work is
+linear in the change log; no state, no Python. At 100 TB the window
+partitions by key — skew only if one key has millions of versions,
+which a dimension by definition doesn't.
+
+Determinism: rows are ordered by (ts, tiebreak...) inside each key. If
+the change log can carry two states of a key at the SAME timestamp the
+caller MUST pass ``tiebreak`` columns that make the order total —
+otherwise lag/lead order is partitioning luck. ``scd2_build`` verifies
+nothing about uniqueness (that's a full extra aggregation); the audit
+helper :func:`version_conflicts` exists for pipelines that want the
+check as a quality gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_build(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+    drop_unchanged: bool = True,
+) -> DataFrame:
+    """Change log -> SCD2 rows: key + attrs + ``effective_from`` /
+    ``effective_to`` (NULL = open) + ``is_current``.
+
+    ``drop_unchanged`` removes log rows whose attributes equal the
+    previous version's (re-loads and heartbeats), so version numbers
+    count real transitions.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    df = changes
+    if drop_unchanged:
+        state = F.struct(*[F.col(c) for c in attr_cols])
+        df = (
+            df.withColumn("_prev_state", F.lag(state).over(w))
+            .filter(
+                F.col("_prev_state").isNull()
+                | (state != F.col("_prev_state"))
+            )
+            .drop("_prev_state")
+        )
+    return (
+        df.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("effective_to").isNull())
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            *key_cols,
+            *attr_cols,
+            "effective_from",
+            "effective_to",
+            "is_current",
+            "version",
+        )
+    )
+
+
+def version_conflicts(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Audit: (key..., ts[, tiebreak...]) groups with more than one row —
+    the inputs on which SCD2 ordering would be nondeterministic. Empty
+    result = safe. One aggregation, same key shuffle as the build."""
+    keys = [*key_cols, ts_col, *(tiebreak_cols or [])]
+    return (
+        changes.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
