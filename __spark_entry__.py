@@ -3005,6 +3005,47 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_model_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched model scoring (ext.scoring.score_documents): native
+    JVM features -> one mapInPandas round-trip -> vectorized scorer. The
+    default model (linear + rational squash, left-associated float ops)
+    is bit-reproducible, so the histogram of scores hash-matches the SQL
+    replay — a real model swap keeps this exact plumbing."""
+    from assignment_etl_spark.ext.scoring import score_documents
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs)
+    bucket = F.floor(F.col("quality_model_score") * 20).cast("int")
+    return (
+        scored.groupBy(bucket.alias("score_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(
+                    F.round("quality_model_score", 6).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("score_mass"),
+        )
+        .orderBy("score_bucket")
+    )
+
+
+def _sql_model_score_histogram() -> str:
+    from assignment_etl_spark.ext.scoring import sql_default_score
+
+    s = sql_default_score("text")
+    return f"""
+WITH scored AS (SELECT {s} AS score FROM documents)
+SELECT CAST(floor(score * 20) AS INT) AS score_bucket,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS score_mass
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ri_orphan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit (ops.quality.orphan_check — the check
     the reference lacks, SURVEY §2.3): model a partially-loaded customer
@@ -3934,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_priority": q_scd2_customer_priority,
         "funnel_view_purchase": q_funnel_view_purchase,
         "user_stickiness": q_user_stickiness,
+        "model_score_histogram": q_model_score_histogram,
     }
 
 
@@ -4026,4 +4068,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer_priority": SQL_SCD2_CUSTOMER_PRIORITY,
         "funnel_view_purchase": SQL_FUNNEL_VIEW_PURCHASE,
         "user_stickiness": SQL_USER_STICKINESS,
+        "model_score_histogram": _sql_model_score_histogram(),
     }
