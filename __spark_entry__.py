@@ -333,17 +333,31 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 
 
 def q_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left join preserving order-less customers (count(o) skips NULLs)."""
+    """Left join preserving order-less customers (count(o) skips NULLs).
+
+    Plan note: the naive form — join THEN one aggregate mixing
+    countDistinct(c_custkey) with plain aggs — makes Catalyst Expand
+    every joined row 2x for the distinct, shuffling (orders x 2) rows.
+    c_custkey is unique in customer, so pre-aggregating orders per
+    custkey first turns the query into customer ⟕ per-cust-aggregate
+    (one row per customer) and the distinct into a plain count: no
+    Expand, and the big table is aggregated BEFORE it meets the join."""
     _prep(spark)
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("_rev"),
+    )
+    joined = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    )
     return (
         joined.groupBy("c_mktsegment")
         .agg(
-            F.countDistinct("c_custkey").alias("n_customers"),
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.coalesce(F.col("_n_orders"), F.lit(0))).alias("n_orders"),
+            F.round(F.sum("_rev").cast("double"), 2).alias("total_revenue"),
         )
         .orderBy("c_mktsegment")
     )
