@@ -3019,6 +3019,96 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup (ops.scd.scd2_lookup): orders probe the
+    customer-priority SCD2 dimension 10 days after their own date. Rides
+    the as-of union+window machinery — NOT an interval range join, which
+    would explode to facts x versions pairs per key. Distribution of
+    looked-up states plus the NULL bucket (probes before a key's first
+    version) is hash-matched against DuckDB's literal BETWEEN join."""
+    from assignment_etl_spark.ops.scd import scd2_build, scd2_lookup
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    log = (
+        orders.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    dim = scd2_build(
+        log,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+    )
+    facts = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAYS")).alias(
+            "o_orderdate"
+        ),
+    )
+    looked = scd2_lookup(
+        facts,
+        dim,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+    )
+    return (
+        looked.groupBy(
+            F.coalesce(F.col("o_orderpriority_dim"), F.lit("<none>")).alias(
+                "state"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.sum(F.col("o_orderkey").cast("long")).alias("fact_checksum"),
+        )
+        .orderBy("state")
+    )
+
+
+SQL_SCD2_POINT_IN_TIME = """
+WITH log AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rk
+        FROM orders)
+  WHERE rk = 1),
+dedup AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderdate, o_orderpriority,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate) AS prev
+    FROM log)
+  WHERE prev IS NULL OR o_orderpriority <> prev),
+dim AS (
+  SELECT o_custkey, o_orderpriority,
+         o_orderdate AS effective_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS effective_to
+  FROM dedup),
+facts AS (
+  SELECT o_orderkey, o_custkey,
+         o_orderdate + INTERVAL 10 DAY AS probe_ts
+  FROM orders),
+looked AS (
+  SELECT f.o_orderkey, d.o_orderpriority
+  FROM facts f LEFT JOIN dim d
+    ON f.o_custkey = d.o_custkey
+   AND f.probe_ts >= d.effective_from
+   AND (d.effective_to IS NULL OR f.probe_ts < d.effective_to))
+SELECT coalesce(o_orderpriority, '<none>') AS state,
+       count(*) AS n_facts,
+       CAST(sum(o_orderkey) AS BIGINT) AS fact_checksum
+FROM looked GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_model_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched model scoring (ext.scoring.score_documents): native
     JVM features -> one mapInPandas round-trip -> vectorized scorer. The
@@ -3990,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_purchase": q_funnel_view_purchase,
         "user_stickiness": q_user_stickiness,
         "model_score_histogram": q_model_score_histogram,
+        "scd2_point_in_time": q_scd2_point_in_time,
     }
 
 
@@ -4083,4 +4174,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_view_purchase": SQL_FUNNEL_VIEW_PURCHASE,
         "user_stickiness": SQL_USER_STICKINESS,
         "model_score_histogram": _sql_model_score_histogram(),
+        "scd2_point_in_time": SQL_SCD2_POINT_IN_TIME,
     }

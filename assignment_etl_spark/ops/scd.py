@@ -87,3 +87,54 @@ def version_conflicts(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") > 1)
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time join: each fact row gets the dimension attributes
+    that were valid at its timestamp ("what did this customer look like
+    when the order shipped?").
+
+    NOT a range join: interval predicates (from <= ts < to) explode to
+    |facts| x |versions| candidate pairs per key before filtering. This
+    rides ops/asof.asof_join instead — union + one window pass on
+    (key, ts), O((F+V) log) per key — then masks out matches whose
+    interval had already CLOSED before the fact timestamp (can only
+    happen if ``dim`` has validity gaps; scd2_build output is contiguous
+    so the mask is a no-op there, but correctness shouldn't depend on
+    the producer).
+    Facts before a key's first version carry NULL attributes.
+    """
+    from assignment_etl_spark.ops.asof import asof_join
+
+    d = dim.select(
+        *key_cols,
+        F.col("effective_from").alias(ts_col),
+        *attr_cols,
+        "effective_to",
+    )
+    j = asof_join(
+        facts,
+        d,
+        on=ts_col,
+        by=key_cols,
+        right_cols=[*attr_cols, "effective_to"],
+        suffix=suffix,
+    )
+    valid = F.col(f"effective_to{suffix}").isNull() | (
+        F.col(f"effective_to{suffix}") > F.col(ts_col)
+    )
+    return j.select(
+        *facts.columns,
+        *[
+            F.when(valid, F.col(f"{a}{suffix}")).alias(f"{a}{suffix}")
+            for a in attr_cols
+        ],
+    )

@@ -98,3 +98,52 @@ class TestFunnel:
     def test_needs_two_steps(self, spark, events):
         with pytest.raises(ValueError):
             funnel(events, ["view"])
+
+
+class TestScd2Lookup:
+    def test_point_in_time(self, spark):
+        from assignment_etl_spark.ops.scd import scd2_build, scd2_lookup
+
+        log = spark.createDataFrame(
+            [(1, _ts(1), "bronze"), (1, _ts(10), "gold"), (2, _ts(5), "silver")],
+            "cust long, ts timestamp, tier string",
+        )
+        dim = scd2_build(log, key_cols=["cust"], ts_col="ts", attr_cols=["tier"])
+        facts = spark.createDataFrame(
+            [
+                (100, 1, _ts(2)),    # inside v1
+                (101, 1, _ts(10)),   # boundary: new version starts AT ts
+                (102, 1, _ts(25)),   # open current version
+                (103, 2, _ts(1)),    # before first version -> NULL
+                (104, 3, _ts(9)),    # unknown key -> NULL
+            ],
+            "fact_id long, cust long, ts timestamp",
+        )
+        out = {
+            r.fact_id: r.tier_dim
+            for r in scd2_lookup(
+                facts, dim, key_cols=["cust"], ts_col="ts", attr_cols=["tier"]
+            ).collect()
+        }
+        assert out == {100: "bronze", 101: "gold", 102: "gold",
+                       103: None, 104: None}
+
+    def test_gap_masks_closed_interval(self, spark):
+        from assignment_etl_spark.ops.scd import scd2_lookup
+
+        # hand-built dim with a validity GAP: [day1, day3) then nothing
+        dim = spark.createDataFrame(
+            [(1, _ts(1), _ts(3), "bronze")],
+            "cust long, effective_from timestamp, effective_to timestamp, tier string",
+        )
+        facts = spark.createDataFrame(
+            [(200, 1, _ts(2)), (201, 1, _ts(7))],
+            "fact_id long, cust long, ts timestamp",
+        )
+        out = {
+            r.fact_id: r.tier_dim
+            for r in scd2_lookup(
+                facts, dim, key_cols=["cust"], ts_col="ts", attr_cols=["tier"]
+            ).collect()
+        }
+        assert out == {200: "bronze", 201: None}  # closed interval masked
