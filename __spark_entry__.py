@@ -3109,6 +3109,42 @@ FROM looked GROUP BY 1 ORDER BY 1
 """
 
 
+def q_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (ext.sampling.deterministic_shuffle):
+    the first 20 documents of the salted training order, with their
+    shuffle keys. orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort materialization for the probe;
+    the full-corpus form is range-partition + local sort."""
+    from assignment_etl_spark.ext.sampling import (
+        deterministic_shuffle,
+        portable_hash01,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        deterministic_shuffle(docs, id_col="doc_id", salt=42)
+        .limit(20)
+        .select(
+            "doc_id",
+            "source",
+            F.round(portable_hash01(F.col("doc_id"), 42), 9).alias("shuffle_key"),
+        )
+    )
+
+
+def _sql_shuffle_head() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("doc_id", salt=42)
+    return f"""
+SELECT doc_id, source, round({u}, 9) AS shuffle_key
+FROM documents
+ORDER BY {u}, doc_id
+LIMIT 20
+"""
+
+
 def q_model_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched model scoring (ext.scoring.score_documents): native
     JVM features -> one mapInPandas round-trip -> vectorized scorer. The
@@ -4081,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_stickiness": q_user_stickiness,
         "model_score_histogram": q_model_score_histogram,
         "scd2_point_in_time": q_scd2_point_in_time,
+        "shuffle_head": q_shuffle_head,
     }
 
 
@@ -4175,4 +4212,5 @@ def oracle_sql() -> dict[str, str]:
         "user_stickiness": SQL_USER_STICKINESS,
         "model_score_histogram": _sql_model_score_histogram(),
         "scd2_point_in_time": SQL_SCD2_POINT_IN_TIME,
+        "shuffle_head": _sql_shuffle_head(),
     }

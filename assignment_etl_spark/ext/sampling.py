@@ -226,3 +226,20 @@ SELECT t.*, mix_rate
 FROM {table} t JOIN _rates USING ({domain_col})
 WHERE {sql_hash01(f"t.{id_col}", salt)} <= mix_rate
 """
+
+
+def deterministic_shuffle(df: DataFrame, *, id_col: str, salt: int = 0) -> DataFrame:
+    """Global deterministic reshuffle — the "randomize training order"
+    step, reproducible across runs, engines, and partitionings.
+
+    Total order by (hash01(id, salt), id): Spark plans orderBy as range
+    partitioning (sampled split points) + per-partition sort, so the
+    output is globally sorted WITHOUT any single-task bottleneck, and a
+    downstream writer preserves the order per output file. Re-shuffling
+    for a new epoch is a new salt, not a new algorithm. The id tiebreak
+    makes the order total even under hash collisions.
+    """
+    require_integral_id(df, id_col, "deterministic_shuffle")
+    return df.orderBy(
+        portable_hash01(F.col(id_col), salt), F.col(id_col)
+    )

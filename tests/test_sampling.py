@@ -172,3 +172,25 @@ class TestMixtureSample:
                 self._pop(spark), {"d0": -1},
                 domain_col="domain", token_col="n_tok", id_col="doc_id",
             )
+
+
+class TestDeterministicShuffle:
+    def test_reproducible_and_salt_sensitive(self, spark):
+        from assignment_etl_spark.ext.sampling import deterministic_shuffle
+
+        pop = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = [r.doc_id for r in deterministic_shuffle(pop, id_col="doc_id").collect()]
+        b = [
+            r.doc_id
+            for r in deterministic_shuffle(
+                pop.repartition(11), id_col="doc_id"
+            ).collect()
+        ]
+        c = [
+            r.doc_id
+            for r in deterministic_shuffle(pop, id_col="doc_id", salt=1).collect()
+        ]
+        assert a == b                      # partitioning-invariant
+        assert a != c                      # a new salt is a new epoch order
+        assert sorted(a) == list(range(500))
+        assert a != list(range(500))       # actually shuffled
