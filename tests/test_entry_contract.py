@@ -22,6 +22,10 @@ FAST_SUBSET = [
     "session_windows",
     "order_count_distribution",
     "sole_returning_supplier",
+    "scd2_customer_priority",
+    "user_stickiness",
+    "model_score_histogram",
+    "shuffle_head",
 ]
 
 
