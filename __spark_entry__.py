@@ -3145,6 +3145,77 @@ LIMIT 20
 """
 
 
+_BOILERPLATE = (
+    "permission is hereby granted free of charge to any person obtaining a copy"
+)
+
+
+def q_substring_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup (ext.substring_dedup, the Lee et
+    al. recipe as rolling word windows): a 13-word license boilerplate is
+    appended to every doc with doc_id % 4 < 2 on BOTH engines; the
+    lowest doc_id keeps the only copy, every other occurrence is cut.
+    Per-source rollup of removal stats hash-matches the SQL replay."""
+    from assignment_etl_spark.ext.substring_dedup import dedup_substrings
+
+    _prep(spark)
+    raw = _t(spark, sf_dir, "documents")
+    feed = raw.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 < 2,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    deduped = dedup_substrings(feed, window=10)
+    return (
+        deduped.join(raw.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_words_removed").cast("long")).alias(
+                "words_removed"
+            ),
+            F.sum((F.col("n_words_removed") > 0).cast("int")).alias(
+                "n_docs_cut"
+            ),
+            F.round(
+                F.sum(
+                    F.col("removed_char_frac").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_removed_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_substring_dedup_profile() -> str:
+    from assignment_etl_spark.ext.substring_dedup import sql_dedup_substrings
+
+    amplified = (
+        "(SELECT doc_id, CASE WHEN doc_id % 4 < 2 "
+        f"THEN text || ' {_BOILERPLATE}' ELSE text END AS text "
+        "FROM documents)"
+    )
+    inner = sql_dedup_substrings(table=amplified + " amp", window=10)
+    return f"""
+WITH dd AS ({inner})
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CAST(n_words_removed AS BIGINT)) AS BIGINT) AS words_removed,
+       CAST(sum(CASE WHEN n_words_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_cut,
+       round(CAST(sum(CAST(removed_char_frac AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_removed_frac
+FROM dd JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def q_model_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched model scoring (ext.scoring.score_documents): native
     JVM features -> one mapInPandas round-trip -> vectorized scorer. The
@@ -4118,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score_histogram": q_model_score_histogram,
         "scd2_point_in_time": q_scd2_point_in_time,
         "shuffle_head": q_shuffle_head,
+        "substring_dedup_profile": q_substring_dedup_profile,
     }
 
 
@@ -4213,4 +4285,5 @@ def oracle_sql() -> dict[str, str]:
         "model_score_histogram": _sql_model_score_histogram(),
         "scd2_point_in_time": SQL_SCD2_POINT_IN_TIME,
         "shuffle_head": _sql_shuffle_head(),
+        "substring_dedup_profile": _sql_substring_dedup_profile(),
     }
