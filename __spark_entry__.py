@@ -1524,25 +1524,48 @@ def q_lang_detect_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_LANG_DETECT_AGREEMENT = r"""
+def _sql_lang_detect_agreement() -> str:
+    """DuckDB replica of detect_language, GENERATED from the same
+    LANG_MARKERS dict / CJK constants the Spark expression uses — one
+    source of truth, the two engines cannot drift."""
+    from assignment_etl_spark.ext.text import CJK_MIN_HITS, CJK_PATTERN, LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    hits = ",\n         ".join(
+        "length(regexp_extract_all(text, '(?i)\\b(%s)\\b')) AS c_%s"
+        % ("|".join(ws), lang)
+        for lang, ws in LANG_MARKERS.items()
+    )
+    # argmax with dict-order tie-break: lang_i wins when it beats every
+    # EARLIER lang strictly... no — matches Spark's element_at(filter,1):
+    # first lang in array order whose hits equal the max. Encoded as:
+    # lang_i wins when c_i >= c_j for all j (earlier ties already caught).
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [f"c_{lang} >= c_{o}" for o in langs if o != lang]
+        if i == len(langs) - 1:
+            cases.append(f"ELSE '{lang}'")
+        else:
+            cases.append("WHEN " + " AND ".join(others) + f" THEN '{lang}'")
+    zero = " AND ".join(f"c_{lang} = 0" for lang in langs)
+    return f"""
 WITH hits AS (
   SELECT lang,
-         length(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) AS c_en,
-         length(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|nicht|ein|zu)\b')) AS c_de,
-         length(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|que|une|dans)\b')) AS c_fr,
-         length(regexp_extract_all(text, '(?i)\b(el|los|las|es|que|una|por|con)\b')) AS c_es
+         length(regexp_extract_all(text, '{CJK_PATTERN}')) AS c_cjk,
+         {hits}
   FROM documents),
 det AS (
   SELECT lang, CASE
-    WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
-    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
-    WHEN c_fr >= c_es THEN 'fr'
-    ELSE 'es' END AS lang_detected
+    WHEN c_cjk >= {CJK_MIN_HITS} THEN 'zh'
+    WHEN {zero} THEN 'und'
+    {' '.join(cases)} END AS lang_detected
   FROM hits)
 SELECT lang, lang_detected, count(*) AS count FROM det
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+SQL_LANG_DETECT_AGREEMENT = _sql_lang_detect_agreement()
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4092,6 +4115,117 @@ FROM flagged f GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_event_sequence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style contiguous pattern matching (ops.sequence):
+    per-user count of view→click→purchase runs with the whole run inside
+    24h. Fixed-length pattern = k-1 lag columns over ONE keyed window —
+    no per-key arrays, fully distributed. Oracle replays the same lags."""
+    from assignment_etl_spark.ops.sequence import contiguous_sequence_count
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    return contiguous_sequence_count(
+        events,
+        ["view", "click", "purchase"],
+        within_seconds=24 * 3600,
+    ).orderBy("user_id")
+
+
+SQL_EVENT_SEQUENCE_COUNTS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2,
+         lag(ts, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM ordered
+WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'
+  AND floor(epoch(ts)) - floor(epoch(t2)) <= 86400
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (ext.dedup.incremental_dedup): documents
+    with doc_id % 3 != 0 model the already-ingested corpus (stored as
+    64-bit fingerprints only); the doc_id % 3 == 0 batch is deduped
+    within-batch (keep-first) then anti-joined against the store. The
+    oracle replays both stages on normalized text directly."""
+    from assignment_etl_spark.ext.dedup import incremental_dedup
+    from assignment_etl_spark.ext.text import fingerprint
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    store = docs.filter(F.col("doc_id") % 3 != 0).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    survivors, _delta = incremental_dedup(batch, store)
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP_DOCUMENTS = r"""
+WITH norm AS (
+  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+  FROM documents),
+kept AS (
+  SELECT doc_id, n, row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
+  FROM norm WHERE doc_id % 3 = 0)
+SELECT doc_id FROM kept
+WHERE rn = 1 AND n NOT IN (SELECT n FROM norm WHERE doc_id % 3 != 0)
+ORDER BY doc_id
+"""
+
+
+def q_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) made
+    oracle-checkable: per-user running (count, value total) where the
+    total is accumulated as integer micros — associative int64 adds, so
+    the drained stream hash-matches a batch decimal sum regardless of
+    micro-batch boundaries. Update-mode sink keeps the latest emission
+    per key via a monotone (n_events, total) struct max."""
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        run_streaming_query_once,
+        stateful_user_totals_exact,
+    )
+
+    _prep(spark)
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) parquet
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn(
+        "value_micros",
+        (F.col("value").cast("decimal(28,6)") * F.lit(1000000)).cast("long"),
+    )
+    totals = stateful_user_totals_exact(stream)
+    name = "stream_" + uuid.uuid4().hex[:8]
+    drained = run_streaming_query_once(
+        totals, output_mode="update", table_name=name
+    )
+    latest = F.max(F.struct("n_events", "total_micros")).alias("s")
+    return (
+        drained.groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_micros").alias("total_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAMING_STATEFUL_TOTALS = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS total_micros
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4190,6 +4324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_point_in_time": q_scd2_point_in_time,
         "shuffle_head": q_shuffle_head,
         "substring_dedup_profile": q_substring_dedup_profile,
+        "event_sequence_counts": q_event_sequence_counts,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
+        "streaming_stateful_totals": q_streaming_stateful_totals,
     }
 
 
@@ -4286,4 +4423,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_point_in_time": SQL_SCD2_POINT_IN_TIME,
         "shuffle_head": _sql_shuffle_head(),
         "substring_dedup_profile": _sql_substring_dedup_profile(),
+        "event_sequence_counts": SQL_EVENT_SEQUENCE_COUNTS,
+        "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
+        "streaming_stateful_totals": SQL_STREAMING_STATEFUL_TOTALS,
     }

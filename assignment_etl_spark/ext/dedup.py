@@ -50,6 +50,41 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    seen_fps: DataFrame | None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW ingest batch against an already-deduped corpus without
+    ever touching the corpus text: the store keeps only 64-bit fingerprints
+    (``seen_fps``, one ``fp`` long column — 8 bytes/doc, so the store for a
+    100 TB corpus is ~tens of GB and joinable as a normal shuffled
+    anti-join, or broadcast when the corpus is small).
+
+    Two stages, each one shuffle on the fingerprint:
+      1. within-batch keep-first by id (same contract as ``exact_dedup``);
+      2. left-anti against the store's fingerprints.
+
+    Returns ``(survivors, fps_delta)`` — append ``fps_delta`` to the store
+    to make the next batch incremental. This is the steady-state ingest
+    pattern: per-batch cost scales with the batch, not the corpus.
+    """
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    first = (
+        batch.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if seen_fps is not None:
+        first = first.join(
+            seen_fps.select(F.col("fp").alias("_fp")).distinct(), "_fp", "left_anti"
+        )
+    return first.drop("_fp"), first.select(F.col("_fp").alias("fp"))
+
+
 def shingles(col: Column, n: int = 5) -> Column:
     """Character n-gram shingle hashes over normalized text (distinct)."""
     s = F.lower(F.regexp_replace(col, r"\s+", " "))

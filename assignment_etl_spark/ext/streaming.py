@@ -187,6 +187,51 @@ def stateful_user_totals(
     )
 
 
+def stateful_user_totals_exact(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_micros_col: str = "value_micros",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """`stateful_user_totals` with EXACT arithmetic, the gate-checkable
+    variant: the value column arrives pre-scaled to integer micros (cast
+    to decimal(28,6) × 1e6 → long upstream, one Catalyst projection), and
+    the state accumulates int64 — associative and order-independent, so
+    the result is bit-identical to any batch engine's decimal sum no
+    matter how rows land in micro-batches. Headroom: |value| ≤ ~9e9 per
+    1e9-row key before int64 overflow — far past any per-key stream.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    output_schema = f"{key_col} long, n_events long, total_micros long"
+    state_schema = "n long, total long"
+
+    def update_totals(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += int(pdf[value_micros_col].fillna(0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_micros": [total]}
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update_totals,
+            output_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_clean_with_quality(
     stream_df: DataFrame,
     clean_fn,

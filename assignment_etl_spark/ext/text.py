@@ -20,12 +20,24 @@ from pyspark.sql import functions as F
 BPE_ISH = r"[A-Za-zÀ-ÿ]+|[0-9]{1,3}|[^\sA-Za-zÀ-ÿ0-9]+"
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Dict order is the tie-break priority (first language with the max hit
+# count wins) — extend at the END to keep existing classifications stable.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
     "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
     "es": ["el", "los", "las", "es", "que", "una", "por", "con"],
+    "it": ["il", "di", "che", "non", "per", "sono", "della", "gli"],
+    # ASCII-only markers: Java's (?i) folds ASCII only while RE2 folds
+    # unicode, so a non-ASCII marker could match differently per engine.
+    "pt": ["o", "de", "que", "uma", "para", "com", "mais", "os"],
+    "nl": ["de", "het", "een", "van", "niet", "dat", "zijn", "voor"],
 }
+
+# Han-script detection for languages whitespace stopwords can't see:
+# a handful of CJK ideographs is decisive evidence on its own.
+CJK_PATTERN = r"[一-鿿]"
+CJK_MIN_HITS = 4
 
 
 def whitespace_token_count(col: Column) -> Column:
@@ -78,12 +90,15 @@ def lang_scores(col: Column) -> Column:
 
 
 def detect_language(col: Column) -> Column:
-    """argmax of lang_scores; 'und' when no marker hits at all."""
+    """argmax of lang_scores; Han-script check first (zh has no whitespace
+    stopwords to count); 'und' when no evidence at all."""
     scores = lang_scores(col)
     best = F.array_max(scores.getField("hits"))
     pick = F.filter(scores, lambda s: s.getField("hits") == best)
-    return F.when(best > 0, F.element_at(pick, 1).getField("lang")).otherwise(
-        F.lit("und")
+    return (
+        F.when(F.regexp_count(col, F.lit(CJK_PATTERN)) >= CJK_MIN_HITS, F.lit("zh"))
+        .when(best > 0, F.element_at(pick, 1).getField("lang"))
+        .otherwise(F.lit("und"))
     )
 
 
