@@ -73,15 +73,30 @@ def scatter_sample(
     *,
     max_points: int = 10_000,
     seed: int = 42,
+    id_col: str | None = None,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Render-sized scatter payload: the reference ships every row to
-    plotly; at scale we downsample deterministically server-side."""
-    cols = [x, y] + ([color] if color else [])
-    total = df.count()
+    plotly; at scale we downsample server-side.
+
+    With ``id_col`` the sample is a deterministic hash filter on that key
+    (portable_hash01 < max_points/total): the same rows come back on every
+    run and on every engine with the same hash — replayable renders and an
+    oracle-checkable contract. Without it, falls back to Spark's Bernoulli
+    ``sample`` (seeded, but partition-layout-dependent). ``total_rows``
+    skips the count job when the caller already has table stats.
+    """
+    from assignment_etl_spark.ext.sampling import portable_hash01
+
+    cols = ([id_col] if id_col else []) + [x, y] + ([color] if color else [])
+    total = total_rows if total_rows is not None else df.count()
     picked = df.select(*cols)
-    if total > max_points:
-        picked = picked.sample(fraction=max_points / total, seed=seed)
-    return picked
+    if total <= max_points:
+        return picked
+    frac = max_points / total
+    if id_col is not None:
+        return picked.filter(portable_hash01(F.col(id_col), seed) < frac)
+    return picked.sample(fraction=frac, seed=seed)
 
 
 def top_categories(df: DataFrame, column: str, k: int = 20) -> DataFrame:

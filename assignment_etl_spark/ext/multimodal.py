@@ -9,7 +9,11 @@ passing a real decode_fn; nothing else changes.
 
 Scale notes: binary payloads ride the same parquet row groups as their
 metadata; ``repartition_for_media`` targets ~128 MB of payload per task so
-decode tasks are balanced regardless of file skew.
+decode tasks are balanced regardless of file skew — sized from plan
+statistics or caller-supplied stats, never by running a job at plan time.
+``frame_sample`` is a real byte-stride frame sampler (one Arrow crossing,
+no shuffle); only the image/audio *codec* remains a documented
+deterministic fake, swappable via ``decode_fn``.
 """
 
 from __future__ import annotations
@@ -20,7 +24,6 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -88,24 +91,89 @@ def extract_features(
 
 
 def repartition_for_media(
-    media: DataFrame, *, target_bytes_per_task: int = 128 * 1024 * 1024
+    media: DataFrame,
+    *,
+    target_bytes_per_task: int = 128 * 1024 * 1024,
+    total_payload_bytes: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Balance decode tasks by payload volume, not row count."""
-    total = media.agg(F.sum(F.length("payload"))).first()[0] or 0
-    n = max(1, int(total / target_bytes_per_task))
-    return media.repartition(n)
+    """Balance decode tasks by payload volume, not row count.
+
+    Purely plan-side: no Spark job is launched here. The partition count
+    comes from (in priority order) an explicit ``num_partitions`` hint, an
+    explicit ``total_payload_bytes`` (e.g. from store/catalog stats), or
+    Catalyst's own plan-statistics ``sizeInBytes`` estimate — all
+    driver-side metadata. Earlier versions ran ``agg(sum(length)).first()``
+    at plan-construction time, which fires a full scan per call; at 100 TB
+    that is a second pass over the data before the real one.
+    """
+    if num_partitions is None:
+        if total_payload_bytes is None:
+            # Catalyst statistics from the optimized plan: for parquet scans
+            # this is file-footer metadata, never a job. Long.MaxValue-ish
+            # values are Catalyst's "unknown" sentinel (e.g. LocalRelation
+            # with binary columns) — keep the existing partitioning then.
+            stats = media._jdf.queryExecution().optimizedPlan().stats()
+            total_payload_bytes = int(str(stats.sizeInBytes()))
+            if total_payload_bytes >= (1 << 62):
+                return media
+        num_partitions = max(1, -(-total_payload_bytes // target_bytes_per_task))
+    return media.repartition(num_partitions)
 
 
-def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling placeholder: real implementation needs ffmpeg.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
 
-    Raises NotImplementedError at execution time by contract — the plumbing
-    (signature, schema) is what the engine defines."""
+DEFAULT_FRAME_BYTES = 256
 
-    def _no_codec(batches):
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg; not available in this environment"
-        )
-        yield  # pragma: no cover
 
-    return media.mapInPandas(_no_codec, schema=MEDIA_SCHEMA)
+def frame_sample(
+    media: DataFrame, *, every_n: int = 30, frame_bytes: int = DEFAULT_FRAME_BYTES
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads.
+
+    Pure-Python byte-stride sampler: the payload is treated as a container
+    of fixed-size frames (``meta['frame_bytes']`` per row when present,
+    else ``frame_bytes``) and every ``every_n``-th frame is emitted with
+    its index and content hash. This is the real keyframe-sampling shape a
+    production pipeline uses — swap the slicing for an ffmpeg demux when a
+    codec is available; schema, batching, and partitioning are unchanged.
+
+    Scale: one Arrow crossing, output ~1/every_n of the input payload
+    volume, no shuffle; run after ``repartition_for_media`` so decode tasks
+    are balanced by bytes.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                meta = row["meta"] or {}
+                fb = int(meta.get("frame_bytes", frame_bytes))
+                n_total = max(0, -(-len(payload) // fb))  # ceil; tail = short frame
+                for i in range(0, n_total, every_n):
+                    chunk = payload[i * fb : (i + 1) * fb]
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "kind": row["kind"],
+                            "frame_index": i,
+                            "n_frames_total": n_total,
+                            "frame_bytes": chunk,
+                            "frame_sha256": hashlib.sha256(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
