@@ -14,6 +14,52 @@ predicate when a numeric partition column is supplied.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Spark JDBC PostgresDialect mapping (what df.write.jdbc emits for a
+# postgresql:// URL), which also matches what the reference's pandas
+# to_sql(engine) produces for these tables: object→TEXT, float64→DOUBLE
+# PRECISION, datetime64→TIMESTAMP, boolean→BOOLEAN
+# (/root/reference/etl.py:711-719, docker-compose Postgres 15).
+_PG_TYPES: list[tuple[type, str]] = [
+    (T.StringType, "TEXT"),
+    (T.DoubleType, "DOUBLE PRECISION"),
+    (T.FloatType, "REAL"),
+    (T.LongType, "BIGINT"),
+    (T.IntegerType, "INTEGER"),
+    (T.ShortType, "SMALLINT"),
+    (T.ByteType, "SMALLINT"),
+    (T.BooleanType, "BOOLEAN"),
+    (T.TimestampType, "TIMESTAMP"),
+    (T.TimestampNTZType, "TIMESTAMP"),
+    (T.DateType, "DATE"),
+    (T.BinaryType, "BYTEA"),
+]
+
+
+def postgres_type(dt: T.DataType) -> str:
+    """Postgres column type for a Spark type, per Spark's PostgresDialect."""
+    if isinstance(dt, T.DecimalType):
+        return f"NUMERIC({dt.precision},{dt.scale})"
+    for spark_t, pg_t in _PG_TYPES:
+        if isinstance(dt, spark_t):
+            return pg_t
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        # nested values are serialized with to_json before the JDBC write
+        # (F13 row→JSON policy); the column lands as JSONB
+        return "JSONB"
+    raise TypeError(f"no Postgres mapping for Spark type {dt.simpleString()}")
+
+
+def postgres_ddl(df: DataFrame, table: str) -> str:
+    """CREATE TABLE statement the JDBC overwrite path issues against
+    Postgres for this DataFrame — the dialect contract the reference's
+    to_sql(..., if_exists='replace') relies on, made assertable without a
+    live server."""
+    cols = ",\n  ".join(
+        f'"{f.name}" {postgres_type(f.dataType)}' for f in df.schema.fields
+    )
+    return f'CREATE TABLE "{table}" (\n  {cols}\n)'
 
 
 def write_jdbc(
