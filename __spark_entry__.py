@@ -3648,6 +3648,50 @@ FROM f GROUP BY 1
 """
 
 
+def q_perplexity_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (ext/lm.py): train the add-alpha
+    bigram LM on the documents corpus in-engine, score every document, and
+    return the 20 highest-perplexity (least fluent) ones. The per-bigram
+    log2-prob is rounded to 6 decimals and decimal-summed, so DuckDB
+    replays the identical arithmetic."""
+    from assignment_etl_spark.ext.lm import score_perplexity, train_bigram_lm
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    scores = score_perplexity(docs, lm)
+    return scores.orderBy(F.desc("ppl"), F.asc("doc_id")).limit(20)
+
+
+SQL_PERPLEXITY_TOP_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), w -> length(w) > 0)) AS token,
+         unnest(range(1, len(list_filter(str_split(text, ' '), w -> length(w) > 0)) + 1)) AS pos
+  FROM documents),
+big AS (
+  SELECT doc_id, token,
+         coalesce(lag(token) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev
+  FROM toks),
+bc AS (SELECT prev, token, count(*) AS n_bigram FROM big GROUP BY 1, 2),
+cc AS (SELECT prev, count(*) AS n_ctx FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT token) AS vocab_size FROM big),
+lp AS (
+  SELECT b.doc_id,
+         CAST(round(log2((coalesce(n_bigram, 0) + 1.0)
+                         / (coalesce(n_ctx, 0) + 1.0 * vocab_size)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM big b
+  LEFT JOIN bc USING (prev, token)
+  LEFT JOIN cc USING (prev)
+  CROSS JOIN v),
+agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS s FROM lp GROUP BY 1)
+SELECT doc_id, n_tokens,
+       round(pow(2.0, -(CAST(s AS DOUBLE) / n_tokens)), 4) AS ppl
+FROM agg ORDER BY ppl DESC, doc_id LIMIT 20
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4332,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round
         "frame_sample_stats": q_frame_sample_stats,
         "scatter_sample_orders": q_scatter_sample_orders,
+        "perplexity_top_docs": q_perplexity_top_docs,
         # -- streaming family (r1-green or never checked; no r2 row)
         "streaming_hourly_events": q_streaming_hourly_events,
         "session_windows": q_session_windows,
@@ -4493,6 +4538,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
         "scatter_sample_orders": _sql_scatter_sample_orders(),
+        "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,

@@ -1,0 +1,141 @@
+"""In-engine n-gram language model for perplexity-based quality filtering.
+
+CCNet (Wenzek et al., 2020) ranks Common Crawl documents by the perplexity
+of a KenLM model and keeps the low-perplexity tier; this module implements
+the same pipeline shape with the LM itself trained inside the engine — a
+bigram model with add-alpha smoothing — so the whole train+score loop is
+native DataFrame ops (explode → window lag → two count aggregations →
+joins), no external model artifact, no Python in the hot path.
+
+Cross-engine determinism policy (matches the repo-wide gate rules): the
+per-bigram log-probability is a single float op on an exactly-representable
+rational (counts + alpha), rounded to 6 decimals and cast to
+decimal(18,6) before the per-document sum — the sum is exact and
+associative, so partial-aggregation order cannot shift the result and a
+DuckDB oracle replays it bit-for-bit.
+
+Scale notes (100 TB corpus): tokenization is one explode (no shuffle); the
+lag window shuffles once on doc_id; training is two hash aggregations on
+token keys; scoring joins the token stream to the bigram/context tables on
+those keys — broadcast them when the vocabulary is small (the common case:
+LM tables are ~vocab² bounded, far smaller than the corpus), shuffle-join
+otherwise. Head words are skewed, but the joined side is counts (tiny
+rows), so AQE's skew-join handles it; nothing is per-document state.
+When train and score read the same corpus, persist (or write out) the
+count tables returned by train_bigram_lm before scoring — they are lazy
+plans, and scoring without a barrier re-derives the token stream once per
+count table. At 100 TB the LM tables are the artifact you checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+START_TOKEN = "<s>"
+
+
+def _tokens(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) stream; single-space split, empties dropped —
+    identical to the top_words tokenization so oracles share one model."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    return docs.select(F.col(id_col), F.posexplode(words).alias("pos", "token"))
+
+
+def _bigrams(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return _tokens(docs, id_col=id_col, text_col=text_col).withColumn(
+        "prev", F.lag("token", 1, START_TOKEN).over(w)
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Count tables for an add-alpha bigram LM.
+
+    Returns {"bigrams": (prev, token, n_bigram), "contexts": (prev, n_ctx),
+    "vocab": 1-row (vocab_size)} — all lazy DataFrames; vocab_size stays a
+    plan-side cross join at score time, never a driver scalar.
+    """
+    big = _bigrams(docs, id_col=id_col, text_col=text_col)
+    return {
+        "bigrams": big.groupBy("prev", "token").agg(
+            F.count(F.lit(1)).alias("n_bigram")
+        ),
+        "contexts": big.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx")),
+        "vocab": big.select("token").distinct().agg(
+            F.count(F.lit(1)).alias("vocab_size")
+        ),
+    }
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document bigram perplexity: (id, n_tokens, ppl).
+
+    p(w|prev) = (c(prev,w) + alpha) / (c(prev) + alpha * V); unseen
+    contexts/bigrams degrade to the uniform alpha floor. ppl = 2^H with
+    H = -mean(log2 p). Documents with no tokens produce no row.
+    """
+    bigrams, contexts, vocab = lm["bigrams"], lm["contexts"], lm["vocab"]
+    if broadcast_lm:
+        bigrams, contexts = F.broadcast(bigrams), F.broadcast(contexts)
+    big = _bigrams(docs, id_col=id_col, text_col=text_col)
+    scored = (
+        big.join(bigrams, on=["prev", "token"], how="left")
+        .join(contexts, on="prev", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log2(
+                    (F.coalesce(F.col("n_bigram"), F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("n_ctx"), F.lit(0))
+                        + F.lit(alpha) * F.col("vocab_size")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_lp")
+    )
+    h = -(F.col("sum_lp").cast("double") / F.col("n_tokens"))
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.pow(F.lit(2.0), h), 4).alias("ppl"),
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    *,
+    max_ppl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet keep-rule: documents whose perplexity is at most max_ppl
+    (low-ppl = fluent under the reference corpus LM)."""
+    scores = score_perplexity(
+        docs, lm, id_col=id_col, text_col=text_col, alpha=alpha
+    )
+    return docs.join(
+        scores.filter(F.col("ppl") <= max_ppl).select(id_col, "ppl"),
+        on=id_col,
+        how="inner",
+    )

@@ -1,0 +1,78 @@
+"""Bigram LM perplexity filtering (ext/lm.py): hand-computed goldens on a
+tiny corpus, degenerate inputs, and the CCNet keep-rule."""
+
+import math
+
+import pytest
+
+from assignment_etl_spark.ext.lm import (
+    perplexity_filter,
+    score_perplexity,
+    train_bigram_lm,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "zq zzy qqz"),
+            (4, ""),          # no tokens -> no score row
+            (5, "the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def lm(corpus):
+    return train_bigram_lm(corpus)
+
+
+def test_count_tables(lm):
+    bigrams = {(r.prev, r.token): r.n_bigram for r in lm["bigrams"].collect()}
+    # <s> starts every non-empty doc; "the cat" appears in docs 1, 2, 5
+    assert bigrams[("<s>", "the")] == 3
+    assert bigrams[("the", "cat")] == 3
+    assert bigrams[("cat", "sat")] == 2
+    assert bigrams[("cat", "ran")] == 1
+    contexts = {r.prev: r.n_ctx for r in lm["contexts"].collect()}
+    assert contexts["<s>"] == 4 and contexts["cat"] == 3
+    assert lm["vocab"].first().vocab_size == 7
+
+
+def test_hand_computed_perplexity(corpus, lm):
+    got = {r.doc_id: r for r in score_perplexity(corpus, lm).collect()}
+    # doc 1: p(the|<s>)=4/11, p(cat|the)=4/10, p(sat|cat)=3/10 (alpha=1, V=7)
+    lps = [round(math.log2(p), 6) for p in (4 / 11, 4 / 10, 3 / 10)]
+    expected = round(2 ** (-sum(lps) / 3), 4)
+    assert got[1].ppl == pytest.approx(expected, abs=1e-4)
+    assert got[1].n_tokens == 3
+    # identical docs score identically; gibberish scores strictly worse
+    assert got[5].ppl == got[1].ppl
+    assert got[3].ppl > got[2].ppl > got[1].ppl
+    # empty doc produces no row
+    assert 4 not in got
+
+
+def test_unseen_tokens_fall_to_alpha_floor(spark, corpus, lm):
+    new = spark.createDataFrame([(9, "totally unseen words")], "doc_id long, text string")
+    row = score_perplexity(new, lm).first()
+    # every bigram unseen, first context <s> seen (n_ctx=4), rest unseen:
+    # p = 1/11, 1/7, 1/7
+    lps = [round(math.log2(p), 6) for p in (1 / 11, 1 / 7, 1 / 7)]
+    assert row.ppl == pytest.approx(round(2 ** (-sum(lps) / 3), 4), abs=1e-4)
+
+
+def test_perplexity_filter_keeps_fluent(corpus, lm):
+    kept = perplexity_filter(corpus, lm, max_ppl=4.0)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 5]
+    assert set(kept.columns) == set(corpus.columns) | {"ppl"}
+
+
+def test_broadcast_off_same_result(corpus, lm):
+    a = {(r.doc_id, r.ppl) for r in score_perplexity(corpus, lm, broadcast_lm=True).collect()}
+    b = {(r.doc_id, r.ppl) for r in score_perplexity(corpus, lm, broadcast_lm=False).collect()}
+    assert a == b
