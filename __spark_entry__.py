@@ -3692,6 +3692,72 @@ FROM agg ORDER BY ppl DESC, doc_id LIMIT 20
 """
 
 
+def q_vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (ext/vocab.build_vocab): corpus token counts →
+    frequency filter → dense ids by (freq desc, token). First 30 ids
+    checked exactly — ranking ties are broken lexically so engines agree."""
+    from assignment_etl_spark.ext.vocab import build_vocab
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    v = build_vocab(docs, min_count=2, max_size=1000)
+    return v.filter(F.col("token_id") <= 30).orderBy("token_id")
+
+
+SQL_VOCAB_HEAD = """
+WITH toks AS (
+  SELECT unnest(list_filter(str_split(text, ' '), w -> length(w) > 0)) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1 HAVING count(*) >= 2),
+r AS (SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS token_id
+      FROM c)
+SELECT token, token_id, n FROM r WHERE token_id <= 30 ORDER BY token_id
+"""
+
+
+def q_vocab_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer encoding (ext/vocab.encode_docs): every document as an id
+    sequence under the corpus vocabulary. The gate projects the array to
+    order-sensitive scalars (position-weighted checksum + unk counts) so
+    the full sequence content and ordering are hash-checked."""
+    from assignment_etl_spark.ext.vocab import build_vocab, encode_docs
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    enc = encode_docs(docs, build_vocab(docs, min_count=2, max_size=1000))
+    checksum = F.aggregate(
+        F.zip_with(
+            "token_ids",
+            F.sequence(F.lit(1), F.size("token_ids")),
+            lambda x, i: x.cast("long") * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return enc.select(
+        "doc_id", "n_tokens", "n_unk", checksum.alias("checksum")
+    )
+
+
+SQL_VOCAB_ENCODE_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), w -> length(w) > 0)) AS token,
+         unnest(range(1, len(list_filter(str_split(text, ' '), w -> length(w) > 0)) + 1)) AS pos
+  FROM documents),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1 HAVING count(*) >= 2),
+r AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) AS token_id FROM c),
+v AS (SELECT token, token_id FROM r WHERE token_id <= 1000)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       CAST(sum(coalesce(v.token_id, 0) * t.pos) AS BIGINT) AS checksum
+FROM toks t LEFT JOIN v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4377,6 +4443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_stats": q_frame_sample_stats,
         "scatter_sample_orders": q_scatter_sample_orders,
         "perplexity_top_docs": q_perplexity_top_docs,
+        "vocab_head": q_vocab_head,
+        "vocab_encode_documents": q_vocab_encode_documents,
         # -- streaming family (r1-green or never checked; no r2 row)
         "streaming_hourly_events": q_streaming_hourly_events,
         "session_windows": q_session_windows,
@@ -4539,6 +4607,8 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
         "scatter_sample_orders": _sql_scatter_sample_orders(),
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
+        "vocab_head": SQL_VOCAB_HEAD,
+        "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,

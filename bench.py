@@ -58,6 +58,10 @@ HEADLINE = [
     "nation_market_share",
     "sole_returning_supplier",
     "order_count_distribution",
+    # round-3 additions (no BENCH_BASELINE entry until its next single-session
+    # regeneration; bench tolerates missing baselines)
+    "perplexity_top_docs",
+    "frame_sample_stats",
 ]
 
 
