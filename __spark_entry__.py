@@ -3758,6 +3758,93 @@ GROUP BY t.doc_id
 """
 
 
+def q_zorder_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (ops/zorder.py): Morton interleave of
+    (user_id, value) buckets — the multi-dimension data-skipping sort key.
+    Pure integer bit expressions, replayed exactly by the oracle; the gate
+    checks the 20 smallest keys plus a global xor-ish checksum shape via
+    count/sum per key."""
+    from assignment_etl_spark.ops.zorder import zorder_key
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    dims = {"user_id": (0.0, 1000.0), "value": (0.0, 1000.0)}
+    keyed = zorder_key(events, dims, bits=8)
+    return (
+        keyed.groupBy("z_key")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("event_id").alias("sum_event_id"))
+        .orderBy("z_key")
+        .limit(20)
+    )
+
+
+def _sql_zorder_keys_events() -> str:
+    # replicate _bucket + interleave_bits for bits=8, dims (user_id, value),
+    # bounds [0,1000) each — same clamp + floor + bit placement
+    def bucket(expr: str) -> str:
+        return (
+            f"coalesce(least(greatest(CAST(floor((CAST({expr} AS DOUBLE) - 0.0)"
+            f" / (1000.0 / 256.0)) AS BIGINT), 0), 255), 0)"
+        )
+
+    b = {0: bucket("user_id"), 1: bucket("value")}
+    parts = [
+        f"((({b[d]} >> {j}) & 1) << {j * 2 + d})"
+        for d in (0, 1)
+        for j in range(8)
+    ]
+    z = " | ".join(parts)
+    return f"""
+WITH keyed AS (SELECT event_id, ({z}) AS z_key FROM events)
+SELECT z_key, count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM keyed GROUP BY z_key ORDER BY z_key LIMIT 20
+"""
+
+
+def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (ops/incremental.py): the orders
+    history is split at 1997-01-01 into a base state and a delta batch;
+    each side is partial-aggregated independently, merged key-wise, and
+    finalized. The oracle recomputes the same aggregates over the FULL
+    table in one pass — merge correctness is exact equality."""
+    from assignment_etl_spark.ops.incremental import (
+        aggregate_batch,
+        finalize,
+        merge_states,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+    state = aggregate_batch(orders.filter(split), ["o_orderpriority"], ["o_totalprice"])
+    delta = aggregate_batch(orders.filter(~split), ["o_orderpriority"], ["o_totalprice"])
+    merged = finalize(
+        merge_states(state, delta, ["o_orderpriority"], ["o_totalprice"]),
+        ["o_totalprice"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("o_totalprice_count").cast("long").alias("n_prices"),
+        F.round(F.col("o_totalprice_sum").cast("double"), 2).alias("sum_price"),
+        F.round("o_totalprice_min", 2).alias("min_price"),
+        F.round("o_totalprice_max", 2).alias("max_price"),
+        F.round("o_totalprice_avg", 4).alias("avg_price"),
+    )
+
+
+SQL_INCREMENTAL_AGG_ORDERS = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(o_totalprice) AS n_prices,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) / count(o_totalprice) AS DOUBLE), 4) AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4445,6 +4532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_top_docs": q_perplexity_top_docs,
         "vocab_head": q_vocab_head,
         "vocab_encode_documents": q_vocab_encode_documents,
+        "zorder_keys_events": q_zorder_keys_events,
+        "incremental_agg_orders": q_incremental_agg_orders,
         # -- streaming family (r1-green or never checked; no r2 row)
         "streaming_hourly_events": q_streaming_hourly_events,
         "session_windows": q_session_windows,
@@ -4609,6 +4698,8 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,
+        "zorder_keys_events": _sql_zorder_keys_events(),
+        "incremental_agg_orders": SQL_INCREMENTAL_AGG_ORDERS,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
