@@ -4534,9 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode_documents": q_vocab_encode_documents,
         "zorder_keys_events": q_zorder_keys_events,
         "incremental_agg_orders": q_incremental_agg_orders,
-        # -- streaming family (r1-green or never checked; no r2 row)
-        "streaming_hourly_events": q_streaming_hourly_events,
-        "session_windows": q_session_windows,
+        # -- streaming ops never driver-checked (no row in any round)
         "streaming_join_pairs": q_streaming_join_pairs,
         "streaming_stateful_totals": q_streaming_stateful_totals,
         # -- r2 additions without a driver row yet
@@ -4577,6 +4575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_profile": q_substring_dedup_profile,
         "event_sequence_counts": q_event_sequence_counts,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        # -- r1-green streaming (driver row exists from r1, none in r2)
+        "streaming_hourly_events": q_streaming_hourly_events,
+        "session_windows": q_session_windows,
         # -- green in CORRECTNESS_r02 (original order)
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
