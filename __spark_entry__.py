@@ -3845,6 +3845,44 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (ext/tfidf.py): top-3 terms per document
+    for the first 25 docs, IDF computed over the FULL corpus. Scores are
+    rounded to 6 decimals with lexical tie-break, so the DuckDB replay
+    ranks identically."""
+    from assignment_etl_spark.ext.tfidf import top_terms
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = top_terms(docs, k=3)
+    return out.filter(F.col("doc_id") < 25).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), w -> length(w) > 0)) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS n_term FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(n_term) AS doc_len FROM tf GROUP BY 1),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((n_term / CAST(doc_len AS DOUBLE))
+               * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dft USING (token) CROSS JOIN nd),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+  FROM scored)
+SELECT doc_id, rank, token, tfidf
+FROM ranked WHERE rank <= 3 AND doc_id < 25
+ORDER BY doc_id, rank
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4534,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode_documents": q_vocab_encode_documents,
         "zorder_keys_events": q_zorder_keys_events,
         "incremental_agg_orders": q_incremental_agg_orders,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # -- streaming ops never driver-checked (no row in any round)
         "streaming_join_pairs": q_streaming_join_pairs,
         "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -4701,6 +4740,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,
         "zorder_keys_events": _sql_zorder_keys_events(),
         "incremental_agg_orders": SQL_INCREMENTAL_AGG_ORDERS,
+        "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
