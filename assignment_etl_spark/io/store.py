@@ -133,3 +133,39 @@ def upsert_parquet(
             .localCheckpoint(eager=True)
         )
         merged.write.mode("overwrite").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE of table formats): rewrite a
+    parquet directory into ceil(total_bytes / target) files and return the
+    new file count.
+
+    Streaming sinks and partition-pruned upserts accumulate small files;
+    every downstream scan then pays per-file open/footer costs and tiny
+    row groups defeat min/max skipping. Sizing comes from filesystem
+    metadata (driver-side listing, no Spark job); the rewrite is one
+    repartition — range-partitioned when ``sort_by`` is given, so
+    compaction can restore clustering at the same time. The frame is
+    locally checkpointed before the overwrite (lineage would otherwise
+    read the path being replaced); on a cluster, checkpoint to reliable
+    storage instead.
+    """
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        compacted = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        compacted = df.repartition(n)
+    compacted.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    return n

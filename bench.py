@@ -62,6 +62,8 @@ HEADLINE = [
     # regeneration; bench tolerates missing baselines)
     "perplexity_top_docs",
     "frame_sample_stats",
+    "vocab_encode_documents",
+    "tfidf_top_terms",
 ]
 
 

@@ -4,10 +4,57 @@ import pytest
 from pyspark.sql import functions as F
 
 from assignment_etl_spark.io.store import (
+    compact_parquet,
     read_table,
     write_bucketed_table,
     write_partitioned,
 )
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """200 tiny files -> sized file count; content identical; sort_by
+    restores clustering (each output file covers a disjoint id range)."""
+    import glob
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), F.rand(7).alias("x")
+    )
+    df.repartition(200).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 200
+    before = df.agg(F.count(F.lit(1)), F.sum("id")).first()
+
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{path}/*.parquet")
+    )
+    target = max(1, total // 4)  # aim for ~4-5 files
+    n = compact_parquet(spark, path, target_file_bytes=target, sort_by=["id"])
+
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n <= 8
+    back = spark.read.parquet(path)
+    assert back.agg(F.count(F.lit(1)), F.sum("id")).first() == before
+    # clustering restored: per-file id ranges are disjoint
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for ci in range(md.num_columns):
+            col = md.row_group(0).column(ci)
+            if col.path_in_schema == "id":
+                lo = min(
+                    md.row_group(rg).column(ci).statistics.min
+                    for rg in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(rg).column(ci).statistics.max
+                    for rg in range(md.num_row_groups)
+                )
+                ranges.append((lo, hi))
+    ranges.sort()
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi < blo
 
 
 def test_partition_pruning(spark, tmp_path):
