@@ -3883,6 +3883,42 @@ ORDER BY doc_id, rank
 """
 
 
+def q_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (ext/sampling.exact_stratified_sample):
+    fixed row counts per source stratum via per-stratum portable-hash
+    ranking — the exact member set is engine-reproducible, so the gate
+    checks the sampled ids themselves. src0 quota exceeds the stratum at
+    sf0.01 only if >25 requested; 40 exercises the min(quota, size) path."""
+    from assignment_etl_spark.ext.sampling import exact_stratified_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_stratified_sample(
+        docs,
+        {"src0": 40, "src1": 5, "src7": 1},
+        stratum_col="source",
+        id_col="doc_id",
+        salt=11,
+    )
+    return out.select("doc_id", "source")
+
+
+def _sql_exact_stratified_sample() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("doc_id", salt=11)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY ({u}), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source FROM ranked
+WHERE (source = 'src0' AND rk <= 40)
+   OR (source = 'src1' AND rk <= 5)
+   OR (source = 'src7' AND rk <= 1)
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4573,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys_events": q_zorder_keys_events,
         "incremental_agg_orders": q_incremental_agg_orders,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "exact_stratified_sample": q_exact_stratified_sample,
         # -- streaming ops never driver-checked (no row in any round)
         "streaming_join_pairs": q_streaming_join_pairs,
         "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -4741,6 +4778,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_keys_events": _sql_zorder_keys_events(),
         "incremental_agg_orders": SQL_INCREMENTAL_AGG_ORDERS,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "exact_stratified_sample": _sql_exact_stratified_sample(),
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,

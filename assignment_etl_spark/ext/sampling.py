@@ -228,6 +228,41 @@ WHERE {sql_hash01(f"t.{id_col}", salt)} <= mix_rate
 """
 
 
+def exact_stratified_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    *,
+    stratum_col: str,
+    id_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly min(quota, stratum size) rows per stratum, deterministic.
+
+    Rank rows inside each stratum by (hash01(id), id) — a uniform but
+    engine-portable order — and keep rank ≤ quota. One shuffle on the
+    stratum key; the per-stratum window sorts only that stratum's rows, so
+    skewed strata cost their own size, not a global sort. Strata absent
+    from ``quotas`` are dropped, matching stratified_hash_sample. For
+    rate-based (expected-size) sampling use stratified_hash_sample — this
+    is the exact-count quota variant it documents.
+    """
+    require_integral_id(df, id_col, "exact_stratified_sample")
+    for s, k in quotas.items():
+        if k < 0:
+            raise ValueError(f"quota for {s!r} must be >= 0, got {k}")
+    quota = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(stratum_col)]
+    w = Window.partitionBy(stratum_col).orderBy(
+        portable_hash01(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.coalesce(quota, F.lit(0)))
+        .drop("_rk")
+    )
+
+
 def deterministic_shuffle(df: DataFrame, *, id_col: str, salt: int = 0) -> DataFrame:
     """Global deterministic reshuffle — the "randomize training order"
     step, reproducible across runs, engines, and partitionings.

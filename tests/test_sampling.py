@@ -5,10 +5,39 @@ import pytest
 from pyspark.sql import functions as F
 
 from assignment_etl_spark.ext.sampling import (
+    exact_stratified_sample,
     portable_hash01,
     priority_sample,
     stratified_hash_sample,
 )
+
+
+def test_exact_stratified_quotas(spark):
+    pop = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("grp")
+    )
+    out = exact_stratified_sample(
+        pop, {"0": 7, "1": 3, "2": 0, "3": 99}, stratum_col="grp", id_col="id"
+    )
+    sizes = {r.grp: r.n for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exact quotas; quota 0 drops the stratum; quota > stratum caps at size
+    assert sizes == {"0": 7, "1": 3, "3": 25}
+    # deterministic member set across runs; disjoint sets for other salts
+    a = {r.id for r in out.collect()}
+    b = {r.id for r in exact_stratified_sample(
+        pop, {"0": 7, "1": 3, "2": 0, "3": 99}, stratum_col="grp", id_col="id"
+    ).collect()}
+    assert a == b
+    c = {r.id for r in exact_stratified_sample(
+        pop, {"0": 7}, stratum_col="grp", id_col="id", salt=5
+    ).collect()}
+    assert len(c) == 7 and c != {x for x in a if x % 4 == 0}
+
+
+def test_exact_stratified_rejects_negative_quota(spark):
+    pop = spark.range(10).select(F.col("id"), F.lit("s").alias("grp"))
+    with pytest.raises(ValueError):
+        exact_stratified_sample(pop, {"s": -1}, stratum_col="grp", id_col="id")
 
 
 @pytest.fixture(scope="module")
