@@ -3919,6 +3919,65 @@ WHERE (source = 'src0' AND rk <= 40)
 """
 
 
+def q_backoff_sppl_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff scoring (ext/lm.train_backoff_lm /
+    score_backoff): the web-scale LM recipe — no smoothing arithmetic,
+    just count ratios with a fixed 0.4 backoff multiplier, which is what
+    makes it exactly replayable cross-engine. Top-20 least-fluent docs by
+    pseudo-perplexity."""
+    from assignment_etl_spark.ext.lm import score_backoff, train_backoff_lm
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    scores = score_backoff(docs, train_backoff_lm(docs))
+    return scores.orderBy(F.desc("sppl"), F.asc("doc_id")).limit(20)
+
+
+# DuckDB parses bare decimal literals as DECIMAL (not DOUBLE) — every
+# constant in the score arithmetic is cast so both engines run the same
+# IEEE ops; the unseen-word floor multiplier is the Python double 0.4*0.4.
+_SQL_BACKOFF_SPPL_TOP_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), w -> length(w) > 0)) AS token,
+         unnest(range(1, len(list_filter(str_split(text, ' '), w -> length(w) > 0)) + 1)) AS pos
+  FROM documents),
+tri AS (
+  SELECT doc_id, token,
+         coalesce(lag(token, 1) OVER w, '<s>') AS prev1,
+         coalesce(lag(token, 2) OVER w, '<s>') AS prev2
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+t3 AS (SELECT prev2, prev1, token, count(*) AS n3 FROM tri GROUP BY 1, 2, 3),
+c3 AS (SELECT prev2, prev1, count(*) AS ctx3 FROM tri GROUP BY 1, 2),
+t2 AS (SELECT prev1, token, count(*) AS n2 FROM tri GROUP BY 1, 2),
+c2 AS (SELECT prev1, count(*) AS ctx2 FROM tri GROUP BY 1),
+t1 AS (SELECT token, count(*) AS n1 FROM tri GROUP BY 1),
+tot AS (SELECT count(*) AS n_tokens, count(DISTINCT token) AS vocab_size FROM tri),
+lp AS (
+  SELECT tri.doc_id,
+         CAST(round(log2(
+           CASE WHEN t3.n3 IS NOT NULL
+                  THEN CAST(t3.n3 AS DOUBLE) / CAST(c3.ctx3 AS DOUBLE)
+                WHEN t2.n2 IS NOT NULL
+                  THEN CAST(0.4 AS DOUBLE) * CAST(t2.n2 AS DOUBLE) / CAST(c2.ctx2 AS DOUBLE)
+                ELSE CAST({0.4 * 0.4!r} AS DOUBLE)
+                     * (CAST(coalesce(t1.n1, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                     / CAST(tot.n_tokens + tot.vocab_size AS DOUBLE)
+           END), 6) AS DECIMAL(18,6)) AS lp
+  FROM tri
+  LEFT JOIN t3 USING (prev2, prev1, token)
+  LEFT JOIN c3 USING (prev2, prev1)
+  LEFT JOIN t2 USING (prev1, token)
+  LEFT JOIN c2 USING (prev1)
+  LEFT JOIN t1 USING (token)
+  CROSS JOIN tot),
+agg AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS s FROM lp GROUP BY 1)
+SELECT doc_id, n_tokens,
+       round(pow(CAST(2.0 AS DOUBLE), -(CAST(s AS DOUBLE) / n_tokens)), 4) AS sppl
+FROM agg ORDER BY sppl DESC, doc_id LIMIT 20
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4610,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_orders": q_incremental_agg_orders,
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_stratified_sample": q_exact_stratified_sample,
+        "backoff_sppl_top_docs": q_backoff_sppl_top_docs,
         # -- streaming ops never driver-checked (no row in any round)
         "streaming_join_pairs": q_streaming_join_pairs,
         "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -4779,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg_orders": SQL_INCREMENTAL_AGG_ORDERS,
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "exact_stratified_sample": _sql_exact_stratified_sample(),
+        "backoff_sppl_top_docs": _SQL_BACKOFF_SPPL_TOP_DOCS,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,

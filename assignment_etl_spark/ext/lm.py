@@ -120,6 +120,100 @@ def score_perplexity(
     )
 
 
+def _trigram_stream(docs: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        _tokens(docs, id_col=id_col, text_col=text_col)
+        .withColumn("prev1", F.lag("token", 1, START_TOKEN).over(w))
+        .withColumn("prev2", F.lag("token", 2, START_TOKEN).over(w))
+    )
+
+
+def train_backoff_lm(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Count tables for a trigram stupid-backoff model (Brants et al.,
+    2007 — "Large Language Models in Machine Translation"): the web-scale
+    recipe that replaces smoothing with a fixed backoff multiplier, which
+    is exactly what keeps it engine-portable (every score is a single
+    count ratio times a constant; no discounting arithmetic to replicate).
+    One corpus pass builds the stream; each table is a hash aggregation.
+    """
+    tri = _trigram_stream(docs, id_col=id_col, text_col=text_col)
+    return {
+        "trigrams": tri.groupBy("prev2", "prev1", "token").agg(
+            F.count(F.lit(1)).alias("n3")
+        ),
+        "tri_contexts": tri.groupBy("prev2", "prev1").agg(
+            F.count(F.lit(1)).alias("ctx3")
+        ),
+        "bigrams": tri.groupBy("prev1", "token").agg(F.count(F.lit(1)).alias("n2")),
+        "contexts": tri.groupBy("prev1").agg(F.count(F.lit(1)).alias("ctx2")),
+        "unigrams": tri.groupBy("token").agg(F.count(F.lit(1)).alias("n1")),
+        "totals": tri.agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("vocab_size"),
+        ),
+    }
+
+
+BACKOFF = 0.4
+
+
+def score_backoff(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document stupid-backoff pseudo-perplexity (id, n_tokens, sppl).
+
+    S(w|w₋₂w₋₁) = n3/ctx3 if the trigram was seen, else 0.4·n2/ctx2 if
+    the bigram was, else 0.4²·(n1+1)/(N+V) (add-one floor so unseen
+    words stay finite). Scores are not normalized probabilities — the
+    point of stupid backoff — so the aggregate is a *pseudo*-perplexity,
+    monotone in fluency, computed with the repo's decimal-sum policy.
+    """
+    maybe_b = F.broadcast if broadcast_lm else (lambda d: d)
+    tri = _trigram_stream(docs, id_col=id_col, text_col=text_col)
+    joined = (
+        tri.join(maybe_b(lm["trigrams"]), on=["prev2", "prev1", "token"], how="left")
+        .join(maybe_b(lm["tri_contexts"]), on=["prev2", "prev1"], how="left")
+        .join(maybe_b(lm["bigrams"]), on=["prev1", "token"], how="left")
+        .join(maybe_b(lm["contexts"]), on="prev1", how="left")
+        .join(maybe_b(lm["unigrams"]), on="token", how="left")
+        .crossJoin(F.broadcast(lm["totals"]))
+    )
+    score = (
+        F.when(F.col("n3").isNotNull(), F.col("n3") / F.col("ctx3"))
+        .when(
+            F.col("n2").isNotNull(),
+            F.lit(BACKOFF) * F.col("n2") / F.col("ctx2"),
+        )
+        .otherwise(
+            F.lit(BACKOFF * BACKOFF)
+            * (F.coalesce(F.col("n1"), F.lit(0)) + F.lit(1.0))
+            / (F.col("n_tokens") + F.col("vocab_size"))
+        )
+    )
+    agg = (
+        joined.select(
+            F.col(id_col),
+            F.round(F.log2(score), 6).cast("decimal(18,6)").alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_lp"))
+    )
+    h = -(F.col("sum_lp").cast("double") / F.col("n_tokens"))
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.pow(F.lit(2.0), h), 4).alias("sppl"),
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: dict[str, DataFrame],

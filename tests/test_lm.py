@@ -6,8 +6,11 @@ import math
 import pytest
 
 from assignment_etl_spark.ext.lm import (
+    BACKOFF,
     perplexity_filter,
+    score_backoff,
     score_perplexity,
+    train_backoff_lm,
     train_bigram_lm,
 )
 
@@ -70,6 +73,41 @@ def test_perplexity_filter_keeps_fluent(corpus, lm):
     kept = perplexity_filter(corpus, lm, max_ppl=4.0)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 5]
     assert set(kept.columns) == set(corpus.columns) | {"ppl"}
+
+
+def test_backoff_count_tables(corpus):
+    blm = train_backoff_lm(corpus)
+    tri = {(r.prev2, r.prev1, r.token): r.n3 for r in blm["trigrams"].collect()}
+    # "the cat sat" in docs 1 and 5; doc 2 shares the (<s>,the,cat) start
+    assert tri[("<s>", "the", "cat")] == 3
+    assert tri[("the", "cat", "sat")] == 2
+    assert tri[("the", "cat", "ran")] == 1
+    tot = blm["totals"].first()
+    assert tot.n_tokens == 12 and tot.vocab_size == 7
+
+
+def test_backoff_branches_hand_computed(spark, corpus):
+    blm = train_backoff_lm(corpus)
+    # seen trigram path: doc "the cat sat" scores 3/4, 3/3, 2/3
+    row = {r.doc_id: r for r in score_backoff(corpus, blm).collect()}[1]
+    lps = [round(math.log2(p), 6) for p in (3 / 4, 3 / 3, 2 / 3)]
+    assert row.sppl == pytest.approx(round(2 ** (-sum(lps) / 3), 4), abs=1e-4)
+
+    # backoff paths: trigram (<s>,<s>,zq) seen once with ctx3(<s>,<s>)=4
+    # (four non-empty docs start there); the second token is unseen at
+    # every order -> the add-one unigram floor with two 0.4 hops
+    new = spark.createDataFrame([(9, "zq unseenword")], "doc_id long, text string")
+    got = score_backoff(new, blm).first()
+    p1 = 1 / 4
+    p2 = BACKOFF * BACKOFF * (0 + 1.0) / (12 + 7)
+    lps = [round(math.log2(p), 6) for p in (p1, p2)]
+    assert got.sppl == pytest.approx(round(2 ** (-sum(lps) / 2), 4), abs=1e-4)
+
+
+def test_backoff_gibberish_scores_worse(corpus):
+    blm = train_backoff_lm(corpus)
+    scores = {r.doc_id: r.sppl for r in score_backoff(corpus, blm).collect()}
+    assert scores[3] > scores[1]
 
 
 def test_broadcast_off_same_result(corpus, lm):
