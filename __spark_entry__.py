@@ -3978,6 +3978,99 @@ FROM agg ORDER BY sppl DESC, doc_id LIMIT 20
 """
 
 
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window aggregates (ops/timeseries.rolling_aggregate): per
+    event, the 15-minute look-back count/sum/min/max/avg of value for that
+    user — one RANGE-frame window, no self-join pair explosion. Epoch
+    seconds are floored on both sides (Spark unix_timestamp floors;
+    DuckDB epoch() keeps fractions)."""
+    from assignment_etl_spark.ops.timeseries import rolling_aggregate
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    out = rolling_aggregate(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_seconds=900,
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("epoch_s"),
+        F.round("value", 4).alias("value"),
+        "w_count",
+        F.round(F.col("w_sum").cast("double"), 4).alias("w_sum"),
+        F.round("w_min", 4).alias("w_min"),
+        F.round("w_max", 4).alias("w_max"),
+        F.round("w_avg", 4).alias("w_avg"),
+    )
+
+
+SQL_ROLLING_USER_VALUE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+         value
+  FROM events WHERE user_id < 5)
+SELECT user_id, epoch_s, round(value, 4) AS value,
+       count(*) OVER w AS w_count,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 4) AS w_sum,
+       round(min(value) OVER w, 4) AS w_min,
+       round(max(value) OVER w, 4) AS w_max,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w
+                  / count(*) OVER w AS DOUBLE), 4) AS w_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_normalize_price_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped feature normalization (ops/normalize.py): z-score
+    l_extendedprice within each returnflag (stats = one hash agg broadcast
+    back; exact decimal-sum mean). Gate summarizes the scaled column per
+    group — quantiles/extrema of z rounded to 4, the proven
+    stddev/quantile tolerance policy."""
+    from assignment_etl_spark.ops.normalize import normalize
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    z = normalize(li, "l_extendedprice", method="zscore", group_by=["l_returnflag"])
+    return (
+        z.groupBy("l_returnflag")
+        .agg(
+            F.count("l_extendedprice_norm").alias("n"),
+            F.round(F.min("l_extendedprice_norm"), 4).alias("min_z"),
+            F.round(F.max("l_extendedprice_norm"), 4).alias("max_z"),
+            F.round(F.percentile("l_extendedprice_norm", F.lit(0.5)), 4).alias("p50_z"),
+            F.round(F.percentile("l_extendedprice_norm", F.lit(0.9)), 4).alias("p90_z"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_NORMALIZE_PRICE_ZSCORE = """
+WITH stats AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+           / count(l_extendedprice) AS mean_p,
+         stddev_samp(l_extendedprice) AS std_p
+  FROM lineitem GROUP BY l_returnflag),
+z AS (
+  SELECT l.l_returnflag,
+         (l.l_extendedprice - s.mean_p) / (CASE WHEN s.std_p > 0 THEN s.std_p END) AS zv
+  FROM lineitem l JOIN stats s USING (l_returnflag))
+SELECT l_returnflag,
+       count(zv) AS n,
+       round(min(zv), 4) AS min_z,
+       round(max(zv), 4) AS max_z,
+       round(quantile_cont(zv, 0.5), 4) AS p50_z,
+       round(quantile_cont(zv, 0.9), 4) AS p90_z
+FROM z GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4668,6 +4761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "exact_stratified_sample": q_exact_stratified_sample,
         "backoff_sppl_top_docs": q_backoff_sppl_top_docs,
+        "rolling_user_value": q_rolling_user_value,
+        "normalize_price_zscore": q_normalize_price_zscore,
         # -- streaming ops never driver-checked (no row in any round)
         "streaming_join_pairs": q_streaming_join_pairs,
         "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -4843,6 +4938,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "exact_stratified_sample": _sql_exact_stratified_sample(),
         "backoff_sppl_top_docs": _SQL_BACKOFF_SPPL_TOP_DOCS,
+        "rolling_user_value": SQL_ROLLING_USER_VALUE,
+        "normalize_price_zscore": SQL_NORMALIZE_PRICE_ZSCORE,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,

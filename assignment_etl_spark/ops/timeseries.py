@@ -128,3 +128,43 @@ def gapfill(
 def bucket_ts(bucket_col: str, step_seconds: int):
     """Bucket index → timestamp of the bucket's start."""
     return F.timestamp_seconds(F.col(bucket_col) * step_seconds)
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    decimal_scale: int = 6,
+) -> DataFrame:
+    """Per-key trailing-window aggregates: for every event, the
+    count/sum/min/max/avg of ``value_col`` over [ts - window, ts].
+
+    One shuffle on the key; within each key Spark sorts once and slides a
+    RANGE frame over epoch seconds — no self-join, no per-row subquery
+    (the naive theta-join formulation is O(n·w) pairs and a skew bomb at
+    100 TB). The sum is decimal-cast so frame accumulation order cannot
+    shift results (same policy as the aggregate gates); avg derives from
+    that exact sum.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(epoch)
+        .rangeBetween(-window_seconds, 0)
+    )
+    dec = F.col(value_col).cast(f"decimal(28,{decimal_scale})")
+    return df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).alias("w_count"),
+        F.sum(dec).over(w).alias("w_sum"),
+        F.min(F.col(value_col)).over(w).alias("w_min"),
+        F.max(F.col(value_col)).over(w).alias("w_max"),
+        (F.sum(dec).over(w) / F.count(F.lit(1)).over(w))
+        .cast("double")
+        .alias("w_avg"),
+    )

@@ -5,7 +5,48 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from assignment_etl_spark.ops.timeseries import bucket_ts, gapfill, resample
+from assignment_etl_spark.ops.timeseries import (
+    bucket_ts,
+    gapfill,
+    resample,
+    rolling_aggregate,
+)
+
+
+def test_rolling_aggregate_hand_checked(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u", base, 1.0),
+        ("u", base + dt.timedelta(seconds=600), 2.0),   # within 900s of #1
+        ("u", base + dt.timedelta(seconds=1200), 4.0),  # within 900s of #2 only
+        ("u", base + dt.timedelta(seconds=5000), 8.0),  # alone
+        ("v", base + dt.timedelta(seconds=600), 100.0), # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = rolling_aggregate(
+        df, key_col="k", ts_col="ts", value_col="v", window_seconds=900
+    )
+    got = {
+        (r.k, r.ts): (r.w_count, float(r.w_sum), r.w_min, r.w_max, r.w_avg)
+        for r in out.collect()
+    }
+    assert got[("u", base)] == (1, 1.0, 1.0, 1.0, 1.0)
+    assert got[("u", base + dt.timedelta(seconds=600))] == (2, 3.0, 1.0, 2.0, 1.5)
+    assert got[("u", base + dt.timedelta(seconds=1200))] == (2, 6.0, 2.0, 4.0, 3.0)
+    assert got[("u", base + dt.timedelta(seconds=5000))] == (1, 8.0, 8.0, 8.0, 8.0)
+    assert got[("v", base + dt.timedelta(seconds=600))][0] == 1
+
+
+def test_rolling_aggregate_duplicate_timestamps_are_peers(spark):
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", base, 1.0), ("u", base, 5.0)], "k string, ts timestamp, v double"
+    )
+    out = rolling_aggregate(
+        df, key_col="k", ts_col="ts", value_col="v", window_seconds=60
+    ).collect()
+    # RANGE frame includes peers: both rows see both values
+    assert all(r.w_count == 2 and float(r.w_sum) == 6.0 for r in out)
 
 H = 3600
 
