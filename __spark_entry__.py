@@ -4071,6 +4071,85 @@ FROM z GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (ops/contracts.py): row-level rules in one
+    aggregation + uniqueness and FK set-rules, one report frame. Rules are
+    chosen so some DO fire on the data (price ceiling, tight date range)
+    alongside the structurally-clean ones."""
+    from assignment_etl_spark.ops.contracts import (
+        foreign_key,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique_key,
+        validate,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    rules = {
+        "orderkey_not_null": not_null("o_orderkey"),
+        "priority_enum": in_set(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+        "price_positive": in_range("o_totalprice", lo=0.0),
+        "price_under_200k": in_range("o_totalprice", hi=200_000.0),
+        "status_shape": matches("o_orderstatus", "^[A-Z]$"),
+    }
+    report = validate(
+        orders,
+        rules,
+        set_rules=[
+            unique_key(orders, ["o_orderkey"], rule="orderkey_unique"),
+            foreign_key(orders, "o_custkey", customer, "c_custkey", rule="custkey_fk"),
+        ],
+    )
+    return report.orderBy("rule")
+
+
+SQL_CONTRACT_ORDERS = """
+SELECT * FROM (
+  SELECT 'orderkey_not_null' AS rule,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'priority_enum',
+         CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+              ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'price_positive',
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0.0
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'price_under_200k',
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice > 200000.0
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'status_shape',
+         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+              AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+              THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique',
+         CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'custkey_fk', CAST(count(*) AS BIGINT)
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+) ORDER BY rule
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4763,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backoff_sppl_top_docs": q_backoff_sppl_top_docs,
         "rolling_user_value": q_rolling_user_value,
         "normalize_price_zscore": q_normalize_price_zscore,
+        "contract_orders": q_contract_orders,
         # -- streaming ops never driver-checked (no row in any round)
         "streaming_join_pairs": q_streaming_join_pairs,
         "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -4940,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "backoff_sppl_top_docs": _SQL_BACKOFF_SPPL_TOP_DOCS,
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
         "normalize_price_zscore": SQL_NORMALIZE_PRICE_ZSCORE,
+        "contract_orders": SQL_CONTRACT_ORDERS,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,
