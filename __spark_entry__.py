@@ -4150,6 +4150,53 @@ SELECT * FROM (
 """
 
 
+def q_quantile_bin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning (ops/normalize.quantile_bin): deciles of order
+    totalprice within each priority, rank-based so ties land
+    deterministically. Gate returns per-(priority, bucket) counts and the
+    exact decimal price span of each bucket."""
+    from assignment_etl_spark.ops.normalize import quantile_bin
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    binned = quantile_bin(
+        orders,
+        "o_totalprice",
+        10,
+        id_col="o_orderkey",
+        group_by=["o_orderpriority"],
+    )
+    return (
+        binned.groupBy("o_orderpriority", "o_totalprice_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice_bin")
+    )
+
+
+SQL_QUANTILE_BIN_ORDERS = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice NULLS LAST, o_orderkey) AS rk,
+         count(o_totalprice) OVER (PARTITION BY o_orderpriority) AS nn
+  FROM orders),
+binned AS (
+  SELECT o_orderpriority, o_totalprice,
+         CASE WHEN o_totalprice IS NOT NULL
+              THEN CAST(((rk - 1) * 10) // nn AS INTEGER) END AS o_totalprice_bin
+  FROM ranked)
+SELECT o_orderpriority, o_totalprice_bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_scatter_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dashboard scatter widget (analytics/dashboard.scatter_sample,
     reference interactive_dashboard.py:72-93) in deterministic mode: the
@@ -4843,6 +4890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": q_rolling_user_value,
         "normalize_price_zscore": q_normalize_price_zscore,
         "contract_orders": q_contract_orders,
+        "quantile_bin_orders": q_quantile_bin_orders,
         # -- streaming ops never driver-checked (no row in any round)
         "streaming_join_pairs": q_streaming_join_pairs,
         "streaming_stateful_totals": q_streaming_stateful_totals,
@@ -5021,6 +5069,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
         "normalize_price_zscore": SQL_NORMALIZE_PRICE_ZSCORE,
         "contract_orders": SQL_CONTRACT_ORDERS,
+        "quantile_bin_orders": SQL_QUANTILE_BIN_ORDERS,
         "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
         "hash_split_documents": SQL_HASH_SPLIT_DOCUMENTS,
         "ri_orphan_orders": SQL_RI_ORPHAN_ORDERS,

@@ -66,3 +66,50 @@ def normalize(
     return joined.withColumn(out_col, scaled).drop(
         "_mean", "_std", "_min", "_max", "_p25", "_p50", "_p75"
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    *,
+    id_col: str,
+    group_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equi-depth binning: bucket index in [0, n_bins) with (almost)
+    equal row counts per bucket.
+
+    Rank-based, not boundary-based: bucket = floor((rank-1)·n/N) over the
+    (value, id) order — totally deterministic even with heavy ties,
+    whereas interpolated quantile boundaries put tied values on an
+    engine-dependent side of the cut. One sort per group (window on the
+    group key); NULL values get NULL buckets. ``id_col`` breaks ties so
+    reruns and engines agree row-for-row.
+    """
+    from pyspark.sql import Window
+
+    group_by = group_by or []
+    out_col = out_col or f"{col}_bin"
+    # NULLS LAST explicitly: Spark defaults nulls-first ascending, other
+    # engines (and the oracles) default nulls-last — with nulls at the end
+    # the non-null rows occupy ranks 1..N and the math below agrees
+    w = Window.partitionBy(*group_by).orderBy(
+        F.col(col).asc_nulls_last(), F.col(id_col)
+    )
+    wg = Window.partitionBy(*group_by)
+    # integer division, not floor(float): exact for any N, and every
+    # engine's int-div agrees where float rounding might not
+    out = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_nn", F.count(F.col(col)).over(wg))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(col).isNotNull(),
+                F.expr(f"(( _rk - 1 ) * {int(n_bins)}) div _nn").cast("int"),
+            ),
+        )
+        .drop("_rk", "_nn")
+    )
+    return out

@@ -2,8 +2,9 @@
 method, grouped stats, and degenerate spans."""
 
 import pytest
+from pyspark.sql import functions as F
 
-from assignment_etl_spark.ops.normalize import normalize
+from assignment_etl_spark.ops.normalize import normalize, quantile_bin
 
 
 @pytest.fixture(scope="module")
@@ -46,3 +47,29 @@ def test_robust_global(spark):
 def test_bad_method(feats):
     with pytest.raises(ValueError):
         normalize(feats, "x", method="log")
+
+
+def test_quantile_bin_equi_depth(spark):
+    df = spark.createDataFrame([(i, float(i % 50)) for i in range(100)], "id long, x double")
+    out = quantile_bin(df, "x", 4, id_col="id")
+    sizes = {r.x_bin: r.n for r in out.groupBy("x_bin").agg(
+        F.count("id").alias("n")
+    ).collect()}
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
+    # ties split deterministically by id: rerun gives identical assignment
+    a = {(r.id, r.x_bin) for r in out.collect()}
+    b = {(r.id, r.x_bin) for r in quantile_bin(df, "x", 4, id_col="id").collect()}
+    assert a == b
+
+
+def test_quantile_bin_nulls_and_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", None), (3, "g", 1.0), (4, "h", 9.0)],
+        "id long, grp string, x double",
+    )
+    out = {r.id: r.x_bin for r in quantile_bin(
+        df, "x", 2, id_col="id", group_by=["grp"]
+    ).collect()}
+    assert out[2] is None          # null value -> null bucket
+    assert out[3] == 0 and out[1] == 1  # within-group ordering
+    assert out[4] == 0             # singleton group -> bucket 0
