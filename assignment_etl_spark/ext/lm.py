@@ -59,12 +59,14 @@ def train_bigram_lm(
     plan-side cross join at score time, never a driver scalar.
     """
     big = _bigrams(docs, id_col=id_col, text_col=text_col)
+    # one corpus pass (same marginals trick as train_backoff_lm): context
+    # counts and vocab size re-aggregate the bigram-count table, so the
+    # scoring DAG scans the corpus once and reuses the n_bigram exchange
+    n2 = big.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("n_bigram"))
     return {
-        "bigrams": big.groupBy("prev", "token").agg(
-            F.count(F.lit(1)).alias("n_bigram")
-        ),
-        "contexts": big.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx")),
-        "vocab": big.select("token").distinct().agg(
+        "bigrams": n2,
+        "contexts": n2.groupBy("prev").agg(F.sum("n_bigram").alias("n_ctx")),
+        "vocab": n2.select("token").distinct().agg(
             F.count(F.lit(1)).alias("vocab_size")
         ),
     }
@@ -140,18 +142,25 @@ def train_backoff_lm(
     One corpus pass builds the stream; each table is a hash aggregation.
     """
     tri = _trigram_stream(docs, id_col=id_col, text_col=text_col)
+    # ONE corpus pass: only the trigram-count aggregation touches the raw
+    # stream; every lower-order table is a re-aggregation of n3 (a trigram
+    # (prev2,prev1,token) occurs n3 times, so its marginals are sums of
+    # n3). The six derived plans share an identical n3 subtree, which
+    # Catalyst dedupes inside the scoring DAG — audited executed plan:
+    # ONE FileScan + ReusedExchange×6, vs one corpus scan+window pass per
+    # count table in the naive per-table-groupBy formulation. The
+    # remaining shuffles are over the aggregated (vocab-bounded) tables.
+    n3 = tri.groupBy("prev2", "prev1", "token").agg(F.count(F.lit(1)).alias("n3"))
     return {
-        "trigrams": tri.groupBy("prev2", "prev1", "token").agg(
-            F.count(F.lit(1)).alias("n3")
+        "trigrams": n3,
+        "tri_contexts": n3.groupBy("prev2", "prev1").agg(
+            F.sum("n3").alias("ctx3")
         ),
-        "tri_contexts": tri.groupBy("prev2", "prev1").agg(
-            F.count(F.lit(1)).alias("ctx3")
-        ),
-        "bigrams": tri.groupBy("prev1", "token").agg(F.count(F.lit(1)).alias("n2")),
-        "contexts": tri.groupBy("prev1").agg(F.count(F.lit(1)).alias("ctx2")),
-        "unigrams": tri.groupBy("token").agg(F.count(F.lit(1)).alias("n1")),
-        "totals": tri.agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+        "bigrams": n3.groupBy("prev1", "token").agg(F.sum("n3").alias("n2")),
+        "contexts": n3.groupBy("prev1").agg(F.sum("n3").alias("ctx2")),
+        "unigrams": n3.groupBy("token").agg(F.sum("n3").alias("n1")),
+        "totals": n3.agg(
+            F.sum("n3").alias("n_tokens"),
             F.countDistinct("token").alias("vocab_size"),
         ),
     }
