@@ -4868,13 +4868,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate checks a prefix
-    # of this dict (r2 covered exactly the first 50 entries), so queries
-    # without a green driver row yet come FIRST — the three r1 FAILs
-    # (reworked since), then new gates, then the never-checked r2 additions.
-    # The 50 queries with a green CORRECTNESS_r02 row follow in their
-    # original order.
+    # of this dict (r2/r3 covered exactly the first 50 entries), so queries
+    # without a green driver row yet come FIRST. Round 4: the six r3 gates
+    # that sat past the prefix (locally oracle-verified, judge re-verified)
+    # lead, followed by new round-4 gates; r3-certified entries fill the
+    # rest of the prefix.
     return {
-        # -- r1 FAILs, reworked with portable hashes — need a driver re-check
+        # -- r3 gates never driver-sampled (r1-r3 union = 102/108)
+        "rolling_user_value": q_rolling_user_value,
+        "normalize_price_zscore": q_normalize_price_zscore,
+        "contract_orders": q_contract_orders,
+        "quantile_bin_orders": q_quantile_bin_orders,
+        "scatter_sample_orders": q_scatter_sample_orders,
+        "vocab_head": q_vocab_head,
+        # -- new round-4 gates (inserted as built)
+        # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
@@ -4930,14 +4938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver's sampled correctness check
         "exact_stratified_sample": q_exact_stratified_sample,
         "backoff_sppl_top_docs": q_backoff_sppl_top_docs,
-        # -- round-3 gates past the driver prefix: all locally
-        # oracle-verified (108/108); queue toward the top next round
-        "rolling_user_value": q_rolling_user_value,
-        "normalize_price_zscore": q_normalize_price_zscore,
-        "contract_orders": q_contract_orders,
-        "quantile_bin_orders": q_quantile_bin_orders,
-        "scatter_sample_orders": q_scatter_sample_orders,
-        "vocab_head": q_vocab_head,
         # -- r1-green streaming (driver row exists from r1, none in r2)
         "streaming_hourly_events": q_streaming_hourly_events,
         "session_windows": q_session_windows,

@@ -113,8 +113,17 @@ def repartition_for_media(
             # this is file-footer metadata, never a job. Long.MaxValue-ish
             # values are Catalyst's "unknown" sentinel (e.g. LocalRelation
             # with binary columns) — keep the existing partitioning then.
-            stats = media._jdf.queryExecution().optimizedPlan().stats()
-            total_payload_bytes = int(str(stats.sizeInBytes()))
+            # Note sizeInBytes estimates FULL row width (all columns), not
+            # just the media payload — an over-estimate that errs toward
+            # more, smaller decode tasks, which is the safe direction.
+            # The probe goes through private JVM internals (_jdf), absent
+            # under Spark Connect — fall back to the unknown-sentinel path
+            # (keep existing partitioning) when unavailable.
+            try:
+                stats = media._jdf.queryExecution().optimizedPlan().stats()
+                total_payload_bytes = int(str(stats.sizeInBytes()))
+            except Exception:
+                return media
             if total_payload_bytes >= (1 << 62):
                 return media
         num_partitions = max(1, -(-total_payload_bytes // target_bytes_per_task))

@@ -4,10 +4,13 @@ encode every document as an id sequence for packing/sharding).
 
 Spark-first shapes:
 - ``build_vocab``: one hash aggregation over the exploded token stream,
-  frequency filter, then rank assignment. Ranking is a global
-  ``row_number`` — deliberately run on the *aggregated* vocabulary, which
-  is bounded by ``max_size`` (contract, like the top-k operators), never
-  on the corpus; the single-partition window is over ≤max_size rows.
+  frequency filter, then a TWO-PHASE top-k rank assignment: first a
+  per-partition ``row_number`` keeps at most ``max_size`` candidates per
+  shuffle partition (the global top-``max_size`` is always a subset of
+  the union of per-partition top-``max_size``), then the global
+  ``row_number`` runs over the ≤ partitions×max_size survivors — never
+  over the full distinct vocabulary, which at web scale can be hundreds
+  of millions of tokens.
 - ``encode_docs``: broadcast-join the bounded vocab onto the token
   stream, unknown→UNK_ID, and rebuild per-document order with
   ``array_sort(collect_list(struct(pos,id)))`` — no window over the
@@ -43,7 +46,18 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    ranked = counts.withColumn(
+    # Phase 1: bound the global window's input. Any token in the global
+    # top-max_size is necessarily in its partition's top-max_size, so
+    # per-partition pruning is lossless for the final ranking.
+    part_w = Window.partitionBy("_pid").orderBy(F.desc("n"), F.asc("token"))
+    pruned = (
+        counts.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(part_w))
+        .filter(F.col("_pr") <= max_size)
+        .drop("_pid", "_pr")
+    )
+    # Phase 2: global rank over ≤ partitions×max_size survivors.
+    ranked = pruned.withColumn(
         "token_id",
         F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
     )

@@ -46,8 +46,11 @@ def postgres_type(dt: T.DataType) -> str:
             return pg_t
     if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
         # nested values are serialized with to_json before the JDBC write
-        # (F13 row→JSON policy); the column lands as JSONB
-        return "JSONB"
+        # (F13 row→JSON policy), so the column Spark actually ships is a
+        # StringType and lands as TEXT — match that, not an aspirational
+        # JSONB (Spark's PostgresDialect would otherwise map ArrayType to
+        # a PG array and reject Map/Struct outright)
+        return "TEXT"
     raise TypeError(f"no Postgres mapping for Spark type {dt.simpleString()}")
 
 

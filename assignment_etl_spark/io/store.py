@@ -151,15 +151,23 @@ def compact_parquet(
     row groups defeat min/max skipping. Sizing comes from filesystem
     metadata (driver-side listing, no Spark job); the rewrite is one
     repartition — range-partitioned when ``sort_by`` is given, so
-    compaction can restore clustering at the same time. The frame is
-    locally checkpointed before the overwrite (lineage would otherwise
-    read the path being replaced); on a cluster, checkpoint to reliable
-    storage instead.
+    compaction can restore clustering at the same time.
+
+    Crash safety: the compacted output is written to a temp sibling
+    directory first, then swapped in (old dir renamed aside, new dir
+    renamed into place, old dir deleted) — the original files are never
+    truncated before the replacement is fully durable, so a failure at
+    any step leaves either the old or the new table intact on disk.
+    Returns 0 without touching anything when the directory holds no
+    parquet files.
     """
     import glob
     import os
+    import shutil
 
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        return 0
     total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
@@ -167,5 +175,12 @@ def compact_parquet(
         compacted = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
     else:
         compacted = df.repartition(n)
-    compacted.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    norm = path.rstrip("/")
+    tmp = norm + ".__compact_tmp__"
+    old = norm + ".__compact_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp)
+    os.rename(norm, old)
+    os.rename(tmp, norm)
+    shutil.rmtree(old)
     return n

@@ -47,6 +47,14 @@ def matches(col: str, pattern: str) -> Column:
     return F.col(col).isNotNull() & ~F.col(col).rlike(pattern)
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column reference so rule names containing dots
+    (e.g. 'price.usd_positive') resolve as whole column names rather than
+    struct-field accesses; literal backticks are doubled per Spark's
+    escaping rules."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def check_contract(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """(rule, n_violations) — every row-level rule in ONE aggregation."""
     aggs = [
@@ -59,7 +67,7 @@ def check_contract(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(name).alias("rule"),
-                        F.coalesce(F.col(name), F.lit(0)).alias("n_violations"),
+                        F.coalesce(F.col(_q(name)), F.lit(0)).alias("n_violations"),
                     )
                     for name in rules
                 ]

@@ -77,3 +77,17 @@ def test_clean_table_is_all_zero(spark):
     clean = spark.createDataFrame([(1, "A")], "id long, code string")
     rules = {"id_not_null": not_null("id"), "code_enum": in_set("code", ["A"])}
     assert all(r.n_violations == 0 for r in check_contract(clean, rules).collect())
+
+
+def test_dotted_rule_names(spark):
+    """Rule names containing dots must survive the alias/reference
+    round-trip (previously re-parsed as struct-field access)."""
+    from assignment_etl_spark.ops import contracts as C
+
+    df = spark.createDataFrame([(1.0,), (-2.0,), (None,)], "usd double")
+    rules = {
+        "price.usd_positive": C.in_range("usd", lo=0.0),
+        "price.usd_not_null": C.not_null("usd"),
+    }
+    rep = {r.rule: r.n_violations for r in C.check_contract(df, rules).collect()}
+    assert rep == {"price.usd_positive": 1, "price.usd_not_null": 1}

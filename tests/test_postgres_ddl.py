@@ -83,7 +83,9 @@ def test_scalar_type_lattice():
     assert postgres_type(T.BinaryType()) == "BYTEA"
     assert postgres_type(T.DecimalType(18, 4)) == "NUMERIC(18,4)"
     assert postgres_type(T.TimestampNTZType()) == "TIMESTAMP"
-    # nested → JSONB via the to_json write policy
-    assert postgres_type(T.ArrayType(T.FloatType())) == "JSONB"
+    # nested → TEXT: the F13 policy to_json-serializes nested values
+    # before the JDBC write, so the shipped column is a string
+    assert postgres_type(T.ArrayType(T.FloatType())) == "TEXT"
+    assert postgres_type(T.MapType(T.StringType(), T.LongType())) == "TEXT"
     with pytest.raises(TypeError):
         postgres_type(T.NullType())

@@ -108,3 +108,20 @@ def test_bucketed_agg_skips_exchange(spark, bucketed):
     q = orders_b.groupBy("o_orderkey").agg(F.sum("o_totalprice"))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # grouping key == bucket key
+
+
+def test_compact_parquet_empty_dir_returns_zero(spark, tmp_path):
+    path = str(tmp_path / "nothing")
+    assert compact_parquet(spark, path) == 0
+    import os
+    os.makedirs(path)
+    assert compact_parquet(spark, path) == 0
+
+
+def test_compact_parquet_no_leftover_temp_dirs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+    compact_parquet(spark, path)
+    leftovers = [p for p in tmp_path.iterdir() if "__compact" in p.name]
+    assert leftovers == []
+    assert spark.read.parquet(path).count() == 100

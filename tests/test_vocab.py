@@ -38,3 +38,26 @@ def test_encode_docs_order_and_unk(corpus):
     assert enc[1].n_tokens == 4 and enc[1].n_unk == 1
     assert enc[2].n_tokens == 3 and enc[2].n_unk == 1
     assert 3 not in enc  # empty doc -> no row
+
+
+def test_two_phase_topk_is_lossless(spark):
+    """Per-partition pruning must not change the global top-max_size:
+    many distinct tokens spread over many partitions, small max_size,
+    result must equal the brute-force ranking."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.range(0, 3000, 1, 16)
+        .select(
+            F.col("id").alias("doc_id"),
+            # token t{k} appears (3000-k) times total across docs
+            F.concat(F.lit("t"), (F.col("id") % 500).cast("string")).alias("text"),
+        )
+    )
+    got = build_vocab(docs, max_size=10).collect()
+    assert len(got) == 10
+    # brute-force expectation: every t{k} for k in 0..499 has n=6; ties
+    # break lexically ascending
+    expect_tokens = sorted(f"t{k}" for k in range(500))[:10]
+    assert [r.token for r in sorted(got, key=lambda r: r.token_id)] == expect_tokens
+    assert all(r.n == 6 for r in got)
