@@ -3648,6 +3648,124 @@ FROM f GROUP BY 1
 """
 
 
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (ext/imagecodec.py): 24 images are synthesized
+    from a closed-form pixel formula seeded by doc_id (even ids → PNG with
+    cycling scanline filters, odd → 24-bit BMP with row padding), encoded
+    to real container bytes, then decoded back by the pure-python codec —
+    zlib inflate, filter reversal, BGR/bottom-up handling included. The
+    gate aggregates decoded width/height and exact per-channel pixel sums;
+    DuckDB recomputes the same sums analytically from the generation
+    formula, proving the decoder inverts the encoder bit-for-bit. One
+    Arrow crossing each way, no shuffle until the 2-row aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from assignment_etl_spark.ext.imagecodec import encode_bmp, encode_png
+    from assignment_etl_spark.ext.multimodal import MEDIA_SCHEMA, extract_features
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.when(F.col("media_id") % 2 == 0, F.lit("image/png"))
+            .otherwise(F.lit("image/bmp"))
+            .alias("mime"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, mime in zip(pdf["media_id"], pdf["kind"], pdf["mime"]):
+                i = int(mid)
+                w, h = 6 + i % 5, 6 + (i * 3) % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xs * 7 + ys * 13 + i) % 256,
+                        (xs * 3 + ys * 5 + 2 * i) % 256,
+                        (xs + ys + 5 * i) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payload = (
+                    encode_png(px, cycle_filters=True)
+                    if mime == "image/png"
+                    else encode_bmp(px)
+                )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "mime": mime,
+                        "payload": bytes(payload),
+                        "meta": {},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "meta"]
+            )
+
+    media = sel.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    feats = extract_features(media)  # default auto_decode → REAL codec
+    return (
+        feats.withColumn(
+            "mime",
+            F.when(F.col("media_id") % 2 == 0, F.lit("image/png")).otherwise(
+                F.lit("image/bmp")
+            ),
+        )
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum(F.col("feature")[0]).cast("long").alias("sum_r"),
+            F.sum(F.col("feature")[1]).cast("long").alias("sum_g"),
+            F.sum(F.col("feature")[2]).cast("long").alias("sum_b"),
+        )
+    )
+
+
+# the oracle never sees the container bytes: it recomputes the decoded
+# stats analytically from the same closed-form pixel formula, so a decoder
+# bug anywhere (inflate, filters, BGR order, padding) breaks the hash
+SQL_IMAGE_DECODE_STATS = """
+WITH sel AS (
+  SELECT doc_id AS i,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS mime,
+         6 + (doc_id % 5) AS w,
+         6 + ((doc_id * 3) % 7) AS h
+  FROM documents ORDER BY doc_id LIMIT 24),
+pix AS (
+  SELECT s.i, s.mime,
+         (tx.x * 7 + ty.y * 13 + s.i) % 256 AS r,
+         (tx.x * 3 + ty.y * 5 + 2 * s.i) % 256 AS g,
+         (tx.x + ty.y + 5 * s.i) % 256 AS b
+  FROM sel s, range(0, 10) tx(x), range(0, 12) ty(y)
+  WHERE tx.x < s.w AND ty.y < s.h),
+dims AS (
+  SELECT mime, count(*) AS n_images,
+         CAST(sum(w) AS BIGINT) AS sum_width,
+         CAST(sum(h) AS BIGINT) AS sum_height
+  FROM sel GROUP BY mime),
+chans AS (
+  SELECT mime,
+         CAST(sum(r) AS BIGINT) AS sum_r,
+         CAST(sum(g) AS BIGINT) AS sum_g,
+         CAST(sum(b) AS BIGINT) AS sum_b
+  FROM pix GROUP BY mime)
+SELECT mime, n_images, sum_width, sum_height, sum_r, sum_g, sum_b
+FROM dims JOIN chans USING (mime)
+"""
+
+
 def q_perplexity_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering (ext/lm.py): train the add-alpha
     bigram LM on the documents corpus in-engine, score every document, and
@@ -4882,6 +5000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scatter_sample_orders": q_scatter_sample_orders,
         "vocab_head": q_vocab_head,
         # -- new round-4 gates (inserted as built)
+        "image_decode_stats": q_image_decode_stats,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5059,6 +5178,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
         "scatter_sample_orders": _sql_scatter_sample_orders(),
+        "image_decode_stats": SQL_IMAGE_DECODE_STATS,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

@@ -2,10 +2,12 @@
 with typed metadata, processed by Arrow-batched mapInPandas.
 
 The Spark-side machinery — schemas, batch shapes, partition sizing, UDF
-signatures — is real and tested; the *codec* step is stubbed behind
-``decode_fn`` hooks because media libraries aren't in this container
-(clearly marked: DETERMINISTIC_FAKE_DECODER). Swap in PIL/ffmpeg decoders by
-passing a real decode_fn; nothing else changes.
+signatures — is real and tested. The default decoder (``auto_decode``)
+REALLY parses PNG and BMP payloads via the pure-python codec in
+``ext.imagecodec`` (magic sniff, chunk walk, zlib inflate, all five PNG
+scanline filters); formats needing out-of-container libraries (JPEG,
+video) fall back to the clearly-marked DETERMINISTIC_FAKE_DECODER. Swap
+in PIL/ffmpeg decoders by passing a real decode_fn; nothing else changes.
 
 Scale notes: binary payloads ride the same parquet row groups as their
 metadata; ``repartition_for_media`` targets ~128 MB of payload per task so
@@ -50,7 +52,8 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """DETERMINISTIC_FAKE_DECODER: stands in for PIL/ffmpeg. Derives a fake
+    """DETERMINISTIC_FAKE_DECODER: stands in for PIL/ffmpeg on formats the
+    pure-python codec can't parse (JPEG, video). Derives a fake
     (width, height) and an 8-dim feature vector purely from the payload hash
     so tests are reproducible. Replace with a real codec in production."""
     digest = hashlib.sha256(payload).digest()
@@ -60,10 +63,23 @@ def fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, (feat / 255.0).astype(np.float32)
 
 
+def auto_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Default decoder: REAL parse for PNG/BMP payloads (magic-sniffed,
+    ``ext.imagecodec`` — chunk walk, zlib inflate, filter reversal),
+    deterministic fake for everything else. Feature = exact per-channel
+    pixel sums for real decodes (float32-exact below 2^24 per channel)."""
+    from assignment_etl_spark.ext.imagecodec import decode_image, sniff
+
+    if sniff(payload) is not None:
+        w, h, sums = decode_image(payload)
+        return w, h, sums.astype(np.float32)
+    return fake_decode(payload)
+
+
 def extract_features(
     media: DataFrame,
     *,
-    decode_fn: Callable[[bytes], tuple[int, int, np.ndarray]] = fake_decode,
+    decode_fn: Callable[[bytes], tuple[int, int, np.ndarray]] = auto_decode,
     batch_rows_hint: int = 64,
 ) -> DataFrame:
     """Decode + featurize every media row via Arrow-batched mapInPandas."""
