@@ -2613,6 +2613,193 @@ def q_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-cost supplier. The testdata has no
+    partsupp, so the supply relation is derived from lineitem history:
+    supply_cost(part, supplier) = min extendedprice that EUROPE-region
+    supplier ever charged for the part. The correlated subquery
+    (cost = per-part minimum) decorrelates to a min window over the
+    already-aggregated cost relation — one shuffle on partkey, never the
+    raw lineitem. All dims broadcast; the only big shuffle is the
+    (partkey, suppkey) aggregation itself."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    rsup = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(
+            F.broadcast(rsup.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(rsup), best.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supply_cost", 2).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = """
+WITH rsup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+  FROM lineitem JOIN rsup ON l_suppkey = s_suppkey
+  GROUP BY 1, 2)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(supply_cost, 2) AS supply_cost
+FROM cost JOIN part ON l_partkey = p_partkey
+     JOIN rsup ON cost.l_suppkey = rsup.s_suppkey
+WHERE p_size < 15
+  AND supply_cost = (SELECT min(c2.supply_cost) FROM cost c2
+                     WHERE c2.l_partkey = cost.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group HAVING against a global scalar. Per-part
+    revenue from NATION_3's suppliers, keeping parts above 0.1% of the
+    nation's total. The scalar decorrelates to a 1-row broadcast cross
+    join (never a second pass over lineitem); per-row decimal casts keep
+    both the group sums and the grand total exact, and the threshold
+    compare happens in double on identical inputs in both engines."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nsup = sup.join(
+        F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nsup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value_dec"
+            )
+        )
+    )
+    total = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(0.001).cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.round(F.col("value_dec").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_key")
+    )
+
+
+SQL_PART_VALUE_CONCENTRATION = """
+WITH nsup AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS value_dec
+  FROM lineitem JOIN nsup ON l_suppkey = s_suppkey
+  GROUP BY 1)
+SELECT l_partkey AS p_key, round(CAST(value_dec AS DOUBLE), 2) AS value
+FROM val
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(sum(value_dec) AS DOUBLE) FROM val) * CAST(0.001 AS DOUBLE)
+ORDER BY value DESC, p_key
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi join over aggregated lineitem. Without
+    partsupp, 'availqty' becomes shipped volume: NATION_2 suppliers who,
+    for some 'small %' part, shipped MORE THAN HALF of that part's total
+    1997 volume. Inner aggregation → per-part total via one window (same
+    shuffle key, no second agg pass) → broadcast part-name filter →
+    distinct suppkeys → left-semi join against supplier. Decimal sums keep
+    volumes exact; the half-share compare runs in double both engines."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        _dec_sum(F.col("l_quantity")).alias("qty_dec")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty_dec", F.sum("qty_dec").over(w))
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            F.col("qty_dec").cast("double")
+            > F.lit(0.5).cast("double") * F.col("part_qty_dec").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+SQL_DOMINANT_PART_SUPPLIERS = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+tot AS (
+  SELECT l_partkey, sum(qty_dec) AS part_qty_dec FROM shipped GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM shipped JOIN tot USING (l_partkey)
+       JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND CAST(qty_dec AS DOUBLE) > CAST(0.5 AS DOUBLE) * CAST(part_qty_dec AS DOUBLE))
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+"""
+
+
 SQL_SOLE_RETURNING_SUPPLIER = """
 SELECT s_name, count(*) AS numwait
 FROM lineitem l1
@@ -5001,6 +5188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_head": q_vocab_head,
         # -- new round-4 gates (inserted as built)
         "image_decode_stats": q_image_decode_stats,
+        "min_cost_supplier": q_min_cost_supplier,
+        "part_value_concentration": q_part_value_concentration,
+        "dominant_part_suppliers": q_dominant_part_suppliers,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5179,6 +5369,9 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
         "scatter_sample_orders": _sql_scatter_sample_orders(),
         "image_decode_stats": SQL_IMAGE_DECODE_STATS,
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
+        "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,
