@@ -5166,6 +5166,66 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (ext/streaming.stream_upsert_sink): events are
+    split into 8 time-range files, streamed one file per micro-batch, and
+    each batch MERGEd into a keyed parquet state table via upsert_parquet,
+    keeping the latest row per user by (ts, event_id). The sink's
+    keep-latest filter makes convergence independent of micro-batch
+    boundaries and file order, so the final state table hash-matches the
+    one-shot batch recompute (latest event per user) — which is exactly
+    what the DuckDB oracle computes."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        stream_upsert_sink,
+    )
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="cdc_gate_")
+    src = f"{d}/src"
+    events.repartitionByRange(8, "ts", "event_id").write.parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    q = stream_upsert_sink(
+        stream,
+        path=f"{d}/state",
+        key=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint=f"{d}/ckpt",
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(f"{d}/state")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)  # state dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_UPSERT_LATEST = """
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_event_type, round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5191,6 +5251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
+        "streaming_upsert_latest": q_streaming_upsert_latest,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5372,6 +5433,7 @@ def oracle_sql() -> dict[str, str]:
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
+        "streaming_upsert_latest": SQL_STREAMING_UPSERT_LATEST,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

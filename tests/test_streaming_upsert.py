@@ -1,0 +1,80 @@
+"""Streaming CDC upsert sink (ext/streaming.stream_upsert_sink):
+convergence to the batch recompute, exactly-once restarts, and
+out-of-order batch absorption."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.streaming import read_events_stream, stream_upsert_sink
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(e, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, t, v) for (e, m, u, t, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def _latest(df):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+
+
+def _run(spark, src, state, ckpt):
+    schema = spark.read.parquet(src).schema
+    q = stream_upsert_sink(
+        read_events_stream(spark, src, schema=schema),
+        path=state,
+        key=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "src"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+
+def test_converges_to_batch_latest(spark, paths):
+    src, state, ckpt = paths
+    rows = [(e, e * 3 % 17, e % 5, f"t{e % 3}", float(e)) for e in range(40)]
+    df = _events(spark, rows)
+    df.repartitionByRange(4, "ts", "event_id").write.parquet(src)
+    _run(spark, src, state, ckpt)
+    got = {r.user_id: (r.ts, r.event_id) for r in spark.read.parquet(state).collect()}
+    exp = {r.user_id: (r.ts, r.event_id) for r in _latest(df).collect()}
+    assert got == exp
+
+
+def test_restart_is_noop(spark, paths):
+    src, state, ckpt = paths
+    df = _events(spark, [(e, e, e % 3, "t", float(e)) for e in range(12)])
+    df.repartitionByRange(3, "ts", "event_id").write.parquet(src)
+    _run(spark, src, state, ckpt)
+    before = sorted(map(tuple, spark.read.parquet(state).collect()))
+    # same checkpoint, no new files: the restarted query re-processes nothing
+    _run(spark, src, state, ckpt)
+    after = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert after == before
+
+
+def test_late_and_new_data_absorbed(spark, paths):
+    """An appended file carrying BOTH a stale event (older than the state
+    row for its key) and a fresh one must only advance the fresh key."""
+    src, state, ckpt = paths
+    base = _events(spark, [(1, 10, 1, "a", 1.0), (2, 20, 2, "b", 2.0)])
+    base.coalesce(1).write.parquet(src)
+    _run(spark, src, state, ckpt)
+    late = _events(spark, [(3, 5, 1, "stale", 9.0), (4, 30, 2, "fresh", 4.0)])
+    late.coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, state, ckpt)
+    got = {r.user_id: r.event_type for r in spark.read.parquet(state).collect()}
+    assert got == {1: "a", 2: "fresh"}
