@@ -5226,6 +5226,62 @@ ORDER BY user_id
 """
 
 
+def q_optimize_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance pipeline (ops/maintenance.optimize_table): the events
+    table is deliberately fragmented into 48 small files, then optimized
+    in ONE pass — size-targeted compaction + (user_id, value) z-order
+    clustering riding the same range exchange, swapped in atomically.
+    The gate re-reads the optimized table and returns per-event-type
+    aggregates, which must hash-match DuckDB's aggregates over the
+    ORIGINAL table — proving the rewrite is row-set invariant end to end.
+    The footer-stats (skipping) improvement is asserted separately in
+    tests/test_maintenance.py."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.ops.maintenance import optimize_table
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="optimize_gate_")
+    path = f"{d}/events"
+    events.repartition(48).write.parquet(path)
+    optimize_table(
+        spark, path, zorder_by=["user_id", "value"], bits=8,
+        target_file_bytes=8 * 1024 * 1024,
+    )
+    out = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # source dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_OPTIMIZE_TABLE_ROUNDTRIP = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5252,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "streaming_upsert_latest": q_streaming_upsert_latest,
+        "optimize_table_roundtrip": q_optimize_table_roundtrip,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5434,6 +5491,7 @@ def oracle_sql() -> dict[str, str]:
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
         "streaming_upsert_latest": SQL_STREAMING_UPSERT_LATEST,
+        "optimize_table_roundtrip": SQL_OPTIMIZE_TABLE_ROUNDTRIP,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

@@ -175,12 +175,23 @@ def compact_parquet(
         compacted = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
     else:
         compacted = df.repartition(n)
+    atomic_overwrite_parquet(compacted, path)
+    return n
+
+
+def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Rewrite ``path`` with ``df`` without ever truncating the original
+    before the replacement is durable: write to a temp sibling, rename the
+    old directory aside, rename the new one into place, delete the old.
+    A failure at any step leaves either the old or the new table intact."""
+    import os
+    import shutil
+
     norm = path.rstrip("/")
     tmp = norm + ".__compact_tmp__"
     old = norm + ".__compact_old__"
     shutil.rmtree(tmp, ignore_errors=True)
-    compacted.write.mode("overwrite").parquet(tmp)
+    df.write.mode("overwrite").parquet(tmp)
     os.rename(norm, old)
     os.rename(tmp, norm)
     shutil.rmtree(old)
-    return n
