@@ -1620,6 +1620,47 @@ def q_ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN at REDUCED probe with a deterministic oracle: sign-bit coarse
+    cells (ext/similarity.signbit_cell — 8 cells from the first three
+    components), each query scored ONLY against its own cell (~1/8 of the
+    brute-force pairs). Unlike the k-means IVF gate (exact only at full
+    probe), the quantizer is closed-form, so DuckDB replays the *reduced*
+    search exactly — certifying the probe-pruning join shape itself.
+    Recall vs exact for this config is measured in tools/ann_eval.py."""
+    from assignment_etl_spark.ext.similarity import cell_probe_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = cell_probe_topk(emb.filter(F.col("vec_id") < 8), emb, 5, n_bits=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_CELL_PROBE_TOPK = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) AS cell
+  FROM embeddings)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.emb, c.emb) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+  FROM e q JOIN e c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 8) WHERE rank <= 5
+"""
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard for adjacent doc pairs (the verify
     step of a near-dup pipeline)."""
@@ -5309,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "streaming_upsert_latest": q_streaming_upsert_latest,
         "optimize_table_roundtrip": q_optimize_table_roundtrip,
+        "cell_probe_topk": q_cell_probe_topk,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5492,6 +5534,7 @@ def oracle_sql() -> dict[str, str]:
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
         "streaming_upsert_latest": SQL_STREAMING_UPSERT_LATEST,
         "optimize_table_roundtrip": SQL_OPTIMIZE_TABLE_ROUNDTRIP,
+        "cell_probe_topk": SQL_CELL_PROBE_TOPK,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

@@ -81,6 +81,64 @@ def brute_force_topk(
     )
 
 
+def signbit_cell(vec_col: Column, n_bits: int = 3) -> Column:
+    """Deterministic IVF-style coarse cell: the sign bits of the first
+    ``n_bits`` components (2^n_bits cells). A training-free,
+    engine-independent quantizer — any SQL engine reproduces it from the
+    raw components, which makes REDUCED-probe ANN oracle-checkable
+    (k-means cells are only checkable at full probe, where the index is
+    exact by construction)."""
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = out + F.when(vec_col[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def cell_probe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 3,
+) -> DataFrame:
+    """Approximate top-k at REDUCED probe: each query scores only the
+    candidates in its own sign-bit cell (nprobe=1 of 2^n_bits cells) —
+    ~1/2^n_bits of the brute-force work. Plan: equi-join on the cell id
+    (well-distributed shuffle key, never a cross product) → cosine →
+    windowed top-k, the same scale shape as ivf_topk with a deterministic
+    quantizer. Queries whose cell holds < k neighbors return fewer rows —
+    the standard ANN recall trade measured in tools/ann_eval.py."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
+    )
+    scored = (
+        q.join(c, on="_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 # ------------------------------------------------------------------ LSH path
 
 

@@ -79,3 +79,28 @@ def test_minhash_dedup_cc_transitive(spark):
     assert 0 in kept and 3 in kept
     assert 1 not in kept  # chained into 0's component
     assert len(kept) <= 3
+
+
+def test_signbit_cell_probe(spark):
+    """Deterministic quantizer: cells follow the sign bits of the first
+    components, and the probe join scores only same-cell pairs."""
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ext.similarity import cell_probe_topk, signbit_cell
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 0.0]),   # cell 7
+        (1, [1.0, 1.0, 1.0, 1.0]),   # cell 7
+        (2, [-1.0, 1.0, 1.0, 0.5]),  # cell 6
+        (3, [-1.0, -1.0, -1.0, 0.1]),# cell 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = {
+        r.vec_id: r.c
+        for r in df.select("vec_id", signbit_cell(F.col("embedding"), 3).alias("c")).collect()
+    }
+    assert cells == {0: 7, 1: 7, 2: 6, 3: 0}
+    out = cell_probe_topk(df, df, 3, n_bits=3).collect()
+    pairs = {(r.query_id, r.neighbor_id) for r in out}
+    # only the two cell-7 vectors see each other; 2 and 3 are alone
+    assert pairs == {(0, 1), (1, 0)}
