@@ -64,6 +64,11 @@ HEADLINE = [
     "frame_sample_stats",
     "vocab_encode_documents",
     "tfidf_top_terms",
+    # round-4 additions
+    "min_cost_supplier",
+    "part_value_concentration",
+    "dominant_part_suppliers",
+    "cell_probe_topk",
 ]
 
 
@@ -95,16 +100,19 @@ def main() -> None:
     warm_udf = make_minhash_signature_udf(num_hashes=4, shingle_n=3)
     spark.createDataFrame([("warm",)], "t string").select(warm_udf("t")).collect()
 
-    # Two runs per query, report the min: the first run pays one-off janino
-    # codegen compilation (measured: 7s cold vs 1.2s warm for identical
-    # plans), which on a long-lived cluster amortizes to zero — steady-state
-    # is the comparable number. cold_total is also reported for honesty.
+    # Three runs per query, report the min: the first run pays one-off
+    # janino codegen compilation (measured: 7s cold vs 1.2s warm for
+    # identical plans), which on a long-lived cluster amortizes to zero —
+    # steady-state is the comparable number — and the in-process min-of-3
+    # absorbs host-contention spikes that made single-shot driver runs
+    # flag phantom regressions two rounds running. cold_total is also
+    # reported for honesty.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = queries[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
