@@ -3994,6 +3994,37 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-prep chunking (ext/text.chunk_documents): every document
+    split into 120-char chunks with 20-char overlap, returned verbatim.
+    Pure codegen (sequence → posexplode → substring), zero shuffle, no
+    UDF — boundaries are integer arithmetic DuckDB replays with a zipped
+    unnest(range(...))."""
+    from assignment_etl_spark.ext.text import chunk_documents
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=120, overlap=20).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) > 0),
+s AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(L - 20, 1) + 1, 100)) AS start
+  FROM d)
+SELECT doc_id,
+       CAST((start - 1) / 100 AS INTEGER) AS chunk_idx,
+       substring(text, CAST(start AS BIGINT), 120) AS chunk_text,
+       length(substring(text, CAST(start AS BIGINT), 120)) AS n_chars
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_perplexity_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering (ext/lm.py): train the add-alpha
     bigram LM on the documents corpus in-engine, score every document, and
@@ -5351,6 +5382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert_latest": q_streaming_upsert_latest,
         "optimize_table_roundtrip": q_optimize_table_roundtrip,
         "cell_probe_topk": q_cell_probe_topk,
+        "chunk_documents": q_chunk_documents,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5535,6 +5567,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_upsert_latest": SQL_STREAMING_UPSERT_LATEST,
         "optimize_table_roundtrip": SQL_OPTIMIZE_TABLE_ROUNDTRIP,
         "cell_probe_topk": SQL_CELL_PROBE_TOPK,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

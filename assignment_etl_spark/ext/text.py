@@ -271,3 +271,52 @@ def text_profile(df: DataFrame, column: str = "text") -> DataFrame:
         detect_language(c).alias("lang_detected"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 500,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap — the
+    retrieval/embedding prep step of a training-data pipeline (every chunk
+    starts ``chunk_chars - overlap`` after the previous one; the final
+    chunk may be short; empty docs produce no chunks).
+
+    Pure expression plan: ``sequence`` generates the chunk start offsets
+    from the document length, one ``explode``, ``substring`` slices — all
+    codegen, no UDF, no shuffle (chunking is embarrassingly parallel; the
+    downstream embed/encode step repartitions by payload if needed).
+    Deterministic and engine-portable: chunk boundaries are pure integer
+    arithmetic on the string length.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    length = F.length(F.col(text_col))
+    # start offsets: 1, 1+stride, ... up to the last stride covering new
+    # content; a doc shorter than chunk_chars gets exactly one chunk
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(length - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    chunked = (
+        docs.filter(length > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.substring(F.col(text_col), F.col("_start"), chunk_chars).alias(
+                "chunk_text"
+            ),
+        )
+    )
+    return chunked.withColumn("n_chars", F.length("chunk_text"))

@@ -150,3 +150,31 @@ def test_pii_scrub(spark):
     assert got[1][0] == 1 and "@" not in got[1][2] and "[PII]" in got[1][2]
     assert got[2][1] == 1 and "192.168" not in got[2][2]
     assert got[3] == (0, 0, "no pii here at all")
+
+
+def test_chunk_documents_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ext.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_chars=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_chars))
+    # stride 3: starts 1,4,7 -> abcd, defg, ghij; (start 10 excluded: > L-overlap)
+    assert by_doc[1] == [(0, "abcd", 4), (1, "defg", 4), (2, "ghij", 4)]
+    # short doc -> one (short) chunk; empty doc -> no chunks
+    assert by_doc[2] == [(0, "xy", 2)]
+    assert 3 not in by_doc
+    # dropping each chunk's overlap prefix (after the first) rebuilds the doc
+    rebuilt = by_doc[1][0][1] + "".join(t[1][1:] for t in by_doc[1][1:])
+    assert rebuilt == "abcdefghij"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_chars=4, overlap=4)
