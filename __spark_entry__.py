@@ -780,6 +780,55 @@ FROM j GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (ops/asof.py direction='forward'):
+    each event matched to the same user's EARLIEST purchase at or after
+    it, nulled when farther than 2 hours — pandas merge_asof parity on
+    the union+window plan (no pair explosion). DuckDB's ASOF JOIN is
+    backward-only, so the oracle uses a correlated min subquery (DuckDB
+    decorrelates it)."""
+    from assignment_etl_spark.ops.asof import asof_join
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        events, purchases, on="ts", by="user_id",
+        direction="forward", tolerance_seconds=7200,
+    )
+    gap = F.col("ts_right").cast("double") - F.col("ts").cast("double")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ts_right").alias("n_matched"),
+            F.round(
+                F.sum(gap.cast("decimal(28,6)")).cast("double")
+                / F.count("ts_right"),
+                2,
+            ).alias("avg_wait_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ASOF_FORWARD_TOLERANCE = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT e.event_type, e.ts AS lts,
+         (SELECT min(p.ts) FROM p
+          WHERE p.user_id = e.user_id AND p.ts >= e.ts
+            AND epoch(p.ts) - epoch(e.ts) <= 7200) AS rts
+  FROM events e)
+SELECT event_type, count(*) AS n, count(rts) AS n_matched,
+       round(CAST(sum(CAST(epoch(rts) - epoch(lts) AS DECIMAL(28,6))) AS DOUBLE)
+             / count(rts), 2) AS avg_wait_sec
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-pattern continuous aggregate: daily stats computed by
     MERGING hourly partials (never re-reading raw rows); the oracle
@@ -5383,6 +5432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "optimize_table_roundtrip": q_optimize_table_roundtrip,
         "cell_probe_topk": q_cell_probe_topk,
         "chunk_documents": q_chunk_documents,
+        "asof_forward_tolerance": q_asof_forward_tolerance,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5568,6 +5618,7 @@ def oracle_sql() -> dict[str, str]:
         "optimize_table_roundtrip": SQL_OPTIMIZE_TABLE_ROUNDTRIP,
         "cell_probe_topk": SQL_CELL_PROBE_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

@@ -119,3 +119,53 @@ def test_asof_null_in_matched_row_preserved(spark):
     row = asof_join(left, right, on="ts").first()
     assert row.v_right == 2.0  # latest right row matched
     assert row.tag_right is None  # its NULL tag NOT back-filled from "old"
+
+
+def test_asof_directions_and_tolerance(spark):
+    """merge_asof parity: forward picks the earliest right at/after,
+    nearest picks the closer side (ties backward), tolerance nulls far
+    matches."""
+    import datetime as dt
+
+    from assignment_etl_spark.ops.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(25)), (1, ts(100)), (2, ts(5))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(20), 2.0), (1, ts(30), 3.0)],
+        "user_id long, ts timestamp, v double",
+    )
+
+    def got(direction, tol=None):
+        out = asof_join(
+            left, right, on="ts", by="user_id",
+            direction=direction, tolerance_seconds=tol,
+        )
+        return {(r.user_id, r.ts): r.v_right for r in out.collect()}
+
+    back = got("backward")
+    assert back[(1, ts(10))] == 1.0 and back[(1, ts(25))] == 2.0
+    assert back[(1, ts(100))] == 3.0 and back[(2, ts(5))] is None
+
+    fwd = got("forward")
+    assert fwd[(1, ts(10))] == 2.0 and fwd[(1, ts(25))] == 3.0
+    assert fwd[(1, ts(100))] is None and fwd[(2, ts(5))] is None
+
+    near = got("nearest")
+    # 10min: prev@0 (10) vs next@20 (10) — equidistant tie → backward
+    assert near[(1, ts(10))] == 1.0
+    # 25min: prev@20 (5) vs next@30 (5)? 25-20=5, 30-25=5 → tie → backward
+    assert near[(1, ts(25))] == 2.0
+    assert near[(1, ts(100))] == 3.0 and near[(2, ts(5))] is None
+
+    tol = got("backward", tol=600)  # 10 minutes, boundary inclusive
+    assert tol[(1, ts(10))] == 1.0   # gap exactly 600s → kept
+    assert tol[(1, ts(25))] == 2.0   # 300s gap → kept
+    assert tol[(1, ts(100))] is None  # 4200s gap → nulled by tolerance
