@@ -4043,6 +4043,55 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (io/store.write_orc/read_orc): orders written to
+    ORC partitioned by order status, read back THROUGH a partition-pruned
+    + filtered scan, and aggregated — hash-matching DuckDB's aggregates
+    over the original parquet proves the format round-trip is lossless
+    (timestamps, decimals-as-doubles, strings). Pruning is visible in the
+    plan (`PartitionFilters`), same story as the parquet store."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.io.store import read_orc, write_orc
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="orc_gate_")
+    path = f"{d}/orders_orc"
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path).filter(F.col("o_orderstatus") != "P")
+    out = (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,4)")).cast("double"), 4
+            ).alias("sum_totalprice"),
+            F.max("o_orderdate").alias("last_orderdate"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+        .localCheckpoint(eager=True)  # source dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE), 4)
+           AS sum_totalprice,
+       max(o_orderdate) AS last_orderdate
+FROM orders
+WHERE o_orderstatus != 'P'
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-prep chunking (ext/text.chunk_documents): every document
     split into 120-char chunks with 20-char overlap, returned verbatim.
@@ -5433,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_probe_topk": q_cell_probe_topk,
         "chunk_documents": q_chunk_documents,
         "asof_forward_tolerance": q_asof_forward_tolerance,
+        "orc_roundtrip": q_orc_roundtrip,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5619,6 +5669,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_probe_topk": SQL_CELL_PROBE_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
+        "orc_roundtrip": SQL_ORC_ROUNDTRIP,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

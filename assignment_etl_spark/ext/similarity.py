@@ -351,11 +351,26 @@ def brute_force_topk_pandas(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidates: int = 1_000_000,
 ) -> DataFrame:
     """Arrow-batched numpy variant: the candidate matrix is shipped to each
     task once (collected — use only when candidates fit in executor memory,
     e.g. an IVF cell or LSH bucket) and each query batch is one BLAS matmul.
-    ~10-50× the zip_with path on wide vectors."""
+    ~10-50× the zip_with path on wide vectors.
+
+    ``max_candidates`` is a hard guard against misuse on a full corpus:
+    the collect is bucket-local BY DESIGN, and a 100-TB candidate set
+    here would OOM the driver — raise the limit consciously if your
+    cells really are bigger."""
+    n_cand = candidates.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"brute_force_topk_pandas collects the candidate side "
+            f"({n_cand} rows > max_candidates={max_candidates}); this "
+            f"operator is for bucket-local scoring (IVF cell / LSH "
+            f"bucket) — use brute_force_topk / ivf_topk / lsh_topk for "
+            f"full-corpus search, or raise max_candidates deliberately"
+        )
     cand = candidates.select(id_col, vec_col).toPandas()
     cand_ids = cand[id_col].to_numpy()
     cmat = np.stack(cand[vec_col].to_numpy())

@@ -89,3 +89,25 @@ def test_auto_decode_dispatch(spark):
     assert [int(v) for v in feats[1].feature] == [int(v) for v in exp]
     fw, fh, _ = fake_decode(raw)
     assert (feats[2].width, feats[2].height) == (fw, fh)
+
+
+def test_roundtrip_property():
+    """Property: decode(encode(x)) == x for arbitrary sizes, channel
+    counts, and pixel contents (both containers, all PNG filters)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, ch, seed):
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+        if ch == 3:
+            assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    check()

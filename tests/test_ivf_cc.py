@@ -104,3 +104,20 @@ def test_signbit_cell_probe(spark):
     pairs = {(r.query_id, r.neighbor_id) for r in out}
     # only the two cell-7 vectors see each other; 2 and 3 are alone
     assert pairs == {(0, 1), (1, 0)}
+
+
+def test_pandas_topk_collect_guard(spark):
+    """The bucket-local numpy scorer refuses a candidate side above the
+    collect guard instead of silently OOMing the driver."""
+    import pytest as _pytest
+
+    from assignment_etl_spark.ext.similarity import brute_force_topk_pandas
+
+    emb = spark.range(100).selectExpr(
+        "id AS vec_id", "array(cast(id AS double), 1.0d) AS embedding"
+    )
+    with _pytest.raises(ValueError, match="max_candidates"):
+        brute_force_topk_pandas(emb, emb, 3, max_candidates=10)
+    # within the guard it still works
+    out = brute_force_topk_pandas(emb.limit(4), emb.limit(8), 2, max_candidates=10)
+    assert out.count() == 8
