@@ -829,6 +829,59 @@ FROM j GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (ops/asof.py direction='nearest'): each
+    event matched to the same user's time-closest purchase, equidistant
+    ties resolving backward (pandas semantics). Two window passes over
+    ONE shuffled union — still no pair explosion. Oracle: prev/next
+    correlated extrema with an explicit closer-of-two CASE."""
+    from assignment_etl_spark.ops.asof import asof_join
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(events, purchases, on="ts", by="user_id", direction="nearest")
+    dist = F.abs(F.col("ts").cast("double") - F.col("ts_right").cast("double"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ts_right").alias("n_matched"),
+            F.round(
+                F.sum(dist.cast("decimal(28,6)")).cast("double")
+                / F.count("ts_right"),
+                2,
+            ).alias("avg_dist_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ASOF_NEAREST_PURCHASE = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT e.event_type, e.ts AS lts,
+         (SELECT max(p.ts) FROM p
+          WHERE p.user_id = e.user_id AND p.ts <= e.ts) AS pts,
+         (SELECT min(p.ts) FROM p
+          WHERE p.user_id = e.user_id AND p.ts >= e.ts) AS nts
+  FROM events e),
+c AS (
+  SELECT event_type, lts,
+         CASE WHEN pts IS NULL THEN nts
+              WHEN nts IS NULL THEN pts
+              WHEN epoch(nts) - epoch(lts) < epoch(lts) - epoch(pts) THEN nts
+              ELSE pts END AS rts
+  FROM j)
+SELECT event_type, count(*) AS n, count(rts) AS n_matched,
+       round(CAST(sum(CAST(abs(epoch(lts) - epoch(rts)) AS DECIMAL(28,6)))
+                  AS DOUBLE) / count(rts), 2) AS avg_dist_sec
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_hourly_to_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-pattern continuous aggregate: daily stats computed by
     MERGING hourly partials (never re-reading raw rows); the oracle
@@ -5483,6 +5536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "asof_forward_tolerance": q_asof_forward_tolerance,
         "orc_roundtrip": q_orc_roundtrip,
+        "asof_nearest_purchase": q_asof_nearest_purchase,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5670,6 +5724,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+        "asof_nearest_purchase": SQL_ASOF_NEAREST_PURCHASE,
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,
