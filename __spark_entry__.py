@@ -4096,6 +4096,71 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable HLL (ext/sketch.py): per-event-type register
+    sketch of user_id (p=10) → cardinality estimate, returned next to
+    the exact distinct so the error is visible in the result. The oracle
+    replays the ENTIRE sketch — portable hash, register max table,
+    harmonic estimator with linear-counting correction — to the same
+    rounded value, something no engine-native HLL (implementation-defined
+    hash) can offer. Scale shape: one projection + a ≤1024-rows-per-group
+    shuffle; sketches persist as DataFrames and merge with hll_merge for
+    incremental maintenance."""
+    from assignment_etl_spark.ext.sketch import hll_cardinality, hll_sketch
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    regs = hll_sketch(events, "user_id", by="event_type", p=10)
+    est = hll_cardinality(regs, p=10, by="event_type").select(
+        "event_type", F.col("est").alias("est_distinct_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    return (
+        est.join(F.broadcast(exact), on="event_type")
+        .select("event_type", "est_distinct_users", "exact_distinct_users")
+        .orderBy("event_type")
+    )
+
+
+def _sql_hll_distinct_users() -> str:
+    from assignment_etl_spark.ext.sketch import HASH_BITS, hll_alpha_m2, sql_rho
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    p, m = 10, 1024
+    h1 = f"((user_id % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+    h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+    h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    rho = sql_rho(f"h >> {p}", HASH_BITS - p)
+    a2 = repr(hll_alpha_m2(p))
+    return f"""
+WITH h AS (
+  SELECT event_type, {h4} AS h FROM events),
+regs AS (
+  SELECT event_type, h % {m} AS idx, max({rho}) AS rho
+  FROM h GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         sum(power(2.0, -rho)) + ({m} - count(*)) AS denom,
+         CAST({m} - count(*) AS DOUBLE) AS zeros
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT event_type,
+         round(CASE WHEN {a2} / denom <= {2.5 * m!r} AND zeros > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                    ELSE {a2} / denom END, 3) AS est_distinct_users
+  FROM agg)
+SELECT e.event_type, est_distinct_users,
+       x.exact_distinct_users
+FROM est e JOIN (SELECT event_type,
+                        count(DISTINCT user_id) AS exact_distinct_users
+                 FROM events GROUP BY 1) x USING (event_type)
+ORDER BY event_type
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (io/store.write_orc/read_orc): orders written to
     ORC partitioned by order status, read back THROUGH a partition-pruned
@@ -5537,6 +5602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_tolerance": q_asof_forward_tolerance,
         "orc_roundtrip": q_orc_roundtrip,
         "asof_nearest_purchase": q_asof_nearest_purchase,
+        "hll_distinct_users": q_hll_distinct_users,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5725,6 +5791,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,
         "asof_nearest_purchase": SQL_ASOF_NEAREST_PURCHASE,
+        "hll_distinct_users": _sql_hll_distinct_users(),
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

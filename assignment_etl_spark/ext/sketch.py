@@ -1,0 +1,148 @@
+"""Portable HyperLogLog: mergeable distinct-count sketches as plain
+DataFrames, deterministic across engines.
+
+Spark's ``approx_count_distinct`` is terminal — you get a number, not a
+sketch, so you cannot persist per-partition sketches and merge them
+later (the shape incremental distinct maintenance needs at 100 TB:
+sketch each new partition once, merge register tables, never rescan
+history). This module builds the sketch AS a DataFrame of (group, idx,
+rho) registers:
+
+- ``hll_sketch``: one projection (portable 31-bit hash → register index
+  = low ``p`` bits, rho = leading-zero rank of the top ``31-p`` bits via
+  an integer CASE chain — no floating log2, whose floor misbehaves at
+  exact powers of two) + one groupBy max. Shuffles ≤ m rows per group.
+- ``hll_merge``: union + groupBy max — associative and commutative, so
+  partial sketches combine in any order (tested).
+- ``hll_cardinality``: the classic estimator with the small-range
+  linear-counting correction; absent registers contribute 2^0 = 1 to the
+  harmonic sum.
+
+Everything derives from the repo's portable-hash family (portable.py),
+so a DuckDB oracle replays the ENTIRE pipeline — hash, register table,
+estimator — to the same rounded value: gate-certified, unlike any
+engine-native HLL whose hash is implementation-defined.
+
+The quality bar of the LCG+xorshift hash is "uniform enough to sketch
+by" (same bar as the split/sample family); adversarial inputs call for
+xxhash64 at the cost of oracle replay.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.portable import ADD_B as _B
+from assignment_etl_spark.portable import MULT_A as _A
+from assignment_etl_spark.portable import PRIME_P as _P
+from assignment_etl_spark.portable import XSHIFT as _X
+
+HASH_BITS = 31
+
+
+def portable_hash_int(id_col: Column, salt: int = 0) -> Column:
+    """The integer stage of ext/sampling.portable_hash01 (same constants,
+    same rounds, no final division): uniform-ish in [0, P-1], identical
+    in any engine with 64-bit integer arithmetic."""
+    h = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(_P))
+    h = F.pmod(h * _A + _B, F.lit(_P))
+    h = h.bitwiseXOR(F.shiftright(h, _X))
+    h = F.pmod(h * _A + _B, F.lit(_P))
+    return h
+
+
+def _rho(w: Column, maxbits: int) -> Column:
+    """Leading-zero rank of ``w`` within a maxbits-wide word, in
+    1..maxbits+1 (w == 0 → maxbits+1). Pure integer comparisons."""
+    expr = F.lit(maxbits + 1)
+    # build the chain from the smallest threshold up so the final
+    # expression checks the largest first
+    for k in range(maxbits, 0, -1):
+        expr = F.when(w >= F.lit(1 << (maxbits - k)), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def sql_rho(w_expr: str, maxbits: int) -> str:
+    """DuckDB replica of :func:`_rho` — the same CASE chain."""
+    branches = "".join(
+        f" WHEN ({w_expr}) >= {1 << (maxbits - k)} THEN {k}"
+        for k in range(1, maxbits + 1)
+    )
+    return f"(CASE{branches} ELSE {maxbits + 1} END)"
+
+
+def hll_sketch(
+    df: DataFrame,
+    col: str,
+    *,
+    by: str | list[str] | None = None,
+    p: int = 10,
+    salt: int = 0,
+) -> DataFrame:
+    """Register table (by..., idx, rho) for the distinct count of ``col``
+    (integral) per group: sparse — registers never hit are absent."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    by_keys = [by] if isinstance(by, str) else list(by or [])
+    m = 1 << p
+    maxbits = HASH_BITS - p
+    h = portable_hash_int(F.col(col), salt)
+    return (
+        df.select(
+            *by_keys,
+            F.pmod(h, F.lit(m)).alias("idx"),
+            _rho(F.shiftright(h, p), maxbits).alias("rho"),
+        )
+        .groupBy(*by_keys, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, *, by: str | list[str] | None = None) -> DataFrame:
+    """Merge register tables: union + max per register. Associative and
+    commutative — partial sketches combine in any order."""
+    by_keys = [by] if isinstance(by, str) else list(by or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*by_keys, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_alpha_m2(p: int) -> float:
+    """alpha_m * m^2 as one literal so both engines divide the same
+    constant (m >= 128 branch of the standard alpha)."""
+    m = 1 << p
+    return 0.7213 / (1.0 + 1.079 / m) * m * m
+
+
+def hll_cardinality(
+    registers: DataFrame,
+    *,
+    p: int = 10,
+    by: str | list[str] | None = None,
+    round_to: int = 3,
+) -> DataFrame:
+    """(by..., est) from a register table: harmonic-mean estimator with
+    the small-range linear-counting correction (E <= 2.5m and empty
+    registers present → m·ln(m/V)). 2^-rho via pow(2, -rho) — exact for
+    integral exponents in IEEE doubles, so cross-engine stable; the final
+    round absorbs sub-ulp ln/division differences."""
+    by_keys = [by] if isinstance(by, str) else list(by or [])
+    m = 1 << p
+    agg = registers.groupBy(*by_keys).agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+            + (F.lit(m) - F.count(F.lit(1))).cast("double")
+        ).alias("_denom"),
+        (F.lit(m) - F.count(F.lit(1))).cast("double").alias("_zeros"),
+    )
+    raw = F.lit(hll_alpha_m2(p)) / F.col("_denom")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("_zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")),
+    ).otherwise(raw)
+    return agg.select(*by_keys, F.round(est, round_to).alias("est"))
