@@ -4161,6 +4161,65 @@ ORDER BY event_type
 """
 
 
+def q_cm_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Count-Min sketch (ext/sketch.py): event-type frequencies
+    estimated from a d=4 × w=512 counter table and returned beside the
+    exact counts. The oracle replays the whole sketch — polynomial string
+    hash, per-row LCG bucketing, counter table, min-over-rows — so the
+    estimate itself is hash-certified. Scale shape: the sketch is d×w
+    counters regardless of input size, merges by union+sum, and the
+    estimate join broadcasts the sketch."""
+    from assignment_etl_spark.ext.sketch import cm_estimate, cm_sketch
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    sk = cm_sketch(events, "event_type", w=512, d=4)
+    items = events.select("event_type").distinct()
+    est = cm_estimate(sk, items, "event_type", w=512, d=4).select(
+        "event_type", F.col("est").cast("long").alias("est_n")
+    )
+    exact = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(F.broadcast(exact), on="event_type")
+        .select("event_type", "est_n", "exact_n")
+        .orderBy("event_type")
+    )
+
+
+def _sql_cm_event_type_counts() -> str:
+    from assignment_etl_spark.ext.sketch import CM_SALT_STEP
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    w, d = 512, 4
+    sh = (
+        "CASE WHEN length(event_type) = 0 THEN 0 ELSE "
+        "list_reduce([ord(substr(event_type, i, 1))::BIGINT "
+        "FOR i IN range(1, length(event_type) + 1)], "
+        f"(a, x) -> (a * 31 + x) % {PRIME_P}) END"
+    )
+    e = f"(sh + r * {CM_SALT_STEP})"
+    h1 = f"((({e}) % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+    h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+    h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    return f"""
+WITH s AS (SELECT event_type, {sh} AS sh FROM events),
+b AS (
+  SELECT event_type, r, ({h4}) % {w} AS bucket
+  FROM s, range(0, {d}) t(r)),
+counts AS (SELECT r, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+items AS (SELECT DISTINCT event_type, r, bucket FROM b),
+est AS (
+  SELECT event_type, CAST(min(n) AS BIGINT) AS est_n
+  FROM items JOIN counts USING (r, bucket) GROUP BY 1)
+SELECT event_type, est_n,
+       x.exact_n
+FROM est JOIN (SELECT event_type, count(*) AS exact_n
+               FROM events GROUP BY 1) x USING (event_type)
+ORDER BY event_type
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (io/store.write_orc/read_orc): orders written to
     ORC partitioned by order status, read back THROUGH a partition-pruned
@@ -5603,6 +5662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "asof_nearest_purchase": q_asof_nearest_purchase,
         "hll_distinct_users": q_hll_distinct_users,
+        "cm_event_type_counts": q_cm_event_type_counts,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5792,6 +5852,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,
         "asof_nearest_purchase": SQL_ASOF_NEAREST_PURCHASE,
         "hll_distinct_users": _sql_hll_distinct_users(),
+        "cm_event_type_counts": _sql_cm_event_type_counts(),
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

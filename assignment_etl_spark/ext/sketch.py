@@ -146,3 +146,92 @@ def hll_cardinality(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros")),
     ).otherwise(raw)
     return agg.select(*by_keys, F.round(est, round_to).alias("est"))
+
+
+# ------------------------------------------------------------ Count-Min
+
+CM_SALT_STEP = 7919  # distinct LCG salt per sketch row
+
+
+def portable_str_hash(col: Column) -> Column:
+    """31-ary polynomial over codepoints mod P — the simhash/ngram
+    family's string hash (ext/dedup.py), exposed for sketch keys. Empty
+    string → 0. ASCII-exact in any engine; for full Unicode parity both
+    engines must agree on code units (the test corpus is ASCII,
+    asserted by the gate family)."""
+    poly = F.aggregate(
+        F.sequence(F.lit(1), F.length(col)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 31 + F.ascii(F.substring(col, i, F.lit(1)))) % _P,
+    )
+    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(poly)
+
+
+def _item_hash(df: DataFrame, col: str) -> Column:
+    from pyspark.sql import types as T
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.StringType):
+        return portable_str_hash(F.col(col))
+    return F.col(col).cast("long")
+
+
+def _cm_bucket(h: Column, r: int, w: int) -> Column:
+    return F.pmod(portable_hash_int(h, salt=r * CM_SALT_STEP), F.lit(w))
+
+
+def cm_sketch(
+    df: DataFrame, col: str, *, w: int = 512, d: int = 4
+) -> DataFrame:
+    """Count-Min sketch as a DataFrame of (r, bucket, n): d independent
+    hash rows of width w. One explode (×d) + one groupBy — the sketch is
+    d×w counters no matter how large the input, and `cm_merge` (union +
+    sum) composes partial sketches, the mergeable-summary shape for
+    incremental frequency maintenance. Estimates only ever OVERcount
+    (collisions add), never undercount — the classic CM guarantee."""
+    h = _item_hash(df, col)
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cm_bucket(h, r, w).alias("bucket"))
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("_rb"))
+        .groupBy(F.col("_rb.r").alias("r"), F.col("_rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (w, d): union + sum."""
+    return (
+        a.unionByName(b).groupBy("r", "bucket").agg(F.sum("n").alias("n"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, *, w: int = 512, d: int = 4
+) -> DataFrame:
+    """items + ``est`` (≥ true count): min over the d rows of each item's
+    bucket counter. The sketch side is d×w rows — broadcast it; the join
+    never shuffles the items."""
+    h = _item_hash(items, col)
+    keyed = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cm_bucket(h, r, w).alias("bucket")
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("_rb"),
+    ).select(col, F.col("_rb.r").alias("r"), F.col("_rb.bucket").alias("bucket"))
+    joined = keyed.join(F.broadcast(sketch), on=["r", "bucket"], how="left")
+    return (
+        joined.groupBy(col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )

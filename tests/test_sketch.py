@@ -82,3 +82,43 @@ def test_p_bounds():
 
     with pytest.raises(ValueError):
         hll_sketch(None, "k", p=3)
+
+
+def test_cm_exact_when_no_collisions(spark):
+    from assignment_etl_spark.ext.sketch import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    sk = cm_sketch(df, "k", w=512, d=4)
+    est = {r.k: r.est for r in cm_estimate(sk, df.select("k").distinct(), "k", w=512, d=4).collect()}
+    assert est == {"a": 7, "b": 3, "c": 1}
+
+
+def test_cm_never_undercounts(spark):
+    from assignment_etl_spark.ext.sketch import cm_estimate, cm_sketch
+
+    df = spark.range(2000).select((F.col("id") % 100).alias("k"))
+    sk = cm_sketch(df, "k", w=16, d=3)  # heavy collisions on purpose
+    est = {r.k: r.est for r in cm_estimate(sk, df.distinct(), "k", w=16, d=3).collect()}
+    assert all(e >= 20 for e in est.values())  # true count per key = 20
+
+
+def test_cm_merge_equals_full(spark):
+    from assignment_etl_spark.ext.sketch import cm_merge, cm_sketch
+
+    a = spark.range(500).select((F.col("id") % 7).alias("k"))
+    b = spark.range(300).select((F.col("id") % 5).alias("k"))
+    merged = cm_merge(cm_sketch(a, "k"), cm_sketch(b, "k"))
+    full = cm_sketch(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_cm_absent_item_is_zero_or_collision(spark):
+    from assignment_etl_spark.ext.sketch import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame([("x",)] * 5, "k string")
+    sk = cm_sketch(df, "k", w=512, d=4)
+    items = spark.createDataFrame([("never",)], "k string")
+    est = cm_estimate(sk, items, "k", w=512, d=4).first().est
+    assert est == 0  # w=512 with one true key: no collision possible
