@@ -2506,20 +2506,23 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of customers by order count, where
     the filter lives INSIDE the outer-join condition (customers whose
     only orders are urgent must still appear with c_count=0 — a WHERE
-    would wrongly drop them). Two aggregations: per-customer count (shuffle
-    on custkey), then the tiny distribution aggregate."""
+    would wrongly drop them). Plan: the filter-inside-join decorrelates
+    to a PRE-aggregation of the filtered orders (shuffle on custkey over
+    orders only), then customer LEFT-joins the ≤|customers| count table
+    and coalesces misses to 0 — the join never sees raw order rows, the
+    strictly better shape at every scale. Then the tiny distribution
+    aggregate."""
     _prep(spark)
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
-    joined = cust.join(
-        orders,
-        (cust.c_custkey == orders.o_custkey)
-        & (orders.o_orderpriority != "1-URGENT"),
-        "left",
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    per_cust = joined.groupBy("c_custkey").agg(
-        F.count("o_orderkey").alias("c_count")
-    )
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))

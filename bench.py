@@ -69,6 +69,11 @@ HEADLINE = [
     "part_value_concentration",
     "dominant_part_suppliers",
     "cell_probe_topk",
+    "chunk_documents",
+    "asof_forward_tolerance",
+    "asof_nearest_purchase",
+    "hll_distinct_users",
+    "cm_event_type_counts",
 ]
 
 
