@@ -235,3 +235,40 @@ def cm_estimate(
         joined.groupBy(col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )
+
+
+def hll_intersection_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    p: int = 10,
+    round_to: int = 3,
+) -> DataFrame:
+    """1-row (est_a, est_b, est_union, est_intersection) by
+    inclusion-exclusion over UNGROUPED register tables: |A∩B| ≈ |A| +
+    |B| − |A∪B|, where the union sketch is the lossless hll_merge. The
+    classic HLL set-operation estimate — error grows with the symmetric
+    difference, so treat small intersections as directional. All three
+    cardinalities ride the same portable estimator, so the whole row is
+    engine-replayable."""
+    ea = hll_cardinality(a, p=p, round_to=round_to).select(
+        F.col("est").alias("est_a")
+    )
+    eb = hll_cardinality(b, p=p, round_to=round_to).select(
+        F.col("est").alias("est_b")
+    )
+    eu = hll_cardinality(hll_merge(a, b), p=p, round_to=round_to).select(
+        F.col("est").alias("est_union")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), round_to
+            ).alias("est_intersection"),
+        )
+    )

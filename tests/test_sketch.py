@@ -122,3 +122,16 @@ def test_cm_absent_item_is_zero_or_collision(spark):
     items = spark.createDataFrame([("never",)], "k string")
     est = cm_estimate(sk, items, "k", w=512, d=4).first().est
     assert est == 0  # w=512 with one true key: no collision possible
+
+
+def test_hll_intersection_estimate(spark):
+    from assignment_etl_spark.ext.sketch import hll_intersection_estimate
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))
+    row = hll_intersection_estimate(
+        hll_sketch(a, "k"), hll_sketch(b, "k")
+    ).first()
+    # truth: |A|=|B|=2000, |A∪B|=3000, |A∩B|=1000; p=10 → ~3-10% error
+    assert abs(row.est_union - 3000) / 3000 < 0.10
+    assert abs(row.est_intersection - 1000) / 1000 < 0.25
