@@ -4164,6 +4164,49 @@ ORDER BY event_type
 """
 
 
+def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality maintenance (ext/streaming.stream_hll_sink):
+    events stream in 8 micro-batches, each sketched and MAX-merged into
+    a persistent HLL register table (state ≤ 1024 rows per event type
+    forever — no keyed-state growth). Max-merge is order- and
+    replay-independent, so the drained registers equal the one-shot
+    batch sketch exactly and the SAME analytic oracle as the batch HLL
+    gate certifies the streaming path."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.ext.sketch import hll_cardinality
+    from assignment_etl_spark.ext.streaming import read_events_stream, stream_hll_sink
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    d = tempfile.mkdtemp(prefix="shll_gate_")
+    src = f"{d}/src"
+    events.repartitionByRange(8, "ts", "event_id").write.parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    q = stream_hll_sink(
+        stream, col="user_id", by="event_type", p=10,
+        path=f"{d}/regs", checkpoint=f"{d}/ckpt",
+    )
+    q.awaitTermination()
+    est = hll_cardinality(
+        spark.read.parquet(f"{d}/regs"), p=10, by="event_type"
+    ).select("event_type", F.col("est").alias("est_distinct_users"))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    out = (
+        est.join(F.broadcast(exact), on="event_type")
+        .select("event_type", "est_distinct_users", "exact_distinct_users")
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # register dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def q_cm_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Count-Min sketch (ext/sketch.py): event-type frequencies
     estimated from a d=4 × w=512 counter table and returned beside the
@@ -5666,6 +5709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_purchase": q_asof_nearest_purchase,
         "hll_distinct_users": q_hll_distinct_users,
         "cm_event_type_counts": q_cm_event_type_counts,
+        "streaming_hll_users": q_streaming_hll_users,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
@@ -5856,6 +5900,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest_purchase": SQL_ASOF_NEAREST_PURCHASE,
         "hll_distinct_users": _sql_hll_distinct_users(),
         "cm_event_type_counts": _sql_cm_event_type_counts(),
+        "streaming_hll_users": _sql_hll_distinct_users(),
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,
         "vocab_encode_documents": SQL_VOCAB_ENCODE_DOCUMENTS,

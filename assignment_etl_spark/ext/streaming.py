@@ -332,6 +332,46 @@ def stream_upsert_sink(
     )
 
 
+def stream_hll_sink(
+    stream_df: DataFrame,
+    *,
+    col: str,
+    path: str,
+    checkpoint: str,
+    by: list[str] | str | None = None,
+    p: int = 10,
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming distinct-count maintenance: every micro-batch is
+    sketched (ext/sketch.hll_sketch) and MAX-merged into a persistent
+    register table — the mergeable-summary pattern that gives streaming
+    cardinalities without keyed state growth (state is ≤ 2^p rows per
+    group forever). Max-merge is idempotent, so a replayed batch
+    (foreachBatch's at-least-once window) cannot inflate the estimate —
+    exactly-once convergence without coordination, and the final
+    registers equal the one-shot batch sketch bit-for-bit regardless of
+    batch boundaries."""
+    import os
+
+    from assignment_etl_spark.ext.sketch import hll_merge, hll_sketch
+    from assignment_etl_spark.io.store import atomic_overwrite_parquet
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_sketch(batch_df, col, by=by, p=p)
+        if os.path.exists(path):
+            regs = hll_merge(spark.read.parquet(path), regs, by=by)
+            atomic_overwrite_parquet(regs.localCheckpoint(eager=True), path)
+        else:
+            regs.write.parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_query_once(
     stream_df: DataFrame,
     *,

@@ -78,3 +78,30 @@ def test_late_and_new_data_absorbed(spark, paths):
     _run(spark, src, state, ckpt)
     got = {r.user_id: r.event_type for r in spark.read.parquet(state).collect()}
     assert got == {1: "a", 2: "fresh"}
+
+
+def test_streaming_hll_matches_batch_and_restarts(spark, tmp_path):
+    """Register state after the streamed drain equals the one-shot batch
+    sketch; a checkpointed re-run changes nothing (max-merge idempotent)."""
+    from assignment_etl_spark.ext.sketch import hll_sketch
+    from assignment_etl_spark.ext.streaming import stream_hll_sink
+
+    df = _events(spark, [(e, e, e % 37, "t", 1.0) for e in range(200)])
+    src = str(tmp_path / "src")
+    df.repartitionByRange(4, "ts", "event_id").write.parquet(src)
+    regs_path, ckpt = str(tmp_path / "regs"), str(tmp_path / "ckpt")
+
+    def run():
+        schema = spark.read.parquet(src).schema
+        q = stream_hll_sink(
+            read_events_stream(spark, src, schema=schema),
+            col="user_id", p=8, path=regs_path, checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    run()
+    got = sorted(map(tuple, spark.read.parquet(regs_path).collect()))
+    batch = sorted(map(tuple, hll_sketch(df, "user_id", p=8).collect()))
+    assert got == batch
+    run()  # restart with same checkpoint: no new files → state unchanged
+    assert sorted(map(tuple, spark.read.parquet(regs_path).collect())) == batch
