@@ -111,3 +111,22 @@ def test_roundtrip_property():
             assert np.array_equal(decode_bmp(encode_bmp(px)), px)
 
     check()
+
+
+def test_bmp_top_down_rows():
+    """Negative height BMP = top-down row order; decoder must not flip."""
+    import struct
+
+    px = _pixels(3, 2, seed=9)
+    payload = bytearray(encode_bmp(px))
+    # rewrite height to -2 and body in top-down order
+    h = 2
+    struct.pack_into("<i", payload, 22, -h)
+    row_bytes = 3 * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    body = bytearray()
+    for y in range(h):  # top-down
+        body += px[y, :, ::-1].tobytes() + b"\x00" * pad
+    payload[14 + 40 :] = body
+    assert np.array_equal(decode_bmp(bytes(payload)), px)
