@@ -4099,6 +4099,111 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (ext/audiocodec.py): 24 clips are synthesized
+    from a closed-form int16 sample formula seeded by doc_id (even ids →
+    mono, odd → stereo; three sample rates; seven lengths), encoded to
+    real RIFF/WAVE PCM bytes, then decoded back by the pure-python codec
+    — chunk walk, PCM validation, interleave demux included. The gate
+    aggregates decoded rates/lengths and exact per-channel sample sums
+    and absolute sums; DuckDB recomputes the same sums analytically from
+    the generation formula, proving the decoder inverts the encoder
+    byte-for-byte. One Arrow crossing each way, no shuffle until the
+    2-row aggregate — the audio twin of image_decode_stats."""
+    import numpy as np
+    import pandas as pd
+
+    from assignment_etl_spark.ext.audiocodec import encode_wav
+    from assignment_etl_spark.ext.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("audio/wav").alias("mime"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                channels = 1 + i % 2
+                rate = 8000 * (1 + i % 3)
+                n = 120 + (i % 7) * 30
+                t = np.arange(n)[:, None]
+                c = np.arange(channels)[None, :]
+                s = ((t * (3 + 2 * c) + 7 * i) % 2003 - 1001).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": "audio",
+                        "mime": "audio/wav",
+                        "payload": encode_wav(s, sample_rate=rate),
+                        "meta": {},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "meta"]
+            )
+
+    media = sel.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    feats = extract_audio_features(media)  # default → REAL WAV codec
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("sample_rate").cast("long").alias("sum_rate"),
+            F.sum("n_samples").cast("long").alias("sum_samples"),
+            F.sum(F.col("feature")[0]).cast("long").alias("sum_s0"),
+            F.sum(F.col("feature")[1]).cast("long").alias("sum_s1"),
+            F.sum(F.col("feature")[2]).cast("long").alias("sum_abs0"),
+            F.sum(F.col("feature")[3]).cast("long").alias("sum_abs1"),
+        )
+        .orderBy("channels")
+    )
+
+
+# the oracle never sees the WAV bytes: it recomputes the decoded stats
+# analytically from the same closed-form sample formula, so a decoder bug
+# anywhere (chunk walk, interleave order, byte order, sign) breaks the hash
+SQL_AUDIO_DECODE_STATS = """
+WITH sel AS (
+  SELECT doc_id AS i,
+         1 + (doc_id % 2) AS channels,
+         8000 * (1 + (doc_id % 3)) AS rate,
+         120 + (doc_id % 7) * 30 AS n
+  FROM documents ORDER BY doc_id LIMIT 24),
+samp AS (
+  SELECT s.i, s.channels, tc.c,
+         ((tt.t * (3 + 2 * tc.c) + 7 * s.i) % 2003) - 1001 AS v
+  FROM sel s, range(0, 330) tt(t), range(0, 2) tc(c)
+  WHERE tt.t < s.n AND tc.c < s.channels),
+chan AS (
+  SELECT channels,
+         CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_s0,
+         CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_s1,
+         CAST(sum(CASE WHEN c = 0 THEN abs(v) ELSE 0 END) AS BIGINT) AS sum_abs0,
+         CAST(sum(CASE WHEN c = 1 THEN abs(v) ELSE 0 END) AS BIGINT) AS sum_abs1
+  FROM samp GROUP BY channels),
+dims AS (
+  SELECT channels, count(*) AS n_clips,
+         CAST(sum(rate) AS BIGINT) AS sum_rate,
+         CAST(sum(n) AS BIGINT) AS sum_samples
+  FROM sel GROUP BY channels)
+SELECT channels, n_clips, sum_rate, sum_samples,
+       sum_s0, sum_s1, sum_abs0, sum_abs1
+FROM dims JOIN chan USING (channels)
+ORDER BY channels
+"""
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable HLL (ext/sketch.py): per-event-type register
     sketch of user_id (p=10) → cardinality estimate, returned next to
@@ -4263,6 +4368,99 @@ SELECT event_type, est_n,
 FROM est JOIN (SELECT event_type, count(*) AS exact_n
                FROM events GROUP BY 1) x USING (event_type)
 ORDER BY event_type
+"""
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning (ext/sketch.py bloom_build /
+    bloom_prune): build a 4096-bit, k=3 filter over BUILDING-segment
+    customer keys (one ≤66-row bit_or aggregate), collapse it to a
+    one-row word→bits map, broadcast it, and prune orders in a pure
+    codegen projection — the fact table is never shuffled and never
+    row-joined, the runtime-filter shape that cuts shuffle volume ahead
+    of a big join at 100 TB. The oracle replays the ENTIRE filter —
+    portable hash rounds, 62-bit word packing, bit_or bitmap, k-bit
+    membership test — so the candidate count (exact count + false
+    positives) is hash-certified, not just the exact side. No false
+    negatives by construction: n_candidates ≥ n_exact always."""
+    from assignment_etl_spark.ext.sketch import bloom_build, bloom_prune
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    members = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    sk = bloom_build(members, "key", m_bits=4096, k=3)
+    cand = bloom_prune(orders, "o_custkey", sk, m_bits=4096, k=3)
+    exact = orders.join(
+        F.broadcast(members.withColumnRenamed("key", "o_custkey")),
+        on="o_custkey",
+        how="left_semi",
+    )
+    t = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        t.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(e))
+        .select(
+            "n_orders",
+            "n_candidates",
+            "n_exact",
+            (F.col("n_candidates") - F.col("n_exact")).alias("n_false_positive"),
+        )
+    )
+
+
+def _sql_bloom_join_prune() -> str:
+    from assignment_etl_spark.ext.sketch import BLOOM_SALT_STEP, WORD_BITS
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    m_bits, k = 4096, 3
+
+    def chain(e: str) -> str:
+        h1 = f"((({e}) % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+        h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+        h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+        h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+        return f"({h4}) % {m_bits}"
+
+    pos = chain(f"key + r * {BLOOM_SALT_STEP}")
+    return f"""
+WITH members AS (
+  SELECT DISTINCT c_custkey AS key FROM customer
+  WHERE c_mktsegment = 'BUILDING'),
+mpos AS (
+  SELECT {pos} AS pos FROM members, range(0, {k}) t(r)),
+words AS (
+  SELECT CAST(pos // {WORD_BITS} AS INT) AS word,
+         bit_or(1::BIGINT << CAST(pos % {WORD_BITS} AS INT)) AS bits
+  FROM mpos GROUP BY 1),
+okeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+kwm AS (
+  SELECT key,
+         CAST(pos // {WORD_BITS} AS INT) AS word,
+         1::BIGINT << CAST(pos % {WORD_BITS} AS INT) AS mask
+  FROM (SELECT key, {pos} AS pos
+        FROM okeys, range(0, {k}) t(r)) q),
+chk AS (
+  SELECT key,
+         sum(CASE WHEN (COALESCE(bits, 0) & mask) = mask
+                  THEN 1 ELSE 0 END) AS hits
+  FROM kwm LEFT JOIN words USING (word) GROUP BY key),
+counts AS (
+  SELECT count(*) AS n_orders,
+         count(*) FILTER (
+           WHERE o_custkey IN (SELECT key FROM chk WHERE hits = {k})
+         ) AS n_candidates,
+         count(*) FILTER (
+           WHERE o_custkey IN (SELECT key FROM members)
+         ) AS n_exact
+  FROM orders)
+SELECT n_orders, n_candidates, n_exact,
+       n_candidates - n_exact AS n_false_positive
+FROM counts
 """
 
 
@@ -5697,6 +5895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_head": q_vocab_head,
         # -- new round-4 gates (inserted as built)
         "image_decode_stats": q_image_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
@@ -5709,6 +5908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_purchase": q_asof_nearest_purchase,
         "hll_distinct_users": q_hll_distinct_users,
         "cm_event_type_counts": q_cm_event_type_counts,
+        "bloom_join_prune": q_bloom_join_prune,
         "streaming_hll_users": q_streaming_hll_users,
         # -- r3-certified entries fill the rest of the 50-prefix
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -5888,6 +6088,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
         "scatter_sample_orders": _sql_scatter_sample_orders(),
         "image_decode_stats": SQL_IMAGE_DECODE_STATS,
+        "audio_decode_stats": SQL_AUDIO_DECODE_STATS,
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
@@ -5900,6 +6101,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest_purchase": SQL_ASOF_NEAREST_PURCHASE,
         "hll_distinct_users": _sql_hll_distinct_users(),
         "cm_event_type_counts": _sql_cm_event_type_counts(),
+        "bloom_join_prune": _sql_bloom_join_prune(),
         "streaming_hll_users": _sql_hll_distinct_users(),
         "perplexity_top_docs": SQL_PERPLEXITY_TOP_DOCS,
         "vocab_head": SQL_VOCAB_HEAD,

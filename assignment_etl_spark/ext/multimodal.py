@@ -14,8 +14,10 @@ metadata; ``repartition_for_media`` targets ~128 MB of payload per task so
 decode tasks are balanced regardless of file skew — sized from plan
 statistics or caller-supplied stats, never by running a job at plan time.
 ``frame_sample`` is a real byte-stride frame sampler (one Arrow crossing,
-no shuffle); only the image/audio *codec* remains a documented
-deterministic fake, swappable via ``decode_fn``.
+no shuffle). Real codecs: PNG/BMP (``ext.imagecodec``) and WAV PCM
+(``ext.audiocodec``, via ``extract_audio_features``); only formats that
+need out-of-container libraries (JPEG, MP3, video codecs) remain a
+documented deterministic fake, swappable via ``decode_fn``.
 """
 
 from __future__ import annotations
@@ -104,6 +106,75 @@ def extract_features(
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        # [sum(ch0), sum(ch1), sum(|ch0|), sum(|ch1|)] — exact int sums
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def auto_decode_audio(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Default audio decoder: REAL parse for WAV payloads (magic-sniffed,
+    ``ext.audiocodec`` — chunk walk, PCM validation, interleave demux),
+    deterministic fake for everything else (MP3/FLAC need out-of-container
+    libraries). The fake derives (rate, channels, n, feature) from the
+    payload hash so tests stay reproducible."""
+    import hashlib as _hl
+
+    from assignment_etl_spark.ext.audiocodec import decode_audio, sniff_wav
+
+    if sniff_wav(payload):
+        return decode_audio(payload)
+    digest = _hl.sha256(payload).digest()
+    rate = 8000 * (1 + digest[0] % 3)
+    channels = 1 + digest[1] % 2
+    n = 64 + digest[2]
+    feat = np.frombuffer(digest[:4], dtype=np.uint8).astype(np.float64)
+    return rate, channels, n, feat
+
+
+def extract_audio_features(
+    media: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], tuple[int, int, int, np.ndarray]] = auto_decode_audio,
+) -> DataFrame:
+    """Decode + featurize audio rows via Arrow-batched mapInPandas — the
+    audio twin of :func:`extract_features` (same one-crossing, no-shuffle
+    shape; run after ``repartition_for_media`` for byte-balanced tasks)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                rate, channels, n, feat = decode_fn(payload)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        "sample_rate": int(rate),
+                        "channels": int(channels),
+                        "n_samples": int(n),
+                        "feature": feat.tolist(),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(process, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def repartition_for_media(

@@ -237,6 +237,83 @@ def cm_estimate(
     )
 
 
+# ------------------------------------------------------------ Bloom
+
+BLOOM_SALT_STEP = 104729  # distinct LCG salt per hash round (≠ CM's step)
+WORD_BITS = 62  # bits packed per int64 word; 62 keeps every mask and
+# every bit_or of masks strictly positive (< 2^62), so Spark and DuckDB
+# never disagree about sign-bit shifts
+
+
+def _bloom_pos(h: Column, r: int, m_bits: int) -> Column:
+    return F.pmod(portable_hash_int(h, salt=r * BLOOM_SALT_STEP), F.lit(m_bits))
+
+
+def _bloom_word_mask(pos: Column) -> tuple[Column, Column]:
+    word = F.floor(pos / F.lit(WORD_BITS)).cast("int")
+    mask = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        F.pmod(pos, F.lit(WORD_BITS)).cast("int"),
+    )
+    return word, mask
+
+
+def bloom_build(
+    df: DataFrame, col: str, *, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Bloom filter as a DataFrame of (word, bits): k portable hash
+    rounds set k bits in an m_bits-wide bitmap packed 62 bits per int64
+    word via a ``bit_or`` aggregate. One projection + one ≤⌈m/62⌉-row
+    groupBy no matter how large the build side — the mergeable-summary
+    shape (``bloom_merge`` = union + bit_or) that lets a 1000-executor
+    job build per-partition filters and OR them on the driver side of a
+    runtime-filter exchange. No false negatives ever; false-positive
+    rate ≈ (1 − e^(−k·n/m))^k."""
+    h = _item_hash(df, col)
+    entries = []
+    for r in range(k):
+        word, mask = _bloom_word_mask(_bloom_pos(h, r, m_bits))
+        entries.append(F.struct(word.alias("word"), mask.alias("mask")))
+    return (
+        df.select(F.explode(F.array(*entries)).alias("_wm"))
+        .groupBy(F.col("_wm.word").alias("word"))
+        .agg(F.bit_or(F.col("_wm.mask")).alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge filters built with the same (m_bits, k): union + bit_or —
+    associative and commutative, the same incremental-maintenance
+    contract as ``hll_merge``/``cm_merge``."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_prune(
+    df: DataFrame, col: str, sketch: DataFrame, *, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``col`` MIGHT be in the set the
+    sketch was built from (supersets the exact semi-join; drops only
+    guaranteed non-members). The sketch collapses to ONE row holding a
+    word→bits map, crossJoin-broadcast to every task, so membership is a
+    pure codegen projection — the fact table is never shuffled and never
+    joined row-per-row, exactly the runtime-filter shape that cuts
+    shuffle volume ahead of a big join at 100 TB. Absent words read as
+    0 via coalesce, so an empty build side prunes everything."""
+    one = sketch.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("_bloom")
+    )
+    h = _item_hash(df, col)
+    cond = F.lit(True)
+    for r in range(k):
+        word, mask = _bloom_word_mask(_bloom_pos(h, r, m_bits))
+        bits = F.coalesce(
+            F.element_at(F.col("_bloom"), word), F.lit(0).cast("long")
+        )
+        cond = cond & (bits.bitwiseAND(mask) == mask)
+    return df.crossJoin(F.broadcast(one)).filter(cond).drop("_bloom")
+
+
 def hll_intersection_estimate(
     a: DataFrame,
     b: DataFrame,

@@ -124,6 +124,78 @@ def test_cm_absent_item_is_zero_or_collision(spark):
     assert est == 0  # w=512 with one true key: no collision possible
 
 
+def test_bloom_no_false_negatives(spark):
+    from assignment_etl_spark.ext.sketch import bloom_build, bloom_prune
+
+    members = spark.range(0, 300).select(F.col("id").alias("k"))
+    sk = bloom_build(members, "k", m_bits=4096, k=3)
+    kept = bloom_prune(members, "k", sk, m_bits=4096, k=3)
+    assert kept.count() == 300  # every member must survive the prune
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    from assignment_etl_spark.ext.sketch import bloom_build, bloom_prune
+
+    members = spark.range(0, 300).select(F.col("id").alias("k"))
+    sk = bloom_build(members, "k", m_bits=4096, k=3)
+    probes = spark.range(10_000, 14_000).select(F.col("id").alias("k"))
+    fp = bloom_prune(probes, "k", sk, m_bits=4096, k=3).count()
+    # (1 - e^(-3*300/4096))^3 ≈ 0.8% → expect ~31 of 4000; allow 4x
+    assert fp < 150, fp
+
+
+def test_bloom_merge_equals_full(spark):
+    from assignment_etl_spark.ext.sketch import bloom_build, bloom_merge
+
+    a = spark.range(0, 200).select(F.col("id").alias("k"))
+    b = spark.range(150, 400).select(F.col("id").alias("k"))
+    merged = bloom_merge(bloom_build(a, "k"), bloom_build(b, "k"))
+    full = bloom_build(a.unionByName(b), "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    swapped = bloom_merge(bloom_build(b, "k"), bloom_build(a, "k"))
+    assert sorted(map(tuple, swapped.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_bloom_words_positive_and_bounded(spark):
+    from assignment_etl_spark.ext.sketch import WORD_BITS, bloom_build
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    rows = bloom_build(members, "k", m_bits=4096, k=3).collect()
+    n_words = (4096 + WORD_BITS - 1) // WORD_BITS
+    assert all(0 <= r.word < n_words for r in rows)
+    assert all(0 < r.bits < (1 << WORD_BITS) for r in rows)
+
+
+def test_bloom_empty_build_prunes_everything(spark):
+    from assignment_etl_spark.ext.sketch import bloom_build, bloom_prune
+
+    members = spark.range(0, 10).filter(F.col("id") < 0).select(
+        F.col("id").alias("k")
+    )
+    sk = bloom_build(members, "k")
+    probes = spark.range(0, 50).select(F.col("id").alias("k"))
+    assert bloom_prune(probes, "k", sk).count() == 0
+
+
+def test_bloom_string_keys(spark):
+    from assignment_etl_spark.ext.sketch import bloom_build, bloom_prune
+
+    members = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "k string"
+    )
+    sk = bloom_build(members, "k", m_bits=1024, k=3)
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("delta",), ("epsilon",)],
+        "k string",
+    )
+    kept = {r.k for r in bloom_prune(probes, "k", sk, m_bits=1024, k=3).collect()}
+    assert {"alpha", "beta", "gamma"} <= kept  # no false negatives
+
+
 def test_hll_intersection_estimate(spark):
     from assignment_etl_spark.ext.sketch import hll_intersection_estimate
 
