@@ -4099,6 +4099,91 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_keyword_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index retrieval (ext/invindex.py): build (term, postings,
+    df) with one explode + one term-keyed groupBy (text never shuffles),
+    then resolve the conjunctive query spark AND merge AND window from
+    the index alone — 3 index rows exploded, cost independent of corpus
+    size. The oracle recomputes matches by direct tokenization, so the
+    gate proves index build + query rewrite end-to-end. Scale: max_df
+    pruning bounds stopword posting lists; the per-query slice is
+    broadcast-sized."""
+    from assignment_etl_spark.ext.invindex import build_inverted_index, conjunctive_search
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    hits = conjunctive_search(idx, ["spark", "merge", "window"])
+    return (
+        docs.join(hits, on="doc_id", how="left_semi")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_KEYWORD_SEARCH_INDEX = r"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents),
+pairs AS (SELECT DISTINCT doc_id, term FROM raw WHERE term <> ''),
+hits AS (
+  SELECT doc_id FROM pairs
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id HAVING count(*) = 3)
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (ext/privacy.py): k-anonymity + l-diversity of
+    customers under quasi-identifiers (market segment, nation,
+    2000-wide balance band) with the trailing customer-name digit as
+    the stand-in sensitive attribute. One hash aggregate builds the class table; a
+    tiny explode fans it to per-k report rows (k ∈ {2,5,10}, l=3) — no
+    per-k rescan, linear at 100 TB because the class table is bounded by
+    the quasi domain, not row count. Fully SQL-replayable, so the oracle
+    certifies class sizes, violation counts, and diversity counts."""
+    from assignment_etl_spark.ext.privacy import anonymity_report, generalize_num
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", generalize_num("c_acctbal", 2000)
+    ).withColumn("sens", F.substring("c_name", -1, 1))
+    return anonymity_report(
+        customer,
+        ["c_mktsegment", "c_nationkey", "bal_band"],
+        ks=[2, 5, 10],
+        sensitive="sens",
+        l=3,
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = """
+WITH cls AS (
+  SELECT c_mktsegment, c_nationkey,
+         floor(c_acctbal / 2000) * 2000 AS bal_band,
+         count(*) AS class_size,
+         count(DISTINCT substr(c_name, -1, 1)) AS n_sensitive
+  FROM customer GROUP BY 1, 2, 3),
+fan AS (
+  SELECT t.k, class_size, n_sensitive
+  FROM cls, unnest([2, 5, 10]) t(k))
+SELECT k,
+       count(*) AS n_classes,
+       CAST(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_rows_below,
+       CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_low_diversity,
+       CAST(sum(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_rows_low_diversity
+FROM fan GROUP BY k ORDER BY k
+"""
+
+
 def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (ext/audiocodec.py): 24 clips are synthesized
     from a closed-form int16 sample formula seeded by doc_id (even ids →
@@ -5896,6 +5981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-4 gates (inserted as built)
         "image_decode_stats": q_image_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "keyword_search_index": q_keyword_search_index,
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
@@ -6089,6 +6176,8 @@ def oracle_sql() -> dict[str, str]:
         "scatter_sample_orders": _sql_scatter_sample_orders(),
         "image_decode_stats": SQL_IMAGE_DECODE_STATS,
         "audio_decode_stats": SQL_AUDIO_DECODE_STATS,
+        "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
+        "keyword_search_index": SQL_KEYWORD_SEARCH_INDEX,
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,

@@ -1,0 +1,116 @@
+"""Privacy auditing for training-data curation: k-anonymity and
+l-diversity over quasi-identifier columns, plus suppression enforcement.
+
+A record is k-anonymous w.r.t. a set of quasi-identifiers (the columns an
+adversary could link on — region, demographic bucket, coarse location) if
+at least k records share its full quasi-identifier combination; a class
+is l-diverse if it contains at least l distinct values of a sensitive
+column. Both reduce to ONE hash aggregate on the quasi keys — the class
+table is tiny relative to the data (bounded by the quasi domain, not row
+count), so the audit scales linearly and the per-row flag join broadcasts
+class verdicts when the class table is small, or shuffles on the same
+quasi keys (co-partitioned with the aggregate) when it isn't.
+
+Reference parity note: the reference repo has no privacy surface; this
+module is part of the training-data-pipeline layer built beyond reference
+scope (PII detect/redact lives in ext/text.py; this is the linkage-risk
+complement).
+
+Typical flow: ``generalize_num`` coarsens numeric identifiers →
+``anonymity_classes`` computes class sizes + sensitive diversity →
+``anonymity_report`` summarizes violations per k →
+``suppress_below_k`` drops rows whose class is too small (the standard
+suppression remedy; generalizing further is the alternative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def generalize_num(col: Column | str, width: float) -> Column:
+    """Coarsen a numeric column to its bucket floor (e.g. age → decade,
+    balance → 1000-wide band) — the generalization step that trades
+    precision for larger anonymity classes. Deterministic and
+    SQL-replayable: floor(x / width) * width."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / F.lit(width)) * F.lit(width)).cast("double")
+
+
+def anonymity_classes(
+    df: DataFrame,
+    quasi: list[str],
+    *,
+    sensitive: str | None = None,
+) -> DataFrame:
+    """(quasi..., class_size[, n_sensitive]) — one row per equivalence
+    class. One hash aggregate; with ``sensitive`` set, adds the distinct
+    sensitive-value count that l-diversity checks against."""
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive is not None:
+        aggs.append(F.countDistinct(sensitive).alias("n_sensitive"))
+    return df.groupBy(*quasi).agg(*aggs)
+
+
+def anonymity_report(
+    df: DataFrame,
+    quasi: list[str],
+    *,
+    ks: list[int] = (2, 5, 10),
+    sensitive: str | None = None,
+    l: int = 3,
+) -> DataFrame:
+    """One row per k in ``ks``: how far the table is from k-anonymity
+    (and, with ``sensitive``, from l-diversity at the given ``l``).
+
+    Columns: k, n_classes, n_classes_below, n_rows_below[,
+    n_classes_low_diversity, n_rows_low_diversity]. The class table is
+    aggregated once and fanned out to the |ks| report rows via a tiny
+    explode — no per-k rescan of the data."""
+    classes = anonymity_classes(df, quasi, sensitive=sensitive)
+    fanned = classes.select(
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
+        "class_size",
+        *(["n_sensitive"] if sensitive is not None else []),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0)).alias(
+            "n_classes_below"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(0)
+        ).alias("n_rows_below"),
+    ]
+    if sensitive is not None:
+        aggs += [
+            F.sum(F.when(F.col("n_sensitive") < l, 1).otherwise(0)).alias(
+                "n_classes_low_diversity"
+            ),
+            F.sum(
+                F.when(F.col("n_sensitive") < l, F.col("class_size")).otherwise(0)
+            ).alias("n_rows_low_diversity"),
+        ]
+    return fanned.groupBy("k").agg(*aggs).orderBy("k")
+
+
+def flag_below_k(df: DataFrame, quasi: list[str], k: int) -> DataFrame:
+    """Append ``class_size`` and ``is_k_anonymous`` per row via a count
+    window over the quasi keys — one shuffle, no join, keeps every input
+    column (the audit-not-mutate shape quality.py uses)."""
+    w = Window.partitionBy(*quasi)
+    return df.withColumn("class_size", F.count(F.lit(1)).over(w)).withColumn(
+        "is_k_anonymous", F.col("class_size") >= k
+    )
+
+
+def suppress_below_k(df: DataFrame, quasi: list[str], k: int) -> DataFrame:
+    """Drop rows whose quasi-identifier class has fewer than k members —
+    the suppression remedy. Same single-shuffle window as flag_below_k."""
+    return (
+        flag_below_k(df, quasi, k)
+        .filter(F.col("is_k_anonymous"))
+        .drop("class_size", "is_k_anonymous")
+    )
