@@ -4099,6 +4099,162 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (ext/graph.py) over the event-type
+    transition graph (edge u→v when some user's event of type u is
+    immediately followed by type v; lag window ordered by ts,event_id).
+    Three synchronous iterations, each a join-on-src + aggregate-on-dst
+    pair — O(|E|) per iteration, the Pregel dataflow in joins. Rank
+    arithmetic follows the decimal-sum determinism policy (per-edge
+    contribution rounded in double then summed as decimal), so the
+    oracle replays all three unrolled iterations to the exact same
+    digits — a cross-engine-certified iterative algorithm."""
+    from pyspark.sql.window import Window as W
+
+    from assignment_etl_spark.ext.graph import pagerank
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("prev", F.lag("event_type").over(w))
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3)
+    return ranks.select(
+        "node", F.round(F.col("rank").cast("double"), 6).alias("rank")
+    ).orderBy("node")
+
+
+def _sql_pagerank_event_graph() -> str:
+    """Unrolled 3-iteration replica: same decimal(28,12) contract,
+    including the cast-before-add that keeps precision under 38."""
+    dec = "DECIMAL(28,12)"
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+edges AS (
+  SELECT DISTINCT prev AS src, event_type AS dst
+  FROM seq WHERE prev IS NOT NULL),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outd AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node,
+         CAST(round(CAST(1.0 AS DOUBLE) / n, 12) AS {dec}) AS rank
+  FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, 4):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(round(CAST(r.rank AS DOUBLE) * 0.85 / o.out_deg, 12)
+              AS {dec}) AS contrib
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN outd o ON e.src = o.src),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(CAST(COALESCE(sum(c{i}.contrib), 0) AS {dec})
+              + CAST(round(CAST(0.15 AS DOUBLE) / nn.n, 12) AS {dec})
+              AS {dec}) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{i} ON nodes.node = c{i}.node
+  GROUP BY nodes.node, nn.n)"""
+        )
+    parts.append(
+        """
+SELECT node, round(CAST(rank AS DOUBLE), 6) AS rank
+FROM r3 ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage (ops/linkage.py): a dirty registry is
+    synthesized from customer names by deterministic perturbations
+    (key%3==0 → drop the 'o' of 'Customer', key%3==1 → '#'→'-', else
+    unchanged), then linked back to the clean table with a
+    suffix-of-6 block + levenshtein ≤ 1 — the blocking makes the join an
+    equi-join on a near-unique key, so cost stays linear while the edit
+    distance runs only inside blocks (never all-pairs; see
+    block_profile). The gate groups match results by perturbation class
+    and also counts wrong-entity links (0 by construction: the suffix
+    block is unique per key). Fully SQL-replayable including
+    levenshtein, present in both engines."""
+    from assignment_etl_spark.ops.linkage import block_suffix, fuzzy_join
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    clean = customer.select(
+        F.col("c_custkey").alias("c_key"), F.col("c_name").alias("c_nm")
+    )
+    dirty = customer.select(
+        F.col("c_custkey").alias("d_key"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("Custmer"), F.substring("c_name", 9, 64)),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.translate("c_name", "#", "-"))
+        .otherwise(F.col("c_name"))
+        .alias("d_nm"),
+    )
+    matched = fuzzy_join(
+        dirty,
+        clean,
+        "d_nm",
+        "c_nm",
+        left_block=block_suffix("d_nm", 6),
+        right_block=block_suffix("c_nm", 6),
+        max_dist=1,
+    )
+    return (
+        matched.groupBy((F.col("d_key") % 3).alias("pclass"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).alias("n_one_edit"),
+            F.sum(F.when(F.col("d_key") != F.col("c_key"), 1).otherwise(0)).alias(
+                "n_wrong_entity"
+            ),
+        )
+        .orderBy("pclass")
+    )
+
+
+SQL_FUZZY_MATCH_CUSTOMERS = """
+WITH dirty AS (
+  SELECT c_custkey AS d_key,
+         CASE WHEN c_custkey % 3 = 0
+                THEN 'Custmer' || substr(c_name, 9, 64)
+              WHEN c_custkey % 3 = 1
+                THEN replace(c_name, '#', '-')
+              ELSE c_name END AS d_nm
+  FROM customer),
+clean AS (SELECT c_custkey AS c_key, c_name AS c_nm FROM customer),
+m AS (
+  SELECT d_key, c_key, levenshtein(d_nm, c_nm) AS dist
+  FROM dirty JOIN clean
+    ON substr(d_nm, -6, 6) = substr(c_nm, -6, 6)
+  WHERE levenshtein(d_nm, c_nm) <= 1)
+SELECT d_key % 3 AS pclass,
+       count(*) AS n_matched,
+       CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_one_edit,
+       CAST(sum(CASE WHEN d_key <> c_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wrong_entity
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_keyword_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index retrieval (ext/invindex.py): build (term, postings,
     df) with one explode + one term-keyed groupBy (text never shuffles),
@@ -5983,6 +6139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "k_anonymity_audit": q_k_anonymity_audit,
         "keyword_search_index": q_keyword_search_index,
+        "fuzzy_match_customers": q_fuzzy_match_customers,
+        "pagerank_event_graph": q_pagerank_event_graph,
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
@@ -6178,6 +6336,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode_stats": SQL_AUDIO_DECODE_STATS,
         "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
         "keyword_search_index": SQL_KEYWORD_SEARCH_INDEX,
+        "fuzzy_match_customers": SQL_FUZZY_MATCH_CUSTOMERS,
+        "pagerank_event_graph": _sql_pagerank_event_graph(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,

@@ -1,0 +1,113 @@
+"""Graph analytics over edge-list DataFrames: fixed-iteration PageRank.
+
+The graph is a plain (src, dst) DataFrame — no graph library, no RDDs.
+Each PageRank iteration is the classic pair of relational ops: join
+ranks to edges (shuffle on src, co-partitioned with the out-degree
+table) and aggregate contributions by dst (shuffle on dst). Work per
+iteration is O(|E|), exactly the Pregel dataflow expressed in joins —
+this scales to any edge count Spark can shuffle; for deep iteration
+counts pass ``checkpoint_every`` to truncate the growing lineage (the
+standard iterative-algorithm hygiene on a real cluster).
+
+Determinism contract (the repo's decimal-sum policy, same as ext/lm.py):
+each per-edge contribution is computed in double — one expression, no
+accumulation, bit-identical in any IEEE-754 engine — then rounded to
+``scale`` decimals and cast to decimal before the per-node sum, so the
+sum is exact and independent of partitioning/order. Ranks therefore
+hash-match an independent SQL engine replaying the same unrolled
+iterations. Variant note: dangling-node mass is NOT redistributed (it
+leaks, as in the original sum formulation); ranks then sum to < 1 when
+sinks exist, which is fine for ranking and keeps both engines trivially
+aligned.
+
+Reference parity note: the reference repo has no graph surface; built
+for the training-data curation layer (e.g. domain-graph authority
+scoring for web-corpus filtering, the CommonCrawl curation pattern).
+Connected components for dedup clustering live in ext/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_deg, in_deg) over a (src, dst) edge list."""
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out.join(inn, on="node", how="full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping: float = DAMPING,
+    scale: int = 12,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous iterations from the
+    uniform start: rank'(v) = (1-d)/N + d·Σ_{u→v} rank(u)/out_deg(u).
+
+    All rank arithmetic follows the decimal-sum determinism policy (see
+    module docstring). N is carried as a 1-row broadcast, never a driver
+    scalar."""
+    dec = f"decimal(28,{scale})"
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.round(F.lit(1.0 - damping) / F.col("n"), scale).cast(dec)
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("n"), scale).cast(dec).alias("rank"),
+    )
+    for i in range(iters):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), on="src")
+            .join(out_deg, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.col("rank").cast("double") * F.lit(damping) / F.col("out_deg"),
+                    scale,
+                )
+                .cast(dec)
+                .alias("contrib"),
+            )
+        )
+        ranks = (
+            nodes.join(contribs, on="node", how="left")
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("_s"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                # sum(decimal(28,12)) widens to (38,12); cast back down
+                # BEFORE the add — (38,12)+(28,12) would exceed precision
+                # 38 and make Spark silently shave the scale to 11
+                (F.coalesce(F.col("_s").cast(dec), F.lit(0).cast(dec)) + base)
+                .cast(dec)
+                .alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

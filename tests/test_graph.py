@@ -1,0 +1,68 @@
+"""PageRank (ext/graph.py): fixed-point sanity on known graphs, decimal
+determinism, dangling variant semantics."""
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.graph import degrees, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_symmetric_cycle_stays_uniform(spark):
+    # a→b→c→a: uniform 1/3 is the exact fixed point, so 3 iterations
+    # must return (1-d)/3 + d*(1/3) = 1/3 at every node
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = {r.node: r.rank for r in pagerank(e, iters=3).collect()}
+    third = Decimal("0.333333333333")
+    assert set(got) == {"a", "b", "c"}
+    for v in got.values():
+        assert abs(v - third) <= Decimal("0.000000000002"), got
+
+
+def test_hub_receives_more_rank(spark):
+    # star into 'hub': hub must outrank every leaf; leaves equal by symmetry
+    e = _edges(
+        spark,
+        [("x", "hub"), ("y", "hub"), ("z", "hub"), ("hub", "x")],
+    )
+    got = {r.node: r.rank for r in pagerank(e, iters=3).collect()}
+    assert got["hub"] > got["x"]
+    assert got["y"] == got["z"]  # exact equality: decimal arithmetic
+
+
+def test_deterministic_across_partitionings(spark):
+    import random
+
+    pairs = [
+        (f"n{random.Random(i).randrange(20)}", f"n{random.Random(i + 999).randrange(20)}")
+        for i in range(200)
+    ]
+    e1 = _edges(spark, pairs).repartition(1)
+    e2 = _edges(spark, pairs).repartition(13)
+    r1 = sorted(map(tuple, pagerank(e1, iters=3).collect()))
+    r2 = sorted(map(tuple, pagerank(e2, iters=3).collect()))
+    assert r1 == r2  # decimal sums: partitioning cannot change results
+
+
+def test_dangling_mass_leaks_by_design(spark):
+    # b is a sink: total rank < 1 after an iteration (documented variant)
+    e = _edges(spark, [("a", "b")])
+    total = pagerank(e, iters=2).agg(F.sum("rank")).first()[0]
+    assert total < 1
+
+
+def test_degrees(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    got = {r.node: (r.out_deg, r.in_deg) for r in degrees(e).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+def test_checkpoint_every_preserves_values(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    plain = sorted(map(tuple, pagerank(e, iters=4).collect()))
+    ck = sorted(map(tuple, pagerank(e, iters=4, checkpoint_every=2).collect()))
+    assert plain == ck

@@ -1,0 +1,89 @@
+"""Blocked fuzzy join (ops/linkage.py): within-block matching, distance
+threshold, blocking trade-offs, block profiling."""
+
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ops.linkage import (
+    block_prefix_length,
+    block_profile,
+    block_suffix,
+    fuzzy_join,
+)
+
+
+def _frames(spark):
+    clean = spark.createDataFrame(
+        [(1, "alpha-0001"), (2, "gamma-0002"), (3, "delta-0003")],
+        "c_id long, c_name string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "alpha-0001"),   # exact
+            (11, "gama-0002"),    # 1 deletion
+            (12, "delt-0003"),    # 1 deletion
+            (13, "omega-0009"),   # no counterpart
+        ],
+        "d_id long, d_name string",
+    )
+    return clean, dirty
+
+
+def test_fuzzy_join_suffix_block(spark):
+    clean, dirty = _frames(spark)
+    got = fuzzy_join(
+        dirty,
+        clean,
+        "d_name",
+        "c_name",
+        left_block=block_suffix("d_name", 5),
+        right_block=block_suffix("c_name", 5),
+        max_dist=1,
+    )
+    pairs = {(r.d_id, r.c_id, r.dist) for r in got.collect()}
+    assert pairs == {(10, 1, 0), (11, 2, 1), (12, 3, 1)}
+
+
+def test_max_dist_zero_is_exact(spark):
+    clean, dirty = _frames(spark)
+    got = fuzzy_join(
+        dirty, clean, "d_name", "c_name",
+        left_block=block_suffix("d_name", 5),
+        right_block=block_suffix("c_name", 5),
+        max_dist=0,
+    )
+    assert {r.d_id for r in got.collect()} == {10}
+
+
+def test_blocking_excludes_cross_block_pairs(spark):
+    # 'zlpha-9999' is distance 1 from nothing in its block: blocking is a
+    # recall trade-off, documented — the pair (alpha-0001, alpha-9999)
+    # would be within dist 4 but lands in another block and is never
+    # compared.
+    clean = spark.createDataFrame([(1, "alpha-0001")], "c_id long, c_name string")
+    dirty = spark.createDataFrame([(9, "alpha-9999")], "d_id long, d_name string")
+    got = fuzzy_join(
+        dirty, clean, "d_name", "c_name",
+        left_block=block_suffix("d_name", 5),
+        right_block=block_suffix("c_name", 5),
+        max_dist=4,
+    )
+    assert got.count() == 0
+
+
+def test_prefix_length_block(spark):
+    df = spark.createDataFrame(
+        [("customer-x",), ("customer-xy",), ("supplier-a",)], "s string"
+    )
+    blocks = {
+        r.b for r in df.select(block_prefix_length("s", 4, length_width=4).alias("b")).collect()
+    }
+    # 'customer-x' (10) and 'customer-xy' (11) share floor(len/4)=2 → same block
+    assert blocks == {"cust|2", "supp|2"}
+
+
+def test_block_profile_quadratic_audit(spark):
+    df = spark.createDataFrame([("a",)] * 4 + [("b",)] * 2, "s string")
+    prof = block_profile(df, F.col("s")).first()
+    assert prof.n_blocks == 2
+    assert prof.max_block == 4
+    assert prof.sum_sq == 16 + 4
