@@ -4099,6 +4099,195 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (ext/videocodec.py): 24 Y4M clips are
+    synthesized from a closed-form plane formula seeded by doc_id (four
+    widths, three heights, 2-4 frames), encoded to real YUV4MPEG2 bytes
+    (header tags, FRAME markers, planar 4:2:0), then decoded back by the
+    pure-python codec. The gate aggregates decoded dimensions and exact
+    per-plane pixel sums by frame count; DuckDB recomputes the sums
+    analytically from the generation formula, proving decode inverts
+    encode byte-for-byte — completing the real-codec trio
+    (image/audio/video). One Arrow crossing each way."""
+    import numpy as np
+    import pandas as pd
+
+    from assignment_etl_spark.ext.multimodal import MEDIA_SCHEMA, extract_video_features
+    from assignment_etl_spark.ext.videocodec import encode_y4m
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("video/x-y4m").alias("mime"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                w, h, nf = 8 + 2 * (i % 4), 6 + 2 * (i % 3), 2 + i % 3
+                ys, xs = np.mgrid[0:h, 0:w]
+                cys, cxs = np.mgrid[0 : h // 2, 0 : w // 2]
+                frames = [
+                    (
+                        ((xs * 5 + ys * 9 + t * 11 + i) % 256).astype(np.uint8),
+                        ((cxs * 3 + cys * 7 + t * 13 + 2 * i) % 256).astype(np.uint8),
+                        ((cxs + cys * 2 + t * 17 + 3 * i) % 256).astype(np.uint8),
+                    )
+                    for t in range(nf)
+                ]
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": "video",
+                        "mime": "video/x-y4m",
+                        "payload": encode_y4m(frames),
+                        "meta": {},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "meta"]
+            )
+
+    media = sel.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    feats = extract_video_features(media)  # default → REAL Y4M codec
+    return (
+        feats.groupBy("n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("width").cast("long").alias("sum_w"),
+            F.sum("height").cast("long").alias("sum_h"),
+            F.sum(F.col("feature")[0]).cast("long").alias("sum_y"),
+            F.sum(F.col("feature")[1]).cast("long").alias("sum_u"),
+            F.sum(F.col("feature")[2]).cast("long").alias("sum_v"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+# analytic oracle: recomputes plane sums from the generation formula —
+# a decoder bug anywhere (header parse, FRAME scan, plane offsets,
+# chroma dims) breaks the hash
+SQL_VIDEO_DECODE_STATS = """
+WITH sel AS (
+  SELECT doc_id AS i,
+         8 + 2 * (doc_id % 4) AS w,
+         6 + 2 * (doc_id % 3) AS h,
+         2 + (doc_id % 3) AS nf
+  FROM documents ORDER BY doc_id LIMIT 24),
+ly AS (
+  SELECT s.nf,
+         CAST(sum((tx.x * 5 + ty.y * 9 + tt.t * 11 + s.i) % 256) AS BIGINT)
+           AS sum_y
+  FROM sel s, range(0, 4) tt(t), range(0, 14) tx(x), range(0, 10) ty(y)
+  WHERE tt.t < s.nf AND tx.x < s.w AND ty.y < s.h
+  GROUP BY s.nf),
+cu AS (
+  SELECT s.nf,
+         CAST(sum((tx.x * 3 + ty.y * 7 + tt.t * 13 + 2 * s.i) % 256) AS BIGINT)
+           AS sum_u,
+         CAST(sum((tx.x + ty.y * 2 + tt.t * 17 + 3 * s.i) % 256) AS BIGINT)
+           AS sum_v
+  FROM sel s, range(0, 4) tt(t), range(0, 7) tx(x), range(0, 5) ty(y)
+  WHERE tt.t < s.nf AND tx.x < s.w / 2 AND ty.y < s.h / 2
+  GROUP BY s.nf),
+dims AS (
+  SELECT nf, count(*) AS n_videos,
+         CAST(sum(w) AS BIGINT) AS sum_w,
+         CAST(sum(h) AS BIGINT) AS sum_h
+  FROM sel GROUP BY nf)
+SELECT dims.nf AS n_frames, n_videos, sum_w, sum_h, sum_y, sum_u, sum_v
+FROM dims JOIN ly USING (nf) JOIN cu USING (nf)
+ORDER BY n_frames
+"""
+
+
+def q_psi_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift detection (ext/drift.py): PSI of the order-price
+    distribution between the ≤1994 reference snapshot and the ≥1995
+    current one, 12 fixed-width bins with edge clamping. Each side is one
+    ≤12-row hash aggregate; the compare joins two tiny bin tables and the
+    total PSI rides the decimal-sum policy — fully SQL-replayable
+    including the EPS-floored log terms. The per-bin profile ships with
+    the headline number so the drift is explainable, not just flagged."""
+    from assignment_etl_spark.ext.drift import fixed_width_bin, psi, psi_profile
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.year("o_orderdate") <= 1994).select(
+        F.col("o_totalprice").alias("x")
+    )
+    cur = orders.filter(F.year("o_orderdate") >= 1995).select(
+        F.col("o_totalprice").alias("x")
+    )
+    b = fixed_width_bin("x", lo=0.0, hi=600000.0, n_bins=12)
+    prof = psi_profile(ref, cur, b)
+    total = psi(ref, cur, b)
+    return (
+        prof.crossJoin(F.broadcast(total.select(F.col("psi").alias("psi_total"))))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round("share_ref", 6).alias("share_ref"),
+            F.round("share_cur", 6).alias("share_cur"),
+            F.round("psi_term", 6).alias("psi_term"),
+            "psi_total",
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_PSI_ORDER_DRIFT = """
+WITH ref AS (
+  SELECT o_totalprice AS x FROM orders WHERE year(o_orderdate) <= 1994),
+cur AS (
+  SELECT o_totalprice AS x FROM orders WHERE year(o_orderdate) >= 1995),
+rb AS (
+  SELECT least(greatest(CAST(floor(x / 50000.0) AS INT), 0), 11) AS bin,
+         count(*) AS n
+  FROM ref GROUP BY 1),
+cb AS (
+  SELECT least(greatest(CAST(floor(x / 50000.0) AS INT), 0), 11) AS bin,
+         count(*) AS n
+  FROM cur GROUP BY 1),
+rs AS (
+  SELECT bin, n,
+         round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM rb), 10) AS share
+  FROM rb),
+cs AS (
+  SELECT bin, n,
+         round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM cb), 10) AS share
+  FROM cb),
+prof AS (
+  SELECT COALESCE(rs.bin, cs.bin) AS bin,
+         COALESCE(rs.n, 0) AS n_ref,
+         COALESCE(cs.n, 0) AS n_cur,
+         COALESCE(rs.share, 0.0) AS share_ref,
+         COALESCE(cs.share, 0.0) AS share_cur,
+         round((COALESCE(cs.share, 0.0) - COALESCE(rs.share, 0.0))
+               * ln(greatest(COALESCE(cs.share, 0.0), 0.000001)
+                    / greatest(COALESCE(rs.share, 0.0), 0.000001)), 8)
+           AS psi_term
+  FROM rs FULL JOIN cs ON rs.bin = cs.bin)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(share_ref, 6) AS share_ref,
+       round(share_cur, 6) AS share_cur,
+       round(psi_term, 6) AS psi_term,
+       (SELECT round(CAST(sum(CAST(psi_term AS DECIMAL(18,8))) AS DOUBLE), 6)
+        FROM prof) AS psi_total
+FROM prof ORDER BY bin
+"""
+
+
 def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (ext/graph.py) over the event-type
     transition graph (edge u→v when some user's event of type u is
@@ -6141,6 +6330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search_index": q_keyword_search_index,
         "fuzzy_match_customers": q_fuzzy_match_customers,
         "pagerank_event_graph": q_pagerank_event_graph,
+        "psi_order_drift": q_psi_order_drift,
+        "video_decode_stats": q_video_decode_stats,
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
@@ -6338,6 +6529,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search_index": SQL_KEYWORD_SEARCH_INDEX,
         "fuzzy_match_customers": SQL_FUZZY_MATCH_CUSTOMERS,
         "pagerank_event_graph": _sql_pagerank_event_graph(),
+        "psi_order_drift": SQL_PSI_ORDER_DRIFT,
+        "video_decode_stats": SQL_VIDEO_DECODE_STATS,
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,

@@ -1,0 +1,106 @@
+"""Distribution drift detection between two table snapshots: population
+stability index (PSI) and per-bin drift profiles.
+
+PSI is the standard monitoring statistic for "did this column's
+distribution move between the reference snapshot and the current one":
+bin both sides identically, compare bin shares, and sum
+(p_cur − p_ref) · ln(p_cur / p_ref). Rule-of-thumb thresholds: < 0.1
+stable, 0.1–0.25 moderate shift, > 0.25 action. Categorical drift uses
+the category itself as the bin.
+
+Scale shape: each side is ONE hash aggregate producing ≤ n_bins rows
+(map-side combined, shuffle is bins × partitions at worst); the compare
+is a join of two tiny bin tables. Nothing here scans twice or collects.
+Binning is fixed-width from EXPLICIT bounds — deterministic and
+SQL-replayable, and at 100 TB you want bounds pinned by contract (not
+data-dependent quantiles that reshuffle every run); out-of-range values
+clamp to the edge bins so no row is silently dropped.
+
+Determinism: bin shares are exact rationals (count/total) compared in
+double via one expression per bin, then rounded — the repo's standard
+cross-engine float policy (single expression, no accumulation-order
+dependence; the final sum is over ≤ n_bins terms rounded first).
+
+Reference parity note: the reference repo has no drift surface; this
+extends the data-quality layer (ops/quality.py, ops/contracts.py) with
+the snapshot-comparison statistic a production training-data pipeline
+monitors between ingests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6  # Laplace-style floor so empty bins don't blow up the log
+
+
+def fixed_width_bin(col: str, *, lo: float, hi: float, n_bins: int) -> F.Column:
+    """Bin index in [0, n_bins-1] with edge clamping: floor((x-lo)/w),
+    out-of-range values land in the first/last bin, nulls stay null."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def bin_shares(
+    df: DataFrame, bin_col: F.Column, *, round_to: int = 10
+) -> DataFrame:
+    """(bin, n, share) for one snapshot: one aggregate, share = n/total
+    via a 1-row broadcast (never a driver scalar)."""
+    counts = df.select(bin_col.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "n",
+        F.round(F.col("n") / F.col("_total"), round_to).alias("share"),
+    )
+
+
+def psi_profile(
+    ref: DataFrame,
+    cur: DataFrame,
+    bin_col: F.Column,
+    *,
+    round_to: int = 8,
+) -> DataFrame:
+    """Per-bin drift table: (bin, n_ref, n_cur, share_ref, share_cur,
+    psi_term), full-outer so bins present on only one side still
+    contribute (their share floors at EPS inside the log)."""
+    r = bin_shares(ref, bin_col).select(
+        F.col("bin"), F.col("n").alias("n_ref"), F.col("share").alias("share_ref")
+    )
+    c = bin_shares(cur, bin_col).select(
+        F.col("bin"), F.col("n").alias("n_cur"), F.col("share").alias("share_cur")
+    )
+    j = r.join(c, on="bin", how="full").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        F.coalesce("share_ref", F.lit(0.0)).alias("share_ref"),
+        F.coalesce("share_cur", F.lit(0.0)).alias("share_cur"),
+    )
+    term = (F.col("share_cur") - F.col("share_ref")) * F.log(
+        F.greatest(F.col("share_cur"), F.lit(EPS))
+        / F.greatest(F.col("share_ref"), F.lit(EPS))
+    )
+    return j.withColumn("psi_term", F.round(term, round_to))
+
+
+def psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    bin_col: F.Column,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """1-row (psi): sum of the per-bin terms, each rounded then carried
+    as decimal(18,8) so the sum is exact and order-independent (the
+    decimal-sum determinism policy)."""
+    return psi_profile(ref, cur, bin_col).agg(
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(18,8)")).cast("double"), round_to
+        ).alias("psi")
+    )

@@ -1,0 +1,54 @@
+"""PSI drift detection (ext/drift.py): zero drift on identical data,
+known-shift direction, clamping, one-sided bins."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.drift import bin_shares, fixed_width_bin, psi, psi_profile
+
+
+def _nums(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+
+def test_identical_snapshots_zero_psi(spark):
+    df = _nums(spark, range(100))
+    b = fixed_width_bin("x", lo=0, hi=100, n_bins=10)
+    assert psi(df, df, b).first().psi == 0.0
+
+
+def test_shift_detected(spark):
+    ref = _nums(spark, range(100))            # uniform 0..99
+    cur = _nums(spark, [v % 50 for v in range(100)])  # mass moved to lower half
+    b = fixed_width_bin("x", lo=0, hi=100, n_bins=10)
+    got = psi(ref, cur, b).first().psi
+    # analytic: 5 bins go 0.1→0.2 (term 0.2*ln2 each... no: (0.2-0.1)*ln(2))
+    # and 5 bins go 0.1→~0: large PSI, certainly > 0.25
+    assert got > 0.25
+
+
+def test_clamping_keeps_all_rows(spark):
+    ref = _nums(spark, [-50, 0, 50, 150])
+    b = fixed_width_bin("x", lo=0, hi=100, n_bins=4)
+    shares = {r.bin: r.n for r in bin_shares(ref, b).collect()}
+    assert shares == {0: 2, 2: 1, 3: 1}  # -50 clamps to 0, 150 clamps to 3
+
+
+def test_one_sided_bin_contributes(spark):
+    ref = _nums(spark, [5] * 10)
+    cur = _nums(spark, [5] * 9 + [95])
+    b = fixed_width_bin("x", lo=0, hi=100, n_bins=10)
+    prof = {r.bin: r for r in psi_profile(ref, cur, b).collect()}
+    assert prof[9].n_ref == 0 and prof[9].n_cur == 1
+    # bin 9: (0.1 - 0) * ln(0.1 / 1e-6) > 1 — the EPS floor keeps it finite
+    assert prof[9].psi_term > 1.0
+    assert math.isfinite(prof[9].psi_term)
+
+
+def test_categorical_drift_via_column_bin(spark):
+    ref = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "k string")
+    cur = spark.createDataFrame([("a",)] * 2 + [("b",)] * 8, "k string")
+    got = psi(ref, cur, F.col("k")).first().psi
+    # symmetric swap: 2 * (0.6 * ln(4)) ≈ 1.663553
+    assert abs(got - 2 * 0.6 * math.log(4)) < 1e-5
