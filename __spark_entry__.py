@@ -4099,6 +4099,104 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (ext/bpe.py): 10 merges learned from the
+    documents word-frequency table (one corpus pass; every iteration
+    runs on the bounded vocab table, never the corpus). Symbol sequences
+    are ``(s)(p)(a)(r)(k)`` strings, so each merge is a literal
+    left-to-right replace — greedy BPE substitution in pure codegen, and
+    the SAME representation lets DuckDB replay all 10 unrolled
+    iterations (pair counts from zipped token lists, argmax with the
+    count-desc/pair-asc tie-break, literal replace) to the identical
+    merge table: an oracle-certified iterative trainer."""
+    from assignment_etl_spark.ext.bpe import merges_df, train_bpe
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=10)
+    return merges_df(spark, merges).orderBy("step")
+
+
+def _sql_bpe_train_merges(steps: int = 10) -> str:
+    parts = [
+        r"""
+WITH w AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents) t
+  WHERE word <> '' GROUP BY 1),
+s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS s, n FROM w)"""
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f""",
+p{k} AS MATERIALIZED (
+  SELECT z[1] AS lft, z[2] AS rgt, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_zip(l, l[2:])) AS z, n
+    FROM (SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS l, n
+          FROM s{k - 1}) q) zz
+  WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2),
+b{k} AS MATERIALIZED (SELECT {k} AS step, lft, rgt, cnt FROM p{k}
+         ORDER BY cnt DESC, lft, rgt LIMIT 1),
+s{k} AS MATERIALIZED (
+  SELECT replace(s,
+           '(' || (SELECT lft FROM b{k}) || ')('
+               || (SELECT rgt FROM b{k}) || ')',
+           '(' || (SELECT lft FROM b{k})
+               || (SELECT rgt FROM b{k}) || ')') AS s, n
+  FROM s{k - 1})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(1, steps + 1))
+    parts.append(f"\nSELECT step, lft, rgt, cnt FROM ({union}) u ORDER BY step")
+    return "".join(parts)
+
+
+def q_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (ext/bpe.py encode_words): the 10 trained merges are
+    applied to the distinct-word table as ONE nested codegen projection
+    (10 literal replaces), pieces explode out, and corpus-weighted piece
+    counts come from the word-frequency weights — the corpus is scanned
+    once for frequencies and never re-tokenized per occurrence (at 100 TB
+    the piece table broadcast-joins back to the token stream). Top 20
+    pieces by weighted count. The oracle replays training AND encoding."""
+    from assignment_etl_spark.ext.bpe import encode_words, train_bpe, word_freq
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=10)
+    freq = word_freq(docs, text_col="text")
+    pieces = encode_words(freq, merges, word_col="word", out_col="pieces")
+    return (
+        pieces.select(F.explode("pieces").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("n_total"))
+        .orderBy(F.desc("n_total"), F.asc("piece"))
+        .limit(20)
+    )
+
+
+def _sql_bpe_encode_documents(steps: int = 10) -> str:
+    # reuse the training CTE chain; s{steps} holds every word's final
+    # symbol string with its corpus frequency — pieces fall out of one
+    # unnest + weighted count
+    train = _sql_bpe_train_merges(steps)
+    chain = train[: train.rindex("\nSELECT step,")]
+    return (
+        chain
+        + f"""
+SELECT piece, CAST(sum(n) AS BIGINT) AS n_total
+FROM (
+  SELECT unnest(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS piece, n
+  FROM s{steps}) u
+GROUP BY piece
+ORDER BY n_total DESC, piece
+LIMIT 20
+"""
+    )
+
+
 def q_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode (ext/videocodec.py): 24 Y4M clips are
     synthesized from a closed-form plane formula seeded by doc_id (four
@@ -6332,6 +6430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_event_graph": q_pagerank_event_graph,
         "psi_order_drift": q_psi_order_drift,
         "video_decode_stats": q_video_decode_stats,
+        "bpe_train_merges": q_bpe_train_merges,
+        "bpe_encode_documents": q_bpe_encode_documents,
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
@@ -6531,6 +6631,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_event_graph": _sql_pagerank_event_graph(),
         "psi_order_drift": SQL_PSI_ORDER_DRIFT,
         "video_decode_stats": SQL_VIDEO_DECODE_STATS,
+        "bpe_train_merges": _sql_bpe_train_merges(),
+        "bpe_encode_documents": _sql_bpe_encode_documents(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,

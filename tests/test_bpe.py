@@ -1,0 +1,84 @@
+"""BPE trainer (ext/bpe.py): golden agreement with a pure-python
+reference implementation, greedy-substitution edge cases, encoding."""
+
+from collections import Counter
+
+from assignment_etl_spark.ext.bpe import encode_words, train_bpe
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Classic dict-based BPE with (count desc, pair asc) tie-break."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (lft, rgt), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lft, rgt, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_matches_reference_implementation(spark):
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest newest low",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = train_bpe(docs, n_merges=8)
+    wc = Counter(w for t in texts for w in t.split())
+    want = _reference_bpe(wc, 8)
+    assert got == want
+
+
+def test_greedy_triple_merge(spark):
+    # 'aaa': merging (a,a) must produce [aa, a], not [a, aa] or [aa, aa]
+    docs = spark.createDataFrame([("aaa aaa bb",)], "text string")
+    merges = train_bpe(docs, n_merges=1)
+    assert merges[0][1:3] == ("a", "a")
+    assert merges[0][3] == 4  # two 'aaa' words contribute 2 adjacent pairs each
+    enc = encode_words(
+        spark.createDataFrame([("aaa",)], "word string"), merges
+    ).first()
+    assert enc.pieces == ["aa", "a"]
+
+
+def test_encode_applies_in_training_order(spark):
+    docs = spark.createDataFrame([("abab abab abab",)], "text string")
+    merges = train_bpe(docs, n_merges=2)
+    enc = encode_words(
+        spark.createDataFrame([("ababab",)], "word string"), merges
+    ).first()
+    # merge1: (a,b)->ab (6 occurrences); merge2: (ab,ab)->abab
+    assert merges[0][1:3] == ("a", "b")
+    assert enc.pieces == ["abab", "ab"]
+
+
+def test_early_stop_no_pairs(spark):
+    docs = spark.createDataFrame([("a b c",)], "text string")
+    merges = train_bpe(docs, n_merges=5)
+    assert merges == []  # single-char words: no adjacent pairs at all
+
+
+def test_deterministic_across_partitionings(spark):
+    texts = [f"tok{i % 7} tok{i % 5} shared shared" for i in range(40)]
+    d1 = spark.createDataFrame([(t,) for t in texts], "text string").repartition(1)
+    d2 = spark.createDataFrame([(t,) for t in texts], "text string").repartition(9)
+    assert train_bpe(d1, n_merges=6) == train_bpe(d2, n_merges=6)
