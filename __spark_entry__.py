@@ -4099,6 +4099,155 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_global_row_number_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable global sequence (ops/ids.py): row_number over the total
+    order o_orderkey WITHOUT a single-partition window — range exchange,
+    per-partition counts, running offsets over the tiny count table,
+    parallel within-partition numbering. The gate returns dense-sequence
+    invariants (count, sum = n(n+1)/2, key-weighted checksum) that any
+    offset error, gap, or permutation would break; the oracle computes
+    the same from a plain ROW_NUMBER. This is the 100 TB replacement for
+    the classic Window.orderBy funnel."""
+    from assignment_etl_spark.ops.ids import global_row_number
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    seq = global_row_number(orders, ["o_orderkey"], num_partitions=8)
+    return seq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("row_num").alias("sum_seq"),
+        F.max("row_num").alias("max_seq"),
+        F.sum(F.col("row_num") * (F.col("o_orderkey") % 9973)).alias("checksum"),
+    )
+
+
+SQL_GLOBAL_ROW_NUMBER_ORDERS = """
+WITH seq AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_orderkey) AS row_num
+  FROM orders)
+SELECT count(*) AS n,
+       CAST(sum(row_num) AS BIGINT) AS sum_seq,
+       CAST(max(row_num) AS BIGINT) AS max_seq,
+       CAST(sum(row_num * (o_orderkey % 9973)) AS BIGINT) AS checksum
+FROM seq
+"""
+
+
+def q_targeted_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted erasure (io/store.delete_by_keys): orders are written
+    range-clustered on o_custkey (8 files), three customers are erased,
+    and ONLY the files whose parquet footer min/max can contain those
+    keys are rewritten — megabytes, not the table, the GDPR-delete shape
+    at 100 TB (file targeting itself is asserted in test_ids.py; here
+    the oracle certifies the surviving row set end-to-end). The returned
+    aggregates include files_total vs files_rewritten so the targeting
+    is visible in the result."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.io.store import delete_by_keys
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="tdel_gate_")
+    path = f"{d}/orders"
+    doomed = [7, 19, 23]
+    orders.repartitionByRange(8, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(path)
+    stats = delete_by_keys(spark, path, "o_custkey", doomed)
+    back = spark.read.parquet(path)
+    out = (
+        back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "n_rows",
+            "n_custs",
+            "sum_price",
+            F.lit(stats["n_rows_deleted"]).cast("long").alias("n_deleted"),
+            F.lit(
+                int(stats["n_files_rewritten"] < stats["n_files"])
+            ).alias("targeted"),
+        )
+        .localCheckpoint(eager=True)  # table dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_TARGETED_DELETE_ROUNDTRIP = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_custs,
+       round(sum(o_totalprice), 2) AS sum_price,
+       (SELECT count(*) FROM orders WHERE o_custkey IN (7, 19, 23))
+         AS n_deleted,
+       1 AS targeted
+FROM orders WHERE o_custkey NOT IN (7, 19, 23)
+"""
+
+
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (parquet mergeSchema): batch 1 writes orders with
+    two columns, batch 2 appends a third; the merged read unions the
+    schemas with nulls where a batch lacks the column — the
+    append-only-evolution contract a long-lived 100 TB table depends on
+    (new columns land without rewriting history; per-file pruning and
+    pushdown still apply). The oracle replays the union with explicit
+    NULL padding."""
+    import shutil
+    import tempfile
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="sev_gate_")
+    path = f"{d}/orders_evolved"
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.parquet(f"{path}/batch=1")
+    v2.write.parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    out = (
+        merged.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias(
+                "n_null_priority"
+            ),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("batch")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_SCHEMA_EVOLUTION_ROUNDTRIP = """
+WITH merged AS (
+  SELECT 1 AS batch, o_orderkey, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 2 AS batch, o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1)
+SELECT batch, count(*) AS n,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_priority,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM merged GROUP BY batch ORDER BY batch
+"""
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (ext/bpe.py): 10 merges learned from the
     documents word-frequency table (one corpus pass; every iteration
@@ -6432,6 +6581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_stats": q_video_decode_stats,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_documents": q_bpe_encode_documents,
+        "global_row_number_orders": q_global_row_number_orders,
+        "targeted_delete_roundtrip": q_targeted_delete_roundtrip,
+        "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "min_cost_supplier": q_min_cost_supplier,
         "part_value_concentration": q_part_value_concentration,
         "dominant_part_suppliers": q_dominant_part_suppliers,
@@ -6633,6 +6785,9 @@ def oracle_sql() -> dict[str, str]:
         "video_decode_stats": SQL_VIDEO_DECODE_STATS,
         "bpe_train_merges": _sql_bpe_train_merges(),
         "bpe_encode_documents": _sql_bpe_encode_documents(),
+        "global_row_number_orders": SQL_GLOBAL_ROW_NUMBER_ORDERS,
+        "targeted_delete_roundtrip": SQL_TARGETED_DELETE_ROUNDTRIP,
+        "schema_evolution_roundtrip": SQL_SCHEMA_EVOLUTION_ROUNDTRIP,
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "part_value_concentration": SQL_PART_VALUE_CONCENTRATION,
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,

@@ -200,6 +200,89 @@ def compact_parquet(
     return n
 
 
+def delete_by_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Targeted erasure (the GDPR-delete shape): rewrite ONLY the parquet
+    files whose footer min/max for ``key_col`` can contain a requested
+    key; every other file stays byte-identical. On a clustered table
+    (write_zordered / compact_parquet with sort_by) the doomed keys live
+    in a handful of files, so erasing a user from 100 TB rewrites
+    megabytes, not the table.
+
+    File pruning reads ONLY footers (driver-side pyarrow metadata, no
+    Spark job); files lacking statistics are conservatively rewritten.
+    Partitioned layouts are handled per directory, since partition
+    values live in paths, not file bytes. Replacement files are written
+    to a temp sibling and moved in BEFORE the originals are removed — a
+    crash mid-swap can leave transient duplicates (re-run the delete to
+    converge) but never lose non-deleted rows.
+
+    Returns {"n_files": ..., "n_files_rewritten": ..., "n_rows_deleted":
+    ...}. ``keys`` is an in-memory list (erasure requests are small);
+    for bulk deletes use an anti-join rewrite instead.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    affected: list[str] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs, have_stats = [], [], True
+        for rg in range(md.num_row_groups):
+            found = False
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == key_col:
+                    st = col.statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                        found = True
+                    break
+            if not found:
+                have_stats = False
+        if not have_stats or not mins:
+            affected.append(f)  # no stats → cannot prove absence
+        elif any(min(mins) <= k <= max(maxs) for k in keys):
+            affected.append(f)
+
+    n_rows_deleted = 0
+    by_dir: dict[str, list[str]] = {}
+    for f in affected:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    for d, fs in by_dir.items():
+        df = spark.read.parquet(*fs)
+        n_rows_deleted += df.filter(F.col(key_col).isin(keys)).count()
+        keep = df.filter(~F.col(key_col).isin(keys)).localCheckpoint(eager=True)
+        tmp = os.path.join(d, ".__delete_tmp__")
+        shutil.rmtree(tmp, ignore_errors=True)
+        keep.write.mode("overwrite").parquet(tmp)
+        tag = uuid.uuid4().hex[:8]
+        for i, nf in enumerate(
+            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            os.rename(nf, os.path.join(d, f"part-delete-{tag}-{i:05d}.parquet"))
+        for f in fs:
+            os.remove(f)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return {
+        "n_files": len(files),
+        "n_files_rewritten": len(affected),
+        "n_rows_deleted": n_rows_deleted,
+    }
+
+
 def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
     """Rewrite ``path`` with ``df`` without ever truncating the original
     before the replacement is durable: write to a temp sibling, rename the

@@ -1,0 +1,65 @@
+"""Scalable global sequence assignment: row_number over a total order
+WITHOUT the single-partition window.
+
+``row_number().over(Window.orderBy(...))`` funnels the entire table
+through one task — the classic 100 TB killer. The scalable shape is the
+two-phase offset pattern:
+
+1. range-partition on the ordering key (partition i holds keys strictly
+   below partition i+1),
+2. count rows per partition — a tiny (#partitions)-row table whose
+   running sum gives each partition's global offset (the only
+   single-partition window runs over THAT table, not the data),
+3. number rows within each partition in parallel and add the offset.
+
+The result equals the global row_number for any TOTAL ordering (pass a
+tie-breaking key — with duplicate keys the split of ties across range
+boundaries would otherwise be partitioning-dependent). The per-partition
+counts and the numbering reuse the same range exchange, so the data
+shuffles once.
+
+Reference parity note: the reference's pandas ``reset_index`` /
+``RangeIndex`` is implicit global numbering on one machine
+(etl.py's dedup bookkeeping); this is its distributed equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[str],
+    *,
+    num_partitions: int | None = None,
+    out_col: str = "row_num",
+    start: int = 1,
+) -> DataFrame:
+    """Append ``out_col``: 1-based (or ``start``-based) global sequence
+    in ``order_by`` order. ``order_by`` must be a total order (include a
+    unique tie-breaker) for a deterministic result."""
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # running offset over the tiny per-partition count table — the ONLY
+    # unpartitioned window here runs over #partitions rows
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset")
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        with_pid.withColumn("_local", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(
+            out_col, (F.col("_offset") + F.col("_local") + F.lit(start - 1)).cast("long")
+        )
+        .drop("_pid", "_local", "_offset")
+    )

@@ -1,0 +1,94 @@
+"""Scalable global row_number (ops/ids.py) and targeted parquet delete
+(io/store.delete_by_keys)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ops.ids import global_row_number
+
+
+def test_matches_single_partition_row_number(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("payload")
+    )
+    got = global_row_number(df, ["k"], num_partitions=7)
+    rows = {r.k: r.row_num for r in got.collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(rows))}
+    assert rows == expect
+
+
+def test_sequence_is_dense_and_complete(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    got = global_row_number(df, ["k"], num_partitions=5)
+    agg = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("row_num").alias("s"),
+        F.min("row_num").alias("lo"),
+        F.max("row_num").alias("hi"),
+    ).first()
+    assert (agg.n, agg.lo, agg.hi) == (500, 1, 500)
+    assert agg.s == 500 * 501 // 2  # dense, no gaps or dupes
+
+
+def test_start_offset_and_columns_preserved(spark):
+    df = spark.createDataFrame([("b", 2), ("a", 1)], "k string, v int")
+    got = global_row_number(df, ["k"], num_partitions=2, start=100)
+    rows = sorted((r.k, r.v, r.row_num) for r in got.collect())
+    assert rows == [("a", 1, 100), ("b", 2, 101)]
+
+
+def _write_clustered(spark, d, n=2000, files=8):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("v")
+    )
+    df.repartitionByRange(files, "k").sortWithinPartitions("k").write.parquet(d)
+    return df
+
+
+def test_delete_by_keys_targets_files(spark, tmp_path):
+    from assignment_etl_spark.io.store import delete_by_keys
+
+    d = str(tmp_path / "tbl")
+    _write_clustered(spark, d)
+    stats = delete_by_keys(spark, d, "k", [5, 6, 7])
+    # clustered on k: the three keys live in ONE range file
+    assert stats["n_files"] >= 8
+    assert stats["n_files_rewritten"] == 1
+    assert stats["n_rows_deleted"] == 3
+    back = spark.read.parquet(d)
+    assert back.count() == 1997
+    assert back.filter(F.col("k").isin([5, 6, 7])).count() == 0
+    # untouched rows intact
+    assert back.agg(F.sum("k")).first()[0] == sum(range(2000)) - 18
+
+
+def test_delete_by_keys_no_match_rewrites_nothing(spark, tmp_path):
+    from assignment_etl_spark.io.store import delete_by_keys
+
+    d = str(tmp_path / "tbl2")
+    _write_clustered(spark, d, n=300, files=3)
+    before = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+    mtimes = {f: os.path.getmtime(f) for f in before}
+    stats = delete_by_keys(spark, d, "k", [99999])
+    assert stats["n_files_rewritten"] == 0 and stats["n_rows_deleted"] == 0
+    after = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+    assert after == before
+    assert all(os.path.getmtime(f) == mtimes[f] for f in after)
+
+
+def test_delete_by_keys_partitioned_layout(spark, tmp_path):
+    from assignment_etl_spark.io.store import delete_by_keys
+
+    d = str(tmp_path / "ptbl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    df.write.partitionBy("p").parquet(d)
+    stats = delete_by_keys(spark, d, "k", [10, 11])
+    assert stats["n_rows_deleted"] == 2
+    back = spark.read.parquet(d)
+    assert back.count() == 98
+    # partition column survives the per-directory rewrite
+    assert back.filter(F.col("p") == 0).count() == 49
