@@ -4099,6 +4099,94 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_chi_square_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (ext/drift.py): is order priority
+    independent of order status? One contingency aggregate over observed
+    cells (structural zeros absorbed algebraically: chi² = Σ o²/e − n),
+    broadcast marginal joins, decimal-summed terms — the categorical
+    complement to the PSI gate, fully SQL-replayable."""
+    from assignment_etl_spark.ext.drift import chi_square_independence
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return chi_square_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
+SQL_CHI_SQUARE_ORDERS = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+  FROM orders GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS n_a FROM cells GROUP BY 1),
+rb AS (SELECT b, sum(o) AS n_b FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+  FROM cells),
+t AS (
+  SELECT CAST(round(CAST(o AS DOUBLE) * o
+                    / (CAST(n_a AS DOUBLE) * n_b / n), 10)
+              AS DECIMAL(28,10)) AS term,
+         n, ka, kb
+  FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot)
+SELECT round(CAST(sum(term) AS DOUBLE) - max(n), 6) AS chi2,
+       (max(ka) - 1) * (max(kb) - 1) AS dof,
+       max(n) AS n
+FROM t
+"""
+
+
+def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join (ext/geo.py): customers become
+    lattice points via a closed-form coordinate formula, and all pairs
+    within 25 km are found by snapping to a 1° grid, exploding one side
+    into its 3×3 cell neighborhood (bounded ×9), equi-joining on the
+    cell id, and filtering by exact haversine — candidate count is
+    O(points × local density), never all-pairs, the spatial analog of
+    LSH banding. The DuckDB oracle computes the same pairs by BRUTE
+    FORCE over every pair, so the hash additionally proves the grid
+    neighborhood is exhaustive at this radius/cell ratio."""
+    from assignment_etl_spark.ext.geo import self_radius_pairs
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 7) % 1000) / 100.0).alias("lat"),
+        (((F.col("c_custkey") * 13) % 1000) / 100.0).alias("lon"),
+    )
+    pairs = self_radius_pairs(pts, radius_km=25.0, cell_deg=1.0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_a").alias("n_left"),
+        F.round(
+            F.sum(F.col("dist_km").cast("decimal(18,6)")).cast("double"), 3
+        ).alias("sum_dist"),
+        F.round(F.max("dist_km"), 6).alias("max_dist"),
+    )
+
+
+SQL_GEO_RADIUS_PAIRS = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * 7) % 1000) / 100.0 AS lat,
+         ((c_custkey * 13) % 1000) / 100.0 AS lon
+  FROM customer),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(2 * 6371.0 * asin(least(1.0, sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2)))), 6) AS dist_km
+  FROM pts a JOIN pts b ON a.id < b.id)
+SELECT count(*) AS n_pairs,
+       count(DISTINCT id_a) AS n_left,
+       round(CAST(sum(CAST(dist_km AS DECIMAL(18,6))) AS DOUBLE), 3)
+         AS sum_dist,
+       round(max(dist_km), 6) AS max_dist
+FROM pairs WHERE dist_km <= 25.0
+"""
+
+
 def q_global_row_number_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable global sequence (ops/ids.py): row_number over the total
     order o_orderkey WITHOUT a single-partition window — range exchange,
@@ -6581,6 +6669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_stats": q_video_decode_stats,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_documents": q_bpe_encode_documents,
+        "chi_square_orders": q_chi_square_orders,
+        "geo_radius_pairs": q_geo_radius_pairs,
         "global_row_number_orders": q_global_row_number_orders,
         "targeted_delete_roundtrip": q_targeted_delete_roundtrip,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
@@ -6785,6 +6875,8 @@ def oracle_sql() -> dict[str, str]:
         "video_decode_stats": SQL_VIDEO_DECODE_STATS,
         "bpe_train_merges": _sql_bpe_train_merges(),
         "bpe_encode_documents": _sql_bpe_encode_documents(),
+        "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
+        "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,
         "global_row_number_orders": SQL_GLOBAL_ROW_NUMBER_ORDERS,
         "targeted_delete_roundtrip": SQL_TARGETED_DELETE_ROUNDTRIP,
         "schema_evolution_roundtrip": SQL_SCHEMA_EVOLUTION_ROUNDTRIP,

@@ -89,6 +89,52 @@ def psi_profile(
     return j.withColumn("psi_term", F.round(term, round_to))
 
 
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """1-row (chi2, dof, n): Pearson chi-square statistic for
+    independence of two categorical columns. One (a,b) contingency
+    aggregate (only OBSERVED cells — structural zeros never materialize,
+    because chi² = Σ_observed o²/e − n algebraically absorbs them:
+    Σ_all (o−e)²/e = Σ_all o²/e − 2n + Σ_all e and zero cells contribute
+    only to Σe = n); marginals re-aggregate the cell table, never the
+    data; expected counts come from broadcast marginal joins. Each
+    o²/e term is a single double expression rounded and summed as
+    decimal — the determinism policy — so the statistic replays exactly
+    in SQL. Compare against the chi-square critical value for
+    dof = (|A|−1)(|B|−1) offline."""
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy(col_a).agg(F.sum("o").alias("n_a"))
+    rb = cells.groupBy(col_b).agg(F.sum("o").alias("n_b"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct(col_a).alias("ka"),
+        F.countDistinct(col_b).alias("kb"),
+    )
+    term = F.round(
+        F.col("o") * F.col("o") / F.col("_e"), 10
+    ).cast("decimal(28,10)")
+    return (
+        cells.join(F.broadcast(ra), on=col_a)
+        .join(F.broadcast(rb), on=col_b)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_e", F.col("n_a").cast("double") * F.col("n_b") / F.col("n")
+        )
+        .agg(
+            F.round(
+                F.sum(term).cast("double") - F.max("n"), round_to
+            ).alias("chi2"),
+            ((F.max("ka") - 1) * (F.max("kb") - 1)).alias("dof"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
 def psi(
     ref: DataFrame,
     cur: DataFrame,
