@@ -4099,6 +4099,59 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (ops/timeseries.sessionize): 30-minute
+    inactivity gaps split each user's event stream into sessions — lag
+    flag + running sum share ONE ordered window frame (one shuffle on
+    user_id), the batch twin of the streaming session_windows gate. The
+    gate returns the events-per-session distribution; the oracle replays
+    the same second-resolution gap arithmetic."""
+    from assignment_etl_spark.ops.timeseries import sessionize
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        order_cols=["event_id"],
+        gap_seconds=1800,
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per.groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL
+                OR floor(epoch(ts)) - floor(epoch(prev)) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM seq),
+sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags),
+per AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sess GROUP BY 1, 2)
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       count(*) AS n_sessions
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_chi_square_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence test (ext/drift.py): is order priority
     independent of order status? One contingency aggregate over observed
@@ -6669,6 +6722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_stats": q_video_decode_stats,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_documents": q_bpe_encode_documents,
+        "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
         "global_row_number_orders": q_global_row_number_orders,
@@ -6875,6 +6929,7 @@ def oracle_sql() -> dict[str, str]:
         "video_decode_stats": SQL_VIDEO_DECODE_STATS,
         "bpe_train_merges": _sql_bpe_train_merges(),
         "bpe_encode_documents": _sql_bpe_encode_documents(),
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,
         "global_row_number_orders": SQL_GLOBAL_ROW_NUMBER_ORDERS,

@@ -168,3 +168,41 @@ def rolling_aggregate(
         .cast("double")
         .alias("w_avg"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    gap_seconds: int = 1800,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Append a 1-based per-user ``out_col``: a new session starts at the
+    first event and whenever the gap since the previous event exceeds
+    ``gap_seconds`` — the batch counterpart of the streaming session
+    windows in ext/streaming.py.
+
+    One shuffle on the user key; the boundary flag (lag) and the running
+    session index (cumulative sum of flags) share the same ordered
+    window frame, so no second exchange. Pass ``order_cols`` with a
+    unique tie-breaker for a deterministic result under ts ties.
+    Second-resolution integer gap arithmetic (unix_timestamp ==
+    floor(epoch)) keeps the boundary decision engine-portable.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (order_cols or [])]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+            > gap_seconds
+        ),
+        1,
+    ).otherwise(0)
+    sid = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, sid.cast("long"))

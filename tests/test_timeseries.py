@@ -125,3 +125,40 @@ def test_invalid_args(series, bucketed):
                  step_seconds=H, agg="median")
     with pytest.raises(ValueError):
         gapfill(bucketed, key_cols=["k"], method="spline")
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.timeseries import sessionize
+
+    t = lambda m: datetime(2024, 1, 1, 10, m, 0)
+    rows = [
+        (1, t(0), "a"), (1, t(10), "b"), (1, t(50), "c"),  # 40-min gap → new
+        (1, t(55), "d"),
+        (2, t(0), "e"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, e string")
+    got = {
+        (r.u, r.e): r.session_id
+        for r in sessionize(df, user_col="u", ts_col="ts", order_cols=["e"],
+                            gap_seconds=1800).collect()
+    }
+    assert got == {(1, "a"): 1, (1, "b"): 1, (1, "c"): 2, (1, "d"): 2, (2, "e"): 1}
+
+
+def test_sessionize_exact_gap_stays(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.timeseries import sessionize
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0), "a"),
+        (1, datetime(2024, 1, 1, 10, 30, 0), "b"),  # gap == 1800s: same session
+        (1, datetime(2024, 1, 1, 11, 0, 1), "c"),   # gap 1801s: new session
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, e string")
+    got = [r.session_id for r in sessionize(
+        df, user_col="u", ts_col="ts", order_cols=["e"], gap_seconds=1800
+    ).orderBy("e").collect()]
+    assert got == [1, 1, 2]
