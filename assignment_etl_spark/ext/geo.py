@@ -76,12 +76,18 @@ def radius_join(
     left_cols: tuple[str, str, str] = ("id", "lat", "lon"),
     right_cols: tuple[str, str, str] = ("id", "lat", "lon"),
     round_to: int = 6,
+    extra_pair_filter: Column | None = None,
 ) -> DataFrame:
     """(left_id, right_id, dist_km): all cross-side pairs within
     ``radius_km``. The left side explodes into its 3×3 neighborhood, the
     right side keys by its own cell, the join is a plain equi-join on
-    the cell id, and haversine filters inside neighborhoods. Requires
-    ``cell_deg`` ≥ radius_km/111.32/cos(max|lat|)."""
+    the cell id, a latitude bounding box prunes candidates cheaply, and
+    haversine decides inside the band. Requires ``cell_deg`` ≥
+    radius_km/111.32/cos(max|lat|). ``extra_pair_filter`` (over
+    left_id/right_id) is applied before any distance math — the self-join
+    uses it to halve the candidate set."""
+    import math
+
     lid, llat, llon = left_cols
     rid, rlat, rlon = right_cols
     l = left.select(
@@ -98,14 +104,23 @@ def radius_join(
         F.col(rlon).alias("_rlon"),
         grid_cell(F.col(rlat), F.col(rlon), cell_deg).alias("_cell"),
     )
+    # exact-necessary latitude bound (meridian km/degree on the sphere):
+    # |dlat| > degrees(r/R) ⇒ great-circle distance > r, so this cheap
+    # comparison prunes most candidates before any trig runs
+    lat_bound = math.degrees(radius_km / EARTH_RADIUS_KM)
     dist = F.round(
         haversine_km(
             F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon")
         ),
         round_to,
     )
+    joined = l.join(r, on="_cell")
+    if extra_pair_filter is not None:
+        joined = joined.filter(extra_pair_filter)
     return (
-        l.join(r, on="_cell")
+        joined.filter(
+            F.abs(F.col("_rlat") - F.col("_llat")) <= F.lit(lat_bound)
+        )
         .withColumn("dist_km", dist)
         .filter(F.col("dist_km") <= radius_km)
         .select("left_id", "right_id", "dist_km")
@@ -131,8 +146,9 @@ def self_radius_pairs(
         left_cols=cols,
         right_cols=cols,
         round_to=round_to,
+        extra_pair_filter=F.col("left_id") < F.col("right_id"),
     )
-    return got.filter(F.col("left_id") < F.col("right_id")).select(
+    return got.select(
         F.col("left_id").alias("id_a"),
         F.col("right_id").alias("id_b"),
         "dist_km",

@@ -74,6 +74,17 @@ HEADLINE = [
     "asof_nearest_purchase",
     "hll_distinct_users",
     "cm_event_type_counts",
+    # round-4 second-half additions
+    "bloom_join_prune",
+    "psi_order_drift",
+    "chi_square_orders",
+    "fuzzy_match_customers",
+    "keyword_search_index",
+    "pagerank_event_graph",
+    "sessionize_events",
+    "global_row_number_orders",
+    "geo_radius_pairs",
+    "k_anonymity_audit",
 ]
 
 
