@@ -4099,6 +4099,70 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-manifest store (io/manifest.py): three commits — even
+    orders, append odd orders (parent files carried by REFERENCE, the
+    commit writes only new data), then an overwrite to urgent-only —
+    each readable afterwards at its exact historical file set via the
+    manifest, no filesystem listing, with the atomic _latest pointer
+    making partial commits unobservable. The oracle recomputes all three
+    versions' aggregates from the base table — time travel certified
+    end-to-end. This is the metadata layout that gives plain parquet
+    atomic commits + reproducible training-data snapshots at 100 TB."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.io.manifest import read_snapshot, write_snapshot
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="ttr_gate_")
+    p = f"{d}/orders_versioned"
+    write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), p)
+    write_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 1), p, mode="append"
+    )
+    write_snapshot(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        p,
+        mode="overwrite",
+    )
+    outs = []
+    for v in (0, 1, 2):
+        outs.append(
+            read_snapshot(spark, p, version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("o_custkey").alias("n_custs"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+    out = (
+        outs[0]
+        .unionByName(outs[1])
+        .unionByName(outs[2])
+        .orderBy("version")
+        .localCheckpoint(eager=True)  # store dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_TIME_TRAVEL_READ = """
+SELECT 0 AS version, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_custs,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 1, count(*), count(DISTINCT o_custkey), round(sum(o_totalprice), 2)
+FROM orders
+UNION ALL
+SELECT 2, count(*), count(DISTINCT o_custkey), round(sum(o_totalprice), 2)
+FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY version
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (ops/timeseries.sessionize): 30-minute
     inactivity gaps split each user's event stream into sessions — lag
@@ -6722,6 +6786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_stats": q_video_decode_stats,
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_documents": q_bpe_encode_documents,
+        "time_travel_read": q_time_travel_read,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
@@ -6929,6 +6994,7 @@ def oracle_sql() -> dict[str, str]:
         "video_decode_stats": SQL_VIDEO_DECODE_STATS,
         "bpe_train_merges": _sql_bpe_train_merges(),
         "bpe_encode_documents": _sql_bpe_encode_documents(),
+        "time_travel_read": SQL_TIME_TRAVEL_READ,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,
