@@ -4099,6 +4099,109 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (ext/streaming.stream_bin_count_sink +
+    ext/drift.psi_profile_from_counts): events stream in 8 micro-batches,
+    each batch's (bin, n) histogram lands in its OWN epoch partition via
+    dynamic overwrite — replay-idempotent accumulation even though
+    sum-merge isn't idempotent by itself — and the accumulated counts
+    feed a live PSI against a pinned reference snapshot (every 3rd
+    event). The oracle recomputes both histograms and the PSI from the
+    base table, so streamed accumulation ≡ batch recompute is
+    hash-certified."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.ext.drift import bin_counts, psi_profile_from_counts
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        stream_bin_count_sink,
+    )
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    d = tempfile.mkdtemp(prefix="spsi_gate_")
+    src = f"{d}/src"
+    events.repartitionByRange(8, "ts", "event_id").write.parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    q = stream_bin_count_sink(
+        stream,
+        bin_col=(F.col("user_id") % 16),
+        path=f"{d}/bins",
+        checkpoint=f"{d}/ckpt",
+    )
+    q.awaitTermination()
+    cur = (
+        spark.read.parquet(f"{d}/bins")
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    ref = bin_counts(
+        events.filter(F.col("event_id") % 3 == 0), F.col("user_id") % 16
+    )
+    prof = psi_profile_from_counts(ref, cur)
+    total = prof.agg(
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(18,8)")).cast("double"), 6
+        ).alias("psi_total")
+    )
+    out = (
+        prof.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round("share_ref", 6).alias("share_ref"),
+            F.round("share_cur", 6).alias("share_cur"),
+            F.round("psi_term", 6).alias("psi_term"),
+            "psi_total",
+        )
+        .orderBy("bin")
+        .localCheckpoint(eager=True)  # bin dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_STREAMING_PSI_DRIFT = """
+WITH rb AS (
+  SELECT user_id % 16 AS bin, count(*) AS n
+  FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+cb AS (
+  SELECT user_id % 16 AS bin, count(*) AS n
+  FROM events GROUP BY 1),
+rs AS (
+  SELECT bin, n,
+         round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM rb), 10) AS share
+  FROM rb),
+cs AS (
+  SELECT bin, n,
+         round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM cb), 10) AS share
+  FROM cb),
+prof AS (
+  SELECT COALESCE(rs.bin, cs.bin) AS bin,
+         COALESCE(rs.n, 0) AS n_ref,
+         COALESCE(cs.n, 0) AS n_cur,
+         COALESCE(rs.share, 0.0) AS share_ref,
+         COALESCE(cs.share, 0.0) AS share_cur,
+         round((COALESCE(cs.share, 0.0) - COALESCE(rs.share, 0.0))
+               * ln(greatest(COALESCE(cs.share, 0.0), 0.000001)
+                    / greatest(COALESCE(rs.share, 0.0), 0.000001)), 8)
+           AS psi_term
+  FROM rs FULL JOIN cs ON rs.bin = cs.bin)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(share_ref, 6) AS share_ref,
+       round(share_cur, 6) AS share_cur,
+       round(psi_term, 6) AS psi_term,
+       (SELECT round(CAST(sum(CAST(psi_term AS DECIMAL(18,8))) AS DOUBLE), 6)
+        FROM prof) AS psi_total
+FROM prof ORDER BY bin
+"""
+
+
 def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-manifest store (io/manifest.py): three commits — even
     orders, append odd orders (parent files carried by REFERENCE, the
@@ -6787,6 +6890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_documents": q_bpe_encode_documents,
         "time_travel_read": q_time_travel_read,
+        "streaming_psi_drift": q_streaming_psi_drift,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
@@ -6995,6 +7099,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_merges": _sql_bpe_train_merges(),
         "bpe_encode_documents": _sql_bpe_encode_documents(),
         "time_travel_read": SQL_TIME_TRAVEL_READ,
+        "streaming_psi_drift": SQL_STREAMING_PSI_DRIFT,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,

@@ -43,20 +43,32 @@ def fixed_width_bin(col: str, *, lo: float, hi: float, n_bins: int) -> F.Column:
     return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
 
 
-def bin_shares(
-    df: DataFrame, bin_col: F.Column, *, round_to: int = 10
-) -> DataFrame:
-    """(bin, n, share) for one snapshot: one aggregate, share = n/total
-    via a 1-row broadcast (never a driver scalar)."""
-    counts = df.select(bin_col.alias("bin")).groupBy("bin").agg(
+def bin_counts(df: DataFrame, bin_col: F.Column) -> DataFrame:
+    """(bin, n) for one snapshot — the mergeable form (union + sum), so
+    per-partition or per-micro-batch counts accumulate incrementally
+    (see ext/streaming.stream_bin_count_sink)."""
+    return df.select(bin_col.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def shares_from_counts(counts: DataFrame, *, round_to: int = 10) -> DataFrame:
+    """(bin, n, share) from a (bin, n) table: share = n/total via a
+    1-row broadcast (never a driver scalar)."""
     total = counts.agg(F.sum("n").alias("_total"))
     return counts.crossJoin(F.broadcast(total)).select(
         "bin",
         "n",
         F.round(F.col("n") / F.col("_total"), round_to).alias("share"),
     )
+
+
+def bin_shares(
+    df: DataFrame, bin_col: F.Column, *, round_to: int = 10
+) -> DataFrame:
+    """(bin, n, share) for one snapshot: one aggregate + the share
+    projection."""
+    return shares_from_counts(bin_counts(df, bin_col), round_to=round_to)
 
 
 def psi_profile(
@@ -69,10 +81,24 @@ def psi_profile(
     """Per-bin drift table: (bin, n_ref, n_cur, share_ref, share_cur,
     psi_term), full-outer so bins present on only one side still
     contribute (their share floors at EPS inside the log)."""
-    r = bin_shares(ref, bin_col).select(
+    return psi_profile_from_counts(
+        bin_counts(ref, bin_col), bin_counts(cur, bin_col), round_to=round_to
+    )
+
+
+def psi_profile_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    *,
+    round_to: int = 8,
+) -> DataFrame:
+    """psi_profile over pre-aggregated (bin, n) tables — the entry point
+    for incrementally maintained counts (the streaming sink's
+    accumulated epochs, per-partition partials)."""
+    r = shares_from_counts(ref_counts).select(
         F.col("bin"), F.col("n").alias("n_ref"), F.col("share").alias("share_ref")
     )
-    c = bin_shares(cur, bin_col).select(
+    c = shares_from_counts(cur_counts).select(
         F.col("bin"), F.col("n").alias("n_cur"), F.col("share").alias("share_cur")
     )
     j = r.join(c, on="bin", how="full").select(

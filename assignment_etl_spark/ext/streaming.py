@@ -372,6 +372,45 @@ def stream_hll_sink(
     )
 
 
+def stream_bin_count_sink(
+    stream_df: DataFrame,
+    *,
+    bin_col,
+    path: str,
+    checkpoint: str,
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming histogram maintenance for drift monitoring: each
+    micro-batch's (bin, n) counts land in an epoch=N partition via
+    DYNAMIC partition overwrite — a replayed batch (foreachBatch's
+    at-least-once window) replaces its own epoch instead of
+    double-counting, so the accumulated counts converge exactly even
+    though sum-merge itself is not idempotent (contrast stream_hll_sink,
+    whose max-merge is). Read back with
+    ``spark.read.parquet(path).groupBy("bin").sum`` or feed
+    ext/drift.psi_profile_from_counts for a live PSI against a pinned
+    reference snapshot. State is ≤ n_bins rows per epoch forever."""
+    from assignment_etl_spark.ext.drift import bin_counts
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = bin_counts(batch_df, bin_col).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            counts.write.mode("overwrite").partitionBy("epoch").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_query_once(
     stream_df: DataFrame,
     *,

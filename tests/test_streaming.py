@@ -120,3 +120,63 @@ def test_stream_stream_join_matches_batch(spark, events_path):
         for r in run_streaming_query_once(joined, table_name="t_ssj").collect()
     }
     assert got == expected
+
+
+def test_bin_count_sink_replay_idempotent(spark, tmp_path):
+    """A replayed epoch overwrites its own partition instead of
+    double-counting — the exactly-once convergence contract."""
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ext.drift import bin_counts
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        stream_bin_count_sink,
+    )
+
+    events = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        (F.col("id") % 37).alias("user_id"),
+        F.lit("view").alias("event_type"),
+    )
+    d = str(tmp_path)
+    events.repartitionByRange(4, "event_id").write.parquet(f"{d}/src")
+    stream = read_events_stream(spark, f"{d}/src", schema=events.schema)
+    q = stream_bin_count_sink(
+        stream, bin_col=(F.col("user_id") % 8),
+        path=f"{d}/bins", checkpoint=f"{d}/ckpt",
+    )
+    q.awaitTermination()
+
+    def totals():
+        return {
+            r.bin: r.n
+            for r in spark.read.parquet(f"{d}/bins")
+            .groupBy("bin").agg(F.sum("n").alias("n")).collect()
+        }
+
+    # accumulated totals equal the one-shot batch histogram
+    batch = {r.bin: r.n for r in bin_counts(events, F.col("user_id") % 8).collect()}
+    assert totals() == batch
+
+    # replay an epoch with identical data: the second write must replace
+    # the first, not add to it
+    def write_epoch(epoch):
+        counts = bin_counts(
+            events.filter(F.col("event_id") < 250), F.col("user_id") % 8
+        ).withColumn("epoch", F.lit(epoch))
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            counts.write.mode("overwrite").partitionBy("epoch").parquet(
+                f"{d}/bins"
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    write_epoch(99)
+    after_first = totals()
+    write_epoch(99)  # the at-least-once replay
+    assert totals() == after_first
