@@ -4099,6 +4099,59 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_histogram_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (ext/drift.quantiles_from_
+    histogram): order prices histogrammed into 64 fixed-width bins (one
+    aggregate; partial histograms sum together, the same mergeable shape
+    as the sketch family), then any quantile is answered from the
+    ≤64-row table by linear interpolation — error bounded by bin width,
+    no sort, no single-partition percentile pass. Six quantiles
+    hash-replayed in SQL."""
+    from assignment_etl_spark.ext.drift import (
+        bin_counts,
+        fixed_width_bin,
+        quantiles_from_histogram,
+    )
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    counts = bin_counts(
+        orders.select(F.col("o_totalprice").alias("x")),
+        fixed_width_bin("x", lo=0.0, hi=600000.0, n_bins=64),
+    )
+    return quantiles_from_histogram(
+        counts,
+        lo=0.0,
+        hi=600000.0,
+        n_bins=64,
+        qs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+    )
+
+
+SQL_HISTOGRAM_QUANTILES_ORDERS = """
+WITH counts AS (
+  SELECT least(greatest(CAST(floor(o_totalprice / 9375.0) AS INT), 0), 63)
+           AS bin,
+         count(*) AS n
+  FROM orders GROUP BY 1),
+cum AS (
+  SELECT bin, n,
+         COALESCE(sum(n) OVER (ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS below,
+         sum(n) OVER () AS total
+  FROM counts),
+targets AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+j AS (
+  SELECT q, bin, n, below, total, q * (total - 1) AS r
+  FROM targets, cum)
+SELECT q,
+       round(bin * 9375.0 + 9375.0 * (r - below) / n, 6) AS est
+FROM j WHERE r >= below AND r < below + n
+ORDER BY q
+"""
+
+
 def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitor (ext/streaming.stream_bin_count_sink +
     ext/drift.psi_profile_from_counts): events stream in 8 micro-batches,
@@ -6891,6 +6944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_documents": q_bpe_encode_documents,
         "time_travel_read": q_time_travel_read,
         "streaming_psi_drift": q_streaming_psi_drift,
+        "histogram_quantiles_orders": q_histogram_quantiles_orders,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
@@ -7100,6 +7154,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_documents": _sql_bpe_encode_documents(),
         "time_travel_read": SQL_TIME_TRAVEL_READ,
         "streaming_psi_drift": SQL_STREAMING_PSI_DRIFT,
+        "histogram_quantiles_orders": SQL_HISTOGRAM_QUANTILES_ORDERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 EPS = 1e-6  # Laplace-style floor so empty bins don't blow up the log
 
@@ -113,6 +114,72 @@ def psi_profile_from_counts(
         / F.greatest(F.col("share_ref"), F.lit(EPS))
     )
     return j.withColumn("psi_term", F.round(term, round_to))
+
+
+def quantiles_from_histogram(
+    counts: DataFrame,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """(q, est) approximate quantiles from a fixed-width (bin, n)
+    histogram by linear interpolation inside the target bin — the
+    mergeable-quantile shape: per-partition or per-micro-batch
+    histograms sum together (union + groupBy sum), then ONE ≤n_bins-row
+    computation answers any quantile, with error bounded by the bin
+    width. Pairs with bin_counts / stream_bin_count_sink the way
+    hll_cardinality pairs with hll_sketch.
+
+    est(q) = bin_lo + width · (rank − cum_below) / bin_n, where rank =
+    q·(N−1) in the continuous convention; clamped-edge bins mean
+    estimates never leave [lo, hi]. Deterministic: cumulative counts are
+    integers, the interpolation is one double expression per (q, bin)."""
+    w = (hi - lo) / n_bins
+    # both windows run over the ≤ n_bins-row histogram, never the data
+    below_w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "bin",
+        "n",
+        F.sum("n").over(below_w).alias("_below"),
+        F.sum("n").over(Window.partitionBy()).alias("_total"),
+    ).select(
+        "bin", "n", F.coalesce("_below", F.lit(0)).alias("below"), "_total"
+    )
+    targets = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    j = targets.crossJoin(cum).withColumn(
+        "_rank", F.col("q") * (F.col("_total") - 1)
+    )
+    hit = j.filter(
+        (F.col("_rank") >= F.col("below"))
+        & (F.col("_rank") < F.col("below") + F.col("n"))
+    )
+    est = F.round(
+        F.lit(lo)
+        + F.col("bin") * F.lit(w)
+        + F.lit(w) * (F.col("_rank") - F.col("below")) / F.col("n"),
+        round_to,
+    )
+    # a rank can sit exactly at _total-1 (q=1.0): it lands in the last
+    # populated bin via the < bound on the NEXT bin not existing — catch
+    # it with a union of the max-bin edge case
+    top = (
+        j.filter(F.col("q") == 1.0)
+        .filter(F.col("below") + F.col("n") == F.col("_total"))
+        .withColumn("est", F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), round_to))
+        .select("q", "est")
+    )
+    return (
+        hit.select("q", est.alias("est"))
+        .unionByName(top)
+        .groupBy("q")
+        .agg(F.min("est").alias("est"))
+        .orderBy("q")
+    )
 
 
 def chi_square_independence(

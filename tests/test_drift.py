@@ -52,3 +52,48 @@ def test_categorical_drift_via_column_bin(spark):
     got = psi(ref, cur, F.col("k")).first().psi
     # symmetric swap: 2 * (0.6 * ln(4)) ≈ 1.663553
     assert abs(got - 2 * 0.6 * math.log(4)) < 1e-5
+
+
+def test_quantiles_from_histogram_uniform(spark):
+    from assignment_etl_spark.ext.drift import (
+        bin_counts,
+        fixed_width_bin,
+        quantiles_from_histogram,
+    )
+
+    df = _nums(spark, range(1000))  # uniform 0..999
+    counts = bin_counts(df, fixed_width_bin("x", lo=0, hi=1000, n_bins=100))
+    got = {
+        r.q: r.est
+        for r in quantiles_from_histogram(
+            counts, lo=0, hi=1000, n_bins=100, qs=[0.0, 0.25, 0.5, 0.9, 1.0]
+        ).collect()
+    }
+    # uniform data: estimates within one bin width (10) of the exact value
+    assert got[0.0] == 0.0
+    assert abs(got[0.25] - 249.75) <= 10
+    assert abs(got[0.5] - 499.5) <= 10
+    assert abs(got[0.9] - 899.1) <= 10
+    assert abs(got[1.0] - 999.0) <= 10
+
+
+def test_quantiles_histogram_merge_invariance(spark):
+    from assignment_etl_spark.ext.drift import (
+        bin_counts,
+        fixed_width_bin,
+        quantiles_from_histogram,
+    )
+
+    a = _nums(spark, range(0, 300))
+    b = _nums(spark, range(300, 1000))
+    bcol = fixed_width_bin("x", lo=0, hi=1000, n_bins=50)
+    merged = (
+        bin_counts(a, bcol)
+        .unionByName(bin_counts(b, bcol))
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = bin_counts(_nums(spark, range(1000)), bcol)
+    qa = quantiles_from_histogram(merged, lo=0, hi=1000, n_bins=50, qs=[0.5, 0.95])
+    qb = quantiles_from_histogram(full, lo=0, hi=1000, n_bins=50, qs=[0.5, 0.95])
+    assert sorted(map(tuple, qa.collect())) == sorted(map(tuple, qb.collect()))
