@@ -4099,6 +4099,111 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_cm_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join cardinality estimation (ext/sketch.py
+    cm_join_size_estimate): |orders ⋈ customer| predicted from two
+    4×4096 Count-Min sketches of the join key — bucket-wise dot product
+    per hash row, min over rows; collisions only add, so the estimate
+    never undercounts. Returned beside the exact join count so the
+    error is visible. The planner shape at 100 TB: persist per-table key
+    sketches, estimate any join size from two tiny tables with zero
+    data scan at plan time. The oracle replays sketches, dot product,
+    and the exact join."""
+    from assignment_etl_spark.ext.sketch import cm_join_size_estimate, cm_sketch
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    sa = cm_sketch(orders.select(F.col("o_custkey").alias("k")), "k", w=4096, d=4)
+    sb = cm_sketch(
+        customer.select(F.col("c_custkey").alias("k")), "k", w=4096, d=4
+    )
+    est = cm_join_size_estimate(sa, sb)
+    exact = (
+        orders.join(
+            customer, on=orders.o_custkey == customer.c_custkey
+        ).agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("est").cast("long").alias("est"),
+        F.col("exact").cast("long").alias("exact"),
+    )
+
+
+def _sql_cm_join_size_orders() -> str:
+    from assignment_etl_spark.ext.sketch import CM_SALT_STEP
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    w, d = 4096, 4
+    e = f"(k + r * {CM_SALT_STEP})"
+    h1 = f"((({e}) % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+    h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+    h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    return f"""
+WITH sa AS (
+  SELECT r, ({h4}) % {w} AS bucket, count(*) AS n_a
+  FROM (SELECT o_custkey AS k FROM orders) q, range(0, {d}) t(r)
+  GROUP BY 1, 2),
+sb AS (
+  SELECT r, ({h4}) % {w} AS bucket, count(*) AS n_b
+  FROM (SELECT c_custkey AS k FROM customer) q, range(0, {d}) t(r)
+  GROUP BY 1, 2),
+dots AS (
+  SELECT r, sum(n_a * n_b) AS dot
+  FROM sa JOIN sb USING (r, bucket) GROUP BY r)
+SELECT CAST((SELECT min(dot) FROM dots) AS BIGINT) AS est,
+       (SELECT count(*) FROM orders JOIN customer
+        ON o_custkey = c_custkey) AS exact
+"""
+
+
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance (ops/incremental.py
+    merge_join_view): the orders⋈customer view is maintained through a
+    batch that appends every 4th order AND every 5th customer —
+    Δ(A⋈B) = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB) adds exactly the missing rows
+    (cross term once), with both legs broadcast-delta joins that never
+    shuffle or rescan the view. The gate aggregates the merged view per
+    market segment; the oracle recomputes the FULL join — merged ≡
+    recomputed is the IVM correctness contract."""
+    from assignment_etl_spark.ops.incremental import merge_join_view
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    base_a = orders.filter(F.col("o_orderkey") % 4 != 0)
+    delta_a = orders.filter(F.col("o_orderkey") % 4 == 0)
+    base_b = customer.filter(F.col("o_custkey") % 5 != 0)
+    delta_b = customer.filter(F.col("o_custkey") % 5 == 0)
+    view = base_a.join(base_b, on=["o_custkey"])
+    merged = merge_join_view(
+        view, base_a, delta_a, base_b, delta_b, ["o_custkey"]
+    )
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_INCREMENTAL_JOIN_VIEW = """
+SELECT c_mktsegment, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_custs,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_histogram_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate quantiles (ext/drift.quantiles_from_
     histogram): order prices histogrammed into 64 fixed-width bins (one
@@ -6945,6 +7050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_read": q_time_travel_read,
         "streaming_psi_drift": q_streaming_psi_drift,
         "histogram_quantiles_orders": q_histogram_quantiles_orders,
+        "incremental_join_view": q_incremental_join_view,
+        "cm_join_size_orders": q_cm_join_size_orders,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
@@ -7155,6 +7262,8 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_read": SQL_TIME_TRAVEL_READ,
         "streaming_psi_drift": SQL_STREAMING_PSI_DRIFT,
         "histogram_quantiles_orders": SQL_HISTOGRAM_QUANTILES_ORDERS,
+        "incremental_join_view": SQL_INCREMENTAL_JOIN_VIEW,
+        "cm_join_size_orders": _sql_cm_join_size_orders(),
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,

@@ -237,6 +237,25 @@ def cm_estimate(
     )
 
 
+def cm_join_size_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
+    """1-row (est): estimated inner-equi-join cardinality
+    |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k) from two Count-Min sketches built
+    with the same (w, d) on the join key — the bucket-wise dot product
+    per hash row, then min over rows. Collisions only ADD cross terms,
+    so like the point estimate this never undercounts. This is the
+    sketch-based cardinality input a join planner wants at 100 TB:
+    persist per-table key sketches as d×w tables, estimate any join size
+    by joining two tiny sketches — no data scan at plan time."""
+    pa = a.select("r", "bucket", F.col("n").alias("n_a"))
+    pb = b.select("r", "bucket", F.col("n").alias("n_b"))
+    per_row = (
+        pa.join(pb, on=["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("dot"))
+    )
+    return per_row.agg(F.min("dot").alias("est"))
+
+
 # ------------------------------------------------------------ Bloom
 
 BLOOM_SALT_STEP = 104729  # distinct LCG salt per hash round (≠ CM's step)

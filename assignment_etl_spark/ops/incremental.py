@@ -78,3 +78,42 @@ def finalize(state: DataFrame, values: list[str]) -> DataFrame:
             ),
         )
     return out
+
+
+def join_view_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The rows a batch adds to the inner-join view A⋈B, WITHOUT
+    recomputing it: Δ(A⋈B) = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB), where
+    B_new = B_old ∪ ΔB — the ΔA⋈ΔB cross term lands exactly once (in
+    the first leg, never the second). Insert-only streams; updates or
+    deletes need retraction records, out of scope here.
+
+    Scale shape: the deltas are small, so both legs are broadcast joins
+    of a delta against a base — the bases are scanned (with pruning when
+    partitioning correlates with the key) but never shuffled, and the
+    existing view rows are never touched. This is the manual form of
+    what an incrementally-maintained materialized join view does."""
+    b_new = base_b.unionByName(delta_b)
+    return delta_a.join(F.broadcast(b_new), on=on).unionByName(
+        base_a.join(F.broadcast(delta_b), on=on)
+    )
+
+
+def merge_join_view(
+    view: DataFrame,
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """view ∪ Δ(A⋈B): after the merge the view equals
+    (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) exactly (tested + oracle-gated)."""
+    return view.unionByName(
+        join_view_delta(base_a, delta_a, base_b, delta_b, on)
+    )

@@ -81,3 +81,44 @@ def test_null_only_group(spark):
     out = finalize(aggregate_batch(df, KEYS, VALS), VALS).first()
     assert out.n_rows == 1 and out.v_count == 0
     assert out.v_min is None and out.v_avg is None
+
+
+def test_join_view_delta_equals_full_recompute(spark):
+    from assignment_etl_spark.ops.incremental import merge_join_view
+
+    a = spark.createDataFrame(
+        [(1, "x1"), (2, "x2"), (3, "x3"), (4, "x4")], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(1, "y1"), (2, "y2"), (5, "y5")], "k long, bv string"
+    )
+    base_a, delta_a = a.filter("k <= 2"), a.filter("k > 2")
+    base_b, delta_b = b.filter("k = 1"), b.filter("k != 1")
+    view = base_a.join(base_b, on=["k"])
+    merged = merge_join_view(view, base_a, delta_a, base_b, delta_b, ["k"])
+    full = a.join(b, on=["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_join_view_delta_counts_cross_term_once(spark):
+    from assignment_etl_spark.ops.incremental import join_view_delta
+
+    # the ONLY match is ΔA ⋈ ΔB — it must appear exactly once
+    base_a = spark.createDataFrame([(9, "old")], "k long, av string")
+    delta_a = spark.createDataFrame([(1, "na")], "k long, av string")
+    base_b = spark.createDataFrame([(8, "oldb")], "k long, bv string")
+    delta_b = spark.createDataFrame([(1, "nb")], "k long, bv string")
+    got = join_view_delta(base_a, delta_a, base_b, delta_b, ["k"]).collect()
+    assert [tuple(r) for r in got] == [(1, "na", "nb")]
+
+
+def test_join_view_empty_deltas_add_nothing(spark):
+    from assignment_etl_spark.ops.incremental import join_view_delta
+
+    a = spark.createDataFrame([(1, "x")], "k long, av string")
+    b = spark.createDataFrame([(1, "y")], "k long, bv string")
+    empty_a = a.filter("k < 0")
+    empty_b = b.filter("k < 0")
+    assert join_view_delta(a, empty_a, b, empty_b, ["k"]).count() == 0

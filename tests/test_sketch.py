@@ -207,3 +207,34 @@ def test_hll_intersection_estimate(spark):
     # truth: |A|=|B|=2000, |A∪B|=3000, |A∩B|=1000; p=10 → ~3-10% error
     assert abs(row.est_union - 3000) / 3000 < 0.10
     assert abs(row.est_intersection - 1000) / 1000 < 0.25
+
+
+def test_cm_join_size_exact_when_no_collisions(spark):
+    from assignment_etl_spark.ext.sketch import cm_join_size_estimate, cm_sketch
+
+    a = spark.createDataFrame([(1,)] * 3 + [(2,)] * 2, "k long")
+    b = spark.createDataFrame([(1,)] * 4 + [(3,)] * 5, "k long")
+    est = cm_join_size_estimate(
+        cm_sketch(a, "k", w=512, d=4), cm_sketch(b, "k", w=512, d=4)
+    ).first().est
+    assert est == 12  # only k=1 joins: 3*4
+
+
+def test_cm_join_size_never_undercounts(spark):
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ext.sketch import cm_join_size_estimate, cm_sketch
+
+    a = spark.range(2000).select((F.col("id") % 97).alias("k"))
+    b = spark.range(1500).select((F.col("id") % 53).alias("k"))
+    exact = a.join(b, on="k").count()
+    for w in (16, 128, 2048):
+        est = cm_join_size_estimate(
+            cm_sketch(a, "k", w=w, d=3), cm_sketch(b, "k", w=w, d=3)
+        ).first().est
+        assert est >= exact, (w, est, exact)
+    # with a wide sketch the estimate is tight
+    est = cm_join_size_estimate(
+        cm_sketch(a, "k", w=4096, d=4), cm_sketch(b, "k", w=4096, d=4)
+    ).first().est
+    assert est <= exact * 1.2
