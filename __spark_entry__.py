@@ -4099,6 +4099,67 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (ops/outliers.winsorize): lineitem prices clipped
+    to their per-returnflag [5%, 95%] exact percentiles — one grouped
+    percentile aggregation + one broadcast stats join, no row dropped,
+    NULLs passed through. The gate compares raw vs winsorized means per
+    group (decimal-sum policy); DuckDB replays with quantile_cont, so
+    the hash also certifies that Spark's exact `percentile` and
+    DuckDB's interpolation agree."""
+    from assignment_etl_spark.ops.outliers import winsorize
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = winsorize(
+        li,
+        value_col="l_extendedprice",
+        by=["l_returnflag"],
+        lower_q=0.05,
+        upper_q=0.95,
+    )
+    dec = "decimal(28,6)"
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_raw"),
+            F.round(
+                F.sum(F.col("l_extendedprice_winsorized").cast(dec)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_wins"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_WINSORIZE_PRICES = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1),
+w AS (
+  SELECT l.l_returnflag,
+         l_extendedprice AS x,
+         least(greatest(l_extendedprice, lo), hi) AS xw
+  FROM lineitem l JOIN b USING (l_returnflag))
+SELECT l_returnflag, count(*) AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+         AS avg_raw,
+       round(CAST(sum(CAST(xw AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+         AS avg_wins
+FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_cm_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based join cardinality estimation (ext/sketch.py
     cm_join_size_estimate): |orders ⋈ customer| predicted from two
@@ -7052,6 +7113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles_orders": q_histogram_quantiles_orders,
         "incremental_join_view": q_incremental_join_view,
         "cm_join_size_orders": q_cm_join_size_orders,
+        "winsorize_prices": q_winsorize_prices,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
@@ -7264,6 +7326,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantiles_orders": SQL_HISTOGRAM_QUANTILES_ORDERS,
         "incremental_join_view": SQL_INCREMENTAL_JOIN_VIEW,
         "cm_join_size_orders": _sql_cm_join_size_orders(),
+        "winsorize_prices": SQL_WINSORIZE_PRICES,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,

@@ -102,3 +102,44 @@ def flag_outliers(
         )
         .drop("median", "mad")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    value_col: str,
+    by: list[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    out_col: str | None = None,
+    exact: bool = True,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower_q, upper_q] exact (or
+    approx) percentiles — the standard heavy-tail taming before
+    mean-based statistics, complementing flag_outliers (which marks,
+    never mutates). One grouped percentile aggregation + one stats join;
+    same exact-vs-approx and broadcast trade-offs as
+    group_robust_stats. NULLs pass through untouched."""
+    v = F.col(value_col).cast("double")
+    pct = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10_000))
+    )
+    bounds = df.groupBy(*by).agg(
+        pct(v, lower_q).alias("_lo"), pct(v, upper_q).alias("_hi")
+    )
+    bounds_b = F.broadcast(bounds) if broadcast_stats else bounds
+    out = out_col or f"{value_col}_winsorized"
+    return (
+        _join_nullsafe(df, bounds_b, by, ["_lo", "_hi"])
+        .withColumn(
+            out,
+            # greatest/least SKIP nulls — a bare clip would turn NULL
+            # into the lower bound; gate explicitly
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col("_lo")), F.col("_hi")),
+            ),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -67,3 +67,30 @@ def test_null_group_key_rows_are_kept_and_flagged(spark):
     nulls = {r.v: r.is_outlier for r in out.filter("g is null").collect()}
     assert nulls[200.0] is True  # NULL is a group of its own, stats apply
     assert nulls[3.0] is False
+
+
+def test_winsorize_clips_tails(spark):
+    from assignment_etl_spark.ops.outliers import winsorize
+
+    rows = [("g", float(v)) for v in range(100)] + [("g", 1e9), ("g", -1e9)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    got = winsorize(df, value_col="x", by=["grp"], lower_q=0.05, upper_q=0.95)
+    vals = [r.x_winsorized for r in got.collect()]
+    assert max(vals) < 1e6 and min(vals) > -1e6
+    assert len(vals) == 102  # no rows dropped
+    # interior values untouched
+    inner = {r.x: r.x_winsorized for r in got.collect() if 10 <= r.x <= 90}
+    assert all(k == v for k, v in inner.items())
+
+
+def test_winsorize_null_passthrough_and_groups(spark):
+    from assignment_etl_spark.ops.outliers import winsorize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0), ("b", None)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    got = {(r.grp, r.x): r.x_winsorized for r in winsorize(
+        df, value_col="x", by=["grp"], lower_q=0.0, upper_q=0.5
+    ).collect()}
+    assert got[("a", 100.0)] == 2.0  # clipped to group-a median
+    assert got[("b", 5.0)] == 5.0
+    assert got[("b", None)] is None
