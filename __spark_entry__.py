@@ -4099,6 +4099,111 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable k-means (ext/kmeans.py): two Lloyd iterations over the
+    64-dim embeddings, k=4, every nondeterminism pinned — smallest-id
+    init, left-fold distances (identical IEEE add order in both
+    engines), decimal-sum centroid means, index tie-breaks — so DuckDB
+    replays BOTH unrolled iterations plus the final assignment to the
+    same cluster sizes, centroid sums, and inertia. The third
+    oracle-certified iterative algorithm (after PageRank and BPE);
+    per-iteration cost is O(n·k·dim) with no driver collect."""
+    from assignment_etl_spark.ext.kmeans import kmeans
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, cents = kmeans(emb, id_col="vec_id", vec_col="embedding", k=4, iters=2)
+    per = assign.groupBy("cidx").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum(F.round(F.col("dist"), 7).cast("decimal(20,7)")).cast(
+                "double"
+            ),
+            3,
+        ).alias("inertia"),
+    )
+    csum = (
+        cents.select("cidx", F.explode("c").alias("x"))
+        .groupBy("cidx")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(20,9)")).cast("double"), 6
+            ).alias("centroid_sum")
+        )
+    )
+    return (
+        cents.select("cidx")
+        .join(per, on="cidx", how="left")
+        .join(csum, on="cidx", how="left")
+        .select(
+            "cidx",
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+            "centroid_sum",
+            F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+        )
+        .orderBy("cidx")
+    )
+
+
+def _sql_kmeans_embeddings(k: int = 4, iters: int = 2) -> str:
+    dist = (
+        "list_reduce(list_transform(list_zip(v, c), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id AS pid, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY pid) AS cidx, v AS c
+  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT {k}) q)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT pid, v, cidx FROM (
+    SELECT pid, v, cidx,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY {dist}, cidx) AS rn
+    FROM pts CROSS JOIN c{i - 1}) q WHERE rn = 1),
+m{i} AS MATERIALIZED (
+  SELECT cidx, pos,
+         round(CAST(sum(CAST(round(v[pos], 7) AS DECIMAL(20,7)))
+                    AS DOUBLE) / count(*), 9) AS m
+  FROM a{i}, range(1, 65) t(pos) GROUP BY 1, 2),
+c{i} AS MATERIALIZED (
+  SELECT p.cidx, COALESCE(n.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN
+       (SELECT cidx, list(m ORDER BY pos) AS c FROM m{i} GROUP BY 1) n
+       ON p.cidx = n.cidx)"""
+        )
+    parts.append(
+        f""",
+fin AS MATERIALIZED (
+  SELECT cidx, count(*) AS n_points,
+         round(CAST(sum(CAST(round(dist, 7) AS DECIMAL(20,7))) AS DOUBLE), 3)
+           AS inertia
+  FROM (
+    SELECT pid, cidx, {dist} AS dist,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY {dist}, cidx) AS rn
+    FROM pts CROSS JOIN c{iters}) q WHERE rn = 1 GROUP BY 1),
+cs AS (
+  SELECT cidx, round(CAST(sum(CAST(x AS DECIMAL(20,9))) AS DOUBLE), 6)
+           AS centroid_sum
+  FROM (SELECT cidx, unnest(c) AS x FROM c{iters}) q GROUP BY 1)
+SELECT cs.cidx,
+       COALESCE(fin.n_points, 0) AS n_points,
+       centroid_sum,
+       COALESCE(fin.inertia, 0.0) AS inertia
+FROM cs LEFT JOIN fin ON cs.cidx = fin.cidx
+ORDER BY cs.cidx
+"""
+    )
+    return "".join(parts)
+
+
 def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization (ops/outliers.winsorize): lineitem prices clipped
     to their per-returnflag [5%, 95%] exact percentiles — one grouped
@@ -7114,6 +7219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_view": q_incremental_join_view,
         "cm_join_size_orders": q_cm_join_size_orders,
         "winsorize_prices": q_winsorize_prices,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
@@ -7327,6 +7433,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_join_view": SQL_INCREMENTAL_JOIN_VIEW,
         "cm_join_size_orders": _sql_cm_join_size_orders(),
         "winsorize_prices": SQL_WINSORIZE_PRICES,
+        "kmeans_embeddings": _sql_kmeans_embeddings(),
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,
