@@ -4099,6 +4099,122 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (ops/reshape.py): four lineitem measures become a
+    long (variable, value) table in one generator projection — zero
+    shuffle until the per-variable profile aggregate. The long shape is
+    what generic profilers and the dashboard's per-metric views consume;
+    the oracle replays with UNION ALL selects."""
+    from assignment_etl_spark.ops.reshape import unpivot
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    long = unpivot(
+        li,
+        id_cols=["l_orderkey"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="metric",
+        value_name="v",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,6)")).cast("double"), 2
+            ).alias("total"),
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
+        )
+        .orderBy("metric")
+    )
+
+
+SQL_UNPIVOT_LINEITEM_METRICS = """
+WITH long AS (
+  SELECT 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', l_tax FROM lineitem)
+SELECT metric, count(*) AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 2) AS total,
+       round(min(v), 6) AS vmin,
+       round(max(v), 6) AS vmax
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
+def q_golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (ops/survivorship.py): three synthetic
+    source feeds per customer (priority 1-3, with deterministic NULL
+    patterns per column) merge into one record per entity with
+    COLUMN-LEVEL precedence — the best name and the best balance can
+    come from different sources, which row-level keep-first cannot do.
+    One window shuffle on the entity key. The NULL pattern is
+    closed-form, so the oracle derives each column's winning source
+    arithmetically — precedence semantics certified without replaying
+    the window."""
+    from assignment_etl_spark.ops.survivorship import golden_record
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    src = customer.select(
+        F.col("c_custkey").alias("k"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("priority"),
+        "c_name",
+        "c_acctbal",
+    ).select(
+        "k",
+        "priority",
+        F.when(
+            (F.col("k") + F.col("priority")) % 3 == 0, F.lit(None)
+        )
+        .otherwise(F.concat_ws("/", "c_name", "priority"))
+        .alias("name"),
+        F.when(
+            (F.col("k") + F.col("priority")) % 4 == 0, F.lit(None)
+        )
+        .otherwise(F.round(F.col("c_acctbal") + F.col("priority"), 2))
+        .alias("balance"),
+    )
+    golden = golden_record(
+        src, key="k", order_by=["priority"], value_cols=["name", "balance"]
+    )
+    return (
+        golden.groupBy(F.substring("name", -1, 1).alias("name_src"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("balance").cast("decimal(28,2)")).cast("double"), 2
+            ).alias("sum_balance"),
+        )
+        .orderBy("name_src")
+    )
+
+
+SQL_GOLDEN_RECORD_CUSTOMERS = """
+WITH wins AS (
+  SELECT c_custkey AS k,
+         -- smallest priority whose name survives: (k+p) % 3 != 0
+         CASE WHEN (c_custkey + 1) % 3 <> 0 THEN 1
+              WHEN (c_custkey + 2) % 3 <> 0 THEN 2
+              ELSE 3 END AS p_name,
+         CASE WHEN (c_custkey + 1) % 4 <> 0 THEN 1
+              WHEN (c_custkey + 2) % 4 <> 0 THEN 2
+              ELSE 3 END AS p_bal,
+         c_acctbal
+  FROM customer)
+SELECT CAST(p_name AS VARCHAR) AS name_src,
+       count(*) AS n,
+       round(CAST(sum(CAST(round(c_acctbal + p_bal, 2) AS DECIMAL(28,2)))
+                  AS DOUBLE), 2) AS sum_balance
+FROM wins GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable k-means (ext/kmeans.py): two Lloyd iterations over the
     64-dim embeddings, k=4, every nondeterminism pinned — smallest-id
@@ -7220,6 +7336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_join_size_orders": q_cm_join_size_orders,
         "winsorize_prices": q_winsorize_prices,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+        "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
         "geo_radius_pairs": q_geo_radius_pairs,
@@ -7434,6 +7552,8 @@ def oracle_sql() -> dict[str, str]:
         "cm_join_size_orders": _sql_cm_join_size_orders(),
         "winsorize_prices": SQL_WINSORIZE_PRICES,
         "kmeans_embeddings": _sql_kmeans_embeddings(),
+        "unpivot_lineitem_metrics": SQL_UNPIVOT_LINEITEM_METRICS,
+        "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
         "geo_radius_pairs": SQL_GEO_RADIUS_PAIRS,
