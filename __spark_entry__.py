@@ -4099,6 +4099,75 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_fd_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency repair (ops/repair.py): events get a
+    synthetic user_id → home_region attribute corrupted
+    deterministically (every 13th event NULL, every 17th wrong), then
+    majority voting per user restores the FD — one (det, dep)
+    aggregate, a broadcast winners table, audit flags on every repaired
+    row. The oracle replays the FULL algorithm (votes, count-desc/
+    value-asc winner, rewrite), so repair semantics — not just the happy
+    path — are hash-certified."""
+    from assignment_etl_spark.ops.repair import fd_repair
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    dirty = events.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .when(F.col("event_id") % 17 == 0, F.lit("region_X"))
+        .otherwise(F.concat(F.lit("region_"), F.col("user_id") % 7))
+        .alias("home_region"),
+    )
+    fixed = fd_repair(dirty, det_cols=["user_id"], dep_col="home_region")
+    return (
+        fixed.groupBy("home_region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("was_filled").cast("int")).alias("n_filled"),
+            F.sum(F.col("was_changed").cast("int")).alias("n_changed"),
+        )
+        .orderBy("home_region")
+    )
+
+
+SQL_FD_REPAIR_EVENTS = """
+WITH dirty AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              WHEN event_id % 17 = 0 THEN 'region_X'
+              ELSE 'region_' || CAST(user_id % 7 AS VARCHAR) END
+           AS home_region
+  FROM events),
+votes AS (
+  SELECT user_id, home_region, count(*) AS n
+  FROM dirty WHERE home_region IS NOT NULL GROUP BY 1, 2),
+winners AS (
+  SELECT user_id, home_region AS winner FROM (
+    SELECT user_id, home_region, n,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, home_region) AS rn
+    FROM votes) q WHERE rn = 1),
+fixed AS (
+  SELECT d.event_id,
+         CASE WHEN d.home_region IS NULL AND w.winner IS NOT NULL
+                THEN w.winner
+              WHEN d.home_region IS NOT NULL AND w.winner IS NOT NULL
+                   AND d.home_region <> w.winner THEN w.winner
+              ELSE d.home_region END AS home_region,
+         CASE WHEN d.home_region IS NULL AND w.winner IS NOT NULL
+              THEN 1 ELSE 0 END AS filled,
+         CASE WHEN d.home_region IS NOT NULL AND w.winner IS NOT NULL
+                   AND d.home_region <> w.winner THEN 1 ELSE 0 END AS changed
+  FROM dirty d LEFT JOIN winners w USING (user_id))
+SELECT home_region, count(*) AS n,
+       CAST(sum(filled) AS BIGINT) AS n_filled,
+       CAST(sum(changed) AS BIGINT) AS n_changed
+FROM fixed GROUP BY home_region ORDER BY home_region
+"""
+
+
 def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (ops/reshape.py): four lineitem measures become a
     long (variable, value) table in one generator projection — zero
@@ -7337,6 +7406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": q_winsorize_prices,
         "kmeans_embeddings": q_kmeans_embeddings,
         "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
+        "fd_repair_events": q_fd_repair_events,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -7553,6 +7623,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_prices": SQL_WINSORIZE_PRICES,
         "kmeans_embeddings": _sql_kmeans_embeddings(),
         "unpivot_lineitem_metrics": SQL_UNPIVOT_LINEITEM_METRICS,
+        "fd_repair_events": SQL_FD_REPAIR_EVENTS,
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
