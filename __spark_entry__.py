@@ -4099,6 +4099,147 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counts (ext/sketch.hll_sliding_
+    cardinality): trailing-7-day active users per day, computed the
+    mergeable way — one pass sketches each day, then registers (not
+    data) fan ×7 to their window ends and max-merge. The exact side
+    fans distinct (day, user) pairs the same way. Both the estimator
+    pipeline and the exact counts replay in SQL; at 100 TB the register
+    fan-out costs buckets×7×1024 rows while a naive per-window
+    countDistinct rescans the month 7 times."""
+    from assignment_etl_spark.ext.sketch import hll_sliding_cardinality
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    est = hll_sliding_cardinality(
+        events,
+        ts_col="ts",
+        col="user_id",
+        bucket_seconds=86400,
+        window_buckets=7,
+    ).select("end_bucket", F.col("est").alias("est_users"))
+    bucket = F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("long")
+    pairs = events.select(bucket.alias("bucket"), "user_id").distinct()
+    real = pairs.select(F.col("bucket").alias("end_bucket")).distinct()
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("bucket"), F.col("bucket") + 6)
+            ).alias("end_bucket"),
+            "user_id",
+        )
+        .join(F.broadcast(real), on="end_bucket", how="left_semi")
+        .groupBy("end_bucket")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, on="end_bucket").orderBy("end_bucket")
+
+
+def _sql_sliding_distinct_users() -> str:
+    from assignment_etl_spark.ext.sketch import HASH_BITS, hll_alpha_m2, sql_rho
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    p, m = 10, 1024
+    h1 = f"((user_id % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+    h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+    h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    rho = sql_rho(f"h >> {p}", HASH_BITS - p)
+    a2 = repr(hll_alpha_m2(p))
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+         {h4} AS h, user_id
+  FROM events),
+regs AS (
+  SELECT bucket, h % {m} AS idx, max({rho}) AS rho
+  FROM h GROUP BY 1, 2),
+real AS (SELECT DISTINCT bucket FROM h),
+mrg AS (
+  SELECT end_bucket, idx, max(rho) AS rho FROM (
+    SELECT unnest(range(bucket, bucket + 7)) AS end_bucket, idx, rho
+    FROM regs) q
+  WHERE end_bucket IN (SELECT bucket FROM real)
+  GROUP BY 1, 2),
+agg AS (
+  SELECT end_bucket,
+         sum(power(2.0, -rho)) + ({m} - count(*)) AS denom,
+         CAST({m} - count(*) AS DOUBLE) AS zeros
+  FROM mrg GROUP BY 1),
+est AS (
+  SELECT end_bucket,
+         round(CASE WHEN {a2} / denom <= {2.5 * m!r} AND zeros > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                    ELSE {a2} / denom END, 3) AS est_users
+  FROM agg),
+pairs AS (SELECT DISTINCT bucket, user_id FROM h),
+exact AS (
+  SELECT end_bucket, count(DISTINCT user_id) AS exact_users FROM (
+    SELECT unnest(range(bucket, bucket + 7)) AS end_bucket, user_id
+    FROM pairs) q
+  WHERE end_bucket IN (SELECT bucket FROM real)
+  GROUP BY 1)
+SELECT e.end_bucket, est_users, exact_users
+FROM est e JOIN exact USING (end_bucket)
+ORDER BY end_bucket
+"""
+
+
+def q_dedup_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed telemetry dedup (ops/dedup.dedup_within_window): per
+    (user, event type), every burst — events re-firing within 1 hour of
+    the previous one — collapses to its first event (gap-based, so a
+    chained retry storm collapses no matter how long it lasts). One
+    shuffle; sessionize + keep-first share the frame. The oracle replays
+    gap flags, burst numbering, and first-pick exactly."""
+    from assignment_etl_spark.ops.dedup import dedup_within_window
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    kept = dedup_within_window(
+        events,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        window_seconds=3600,
+        order_cols=["event_id"],
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
+SQL_DEDUP_WINDOW_EVENTS = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events),
+flags AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev IS NULL
+                OR floor(epoch(ts)) - floor(epoch(prev)) > 3600 THEN 1
+              ELSE 0 END AS is_new
+  FROM seq),
+bursts AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS burst
+  FROM flags),
+kept AS (
+  SELECT event_type FROM (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY user_id, event_type, burst
+                              ORDER BY ts, event_id) AS rn
+    FROM bursts) q WHERE rn = 1)
+SELECT event_type, count(*) AS n_kept
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_fd_repair_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency repair (ops/repair.py): events get a
     synthetic user_id → home_region attribute corrupted
@@ -7407,6 +7548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "unpivot_lineitem_metrics": q_unpivot_lineitem_metrics,
         "fd_repair_events": q_fd_repair_events,
+        "dedup_window_events": q_dedup_window_events,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -7624,6 +7767,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _sql_kmeans_embeddings(),
         "unpivot_lineitem_metrics": SQL_UNPIVOT_LINEITEM_METRICS,
         "fd_repair_events": SQL_FD_REPAIR_EVENTS,
+        "dedup_window_events": SQL_DEDUP_WINDOW_EVENTS,
+        "sliding_distinct_users": _sql_sliding_distinct_users(),
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,

@@ -237,6 +237,53 @@ def cm_estimate(
     )
 
 
+def hll_sliding_cardinality(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    col: str,
+    bucket_seconds: int,
+    window_buckets: int,
+    p: int = 10,
+    round_to: int = 3,
+) -> DataFrame:
+    """(end_bucket, est): distinct count of ``col`` over the trailing
+    ``window_buckets`` time buckets ending at each populated bucket —
+    the sliding-distinct problem (daily 7-day-active users) solved the
+    mergeable way: sketch each bucket ONCE in a single data pass, then
+    fan each bucket's ≤2^p registers to the window ends it serves (a
+    bounded ×window explode of the REGISTER table, never the data) and
+    max-merge per end. Cost after the one pass is
+    O(buckets × window × 2^p) register rows, independent of row count —
+    the reason warehouses precompute HLL sketches per partition. Ends
+    are restricted to populated buckets (callers wanting empty-bucket
+    ends can re-seed with an explicit spine)."""
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)
+    ).cast("long")
+    regs = hll_sketch(
+        df.withColumn("_bucket", bucket), col, by="_bucket", p=p
+    )
+    ends = regs.select(
+        F.explode(
+            F.sequence(
+                F.col("_bucket"), F.col("_bucket") + F.lit(window_buckets - 1)
+            )
+        ).alias("end_bucket"),
+        "idx",
+        "rho",
+    )
+    real = regs.select(F.col("_bucket").alias("end_bucket")).distinct()
+    merged = (
+        ends.join(F.broadcast(real), on="end_bucket", how="left_semi")
+        .groupBy("end_bucket", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return hll_cardinality(
+        merged, p=p, by="end_bucket", round_to=round_to
+    ).orderBy("end_bucket")
+
+
 def cm_join_size_estimate(a: DataFrame, b: DataFrame) -> DataFrame:
     """1-row (est): estimated inner-equi-join cardinality
     |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k) from two Count-Min sketches built

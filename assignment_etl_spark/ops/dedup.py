@@ -129,3 +129,44 @@ def patient_dedup(
         .drop("_rn_id", "_rn_person_full", "_rn_person")
     )
     return clean, logs
+
+
+def dedup_within_window(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    ts_col: str,
+    window_seconds: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Telemetry-style dedup: keep the FIRST event per key of every
+    burst, where a burst ends once the gap since the previous kept-or-
+    dropped event exceeds ``window_seconds`` (gap-based, so a retry
+    storm that keeps re-firing inside the window collapses to one row
+    no matter how long it lasts — the sessionization semantics, reused
+    from ops/timeseries.sessionize with the key as the session scope).
+
+    One shuffle on the key; pass ``order_cols`` with a unique
+    tie-breaker for determinism under ts ties. Contrast keep_first
+    (exact-duplicate dedup, no time dimension).
+    """
+    from pyspark.sql.window import Window as _W
+
+    from assignment_etl_spark.ops.timeseries import sessionize
+
+    tagged = sessionize(
+        df.withColumn("_k", F.concat_ws("\x1f", *keys)),
+        user_col="_k",
+        ts_col=ts_col,
+        order_cols=order_cols,
+        gap_seconds=window_seconds,
+        out_col="_burst",
+    )
+    w = _W.partitionBy("_k", "_burst").orderBy(
+        F.col(ts_col), *[F.col(c) for c in (order_cols or [])]
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_k", "_burst", "_rn")
+    )

@@ -69,3 +69,38 @@ def test_patient_dedup_sequential_quirk(spark):
     clean, logs = patient_dedup(spark.createDataFrame(rows, cols))
     assert {r.patient_id for r in clean.collect()} == {"p1", "p9"}  # p9 survives
     assert {r.patient_id for r in logs.collect()} == {"p1", "p9"}  # both logged
+
+
+def test_dedup_within_window_bursts(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.dedup import dedup_within_window
+
+    t = lambda s: datetime(2024, 1, 1, 12, 0, s)
+    rows = [
+        ("a", t(0), "e1"), ("a", t(5), "e2"), ("a", t(9), "e3"),  # one burst
+        ("a", t(30), "e4"),                                        # new burst
+        ("b", t(1), "e5"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, e string")
+    kept = {
+        r.e
+        for r in dedup_within_window(
+            df, keys=["k"], ts_col="ts", window_seconds=10, order_cols=["e"]
+        ).collect()
+    }
+    assert kept == {"e1", "e4", "e5"}
+
+
+def test_dedup_within_window_chained_burst_collapses(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.dedup import dedup_within_window
+
+    # events every 5s for a minute: gap never exceeds 10s → ONE row kept
+    rows = [("a", datetime(2024, 1, 1, 12, 0, 5 * i), f"e{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, e string")
+    kept = dedup_within_window(
+        df, keys=["k"], ts_col="ts", window_seconds=10, order_cols=["e"]
+    ).collect()
+    assert len(kept) == 1 and kept[0].e == "e0"

@@ -238,3 +238,32 @@ def test_cm_join_size_never_undercounts(spark):
         cm_sketch(a, "k", w=4096, d=4), cm_sketch(b, "k", w=4096, d=4)
     ).first().est
     assert est <= exact * 1.2
+
+
+def test_hll_sliding_matches_per_window_sketch(spark):
+    from assignment_etl_spark.ext.sketch import (
+        hll_cardinality,
+        hll_sketch,
+        hll_sliding_cardinality,
+    )
+
+    # 10 "days" of events, user ids drift over time
+    df = spark.range(5000).select(
+        (F.lit(1700000000) + (F.col("id") % 10) * 86400).alias("epoch"),
+        ((F.col("id") * 13) % 700).alias("user"),
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "user")
+    got = {
+        r.end_bucket: r.est
+        for r in hll_sliding_cardinality(
+            df, ts_col="ts", col="user", bucket_seconds=86400, window_buckets=3
+        ).collect()
+    }
+    # reference: sketch each trailing-3-bucket slice directly
+    b0 = 1700000000 // 86400
+    for end in (b0, b0 + 4, b0 + 9):
+        slice_df = df.filter(
+            (F.unix_timestamp("ts") / 86400).cast("long").between(end - 2, end)
+        )
+        want = hll_cardinality(hll_sketch(slice_df, "user"), p=10).first().est
+        assert got[end] == want, (end, got[end], want)
+    assert len(got) == 10  # one row per populated bucket
