@@ -4099,6 +4099,122 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_streaming_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance (ext/streaming.stream_cm_sink):
+    events stream in 8 micro-batches, each sketched into its own epoch
+    partition (replay-idempotent dynamic overwrite), and the summed
+    counters equal the one-shot batch sketch EXACTLY — so the SAME
+    analytic oracle as the batch CM gate certifies the streaming path,
+    the cm twin of streaming_hll_users. Bounded state: ≤ d×w counters
+    per epoch."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.ext.sketch import cm_estimate
+    from assignment_etl_spark.ext.streaming import read_events_stream, stream_cm_sink
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    d = tempfile.mkdtemp(prefix="scm_gate_")
+    src = f"{d}/src"
+    events.repartitionByRange(8, "ts", "event_id").write.parquet(src)
+    stream = read_events_stream(spark, src, schema=events.schema)
+    q = stream_cm_sink(
+        stream, col="event_type", path=f"{d}/cm", checkpoint=f"{d}/ckpt",
+        w=512, d=4,
+    )
+    q.awaitTermination()
+    sk = (
+        spark.read.parquet(f"{d}/cm")
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    items = events.select("event_type").distinct()
+    est = cm_estimate(sk, items, "event_type", w=512, d=4).select(
+        "event_type", F.col("est").cast("long").alias("est_n")
+    )
+    exact = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    out = (
+        est.join(F.broadcast(exact), on="event_type")
+        .select("event_type", "est_n", "exact_n")
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # sketch dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding scalar quantization (ext/quantize.py): 64-dim floats →
+    int8-range codes via per-dimension affine quantization (FAISS-SQ8
+    shape) — one ≤dim-row stats aggregate broadcast as a single row,
+    quantize/dequantize as pure zip_with projections. The gate
+    aggregates the EXACT sum of all codes (any code off by one breaks
+    the hash) plus the reconstruction MSE under the decimal-sum policy;
+    the oracle replays stats, rounding convention, codes, and
+    reconstruction. The 4× storage cut an embedding store needs, with
+    error bounded by step/2 per dimension."""
+    from assignment_etl_spark.ext.quantize import dequantize, dim_stats, quantize
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = dim_stats(emb)
+    q = quantize(emb, stats)
+    back = dequantize(q, stats)
+    sqerr = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("approx"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.aggregate(F.col("codes"), F.lit(0), lambda a, c: a + c))
+        .cast("long")
+        .alias("sum_codes"),
+        F.round(
+            F.sum(F.round(sqerr, 16).cast("decimal(28,16)")).cast("double")
+            / (F.count(F.lit(1)) * 64),
+            12,
+        ).alias("mse"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+comp AS (
+  SELECT vec_id, t.pos, e[t.pos] AS x
+  FROM v, range(1, 65) t(pos)),
+stats AS (
+  SELECT pos, min(x) AS lo, max(x) AS hi FROM comp GROUP BY 1),
+codes AS (
+  SELECT c.vec_id, c.pos, c.x, s.lo, s.hi,
+         CASE WHEN s.hi > s.lo
+              THEN CAST(round(255 * (c.x - s.lo) / (s.hi - s.lo), 0) AS INT)
+              ELSE 0 END AS code
+  FROM comp c JOIN stats s USING (pos)),
+recon AS (
+  SELECT vec_id, pos, x, code,
+         lo + CAST(code AS DOUBLE) * (hi - lo) / 255 AS approx
+  FROM codes),
+per_vec AS (
+  SELECT vec_id,
+         sum(code) AS code_sum,
+         round(sum((x - approx) * (x - approx)), 16) AS sqerr
+  FROM recon GROUP BY 1)
+SELECT count(*) AS n_vectors,
+       CAST(sum(code_sum) AS BIGINT) AS sum_codes,
+       round(CAST(sum(CAST(sqerr AS DECIMAL(28,16))) AS DOUBLE)
+             / (count(*) * 64), 12) AS mse
+FROM per_vec
+"""
+
+
 def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window distinct counts (ext/sketch.hll_sliding_
     cardinality): trailing-7-day active users per day, computed the
@@ -7550,6 +7666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_repair_events": q_fd_repair_events,
         "dedup_window_events": q_dedup_window_events,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "quantize_embeddings": q_quantize_embeddings,
+        "streaming_cm_counts": q_streaming_cm_counts,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -7769,6 +7887,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_repair_events": SQL_FD_REPAIR_EVENTS,
         "dedup_window_events": SQL_DEDUP_WINDOW_EVENTS,
         "sliding_distinct_users": _sql_sliding_distinct_users(),
+        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+        "streaming_cm_counts": _sql_cm_event_type_counts(),
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,

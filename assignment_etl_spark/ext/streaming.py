@@ -411,6 +411,45 @@ def stream_bin_count_sink(
     )
 
 
+def stream_cm_sink(
+    stream_df: DataFrame,
+    *,
+    col: str,
+    path: str,
+    checkpoint: str,
+    w: int = 512,
+    d: int = 4,
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming frequency maintenance: each micro-batch is Count-Min
+    sketched and written to its own epoch partition (dynamic overwrite →
+    replay-idempotent, the stream_bin_count_sink recipe), so the
+    accumulated counters — ``read.parquet(path).groupBy("r","bucket")
+    .sum("n")`` — equal the one-shot batch sketch EXACTLY (sum-merge is
+    associative/commutative). State is ≤ d×w rows per epoch forever;
+    feed the merged sketch to ext/sketch.cm_estimate for live
+    heavy-hitter queries."""
+    from assignment_etl_spark.ext.sketch import cm_sketch
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = cm_sketch(batch_df, col, w=w, d=d).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            counts.write.mode("overwrite").partitionBy("epoch").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_streaming_query_once(
     stream_df: DataFrame,
     *,
