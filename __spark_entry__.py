@@ -4099,6 +4099,75 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_negative_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (ext/sampling.negative_samples):
+    for each customer, 3 hash-drawn parts they never ordered —
+    candidates index into the part catalog via the portable hash (the
+    catalog rides the scalable global index from ops/ids), accidental
+    positives fall out through an anti-join. The contrastive-pair
+    generator a recommender/embedding trainer needs, with every draw
+    SQL-replayable. Output is the aggregate contract: pair counts and
+    key checksums that any off-by-one in indexing or anti-join breaks."""
+    from assignment_etl_spark.ext.sampling import negative_samples
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    positives = (
+        orders.join(
+            lineitem, on=orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    items = part.select(F.col("p_partkey").alias("item"))
+    neg = negative_samples(
+        positives, items, user_col="user", item_col="item", k=3, salt=0
+    )
+    return neg.agg(
+        F.countDistinct("user").alias("n_users"),
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.sum("user").cast("long").alias("sum_users"),
+        F.sum("item").cast("long").alias("sum_items"),
+    )
+
+
+def _sql_negative_sample_parts() -> str:
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    e = "(user * 3 + j)"
+    h1 = f"((({e}) % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+    h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+    h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    return f"""
+WITH positives AS (
+  SELECT DISTINCT o_custkey AS user, l_partkey AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+idx AS (
+  SELECT item, row_number() OVER (ORDER BY item) - 1 AS _idx
+  FROM (SELECT DISTINCT p_partkey AS item FROM part) q),
+n AS (SELECT count(*) AS _n FROM idx),
+cands AS (
+  SELECT u.user, ({h4}) % (SELECT _n FROM n) AS _idx
+  FROM (SELECT DISTINCT user FROM positives) u, range(0, 3) t(j)),
+neg AS (
+  SELECT DISTINCT c.user, i.item
+  FROM cands c JOIN idx i USING (_idx)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM positives p
+    WHERE p.user = c.user AND p.item = i.item))
+SELECT count(DISTINCT user) AS n_users,
+       count(*) AS n_negatives,
+       CAST(sum(user) AS BIGINT) AS sum_users,
+       CAST(sum(item) AS BIGINT) AS sum_items
+FROM neg
+"""
+
+
 def q_streaming_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Count-Min maintenance (ext/streaming.stream_cm_sink):
     events stream in 8 micro-batches, each sketched into its own epoch
@@ -7668,6 +7737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_users": q_sliding_distinct_users,
         "quantize_embeddings": q_quantize_embeddings,
         "streaming_cm_counts": q_streaming_cm_counts,
+        "negative_sample_parts": q_negative_sample_parts,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -7889,6 +7959,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct_users": _sql_sliding_distinct_users(),
         "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "streaming_cm_counts": _sql_cm_event_type_counts(),
+        "negative_sample_parts": _sql_negative_sample_parts(),
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,

@@ -278,3 +278,59 @@ def deterministic_shuffle(df: DataFrame, *, id_col: str, salt: int = 0) -> DataF
     return df.orderBy(
         portable_hash01(F.col(id_col), salt), F.col(id_col)
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    items: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """≤k deterministic negative (user, item) pairs per user for
+    contrastive training: candidate j for a user is the item at index
+    portable_hash(user·k + j) mod |items| in item-key order, with
+    accidental positives dropped by an anti-join (so a user whose
+    candidates all collide with positives yields fewer than k — the
+    standard hash-negative trade; raise k or re-salt to compensate).
+
+    Scale shape: the item table rides a scalable global index
+    (ops/ids.global_row_number — no single-partition window) and is
+    broadcast into the candidate join (negatives sample from a bounded
+    catalog — the usual case; a billion-item catalog shuffles instead of
+    broadcasting, same plan otherwise). |items| enters as a 1-row
+    broadcast, never a driver scalar. Fully hash-replayable in SQL.
+    """
+    from assignment_etl_spark.ext.sketch import portable_hash_int
+    from assignment_etl_spark.ops.ids import global_row_number
+
+    idx = global_row_number(
+        items.select(item_col).distinct(), [item_col], out_col="_idx", start=0
+    )
+    n_items = idx.agg(F.count(F.lit(1)).alias("_n"))
+    users = positives.select(user_col).distinct()
+    cands = (
+        users.crossJoin(F.broadcast(n_items))
+        .select(
+            user_col,
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"),
+        )
+        .select(
+            user_col,
+            F.pmod(
+                portable_hash_int(
+                    F.col(user_col) * F.lit(k) + F.col("_j"), salt
+                ),
+                F.col("_n"),
+            ).alias("_idx"),
+        )
+    )
+    withitem = cands.join(F.broadcast(idx), on="_idx").select(user_col, item_col)
+    return withitem.join(
+        positives.select(user_col, item_col).distinct(),
+        on=[user_col, item_col],
+        how="left_anti",
+    ).distinct()

@@ -223,3 +223,38 @@ class TestDeterministicShuffle:
         assert a != c                      # a new salt is a new epoch order
         assert sorted(a) == list(range(500))
         assert a != list(range(500))       # actually shuffled
+
+
+def test_negative_samples_contract(spark):
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ext.sampling import negative_samples
+
+    items = spark.range(50).select((F.col("id") + 1000).alias("item"))
+    positives = spark.createDataFrame(
+        [(u, 1000 + (u * 3) % 50) for u in range(1, 40)], "user long, item long"
+    )
+    neg = negative_samples(
+        positives, items, user_col="user", item_col="item", k=5, salt=7
+    )
+    rows = neg.collect()
+    # no negative may be a positive
+    pos = {(r.user, r.item) for r in positives.collect()}
+    assert all((r.user, r.item) not in pos for r in rows)
+    # every sampled item comes from the catalog; <= k per user
+    cat = {r.item for r in items.collect()}
+    assert all(r.item in cat for r in rows)
+    per_user = {}
+    for r in rows:
+        per_user[r.user] = per_user.get(r.user, 0) + 1
+    assert all(1 <= c <= 5 for c in per_user.values())
+    # deterministic
+    again = negative_samples(
+        positives, items, user_col="user", item_col="item", k=5, salt=7
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # a different salt reshuffles
+    other = negative_samples(
+        positives, items, user_col="user", item_col="item", k=5, salt=8
+    )
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
