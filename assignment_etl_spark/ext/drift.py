@@ -228,6 +228,42 @@ def chi_square_independence(
     )
 
 
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """1-row (mi_nats, n): I(A;B) = Σ_ab p_ab·ln(p_ab/(p_a·p_b)) over
+    OBSERVED cells only (zero cells contribute 0 to MI exactly, unlike
+    chi-square — no identity trick needed). Same one-aggregate +
+    broadcast-marginals shape as chi_square_independence; per-cell terms
+    rounded then decimal-summed. MI = 0 ⟺ independent; units are nats."""
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    ra = cells.groupBy(col_a).agg(F.sum("o").alias("n_a"))
+    rb = cells.groupBy(col_b).agg(F.sum("o").alias("n_b"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    term = F.round(
+        (F.col("o") / F.col("n"))
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("n_a") * F.col("n_b"))
+        ),
+        10,
+    ).cast("decimal(28,10)")
+    return (
+        cells.join(F.broadcast(ra), on=col_a)
+        .join(F.broadcast(rb), on=col_b)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term).cast("double"), round_to).alias("mi_nats"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
 def psi(
     ref: DataFrame,
     cur: DataFrame,

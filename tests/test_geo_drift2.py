@@ -91,3 +91,22 @@ def test_chi_square_perfect_dependence(spark):
     got = chi_square_independence(df, "a", "b").first()
     assert got.dof == 4
     assert abs(got.chi2 - 30 * 2) < 1e-6
+
+
+def test_mutual_information_independent_is_zero(spark):
+    from assignment_etl_spark.ext.drift import mutual_information
+
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_information(df, "a", "b").first()
+    assert got.mi_nats == 0.0 and got.n == 100
+
+
+def test_mutual_information_identity_is_entropy(spark):
+    from assignment_etl_spark.ext.drift import mutual_information
+
+    # a == b uniform over 4 symbols: I = H = ln(4)
+    rows = [(c, c) for c in "pqrs" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_information(df, "a", "b").first()
+    assert abs(got.mi_nats - math.log(4)) < 1e-6
