@@ -113,3 +113,77 @@ def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite", partitio
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def execute_jdbc(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    *,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Run one server-side DDL/DML statement through the JVM's
+    DriverManager — the same classpath and driver Spark's JDBC source
+    uses, so anything write_jdbc can reach, this can too. Needed for
+    the statements Spark's writer cannot express (MERGE, index DDL)."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute(sql)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    *,
+    staging_table: str | None = None,
+    properties: dict[str, str] | None = None,
+    num_partitions: int = 8,
+) -> str:
+    """Keyed MERGE into a JDBC table: the delta lands in a staging table
+    (plain overwrite — safe to retry), then ONE atomic server-side
+    MERGE updates matches and inserts the rest. Idempotent end to end:
+    re-running the whole call (or just the MERGE after a driver crash)
+    converges to the same table state, which a mode='append' write can
+    never promise — this is the exactly-once JDBC sink recipe.
+
+    Quoting matches what Spark's writer actually created: COLUMN names
+    are dialect-quoted (JdbcUtils quotes them in CREATE TABLE), TABLE
+    names are passed through unquoted (Spark embeds them verbatim, so
+    the server applies its own case folding). Returns the MERGE statement
+    it executed (also handy for dry-run inspection/tests). The target
+    table must exist; create it with write_jdbc(mode='overwrite') or
+    DDL from postgres_ddl."""
+    staging = staging_table or f"{table}_staging"
+    write_jdbc(
+        df,
+        url,
+        staging,
+        properties=properties,
+        mode="overwrite",
+        num_partitions=num_partitions,
+    )
+    cols = df.columns
+    value_cols = [c for c in cols if c not in keys]
+    on = " AND ".join(f't."{k}" = s."{k}"' for k in keys)
+    sets = ", ".join(f'"{c}" = s."{c}"' for c in value_cols)
+    ins_cols = ", ".join(f'"{c}"' for c in cols)
+    ins_vals = ", ".join(f's."{c}"' for c in cols)
+    merge = (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+    execute_jdbc(df.sparkSession, url, merge, properties=properties)
+    return merge

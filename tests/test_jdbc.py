@@ -79,3 +79,52 @@ def test_jdbc_overwrite_truncates(spark, derby_url, sample):
     write_jdbc(sample, derby_url, "orders_trunc", properties=props, num_partitions=2)
     back = read_jdbc(spark, derby_url, "orders_trunc", properties=props)
     assert _key_sum(back) == _key_sum(sample)
+
+
+def test_jdbc_upsert_merge(spark, derby_url, sample):
+    from assignment_etl_spark.io.jdbc import upsert_jdbc
+
+    props = {"driver": DRIVER}
+    base = sample.filter(F.col("o_orderkey") < 1000)
+    write_jdbc(base, derby_url, "orders_merge", properties=props, num_partitions=2)
+
+    # delta: updates for half the existing keys + brand-new keys
+    delta = sample.filter(
+        (F.col("o_orderkey") < 500) | (F.col("o_orderkey") >= 1000)
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") < 500, F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    upsert_jdbc(
+        delta, derby_url, "orders_merge", ["o_orderkey"],
+        properties=props, num_partitions=2,
+    )
+    back = read_jdbc(spark, derby_url, "orders_merge", properties=props)
+    # expected: base rows >=500 untouched, <500 updated to 1.0, new rows added
+    expect = (
+        base.filter(F.col("o_orderkey") >= 500)
+        .unionByName(delta)
+    )
+    assert _key_sum(back) == _key_sum(expect)
+    assert back.filter("o_orderkey < 500").agg(
+        F.max("o_totalprice")
+    ).first()[0] == 1.0
+
+
+def test_jdbc_upsert_idempotent_retry(spark, derby_url, sample):
+    from assignment_etl_spark.io.jdbc import upsert_jdbc
+
+    props = {"driver": DRIVER}
+    base = sample.filter(F.col("o_orderkey") < 300)
+    write_jdbc(base, derby_url, "orders_retry", properties=props, num_partitions=2)
+    delta = sample.filter(F.col("o_orderkey").between(200, 600))
+    for _ in range(2):  # the retry: same call twice must converge
+        upsert_jdbc(
+            delta, derby_url, "orders_retry", ["o_orderkey"],
+            properties=props, num_partitions=2,
+        )
+    back = read_jdbc(spark, derby_url, "orders_retry", properties=props)
+    expect = base.filter(F.col("o_orderkey") < 200).unionByName(delta)
+    assert _key_sum(back) == _key_sum(expect)
