@@ -4099,6 +4099,45 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the non-hierarchical shapes rollup/cube
+    can't express — here (status, priority), (priority), ()): one pass,
+    Spark expands sets internally instead of unioning three scans;
+    grouping() flags disambiguate aggregate NULLs from data NULLs.
+    Completes the multi-aggregation family next to rollup_revenue and
+    cube_lineitem."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_GROUPING_SETS_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+         AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
 def q_mutual_info_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information (ext/drift.py): I(order priority; order
     status) in nats — the information-theoretic companion to the
@@ -7776,6 +7815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cm_counts": q_streaming_cm_counts,
         "negative_sample_parts": q_negative_sample_parts,
         "mutual_info_orders": q_mutual_info_orders,
+        "grouping_sets_orders": q_grouping_sets_orders,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -7999,6 +8039,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cm_counts": _sql_cm_event_type_counts(),
         "negative_sample_parts": _sql_negative_sample_parts(),
         "mutual_info_orders": SQL_MUTUAL_INFO_ORDERS,
+        "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
