@@ -411,6 +411,62 @@ def stream_bin_count_sink(
     )
 
 
+def stream_jdbc_upsert_sink(
+    stream_df: DataFrame,
+    *,
+    url: str,
+    table: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+    properties: dict[str, str] | None = None,
+) -> "StreamingQuery":  # noqa: F821
+    """Stream → relational mart with exactly-once convergence: each
+    micro-batch reduces to its latest row per key (total order via
+    ``order_cols``), then lands through ONE atomic server-side MERGE
+    (io/jdbc.upsert_jdbc). MERGE is keyed, so a replayed batch
+    (foreachBatch's at-least-once window) rewrites the same rows to the
+    same values instead of duplicating them — the property a JDBC
+    ``append`` sink can never give. Out-of-order batches (the file
+    source lists by modification time, not key order) are absorbed by
+    the same anti-regression guard as the parquet twin
+    (stream_upsert_sink): batch rows that do not beat the table's
+    current order value for their key are dropped BEFORE the merge, so
+    the table can never regress. The target table must already exist."""
+    from pyspark.sql import Window
+
+    from assignment_etl_spark.io.jdbc import read_jdbc, upsert_jdbc
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ordv = F.struct(*[F.col(c) for c in order_cols])
+        w = Window.partitionBy(*keys).orderBy(F.desc(ordv))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cur = read_jdbc(spark, url, table, properties=properties).select(
+            *keys, ordv.alias("_cur_ord")
+        )
+        latest = (
+            latest.join(cur, on=keys, how="left")
+            .filter(F.col("_cur_ord").isNull() | (ordv > F.col("_cur_ord")))
+            .drop("_cur_ord")
+            .localCheckpoint(eager=True)  # sever lineage before we mutate
+        )
+        upsert_jdbc(
+            latest, url, table, keys, properties=properties, num_partitions=4
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_cm_sink(
     stream_df: DataFrame,
     *,

@@ -105,3 +105,57 @@ def test_streaming_hll_matches_batch_and_restarts(spark, tmp_path):
     assert got == batch
     run()  # restart with same checkpoint: no new files → state unchanged
     assert sorted(map(tuple, spark.read.parquet(regs_path).collect())) == batch
+
+
+def test_stream_jdbc_upsert_sink(spark, tmp_path):
+    """Events stream into a Derby table through keyed MERGE; final table
+    equals the batch keep-latest recompute."""
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        stream_jdbc_upsert_sink,
+    )
+    from assignment_etl_spark.io.jdbc import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/sdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    events = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        (F.col("id") % 40).alias("user_id"),
+        (F.col("id") * 3 % 97).cast("double").alias("value"),
+    )
+    # seed the target table (MERGE needs it to exist) with an empty slice
+    write_jdbc(
+        events.filter("event_id < 0"), url, "user_state",
+        properties=props, num_partitions=1,
+    )
+    events.repartitionByRange(4, "event_id").write.parquet(f"{tmp_path}/src")
+    stream = read_events_stream(spark, f"{tmp_path}/src", schema=events.schema)
+    q = stream_jdbc_upsert_sink(
+        stream,
+        url=url,
+        table="user_state",
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint=f"{tmp_path}/ckpt",
+        properties=props,
+    )
+    q.awaitTermination()
+    back = read_jdbc(spark, url, "user_state", properties=props)
+    assert back.count() == 40  # one row per user
+    # equals the batch keep-latest
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.struct("ts", "event_id"))
+    )
+    expect = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    got = {(r.user_id, r.event_id) for r in back.collect()}
+    want = {(r.user_id, r.event_id) for r in expect.collect()}
+    assert got == want
