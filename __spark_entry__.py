@@ -4099,6 +4099,61 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_fk_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-star referential integrity in one pass (ops/quality.
+    fk_graph_audit): all seven FK edges of the schema — lineitem→
+    {orders,part,supplier}, orders→customer, {customer,supplier}→nation,
+    nation→region — audited as broadcast-dim left joins, one result row
+    per edge with orphan and NULL-key accounting (NULL FKs don't
+    violate RI and are reported separately). The schema-owner's
+    per-ingest conformance report, fully SQL-replayed."""
+    from assignment_etl_spark.ops.quality import fk_graph_audit
+
+    _prep(spark)
+    t = {n: _t(spark, sf_dir, n) for n in (
+        "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+    )}
+    edges = [
+        ("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ]
+    return fk_graph_audit(edges).orderBy("edge")
+
+
+def _sql_fk_edge(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{name}' AS edge,
+       count(*) AS n_child,
+       CAST(sum(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(sum(CASE WHEN c.{ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_keys
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{ck} = p.{pk}"""
+
+
+SQL_FK_GRAPH_AUDIT = (
+    " UNION ALL ".join(
+        _sql_fk_edge(*e)
+        for e in [
+            ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+    )
+    + " ORDER BY edge"
+)
+
+
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS (the non-hierarchical shapes rollup/cube
     can't express — here (status, priority), (priority), ()): one pass,
@@ -7816,6 +7871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample_parts": q_negative_sample_parts,
         "mutual_info_orders": q_mutual_info_orders,
         "grouping_sets_orders": q_grouping_sets_orders,
+        "fk_graph_audit": q_fk_graph_audit,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -8040,6 +8096,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sample_parts": _sql_negative_sample_parts(),
         "mutual_info_orders": SQL_MUTUAL_INFO_ORDERS,
         "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
+        "fk_graph_audit": SQL_FK_GRAPH_AUDIT,
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,

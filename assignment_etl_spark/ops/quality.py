@@ -84,3 +84,42 @@ def orphan_check(
         original_value=F.col(child_key),
         reason=F.lit("orphan_" + child_key),
     )
+
+
+def fk_graph_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Whole-schema referential-integrity audit: one row per FK edge
+    (name, child_df, child_key, parent_df, parent_key) with child row
+    count, orphan count (non-null keys missing from the parent), and
+    null-key count (NULL FKs don't violate RI in SQL semantics — they
+    are reported separately, not as orphans). Each edge is one
+    broadcast-dim left join + aggregate; the per-edge results union
+    into the audit table a schema owner reviews per ingest."""
+    from functools import reduce
+
+    outs = []
+    for name, child, ck, parent, pk in edges:
+        keyed = (
+            parent.select(F.col(pk).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        j = child.select(F.col(ck).alias("_k")).join(
+            F.broadcast(keyed), on="_k", how="left"
+        )
+        outs.append(
+            j.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(
+                        F.col("_k").isNotNull() & F.col("_hit").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_orphans"),
+                F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias(
+                    "n_null_keys"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
