@@ -4099,6 +4099,61 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_cc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round min-label propagation (ext/graph.min_label_rounds):
+    four synchronous rounds over the functional graph doc_id →
+    (doc_id·7) mod 500 — the relational connected-components kernel
+    that ext/dedup.cluster_pairs iterates to convergence for near-dup
+    clustering, here in its oracle-certifiable fixed-round form (the
+    pagerank trade: pin the round count, replay every round in SQL).
+    One join + one aggregate per round, O(|E|) each. Returns component-
+    label histogram after round 4."""
+    from assignment_etl_spark.ext.graph import min_label_rounds
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7) % 500).alias("dst"),
+    )
+    labels = min_label_rounds(edges, rounds=4)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("label")
+    )
+
+
+def _sql_cc_label_propagation(rounds: int = 4) -> str:
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src, (doc_id * 7) % 500 AS dst FROM documents),
+u AS MATERIALIZED (
+  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+l0 AS MATERIALIZED (
+  SELECT node, node AS label
+  FROM (SELECT DISTINCT src AS node FROM u) q)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+n{k} AS MATERIALIZED (
+  SELECT u.dst AS node, min(l.label) AS nmin
+  FROM u JOIN l{k - 1} l ON u.src = l.node GROUP BY 1),
+l{k} AS MATERIALIZED (
+  SELECT l.node, least(l.label, COALESCE(n.nmin, l.label)) AS label
+  FROM l{k - 1} l LEFT JOIN n{k} n ON l.node = n.node)"""
+        )
+    parts.append(
+        f"""
+SELECT label, count(*) AS n_nodes
+FROM l{rounds} GROUP BY 1 ORDER BY 1
+"""
+    )
+    return "".join(parts)
+
+
 def q_fk_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-star referential integrity in one pass (ops/quality.
     fk_graph_audit): all seven FK edges of the schema — lineitem→
@@ -7872,6 +7927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_orders": q_mutual_info_orders,
         "grouping_sets_orders": q_grouping_sets_orders,
         "fk_graph_audit": q_fk_graph_audit,
+        "cc_label_propagation": q_cc_label_propagation,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -8097,6 +8153,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_orders": SQL_MUTUAL_INFO_ORDERS,
         "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
         "fk_graph_audit": SQL_FK_GRAPH_AUDIT,
+        "cc_label_propagation": _sql_cc_label_propagation(),
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,

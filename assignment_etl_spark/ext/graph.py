@@ -52,6 +52,51 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def min_label_rounds(
+    edges: DataFrame,
+    *,
+    rounds: int,
+    checkpoint_every: int | None = 1,
+) -> DataFrame:
+    """(node, label) after ``rounds`` SYNCHRONOUS min-label propagation
+    steps over the undirected closure of (src, dst): every node starts
+    labeled with itself, and each round takes the min of its own and
+    all neighbors' previous labels. After ≥ diameter rounds this is
+    connected components (ext/dedup.cluster_pairs iterates that to
+    convergence for dedup); the FIXED-round form here has a
+    well-defined, engine-replayable result at any round count — the
+    oracle-certifiable shape, same trade as pagerank's fixed
+    iterations. Each round is one join + one aggregate on node keys,
+    O(|E|) per round; labels are localCheckpointed per round to keep
+    plan depth constant."""
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(rounds):
+        neigh = (
+            und.join(labels.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        labels = (
+            labels.join(neigh, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     *,

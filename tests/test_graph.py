@@ -66,3 +66,30 @@ def test_checkpoint_every_preserves_values(spark):
     plain = sorted(map(tuple, pagerank(e, iters=4).collect()))
     ck = sorted(map(tuple, pagerank(e, iters=4, checkpoint_every=2).collect()))
     assert plain == ck
+
+
+def test_min_label_rounds_converges_to_components(spark):
+    from assignment_etl_spark.ext.graph import min_label_rounds
+
+    # two components: {a,b,c,d} chained (diameter 3) and {x,y}
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    got = {r.node: r.label for r in min_label_rounds(e, rounds=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_min_label_fixed_rounds_are_partial(spark):
+    from assignment_etl_spark.ext.graph import min_label_rounds
+
+    # chain a-b-c-d: after ONE synchronous round d only sees c
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r.node: r.label for r in min_label_rounds(e, rounds=1).collect()}
+    assert got == {"a": "a", "b": "a", "c": "b", "d": "c"}
+
+
+def test_min_label_deterministic_across_partitionings(spark):
+    from assignment_etl_spark.ext.graph import min_label_rounds
+
+    pairs = [(f"n{(i * 3) % 40}", f"n{(i * 7 + 1) % 40}") for i in range(60)]
+    r1 = sorted(map(tuple, min_label_rounds(_edges(spark, pairs).repartition(1), rounds=4).collect()))
+    r2 = sorted(map(tuple, min_label_rounds(_edges(spark, pairs).repartition(11), rounds=4).collect()))
+    assert r1 == r2
