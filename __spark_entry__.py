@@ -4099,6 +4099,56 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_fingerprint_cluster_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort fingerprint clustering (ops/linkage.fingerprint_key,
+    the OpenRefine method): a dirty registry doubles every even-keyed
+    customer with its name word-REORDERED, re-cased, and re-punctuated —
+    edits levenshtein blocking is blind to — and the fingerprint
+    (lowercase → alphanumeric tokens → dedupe → sort → rejoin) collapses
+    each spelling pair into one cluster. Gate returns the cluster-shape
+    histogram; oracle replays the whole normalization with
+    list_sort/string_split_regex."""
+    from assignment_etl_spark.ops.linkage import fingerprint_clusters
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    base = customer.select(
+        F.concat_ws(" ", "c_mktsegment", "c_name").alias("nm")
+    )
+    dirty = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        F.concat(
+            F.upper("c_name"), F.lit(", "), F.lower("c_mktsegment")
+        ).alias("nm")
+    )
+    clusters = fingerprint_clusters(base.unionByName(dirty), "nm")
+    return (
+        clusters.groupBy("n_records", "n_distinct_values")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("n_records", "n_distinct_values")
+    )
+
+
+SQL_FINGERPRINT_CLUSTER_CUSTOMERS = r"""
+WITH names AS (
+  SELECT c_mktsegment || ' ' || c_name AS nm FROM customer
+  UNION ALL
+  SELECT upper(c_name) || ', ' || lower(c_mktsegment) FROM customer
+  WHERE c_custkey % 2 = 0),
+fp AS (
+  SELECT array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(lower(nm), '[^a-z0-9]+'),
+                       t -> len(t) > 0))), ' ') AS fp_key,
+         nm
+  FROM names),
+cl AS (
+  SELECT fp_key, count(*) AS n_records,
+         count(DISTINCT nm) AS n_distinct_values
+  FROM fp GROUP BY 1)
+SELECT n_records, n_distinct_values, count(*) AS n_clusters
+FROM cl GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_cc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round min-label propagation (ext/graph.min_label_rounds):
     four synchronous rounds over the functional graph doc_id →
@@ -7928,6 +7978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": q_grouping_sets_orders,
         "fk_graph_audit": q_fk_graph_audit,
         "cc_label_propagation": q_cc_label_propagation,
+        "fingerprint_cluster_customers": q_fingerprint_cluster_customers,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -8154,6 +8205,7 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_orders": SQL_GROUPING_SETS_ORDERS,
         "fk_graph_audit": SQL_FK_GRAPH_AUDIT,
         "cc_label_propagation": _sql_cc_label_propagation(),
+        "fingerprint_cluster_customers": SQL_FINGERPRINT_CLUSTER_CUSTOMERS,
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,

@@ -80,3 +80,34 @@ def block_profile(df: DataFrame, block: Column) -> DataFrame:
         F.percentile_approx("n", 0.99).alias("p99_block"),
         F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
     )
+
+
+def fingerprint_key(col: Column | str) -> Column:
+    """OpenRefine-style clustering key: lowercase, strip to alphanumeric
+    tokens, dedupe, SORT, rejoin — word order, case, punctuation, and
+    repeated words all wash out, so 'Smith, John' and 'john SMITH'
+    collide. The standard first pass of entity resolution, and a
+    blocking key (ops/linkage.fuzzy_join) robust to exactly the edits
+    suffix/prefix blocks are blind to. Pure codegen; replays in SQL via
+    list_sort(string_split_regex(...))."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+    return F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+
+
+def fingerprint_clusters(
+    df: DataFrame, col: str, *, key_out: str = "fp_key"
+) -> DataFrame:
+    """(fp_key, n_records, n_distinct_values): one row per fingerprint
+    cluster — clusters with n_distinct_values > 1 are the candidate
+    merges a curator (or fuzzy_join pass) reviews. One hash aggregate."""
+    return (
+        df.select(fingerprint_key(col).alias(key_out), F.col(col))
+        .groupBy(key_out)
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct(col).alias("n_distinct_values"),
+        )
+    )

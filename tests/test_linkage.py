@@ -87,3 +87,28 @@ def test_block_profile_quadratic_audit(spark):
     assert prof.n_blocks == 2
     assert prof.max_block == 4
     assert prof.sum_sq == 16 + 4
+
+
+def test_fingerprint_key_normalizes(spark):
+    from assignment_etl_spark.ops.linkage import fingerprint_key
+
+    df = spark.createDataFrame(
+        [("Smith, John",), ("john SMITH!",), ("John  Smith Smith",), ("Jane Smith",)],
+        "s string",
+    )
+    keys = [r.k for r in df.select(fingerprint_key("s").alias("k")).collect()]
+    assert keys[0] == keys[1] == keys[2] == "john smith"
+    assert keys[3] == "jane smith"
+
+
+def test_fingerprint_clusters(spark):
+    from assignment_etl_spark.ops.linkage import fingerprint_clusters
+
+    df = spark.createDataFrame(
+        [("ACME Corp",), ("corp, acme",), ("ACME Corp",), ("Widget Inc",)],
+        "name string",
+    )
+    got = {r.fp_key: (r.n_records, r.n_distinct_values)
+           for r in fingerprint_clusters(df, "name").collect()}
+    assert got["acme corp"] == (3, 2)  # two spellings, one cluster
+    assert got["inc widget"] == (1, 1)
