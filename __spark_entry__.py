@@ -4099,6 +4099,45 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy (ext/drift.column_entropy): three
+    order columns profiled in ONE pass (explode to (column, value)
+    pairs, one count aggregate, per-column totals from the tiny count
+    table) — the information-content ranking behind key discovery and
+    feature triage. Decimal-summed terms; fully SQL-replayed."""
+    from assignment_etl_spark.ext.drift import column_entropy
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return column_entropy(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+SQL_ENTROPY_ORDERS = """
+WITH pairs AS (
+  SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS v
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+counts AS (
+  SELECT col_name, v, count(*) AS n FROM pairs GROUP BY 1, 2),
+tot AS (SELECT col_name, sum(n) AS t FROM counts GROUP BY 1),
+terms AS (
+  SELECT c.col_name,
+         CAST(round(-(CAST(n AS DOUBLE) / t)
+                    * ln(CAST(n AS DOUBLE) / t), 10)
+              AS DECIMAL(28,10)) AS term
+  FROM counts c JOIN tot USING (col_name))
+SELECT col_name AS "column",
+       count(*) AS n_distinct,
+       round(CAST(sum(term) AS DOUBLE), 6) AS entropy_nats
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_fingerprint_cluster_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-sort fingerprint clustering (ops/linkage.fingerprint_key,
     the OpenRefine method): a dirty registry doubles every even-keyed
@@ -7979,6 +8018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_graph_audit": q_fk_graph_audit,
         "cc_label_propagation": q_cc_label_propagation,
         "fingerprint_cluster_customers": q_fingerprint_cluster_customers,
+        "entropy_orders": q_entropy_orders,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -8206,6 +8246,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_graph_audit": SQL_FK_GRAPH_AUDIT,
         "cc_label_propagation": _sql_cc_label_propagation(),
         "fingerprint_cluster_customers": SQL_FINGERPRINT_CLUSTER_CUSTOMERS,
+        "entropy_orders": SQL_ENTROPY_ORDERS,
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,

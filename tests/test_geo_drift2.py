@@ -110,3 +110,17 @@ def test_mutual_information_identity_is_entropy(spark):
     df = spark.createDataFrame(rows, "a string, b string")
     got = mutual_information(df, "a", "b").first()
     assert abs(got.mi_nats - math.log(4)) < 1e-6
+
+
+def test_column_entropy(spark):
+    from assignment_etl_spark.ext.drift import column_entropy
+
+    df = spark.createDataFrame(
+        [("a", "x", None), ("a", "y", None), ("b", "x", None), ("b", "y", None)],
+        "u string, v string, w string",
+    )
+    got = {r.column: r for r in column_entropy(df, ["u", "v", "w"]).collect()}
+    assert abs(got["u"].entropy_nats - math.log(2)) < 1e-6
+    assert abs(got["v"].entropy_nats - math.log(2)) < 1e-6
+    assert got["w"].entropy_nats == 0.0  # constant (all NULL) column
+    assert got["w"].n_distinct == 1  # NULL is a category
