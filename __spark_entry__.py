@@ -4099,6 +4099,64 @@ FROM dims JOIN chans USING (mime)
 """
 
 
+def q_late_dim_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimensions (ops/late_dim.py, the Kimball inferred-
+    member pattern): every 7th customer is withheld from the dimension,
+    so their orders join INFERRED placeholder rows (segment UNKNOWN,
+    flagged) instead of dropping; when the withheld customers arrive,
+    reconciliation supersedes the placeholders and the rebuilt join
+    equals the never-late result — which is exactly what the oracle
+    computes, plus the inferred/unknown accounting derived
+    arithmetically. Dimension-only maintenance: facts are never
+    rewritten."""
+    from assignment_etl_spark.ops.late_dim import (
+        dim_with_inferred,
+        reconcile_inferred,
+    )
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    dim = customer.filter(F.col("c_custkey") % 7 != 0)
+    holdout = customer.filter(F.col("c_custkey") % 7 == 0)
+    full_dim = dim_with_inferred(
+        orders,
+        dim,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        defaults={"c_mktsegment": "UNKNOWN"},
+    )
+    before = orders.join(
+        full_dim, on=orders.o_custkey == full_dim.c_custkey
+    )
+    n_unknown_before = before.filter(F.col("_inferred")).agg(
+        F.count(F.lit(1)).alias("n_unknown_before")
+    )
+    n_inferred = full_dim.filter(F.col("_inferred")).agg(
+        F.count(F.lit(1)).alias("n_inferred_members")
+    )
+    rec = reconcile_inferred(full_dim, holdout, dim_key="c_custkey")
+    after = orders.join(rec, on=orders.o_custkey == rec.c_custkey)
+    return (
+        after.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(n_inferred))
+        .crossJoin(F.broadcast(n_unknown_before))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_LATE_DIM_RECONCILE = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_custkey % 7 = 0) AS n_inferred_members,
+       (SELECT count(*) FROM orders WHERE o_custkey % 7 = 0)
+         AS n_unknown_before
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column Shannon entropy (ext/drift.column_entropy): three
     order columns profiled in ONE pass (explode to (column, value)
@@ -8020,6 +8078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_label_propagation": q_cc_label_propagation,
         "fingerprint_cluster_customers": q_fingerprint_cluster_customers,
         "entropy_orders": q_entropy_orders,
+        "late_dim_reconcile": q_late_dim_reconcile,
         "golden_record_customers": q_golden_record_customers,
         "sessionize_events": q_sessionize_events,
         "chi_square_orders": q_chi_square_orders,
@@ -8248,6 +8307,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_label_propagation": _sql_cc_label_propagation(),
         "fingerprint_cluster_customers": SQL_FINGERPRINT_CLUSTER_CUSTOMERS,
         "entropy_orders": SQL_ENTROPY_ORDERS,
+        "late_dim_reconcile": SQL_LATE_DIM_RECONCILE,
         "golden_record_customers": SQL_GOLDEN_RECORD_CUSTOMERS,
         "sessionize_events": SQL_SESSIONIZE_EVENTS,
         "chi_square_orders": SQL_CHI_SQUARE_ORDERS,
