@@ -8023,6 +8023,251 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# round-4 closing-session gates
+# --------------------------------------------------------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ext/dedup.semantic_dedup): portable k-means (k=4, two
+    Lloyd iterations, every reduction pinned — see kmeans_embeddings)
+    partitions the 64-dim embeddings into semantic clusters; within each
+    cluster a point is pruned iff a smaller-id clustermate has cosine
+    ≥ 0.3 to it (keep-min-id, the cluster-scoped analog of the
+    reference's keep-first dedup, /root/reference/etl.py:613). The
+    oracle replays BOTH Lloyd iterations, the final assignment, and the
+    left-fold cosine bit-identically, so the per-cluster dup counts and
+    dropped-id sums are hash-certified end to end. Scale: candidate work
+    is Θ(Σ|cluster|²) with k as the density knob (SemDeDup uses k≈10⁴
+    at 10⁸ docs); the pair stage is one self-equi-join on cidx."""
+    from assignment_etl_spark.ext.dedup import semantic_dedup
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    sd = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", k=4, iters=2, threshold=0.3
+    )
+    return (
+        sd.groupBy("cidx")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.sum(
+                F.when(F.col("is_dup"), F.col("vec_id")).otherwise(F.lit(0))
+            ).alias("dup_id_sum"),
+        )
+        .orderBy("cidx")
+    )
+
+
+def _sql_kmeans_assign_cte(k: int = 4, iters: int = 2) -> str:
+    """WITH-prefix replaying the portable Lloyd kernel, ending at the
+    final assignment ``fa(pid, v, cidx)`` — shared by the semantic-dedup
+    oracle (same CTE text the certified kmeans_embeddings oracle uses)."""
+    dist = (
+        "list_reduce(list_transform(list_zip(v, c), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id AS pid, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY pid) AS cidx, v AS c
+  FROM (SELECT pid, v FROM pts ORDER BY pid LIMIT {k}) q)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT pid, v, cidx FROM (
+    SELECT pid, v, cidx,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY {dist}, cidx) AS rn
+    FROM pts CROSS JOIN c{i - 1}) q WHERE rn = 1),
+m{i} AS MATERIALIZED (
+  SELECT cidx, pos,
+         round(CAST(sum(CAST(round(v[pos], 7) AS DECIMAL(20,7)))
+                    AS DOUBLE) / count(*), 9) AS m
+  FROM a{i}, range(1, 65) t(pos) GROUP BY 1, 2),
+c{i} AS MATERIALIZED (
+  SELECT p.cidx, COALESCE(n.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN
+       (SELECT cidx, list(m ORDER BY pos) AS c FROM m{i} GROUP BY 1) n
+       ON p.cidx = n.cidx)"""
+        )
+    parts.append(
+        f""",
+fa AS MATERIALIZED (
+  SELECT pid, v, cidx FROM (
+    SELECT pid, v, cidx,
+           row_number() OVER (PARTITION BY pid
+                              ORDER BY {dist}, cidx) AS rn
+    FROM pts CROSS JOIN c{iters}) q WHERE rn = 1)"""
+    )
+    return "".join(parts)
+
+
+def _sql_semantic_dedup(threshold: float = 0.3) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip(a.v, b.v), "
+        "z -> z[1]*z[2]), (x, y) -> x + y)"
+    )
+    na = "sqrt(list_reduce(list_transform(a.v, x -> x*x), (x, y) -> x + y))"
+    nb = "sqrt(list_reduce(list_transform(b.v, x -> x*x), (x, y) -> x + y))"
+    return (
+        _sql_kmeans_assign_cte()
+        + f""",
+dups AS (
+  SELECT DISTINCT b.pid
+  FROM fa a JOIN fa b ON a.cidx = b.cidx AND a.pid < b.pid
+  WHERE {dot} / ({na} * {nb}) >= {threshold})
+SELECT fa.cidx,
+       count(*) AS n_points,
+       CAST(sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       CAST(sum(CASE WHEN d.pid IS NOT NULL THEN fa.pid ELSE 0 END) AS BIGINT)
+         AS dup_id_sum
+FROM fa LEFT JOIN dups d ON fa.pid = d.pid
+GROUP BY fa.cidx ORDER BY fa.cidx
+"""
+    )
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning filters (ext/text.c4_line_filter): the Raffel et al.
+    2020 line rules (terminal punctuation, ≥3 words, no 'javascript') and
+    page rules ('{', 'lorem ipsum', ≥3 surviving lines) run as pure
+    higher-order array expressions — zero shuffle, zero explode. Corpus:
+    one document per order, one line per lineitem, with deterministic
+    quirks exercising every rule (qty%7 short lines, May 'javascript'
+    lines, qty%3 punctuation roulette, %97 brace pages, %89 lorem
+    pages). The gate groups by drop reason and checksums kept text, so
+    reassembly order, reason precedence, and the empty-page contract are
+    all hash-certified."""
+    from assignment_etl_spark.ext.text import c4_line_filter
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("int")
+    mon = F.month("l_shipdate")
+    base = F.concat_ws(
+        " ",
+        "l_returnflag",
+        "l_linestatus",
+        mon.cast("string"),
+        qty.cast("string"),
+    )
+    punct = (
+        F.when(qty % 3 == 0, F.lit("."))
+        .when(qty % 3 == 1, F.lit("!"))
+        .otherwise(F.lit(""))
+    )
+    line = (
+        F.when(qty % 7 == 0, F.concat(F.col("l_returnflag"), F.lit(".")))
+        .when(mon == 5, F.concat(base, F.lit(" javascript.")))
+        .otherwise(F.concat(base, punct))
+    )
+    docs = (
+        li.select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.struct(F.col("l_linenumber").alias("pos"), line.alias("line")).alias(
+                "s"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["line"]),
+                "\n",
+            ).alias("text")
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 97 == 0, F.lit("\n{ config }")
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 89 == 3,
+                    F.lit("\nLorem ipsum dolor sit amet."),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    out = c4_line_filter(docs, min_words=3, min_lines=3)
+    return (
+        out.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("tot_lines"),
+            F.sum("n_kept").alias("kept_lines"),
+            F.sum(F.length("text")).alias("text_len"),
+        )
+        .orderBy("status")
+    )
+
+
+SQL_C4_LINE_FILTER = """
+WITH lines AS (
+  SELECT l_orderkey AS doc_id, l_linenumber AS pos,
+         CASE
+           WHEN CAST(l_quantity AS INT) % 7 = 0 THEN l_returnflag || '.'
+           WHEN month(l_shipdate) = 5 THEN
+             l_returnflag || ' ' || l_linestatus || ' ' ||
+             CAST(month(l_shipdate) AS VARCHAR) || ' ' ||
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) || ' javascript.'
+           ELSE
+             l_returnflag || ' ' || l_linestatus || ' ' ||
+             CAST(month(l_shipdate) AS VARCHAR) || ' ' ||
+             CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
+             CASE CAST(l_quantity AS INT) % 3
+               WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '' END
+         END AS line
+  FROM lineitem),
+docs0 AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM lines GROUP BY doc_id),
+docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 97 = 0 THEN chr(10) || '{ config }' ELSE '' END
+         || CASE WHEN doc_id % 89 = 3
+                 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END
+           AS text
+  FROM docs0),
+filt AS (
+  SELECT doc_id, text,
+         len(string_split(text, chr(10))) AS n_lines,
+         list_filter(string_split(text, chr(10)), ln ->
+           regexp_matches(trim(ln), '[.!?"]$')
+           AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+           AND NOT contains(lower(ln), 'javascript')) AS kept,
+         contains(text, '{') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM docs),
+out AS (
+  SELECT doc_id, n_lines,
+         CASE WHEN NOT has_brace AND NOT has_lorem AND len(kept) >= 3
+              THEN array_to_string(kept, chr(10)) ELSE '' END AS text,
+         CASE WHEN NOT has_brace AND NOT has_lorem AND len(kept) >= 3
+              THEN len(kept) ELSE 0 END AS n_kept,
+         CASE WHEN has_brace THEN 'brace'
+              WHEN has_lorem THEN 'lorem_ipsum'
+              WHEN len(kept) < 3 THEN 'too_few_lines' END AS drop_reason
+  FROM filt)
+SELECT COALESCE(drop_reason, 'kept') AS status,
+       count(*) AS n_docs,
+       CAST(sum(n_lines) AS BIGINT) AS tot_lines,
+       CAST(sum(n_kept) AS BIGINT) AS kept_lines,
+       CAST(sum(len(text)) AS BIGINT) AS text_len
+FROM out GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8210,6 +8455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats_by_lang": q_text_stats_by_lang,
         "lang_detect_agreement": q_lang_detect_agreement,
+        # -- round-4 closing-session additions
+        "semantic_dedup_embeddings": q_semantic_dedup,
+        "c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -8375,4 +8623,7 @@ def oracle_sql() -> dict[str, str]:
         "event_sequence_counts": SQL_EVENT_SEQUENCE_COUNTS,
         "incremental_dedup_documents": SQL_INCREMENTAL_DEDUP_DOCUMENTS,
         "streaming_stateful_totals": SQL_STREAMING_STATEFUL_TOTALS,
+        # -- round-4 closing-session additions
+        "semantic_dedup_embeddings": _sql_semantic_dedup(),
+        "c4_line_filter": SQL_C4_LINE_FILTER,
     }

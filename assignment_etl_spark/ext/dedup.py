@@ -764,3 +764,72 @@ def dedup_lines(
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then prune within cluster)
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space into semantic clusters, then drop near-duplicate
+    points *within* each cluster — the clustering bounds the candidate
+    set so no cross-cluster pair is ever scored.
+
+    Deterministic policy (engine-portable): clustering is the portable
+    Lloyd kernel from ``ext/kmeans.py`` (every reduction order pinned);
+    a point is a duplicate iff some SAME-CLUSTER point with a smaller id
+    has cosine ≥ ``threshold`` to it (keep-min-id, the analog of the
+    reference's keep-first row-dedup policy, SURVEY §2.7). Cosine uses
+    the same left-fold reduction both engines replay bit-identically.
+
+    Returns (id, cidx, is_dup) — callers anti-filter ``is_dup`` to keep
+    the pruned corpus.
+
+    Scale shape: k-means is O(n·k·dim) per iteration (see ext/kmeans.py);
+    the prune is ONE self-equi-join shuffled on the cluster id. Candidate
+    work is Θ(Σ_c |c|²): ``k`` is the density knob — production corpora
+    raise k so clusters stay small (SemDeDup uses k≈10⁴ for 10⁸ docs);
+    for huge clusters, chain ``embedding_near_dup_pairs`` *inside* the
+    cluster (LSH banding) instead of the exact pairing. No driver
+    collect; the centroid table (k×dim) is the only broadcast state.
+    """
+    from assignment_etl_spark.ext.kmeans import kmeans
+    from assignment_etl_spark.ext.similarity import cosine
+
+    assign, _cents = kmeans(
+        emb, id_col=id_col, vec_col=vec_col, k=k, iters=iters
+    )
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    labeled = assign.select("pid", "cidx").join(pts, "pid")
+    a, b = labeled.alias("a"), labeled.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cidx") == F.col("b.cidx"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("b.pid").alias("pid"))
+        .distinct()
+    )
+    return (
+        labeled.join(dup_ids.withColumn("_dup", F.lit(True)), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            "cidx",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -320,3 +320,65 @@ def chunk_documents(
         )
     )
     return chunked.withColumn("n_chars", F.length("chunk_text"))
+
+
+def c4_line_filter(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_lines: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4 cleaning filters (Raffel et al. 2020, the 'c4' web-corpus
+    pipeline), expressed as pure higher-order array functions — ZERO
+    shuffle and zero explode; every document is cleaned inside one
+    codegen projection, so at 100 TB this is a map-only stage pipelined
+    into whatever shuffle follows.
+
+    Line level — a line survives iff ALL of:
+    - it ends in terminal punctuation (``.`` ``!`` ``?`` or ``"``);
+    - it has at least ``min_words`` whitespace-separated words;
+    - it does not contain ``javascript`` (case-insensitive).
+    Page level — the whole document is dropped iff ANY of:
+    - the raw text contains ``{`` (code) or ``lorem ipsum`` (placeholder);
+    - fewer than ``min_lines`` lines survive the line filter.
+
+    Returns (id, text, n_lines, n_kept, page_kept, drop_reason): ``text``
+    is the reassembled kept-line document ('' when the page is dropped,
+    mirroring dedup_lines' empty-doc contract); ``drop_reason`` is
+    'brace' | 'lorem_ipsum' | 'too_few_lines' | NULL, first-match wins in
+    that order. The reference has no corpus ops (SURVEY §2 north-star
+    additions); policy source is public C4 (badwords filtering is the
+    caller's extra predicate — lists are deployment-specific).
+    """
+    sep_pat = f"\\Q{sep}\\E"
+
+    def line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, "\\s+")) >= min_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    lines = F.split(F.col(text_col), sep_pat)
+    kept = F.filter(lines, line_ok)
+    has_brace = F.col(text_col).contains("{")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    n_kept = F.size(kept)
+    page_kept = ~has_brace & ~has_lorem & (n_kept >= min_lines)
+    return df.select(
+        F.col(id_col),
+        F.when(page_kept, F.array_join(kept, sep)).otherwise(F.lit("")).alias(
+            text_col
+        ),
+        F.size(lines).alias("n_lines"),
+        F.when(page_kept, n_kept).otherwise(F.lit(0)).alias("n_kept"),
+        page_kept.alias("page_kept"),
+        F.when(has_brace, F.lit("brace"))
+        .when(has_lorem, F.lit("lorem_ipsum"))
+        .when(n_kept < min_lines, F.lit("too_few_lines"))
+        .alias("drop_reason"),
+    )

@@ -126,3 +126,36 @@ def test_lsh_topk_recall(embeddings):
     hits = sum(1 for k, v in approx.items() if exact_top1.get(k) == v)
     assert len(approx) >= 15  # most queries find a same-bucket neighbor
     assert hits / max(len(approx), 1) >= 0.5
+
+
+def test_semantic_dedup_keep_min_id(spark):
+    from assignment_etl_spark.ext.dedup import semantic_dedup
+
+    # two tight direction groups (clusters) plus a lone outlier; within a
+    # group every vector is near-parallel (cosine ~1), across groups ~0
+    # ids 1/2/3 are one per group so the smallest-id k-means init starts
+    # with one seed in each direction group
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (4, [0.99, 0.01, 0.0, 0.0]),
+        (5, [0.98, 0.02, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.99, 0.01, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, id_col="vec_id", vec_col="embedding", k=3, iters=2,
+            threshold=0.95,
+        ).collect()
+    }
+    assert len(out) == 6
+    # min id of each near-dup group survives; clustermates above τ dropped
+    assert not out[1].is_dup and out[4].is_dup and out[5].is_dup
+    assert not out[2].is_dup and out[11].is_dup
+    assert not out[3].is_dup
+    # near-dups are only ever compared within their own cluster
+    assert out[1].cidx == out[4].cidx == out[5].cidx
+    assert out[2].cidx == out[11].cidx

@@ -178,3 +178,48 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_chars=4, overlap=4)
+
+
+def test_c4_line_filter(spark):
+    from assignment_etl_spark.ext.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 3 good lines -> kept intact
+            (1, "the cat sat down.\nnice day today!\nis it good?"),
+            # short line + no-punct line filtered; only 2 survive -> page drop
+            (2, "one.\nthe cat sat down.\nno terminal punct here\ngood line stays here."),
+            # javascript line removed (case-insensitive)
+            (3, "enable JavaScript to view.\nthe cat sat down.\nnice day today!\nis it good?"),
+            # page-level drops
+            (4, "var x = { a: 1 };\nthe cat sat down.\nnice day today!\nmore text here."),
+            (5, "Lorem Ipsum dolor sit.\nthe cat sat down.\nnice day today!\nmore text here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in c4_line_filter(docs, min_words=3, min_lines=3).collect()
+    }
+    assert out[1].page_kept and out[1].n_kept == 3 and out[1].drop_reason is None
+    assert out[1].text == "the cat sat down.\nnice day today!\nis it good?"
+    assert not out[2].page_kept and out[2].drop_reason == "too_few_lines"
+    assert out[2].text == "" and out[2].n_kept == 0 and out[2].n_lines == 4
+    # javascript line dropped but page survives with the 3 clean lines
+    assert out[3].page_kept and out[3].n_kept == 3
+    assert "JavaScript" not in out[3].text
+    # page reasons win over line-level outcomes, brace before lorem
+    assert out[4].drop_reason == "brace"
+    assert out[5].drop_reason == "lorem_ipsum"
+
+
+def test_c4_line_filter_trims_before_matching(spark):
+    from assignment_etl_spark.ext.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat down.   \n  nice day today!  \nis it good?")],
+        "doc_id long, text string",
+    )
+    row = c4_line_filter(docs).collect()[0]
+    # trailing spaces must not defeat the terminal-punctuation rule
+    assert row.page_kept and row.n_kept == 3
