@@ -8268,6 +8268,208 @@ FROM out GROUP BY 1 ORDER BY 1
 """
 
 
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D Pareto skyline (ops/skyline.skyline_2d): orders undominated on
+    (maximize o_orderdate, maximize o_totalprice) — "the most expensive
+    order since each date". The Spark plan is the scalable shape: per-x
+    groupBy reduction, then the range-partitioned two-phase exclusive
+    running max (no single-partition window — the only global window
+    runs over the per-partition max table). The oracle proves the
+    SEMANTICS independently via the quadratic NOT EXISTS domination
+    definition over the per-date maxima, so the window decomposition is
+    certified against the textbook definition, not a re-derivation."""
+    from assignment_etl_spark.ops.skyline import skyline_2d
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    front = skyline_2d(
+        orders, x_col="o_orderdate", y_col="o_totalprice", num_partitions=8
+    )
+    return (
+        front.join(
+            orders.select("o_orderdate", "o_totalprice"),
+            on=["o_orderdate", "o_totalprice"],
+        )
+        .groupBy("o_orderdate", F.col("o_totalprice").alias("best_price"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderdate")
+    )
+
+
+SQL_SKYLINE_ORDERS = """
+WITH gx AS (
+  SELECT o_orderdate AS x, max(o_totalprice) AS y
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1),
+sky AS (
+  SELECT x, y FROM gx p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gx q
+    WHERE (q.x > p.x AND q.y >= p.y) OR (q.x = p.x AND q.y > p.y)))
+SELECT s.x AS o_orderdate, s.y AS best_price, count(*) AS n_orders
+FROM sky s JOIN orders o
+  ON o.o_orderdate = s.x AND o.o_totalprice = s.y
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lag EWMA (ops/timeseries.ewma): per-user exponentially
+    weighted moving average of event values (α=0.5, 4 lags, event_id
+    tie-break) — K lag() expressions sharing ONE ordered window per key,
+    weights embedded as double literals with a pinned left-to-right fold
+    so the oracle replays the exact IEEE value. The gate decimal-sums
+    the rounded EWMA per user, so every row's smoothed value is
+    hash-certified, not just endpoints."""
+    from assignment_etl_spark.ops.timeseries import ewma
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    e = ewma(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        alpha=0.5,
+        max_lags=4,
+        tie_break="event_id",
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("ewma").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("ewma_sum"),
+            F.round(F.max("ewma"), 6).alias("ewma_max"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_ewma_user_value(alpha: float = 0.5, max_lags: int = 4) -> str:
+    lags = ", ".join(
+        f"lag(value, {j}) OVER w AS x{j}" for j in range(max_lags)
+    )
+    num = "0.0"
+    den = "0.0"
+    for j in range(max_lags):
+        weight = repr((1.0 - alpha) ** j)
+        num += f" + CASE WHEN x{j} IS NOT NULL THEN x{j} * {weight} ELSE 0.0 END"
+        den += f" + CASE WHEN x{j} IS NOT NULL THEN {weight} ELSE 0.0 END"
+    return f"""
+WITH lagged AS (
+  SELECT user_id, {lags}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sm AS (
+  SELECT user_id,
+         CASE WHEN ({den}) > 0
+              THEN round(({num}) / ({den}), 9) END AS ewma
+  FROM lagged)
+SELECT user_id,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(ewma AS DECIMAL(28,9))) AS DOUBLE), 6) AS ewma_sum,
+       round(max(ewma), 6) AS ewma_max
+FROM sm GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (ops/funnel.cohort_retention): users
+    cohorted by first-active ISO week, per-(cohort, offset) distinct
+    actives and retention fraction. The stream collapses to distinct
+    (user, week) pairs before any join (celebrity-user bound), cohort
+    sizes come from the matrix's own offset-0 column via broadcast —
+    the raw stream is scanned exactly once."""
+    from assignment_etl_spark.ops.funnel import cohort_retention
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    return cohort_retention(events).orderBy("cohort_week", "offset_weeks")
+
+
+SQL_COHORT_RETENTION = """
+WITH acts AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+first AS (
+  SELECT u, min(w) AS cohort FROM acts GROUP BY 1),
+mat AS (
+  SELECT f.cohort AS cohort_week,
+         CAST(datediff('day', f.cohort, a.w) / 7 AS INT) AS offset_weeks,
+         count(*) AS n_active
+  FROM acts a JOIN first f ON a.u = f.u
+  GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM mat WHERE offset_weeks = 0)
+SELECT m.cohort_week, m.offset_weeks, m.n_active, s.cohort_size,
+       round(m.n_active / s.cohort_size, 6) AS retention
+FROM mat m JOIN sizes s ON m.cohort_week = s.cohort_week
+ORDER BY m.cohort_week, m.offset_weeks
+"""
+
+
+def q_ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample test (ext/drift.ab_test): users split into
+    variants by the portable hash (deterministic, replayable
+    assignment — the production experiment-bucketing path,
+    ext/sampling.portable_hash01), then event values compared A vs B.
+    One scan → two (n, Σx, Σx²) decimal rows → scalar algebra on a
+    1-row broadcast cross join; the oracle replays hash, sums, and the
+    fixed-order variance/SE/z expressions bit-for-bit."""
+    from assignment_etl_spark.ext.drift import ab_test
+    from assignment_etl_spark.ext.sampling import portable_hash01
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    tagged = events.withColumn(
+        "variant",
+        F.when(portable_hash01(F.col("user_id"), 7) < 0.5, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    return ab_test(
+        tagged, group_col="variant", value_col="value", group_a="A", group_b="B"
+    )
+
+
+def _sql_ab_test_events() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("user_id", salt=7)
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN ({u}) < 0.5 THEN 'A' ELSE 'B' END AS variant, value
+  FROM events WHERE value IS NOT NULL),
+stats AS (
+  SELECT variant, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM tagged GROUP BY 1),
+arms AS (
+  SELECT a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM (SELECT * FROM stats WHERE variant = 'A') a
+  CROSS JOIN (SELECT * FROM stats WHERE variant = 'B') b)
+SELECT n_a, n_b,
+       round(sx_a / n_a, 6) AS mean_a,
+       round(sx_b / n_b, 6) AS mean_b,
+       round(sx_a / n_a - sx_b / n_b, 6) AS mean_diff,
+       round(sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 6) AS se,
+       round((sx_a / n_a - sx_b / n_b)
+             / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                  + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 6)
+         AS z_score,
+       abs((sx_a / n_a - sx_b / n_b)
+           / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b))
+         > 1.959964 AS significant_95
+FROM arms
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8458,6 +8660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 closing-session additions
         "semantic_dedup_embeddings": q_semantic_dedup,
         "c4_line_filter": q_c4_line_filter,
+        "skyline_orders": q_skyline_orders,
+        "ewma_user_value": q_ewma_user_value,
+        "cohort_retention_events": q_cohort_retention,
+        "ab_test_events": q_ab_test_events,
     }
 
 
@@ -8626,4 +8832,8 @@ def oracle_sql() -> dict[str, str]:
         # -- round-4 closing-session additions
         "semantic_dedup_embeddings": _sql_semantic_dedup(),
         "c4_line_filter": SQL_C4_LINE_FILTER,
+        "skyline_orders": SQL_SKYLINE_ORDERS,
+        "ewma_user_value": _sql_ewma_user_value(),
+        "cohort_retention_events": SQL_COHORT_RETENTION,
+        "ab_test_events": _sql_ab_test_events(),
     }

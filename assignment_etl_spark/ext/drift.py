@@ -322,3 +322,75 @@ def psi(
             F.sum(F.col("psi_term").cast("decimal(18,8)")).cast("double"), round_to
         ).alias("psi")
     )
+
+
+def ab_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    decimal_scale: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample test between ``group_a`` and
+    ``group_b``: one row with per-arm counts/means, the mean difference,
+    its standard error, and the z statistic (the experiment-analysis
+    primitive; at the n of any A/B test worth running, Student-t ≡ z).
+
+    Scale shape: the entire stream reduces in ONE hash aggregate to two
+    rows of (n, Σx, Σx²) — decimal sums so partial-aggregation order
+    cannot shift them — then the scalar algebra runs on a 1×1 broadcast
+    cross join (the repo's standard scalar pattern). Nothing iterates,
+    nothing collects; the test cost is the cost of one scan.
+
+    Variance is the computational form (Σx² − (Σx)²/n)/(n−1), exact up
+    to the documented decimal rounding of per-row x and x²; every
+    downstream double op is a fixed single expression, so an independent
+    engine replays the statistic bit-for-bit before the final rounding.
+    """
+    dec = f"decimal(28,{decimal_scale})"
+    x = F.col(value_col)
+    stats = (
+        df.filter(x.isNotNull())
+        .filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(dec)).alias("sx"),
+            F.sum((x * x).cast(dec)).alias("sxx"),
+        )
+    )
+
+    def arm(g, suffix):
+        return (
+            stats.filter(F.col(group_col) == g)
+            .select(
+                F.col("n").alias(f"n_{suffix}"),
+                F.col("sx").cast("double").alias(f"sx_{suffix}"),
+                F.col("sxx").cast("double").alias(f"sxx_{suffix}"),
+            )
+        )
+
+    both = arm(group_a, "a").crossJoin(F.broadcast(arm(group_b, "b")))
+    mean_a = F.col("sx_a") / F.col("n_a")
+    mean_b = F.col("sx_b") / F.col("n_b")
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    z = (mean_a - mean_b) / se
+    return both.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(mean_a, round_to).alias("mean_a"),
+        F.round(mean_b, round_to).alias("mean_b"),
+        F.round(mean_a - mean_b, round_to).alias("mean_diff"),
+        F.round(se, round_to).alias("se"),
+        F.round(z, round_to).alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    )

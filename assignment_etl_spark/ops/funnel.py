@@ -107,3 +107,62 @@ def funnel(
         )
         .orderBy("step")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: each user joins the cohort of their
+    first-activity week; for every (cohort_week, offset_weeks) cell,
+    how many distinct cohort members were active that many weeks later,
+    and what fraction of the cohort that is.
+
+    Spark shape: the raw stream collapses to distinct (user, week)
+    pairs FIRST (one shuffle — this is what bounds celebrity users:
+    thousands of events become ≤ one row per week), then first-seen is
+    a groupBy on the user key, the cohort label joins back on that same
+    key (co-partitioned, no extra exchange in practice), and the matrix
+    is one count aggregate. Cohort sizes are the offset-0 column —
+    derived by a broadcast self-join of the (small) matrix, never a
+    rescan of the stream. The matrix is |weeks|² rows at most:
+    driver-safe to render, oracle-safe to hash.
+
+    Weeks are ISO ``date_trunc('week')`` Mondays in both engines;
+    ``offset_weeks`` is exact integer arithmetic on day differences.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    acts = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), week.alias("_w"))
+        .distinct()
+    )
+    first = acts.groupBy("_u").agg(F.min("_w").alias("_cohort"))
+    mat = (
+        acts.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_week"),
+            (F.datediff(F.col("_w"), F.col("_cohort")) / period_days)
+            .cast("int")
+            .alias("offset_weeks"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = mat.filter(F.col("offset_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )

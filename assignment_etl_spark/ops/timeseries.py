@@ -206,3 +206,54 @@ def sessionize(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, sid.cast("long"))
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    max_lags: int = 8,
+    tie_break: str | None = None,
+    out_col: str = "ewma",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average with a bounded lag
+    horizon: for each event,
+
+        ewma_t = Σ_{j<K} (1−α)^j · x_{t−j}  /  Σ_{j<K} (1−α)^j
+
+    over the up-to-``max_lags`` most recent values (missing lags at the
+    series head drop out of BOTH sums — pandas ``ewm(adjust=True)``
+    semantics, truncated). Truncation bounds the state: beyond K lags the
+    weight is (1−α)^K (<0.4% for the defaults), and the whole computation
+    is ONE ordered window per key — K ``lag()`` expressions sharing a
+    single window node, pure codegen arithmetic after the key shuffle. No
+    recursive/iterative pass, so it composes with any pipeline stage.
+
+    Weights are embedded as Python-computed double literals and the
+    numerator/denominator fold left-to-right in lag order, so an
+    independent engine replays the exact IEEE value.
+
+    ``tie_break``: extra ordering column for deterministic results when
+    ``ts_col`` has duplicates per key (pass the event id).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(max_lags):
+        weight = (1.0 - alpha) ** j
+        x_j = F.lag(F.col(value_col), j).over(w)
+        num = num + F.when(x_j.isNotNull(), x_j * F.lit(weight)).otherwise(
+            F.lit(0.0)
+        )
+        den = den + F.when(x_j.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col,
+        F.when(den > 0, F.round(num / den, round_to)),
+    )

@@ -125,3 +125,29 @@ def test_profile_columns(spark):
     assert got["k"].n_rows == 3 and got["k"].n_null == 0 and got["k"].n_distinct == 2
     assert got["s"].n_null == 1 and got["s"].n_distinct == 2
     assert got["k"].min_value == "1" and got["k"].max_value == "2"
+
+
+def test_cohort_retention(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.funnel import cohort_retention
+
+    # week of 2024-01-01 (Mon) and 2024-01-08; u1 retained, u2 churned,
+    # u3 joins in week 2; duplicate same-week events collapse
+    rows = [
+        (1, datetime(2024, 1, 2)), (1, datetime(2024, 1, 3)),
+        (1, datetime(2024, 1, 9)),
+        (2, datetime(2024, 1, 4)),
+        (3, datetime(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (str(r.cohort_week.date()), r.offset_weeks): (
+            r.n_active, r.cohort_size, r.retention
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 3

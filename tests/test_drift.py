@@ -97,3 +97,20 @@ def test_quantiles_histogram_merge_invariance(spark):
     qa = quantiles_from_histogram(merged, lo=0, hi=1000, n_bins=50, qs=[0.5, 0.95])
     qb = quantiles_from_histogram(full, lo=0, hi=1000, n_bins=50, qs=[0.5, 0.95])
     assert sorted(map(tuple, qa.collect())) == sorted(map(tuple, qb.collect()))
+
+
+def test_ab_test_welch(spark):
+    from assignment_etl_spark.ext.drift import ab_test
+
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("C", 99.0),
+            ("B", 2.0), ("B", 4.0), ("B", 6.0), ("B", 8.0), ("B", None)]
+    df = spark.createDataFrame(rows, "variant string, value double")
+    r = ab_test(
+        df, group_col="variant", value_col="value", group_a="A", group_b="B"
+    ).collect()[0]
+    # A: n=3 mean=2 var=1; B: n=4 mean=5 var=20/3; C and NULLs excluded
+    assert (r.n_a, r.n_b) == (3, 4)
+    assert (r.mean_a, r.mean_b, r.mean_diff) == (2.0, 5.0, -3.0)
+    assert abs(r.se - (1 / 3 + (20 / 3) / 4) ** 0.5) < 1e-6   # = sqrt(2)
+    assert abs(r.z_score - (-3 / 2**0.5)) < 1e-6
+    assert bool(r.significant_95) is True

@@ -92,3 +92,26 @@ def test_delete_by_keys_partitioned_layout(spark, tmp_path):
     assert back.count() == 98
     # partition column survives the per-directory rewrite
     assert back.filter(F.col("p") == 0).count() == 49
+
+
+def test_skyline_2d(spark):
+    from assignment_etl_spark.ops.skyline import skyline_2d
+
+    rows = [
+        # (x, y): front is (5,1), (4,2), (3,4), (1,9); (3,4) duplicated
+        (1, 9.0), (1, 2.0), (2, 3.0), (3, 4.0), (3, 4.0), (3, 1.0),
+        (4, 2.0), (5, 1.0), (5, 0.5), (None, 99.0), (9, None),
+    ]
+    df = spark.createDataFrame(rows, "x int, y double")
+    front = {
+        (r.x, r.y)
+        for r in skyline_2d(df, x_col="x", y_col="y", num_partitions=3).collect()
+    }
+    assert front == {(5, 1.0), (4, 2.0), (3, 4.0), (1, 9.0)}
+
+    # single partition must agree with the multi-partition decomposition
+    front1 = {
+        (r.x, r.y)
+        for r in skyline_2d(df, x_col="x", y_col="y", num_partitions=1).collect()
+    }
+    assert front1 == front

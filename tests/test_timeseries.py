@@ -162,3 +162,29 @@ def test_sessionize_exact_gap_stays(spark):
         df, user_col="u", ts_col="ts", order_cols=["e"], gap_seconds=1800
     ).orderBy("e").collect()]
     assert got == [1, 1, 2]
+
+
+def test_ewma_hand_computed(spark):
+    from assignment_etl_spark.ops.timeseries import ewma
+
+    rows = [
+        ("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 4.0),
+        ("b", 1, 1.0), ("b", 2, None), ("b", 3, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, value double").select(
+        "k", F.timestamp_seconds(F.col("i")).alias("ts"), "i", "value"
+    )
+    out = {
+        (r.k, r.i): r.ewma
+        for r in ewma(
+            df, key_col="k", ts_col="ts", value_col="value",
+            alpha=0.5, max_lags=8, tie_break="i",
+        ).collect()
+    }
+    # adjust=True: y_t = sum w_j x_{t-j} / sum w_j, w_j = 0.5^j
+    assert out[("a", 1)] == 1.0
+    assert abs(out[("a", 2)] - 2.5 / 1.5) < 1e-9
+    assert out[("a", 3)] == 3.0  # (4 + 1 + 0.25) / 1.75
+    # NULL values drop out of both sums; the row still gets a smoothed value
+    assert out[("b", 2)] == 1.0
+    assert out[("b", 3)] == 4.25 / 1.25
