@@ -2097,9 +2097,9 @@ def q_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_QUALITY_SCORE_DISTRIBUTION = r"""
-WITH scored AS (
-  SELECT round(
+# DuckDB replica of ext/text.quality_score(text) — shared by the
+# distribution gate and the survivorship-dedup oracle
+_SQL_QUALITY_EXPR = r"""round(
     (least(length(text) / 500.0, 1.0) * (CASE WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END))
     * (CASE WHEN (CASE WHEN length(text) > 0
                   THEN length(regexp_extract_all(text, '[^\w\s]')) * 1.0 / length(text)
@@ -2109,7 +2109,11 @@ WITH scored AS (
                   THEN length(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) * 1.0 /
                        (CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE length(regexp_extract_all(trim(text), '\S+')) END)
-                  ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.6 END), 6) AS quality_score
+                  ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.6 END), 6)"""
+
+SQL_QUALITY_SCORE_DISTRIBUTION = f"""
+WITH scored AS (
+  SELECT {_SQL_QUALITY_EXPR} AS quality_score
   FROM documents)
 SELECT quality_score, count(*) AS count FROM scored GROUP BY 1 ORDER BY 1
 """
@@ -8470,6 +8474,215 @@ FROM arms
 """
 
 
+_BM25_TERMS = ["customer", "spark", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (ext/invindex.bm25_search): top-20 documents
+    for a 3-term query. Per-doc tf/dl are one codegen projection (array
+    filter/size against the literal terms — no explode, no posting
+    join); corpus stats (N, Σdl, per-term df) are a single 1-row
+    broadcast aggregate; top-k compiles to TakeOrderedAndProject. The
+    oracle replays the exact literal-for-literal score expression
+    (fixed fold order; round-6 absorbs libm ln ulps), rank ties broken
+    by doc_id."""
+    from assignment_etl_spark.ext.invindex import bm25_search
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_TERMS, topk=20).orderBy("rank")
+
+
+def _sql_bm25_search(
+    terms: list[str] = _BM25_TERMS,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> str:
+    uniq = sorted({t.lower() for t in terms})
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(uniq)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(uniq))
+    )
+    avgdl = "(CAST(sdl AS DOUBLE) / n)"
+    score = "0.0"
+    for i in range(len(uniq)):
+        idf = (
+            f"ln(((n - CAST(df{i} AS DOUBLE)) + 0.5)"
+            f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        )
+        ts = (
+            f"{idf} * (CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r}"
+            f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
+            f" + ({b!r} * dl) / {avgdl})))"
+        )
+        score += (
+            f"\n      + CASE WHEN tf{i} > 0 THEN {ts} ELSE 0.0 END"
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> len(t) > 0) AS toks
+  FROM documents),
+per AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM base),
+g AS (
+  SELECT count(*) AS n, sum(dl) AS sdl,
+         {df_cols}
+  FROM per),
+s AS (
+  SELECT doc_id, round({score}, 6) AS score
+  FROM per CROSS JOIN g)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM s WHERE score > 0) q
+WHERE rank <= {topk} ORDER BY rank
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture (ext/sampling.
+    temperature_mixture_sample): per-source budgets ∝ n^0.7 toward a
+    40k-char total over documents — the low-resource-boosting mixture
+    knob (UNIMAX-style) with no hand-written targets. One domain-totals
+    aggregate, pow/normalize on the #domains-row table (decimal weight
+    sum), broadcast rate join, hash01 keep. The gate reports per-source
+    kept rows/chars/rate; the oracle replays totals, weights, round-9
+    rates, and every hash decision."""
+    from assignment_etl_spark.ext.sampling import temperature_mixture_sample
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture_sample(
+        docs,
+        domain_col="source",
+        token_col="n_chars",
+        id_col="doc_id",
+        total_tokens=40_000,
+        alpha=0.7,
+        salt=11,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.max("mix_rate").alias("mix_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_temperature_mixture() -> str:
+    from assignment_etl_spark.ext.sampling import sql_temperature_mixture_sample
+
+    inner = sql_temperature_mixture_sample(
+        table="documents",
+        domain_col="source",
+        token_col="n_chars",
+        id_col="doc_id",
+        total_tokens=40_000,
+        alpha=0.7,
+        salt=11,
+    )
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+       max(mix_rate) AS mix_rate
+FROM ({inner}) kept
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship dedup (ext/dedup.minhash_dedup_keep_best): portable
+    MinHash+LSH candidate pairs → four rounds of min-label propagation →
+    per-cluster winner by ext/text.quality_score (ties → min id) — the
+    keep-the-CLEAN-copy policy, composed from three individually
+    certified kernels (minhash_lsh_pairs, cc_label_propagation,
+    quality_score_distribution) and re-certified END TO END: the oracle
+    chains all three SQL replicas and hash-matches the kept/dropped
+    partition."""
+    from assignment_etl_spark.ext.dedup import minhash_dedup_keep_best
+    from assignment_etl_spark.ext.text import quality_score
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_dedup_keep_best(
+        docs,
+        quality_score(F.col("text")),
+        jaccard_threshold=0.4,
+        rounds=4,
+        portable=True,
+    )
+    return (
+        out.groupBy("keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("score_sum"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("keep")
+    )
+
+
+def _sql_dedup_keep_best(rounds: int = 4) -> str:
+    pairs_sql = _sql_minhash_lsh_pairs(threshold=0.4)
+    parts = [
+        f"""
+WITH cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({pairs_sql}) mh),
+ue AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM cand),
+l0 AS MATERIALIZED (
+  SELECT node, node AS label
+  FROM (SELECT DISTINCT src AS node FROM ue) q)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+n{k} AS MATERIALIZED (
+  SELECT ue.dst AS node, min(l.label) AS nmin
+  FROM ue JOIN l{k - 1} l ON ue.src = l.node GROUP BY 1),
+l{k} AS MATERIALIZED (
+  SELECT l.node, least(l.label, COALESCE(n.nmin, l.label)) AS label
+  FROM l{k - 1} l LEFT JOIN n{k} n ON l.node = n.node)"""
+        )
+    parts.append(
+        f""",
+scored AS (
+  SELECT doc_id, {_SQL_QUALITY_EXPR} AS score FROM documents),
+lab AS (
+  SELECT s.doc_id, s.score, COALESCE(l.label, s.doc_id) AS cluster
+  FROM scored s LEFT JOIN l{rounds} l ON s.doc_id = l.node),
+ranked AS (
+  SELECT doc_id, cluster, score,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY score DESC, doc_id) = 1 AS keep
+  FROM lab)
+SELECT keep, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS score_sum,
+       count(DISTINCT cluster) AS n_clusters
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+    )
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8664,6 +8877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": q_ewma_user_value,
         "cohort_retention_events": q_cohort_retention,
         "ab_test_events": q_ab_test_events,
+        "bm25_search": q_bm25_search,
+        "temperature_mixture_sample": q_temperature_mixture,
+        "dedup_keep_best_quality": q_dedup_keep_best,
     }
 
 
@@ -8836,4 +9052,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_user_value": _sql_ewma_user_value(),
         "cohort_retention_events": SQL_COHORT_RETENTION,
         "ab_test_events": _sql_ab_test_events(),
+        "bm25_search": _sql_bm25_search(),
+        "temperature_mixture_sample": _sql_temperature_mixture(),
+        "dedup_keep_best_quality": _sql_dedup_keep_best(),
     }

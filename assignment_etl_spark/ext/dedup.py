@@ -833,3 +833,67 @@ def semantic_dedup(
             F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def minhash_dedup_keep_best(
+    docs: DataFrame,
+    score: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.4,
+    rounds: int = 4,
+    portable: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Survivorship dedup: keep the BEST copy of every near-dup cluster,
+    not merely the first. Clusters come from MinHash+LSH candidate
+    pairs (:func:`minhash_lsh_pairs`) closed under ``rounds`` of
+    fixed-round min-label propagation (ext/graph.min_label_rounds — the
+    oracle-certifiable CC form); within each cluster the member with
+    the highest ``score`` survives, ties broken by smallest id.
+    Unclustered documents are their own cluster and always survive.
+
+    ``score`` is any deterministic per-row expression — the canonical
+    use is ext/text.quality_score, so dedup discards the boilerplate
+    copy and keeps the clean one (the survivorship policy corpus
+    curation actually wants, vs. keep-min-id's arbitrary pick).
+
+    Returns (id, cluster, score, keep).
+
+    Scale shape: inherits the banding economics of minhash_lsh_pairs
+    (shuffles signatures, never text), O(|E|) per propagation round on
+    the CANDIDATE edge list only, and one window shuffle on the cluster
+    key for the winner pick. Fixed rounds bound the iteration; clusters
+    wider than the round count's reach keep per-subtree winners (the
+    documented trade — raise ``rounds`` for pathological chains).
+    """
+    from assignment_etl_spark.ext.graph import min_label_rounds
+
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        portable=portable,
+        **lsh_kwargs,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = min_label_rounds(edges, rounds=rounds)
+    base = docs.select(F.col(id_col).alias("_id"), score.alias("_score"))
+    lab = (
+        base.join(labels.withColumnRenamed("node", "_id"), "_id", "left")
+        .withColumn("cluster", F.coalesce(F.col("label"), F.col("_id")))
+        .drop("label")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_score").desc(), F.col("_id")
+    )
+    return lab.select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        F.col("_score").alias("score"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -98,3 +98,96 @@ def scan_search(
     for t in sorted(set(terms)):
         cond = cond & F.array_contains(toks, t.lower())
     return docs.filter(cond).select(F.col(id_col).alias("doc_id"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus for a bag-of-terms query:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t)   = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)   (Lucene form)
+
+    Scale shape: per-document term frequencies and length come from ONE
+    codegen projection (array ``filter``/``size`` against the literal
+    query terms — no explode, no posting join: the query is tiny, the
+    corpus is not). Corpus statistics (N, Σdl, per-term df) reduce to a
+    single 1-row aggregate broadcast back as scalars — the repo's
+    standard global-scalar pattern — so the whole ranking is scan →
+    1-row agg → scan-side arithmetic, shuffling only for the final
+    top-k (TakeOrderedAndProject when ``topk`` is set).
+
+    Determinism: the score is a fixed left-to-right sum of per-term
+    expressions and ties rank by (rounded score desc, id); ``ln`` may
+    differ by an ulp across libms, absorbed by ``round_to``.
+
+    Returns (id, score, rank), matches only (score > 0).
+    """
+    uniq = sorted({t.lower() for t in terms})
+    if not uniq:
+        raise ValueError("bm25_search needs at least one term")
+    base = docs.select(
+        F.col(id_col), tokenize(text_col).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    def _eq(term: str):
+        # NB: a two-parameter lambda would make F.filter pass the element
+        # INDEX as the second argument — bind the term via closure instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_toks"), _eq(t))).alias(f"_tf{i}")
+        for i, t in enumerate(uniq)
+    ]
+    per = base.select(F.col(id_col), F.col("_dl"), *tf_cols)
+    g = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    scored = per.crossJoin(F.broadcast(g))
+    avgdl = F.col("_sdl").cast("double") / F.col("_n")
+    score = F.lit(0.0)
+    for i in range(len(uniq)):
+        tf = F.col(f"_tf{i}").cast("double")
+        dfc = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            (F.col("_n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0)
+        )
+        term_score = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl))
+        )
+        score = score + F.when(F.col(f"_tf{i}") > 0, term_score).otherwise(
+            F.lit(0.0)
+        )
+    from pyspark.sql.window import Window
+
+    sc = scored.select(
+        F.col(id_col), F.round(score, round_to).alias("score")
+    ).filter(F.col("score") > 0)
+    if topk:
+        # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        # heaps, no global sort); the rank window then runs over ≤ topk
+        # rows, never the full match set
+        sc = sc.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
+    # with topk=None this window is a single-partition global sort over
+    # ALL matches — fine for selective queries, a funnel for stopword
+    # ones; pass topk (or max_df-prune the query) at scale
+    return sc.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col(id_col))
+        ),
+    )

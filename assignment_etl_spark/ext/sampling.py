@@ -334,3 +334,99 @@ def negative_samples(
         on=[user_col, item_col],
         how="left_anti",
     ).distinct()
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    total_tokens: int,
+    alpha: float = 0.7,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: each domain's share of the
+    ``total_tokens`` budget is proportional to ``n_d^alpha`` (n_d = the
+    domain's token count). ``alpha=1`` reproduces natural proportions;
+    ``alpha→0`` approaches uniform across domains — the standard
+    knob for boosting low-resource domains/languages without hand-written
+    per-domain targets (multilingual-pretraining practice; cf. UNIMAX).
+
+    rate_d = min(1, budget_d / n_d) with budget_d = total · n_d^α / Σn^α;
+    row keep is the same deterministic ``hash01(id) ≤ rate`` as
+    :func:`mixture_sample` — no upsampling, domains under budget pass
+    whole. Rates are rounded to 9 decimals so the pow() ulp across
+    engines cannot flip a hash comparison.
+
+    Scale: ONE partial-aggregated groupBy for domain totals; the
+    power/normalize arithmetic runs on the #domains-row table (its
+    global sum is a scalar over that tiny table, not the corpus); then a
+    broadcast rate join + filter. Appends ``mix_rate`` for audit.
+    """
+    require_integral_id(df, id_col, "temperature_mixture_sample")
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("_n")
+    )
+    # decimal-sum policy: the weight sum must not depend on which
+    # partition each domain row landed in
+    wsum = totals.agg(
+        F.sum(
+            F.round(F.pow(F.col("_n").cast("double"), F.lit(alpha)), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("_wsum")
+    )
+    rates = totals.crossJoin(F.broadcast(wsum)).select(
+        domain_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(total_tokens))
+                * (F.pow(F.col("_n").cast("double"), F.lit(alpha)) / F.col("_wsum"))
+                / F.col("_n"),
+            ),
+            9,
+        ).alias("mix_rate"),
+    )
+    u = portable_hash01(F.col(id_col), salt)
+    return df.join(F.broadcast(rates), domain_col).filter(u <= F.col("mix_rate"))
+
+
+def sql_temperature_mixture_sample(
+    *,
+    table: str,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    total_tokens: int,
+    alpha: float = 0.7,
+    salt: int = 0,
+) -> str:
+    """DuckDB replica of :func:`temperature_mixture_sample` (exact BIGINT
+    totals; pow/normalize on the domain table; round-9 rate)."""
+    return f"""
+WITH _totals AS (
+  SELECT {domain_col}, CAST(sum(CAST({token_col} AS BIGINT)) AS BIGINT) AS _n
+  FROM {table} GROUP BY 1),
+_wsum AS (
+  SELECT CAST(sum(CAST(round(pow(CAST(_n AS DOUBLE), {alpha!r}), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS _wsum
+  FROM _totals),
+_rates AS (
+  SELECT {domain_col},
+         round(least(1.0,
+                     {float(total_tokens)!r}
+                     * (pow(CAST(_n AS DOUBLE), {alpha!r}) / _wsum)
+                     / _n), 9) AS mix_rate
+  FROM _totals CROSS JOIN _wsum)
+SELECT t.*, mix_rate
+FROM {table} t JOIN _rates USING ({domain_col})
+WHERE {sql_hash01(f"t.{id_col}", salt)} <= mix_rate
+"""

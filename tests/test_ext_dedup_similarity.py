@@ -159,3 +159,27 @@ def test_semantic_dedup_keep_min_id(spark):
     # near-dups are only ever compared within their own cluster
     assert out[1].cidx == out[4].cidx == out[5].cidx
     assert out[2].cidx == out[11].cidx
+
+
+def test_minhash_dedup_keep_best(spark):
+    from assignment_etl_spark.ext.dedup import minhash_dedup_keep_best
+
+    long_a = "the quick brown fox jumps over the lazy dog again and again. " * 8
+    # near-dup: same text with a short appended tail (high shingle overlap)
+    long_b = long_a + "appended trailing sentence here"
+    other = "completely different content about spark window aggregates here. " * 8
+    docs = spark.createDataFrame(
+        [(1, long_b), (2, long_a), (3, other)], "doc_id long, text string"
+    )
+    # score favors doc 2 (higher id than 1 — keep-min-id would pick 1)
+    score = F.when(F.col("doc_id") == 2, 0.9).otherwise(0.1)
+    out = {
+        r.doc_id: r
+        for r in minhash_dedup_keep_best(
+            docs, score, jaccard_threshold=0.3, rounds=2
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[1].cluster == out[2].cluster != out[3].cluster
+    assert not out[1].keep and out[2].keep  # best quality wins, not min id
+    assert out[3].keep                       # singleton survives

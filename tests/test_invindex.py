@@ -53,3 +53,28 @@ def test_scan_matches_index(spark):
         via_idx = sorted(r.doc_id for r in conjunctive_search(idx, terms).collect())
         via_scan = sorted(r.doc_id for r in scan_search(docs, terms).collect())
         assert via_idx == via_scan, terms
+
+
+def test_bm25_ranking(spark):
+    from assignment_etl_spark.ext.invindex import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),          # high tf for cat
+            (2, "cat dog bird fish mouse"),  # one cat, longer
+            (3, "dog dog dog"),              # no cat
+            (4, "cat"),                      # short doc, one cat
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["cat"], topk=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids and len(ids) == 3
+    # shortest doc with the term outranks the long one; tf helps doc 1
+    assert ids[0] in (1, 4) and ids[-1] == 2
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(r.score > 0 for r in out)
+
+    # multi-term query: doc containing both terms wins
+    out2 = bm25_search(docs, ["cat", "bird"]).collect()
+    assert out2[0].doc_id == 2

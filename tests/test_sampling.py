@@ -258,3 +258,30 @@ def test_negative_samples_contract(spark):
         positives, items, user_col="user", item_col="item", k=5, salt=8
     )
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+
+
+def test_temperature_mixture_sample(spark):
+    from assignment_etl_spark.ext.sampling import temperature_mixture_sample
+
+    # big domain: 900 tokens over 9 docs; small domain: 100 over 1
+    rows = [(i, "big", 100) for i in range(9)] + [(100, "small", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+
+    # alpha=1 reproduces natural proportions: every rate = total/corpus
+    nat = temperature_mixture_sample(
+        df, domain_col="source", token_col="n_chars", id_col="doc_id",
+        total_tokens=500, alpha=1.0,
+    )
+    rates = {r.source: r.mix_rate for r in nat.select("source", "mix_rate").distinct().collect()}
+    assert abs(rates["big"] - 0.5) < 1e-9 and abs(rates["small"] - 0.5) < 1e-9
+
+    # alpha<1 flattens: the small domain's rate rises above the big one's
+    flat = temperature_mixture_sample(
+        df, domain_col="source", token_col="n_chars", id_col="doc_id",
+        total_tokens=500, alpha=0.5,
+    )
+    frates = {r.source: r.mix_rate for r in flat.select("source", "mix_rate").distinct().collect()}
+    assert frates["small"] > frates["big"]
+    # w_big=30, w_small=10 => budgets 375/125 => rates 375/900, min(1, 125/100)=1
+    assert abs(frates["big"] - 375 / 900) < 1e-6
+    assert frates["small"] == 1.0
