@@ -8683,6 +8683,194 @@ FROM ranked GROUP BY 1 ORDER BY 1
     return "".join(parts)
 
 
+def q_augment_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation (ext/text.
+    augment_word_dropout): token j of doc d drops iff
+    hash01(d·1000003 + j) < 0.1 — reproducible augmentation as a pure
+    higher-order projection (zero shuffle, no UDF). The oracle replays
+    every positional hash decision and the rejoined text lengths."""
+    from assignment_etl_spark.ext.text import augment_word_dropout
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = augment_word_dropout(docs, rate=0.1, salt=3)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tot_tokens"),
+            F.sum("n_kept").alias("kept_tokens"),
+            F.sum(F.length("text_aug")).alias("aug_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_augment_word_dropout(rate: float = 0.1, salt: int = 3) -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    # DuckDB lambda indexes are 1-based; Spark's filter index is 0-based
+    u = sql_hash01("(doc_id * 1000003 + (i - 1))", salt=salt)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+k AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         list_filter(toks, (x, i) -> ({u}) >= {rate!r}) AS kept
+  FROM t)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       CAST(sum(len(kept)) AS BIGINT) AS kept_tokens,
+       CAST(sum(length(array_to_string(kept, ' '))) AS BIGINT) AS aug_len
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (ext/collocations.pmi_collocations): top-30
+    adjacent bigrams by pointwise mutual information (min_count=5
+    hapax floor). Two token-key aggregates + two token-key joins +
+    1-row totals broadcast; top-k is TakeOrderedAndProject. Oracle
+    replays counts and the single-expression PMI (round-6 absorbs the
+    ln ulp)."""
+    from assignment_etl_spark.ext.collocations import pmi_collocations
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, topk=30).orderBy("rank")
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> len(t) > 0) AS l
+  FROM documents),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(l) AS w FROM toks) q GROUP BY 1),
+bi AS (
+  SELECT z[1] AS x, z[2] AS y, count(*) AS n_xy
+  FROM (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        FROM toks WHERE len(l) >= 2) q
+  GROUP BY 1, 2),
+tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS nu, (SELECT sum(n_xy) FROM bi) AS nb),
+scored AS (
+  SELECT b.x, b.y, b.n_xy,
+         round(ln((b.n_xy / t.nb)
+                  / ((ux.c / t.nu) * (uy.c / t.nu))), 6) AS pmi
+  FROM bi b
+  JOIN uni ux ON b.x = ux.w
+  JOIN uni uy ON b.y = uy.w
+  CROSS JOIN tot t
+  WHERE b.n_xy >= 5)
+SELECT x, y, n_xy, pmi, rank FROM (
+  SELECT x, y, n_xy, pmi,
+         row_number() OVER (ORDER BY pmi DESC, x, y) AS rank
+  FROM scored) q
+WHERE rank <= 30 ORDER BY rank
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (ext/curation.curate_corpus):
+    quality filter → language filter → exact dedup (keep-first among
+    survivors) → hash split, ONE pass with per-document drop
+    accounting. Corpus = documents plus re-keyed copies of every 10th
+    doc, so the 'duplicate' branch is exercised; the oracle chains the
+    four certified kernel replicas (quality expr, generated lang CASE,
+    normalized-text keep-first, split bucket) and hash-matches the full
+    status funnel."""
+    from assignment_etl_spark.ext.curation import curate_corpus
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = curate_corpus(
+        docs.unionByName(dups), min_quality=0.5, langs=("en",)
+    )
+    return (
+        out.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("quality_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+def _sql_curation_pipeline(min_quality: float = 0.5) -> str:
+    from assignment_etl_spark.ext.text import (
+        CJK_MIN_HITS,
+        CJK_PATTERN,
+        LANG_MARKERS,
+    )
+
+    langs = list(LANG_MARKERS)
+    hits = ",\n         ".join(
+        "length(regexp_extract_all(text, '(?i)\\b(%s)\\b')) AS c_%s"
+        % ("|".join(ws), lang)
+        for lang, ws in LANG_MARKERS.items()
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [f"c_{lang} >= c_{o}" for o in langs if o != lang]
+        if i == len(langs) - 1:
+            cases.append(f"ELSE '{lang}'")
+        else:
+            cases.append("WHEN " + " AND ".join(others) + f" THEN '{lang}'")
+    zero = " AND ".join(f"c_{lang} = 0" for lang in langs)
+    bucket = "(((s.doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) % 100"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT doc_id, text,
+         length(regexp_extract_all(text, '{CJK_PATTERN}')) AS c_cjk,
+         {hits}
+  FROM corpus),
+scored AS (
+  SELECT doc_id,
+         {_SQL_QUALITY_EXPR} AS quality,
+         CASE
+           WHEN c_cjk >= {CJK_MIN_HITS} THEN 'zh'
+           WHEN {zero} THEN 'und'
+           {' '.join(cases)} END AS lang_detected,
+         trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM hits),
+surv AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE quality >= {min_quality!r} AND lang_detected = 'en'),
+fin AS (
+  SELECT s.doc_id, s.quality,
+         CASE
+           WHEN s.quality < {min_quality!r} THEN 'low_quality'
+           WHEN s.lang_detected <> 'en' THEN 'wrong_lang'
+           WHEN v.rn > 1 THEN 'duplicate'
+           WHEN {bucket} < 90 THEN 'train'
+           WHEN {bucket} < 95 THEN 'val'
+           ELSE 'test' END AS status
+  FROM scored s LEFT JOIN surv v ON s.doc_id = v.doc_id)
+SELECT status, count(*) AS n_docs,
+       CAST(sum(fin.doc_id) AS BIGINT) AS id_sum,
+       round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS quality_sum
+FROM fin GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8880,6 +9068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "temperature_mixture_sample": q_temperature_mixture,
         "dedup_keep_best_quality": q_dedup_keep_best,
+        "augment_word_dropout": q_augment_word_dropout,
+        "pmi_collocations": q_pmi_collocations,
+        "curation_pipeline_funnel": q_curation_pipeline,
     }
 
 
@@ -9055,4 +9246,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _sql_bm25_search(),
         "temperature_mixture_sample": _sql_temperature_mixture(),
         "dedup_keep_best_quality": _sql_dedup_keep_best(),
+        "augment_word_dropout": _sql_augment_word_dropout(),
+        "pmi_collocations": SQL_PMI_COLLOCATIONS,
+        "curation_pipeline_funnel": _sql_curation_pipeline(),
     }

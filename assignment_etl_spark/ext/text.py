@@ -382,3 +382,47 @@ def c4_line_filter(
         .when(n_kept < min_lines, F.lit("too_few_lines"))
         .alias("drop_reason"),
     )
+
+
+def augment_word_dropout(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate: float = 0.1,
+    salt: int = 0,
+    out_col: str = "text_aug",
+    pos_mult: int = 1_000_003,
+) -> DataFrame:
+    """Deterministic word-dropout augmentation: token ``j`` of document
+    ``d`` is dropped iff ``hash01(d·pos_mult + j, salt) < rate`` — the
+    replayable counterpart of random word dropout (EDA-style text
+    augmentation). Determinism is the point: the same (doc, position)
+    always makes the same decision, so augmented corpora are
+    reproducible across runs, engines, and partitionings, and a salt
+    change is a fresh augmentation epoch.
+
+    Pure higher-order projection (split → indexed filter → rejoin):
+    zero shuffle, no UDF. ``pos_mult`` must exceed the longest
+    document's token count to keep (doc, pos) keys distinct.
+
+    Returns the input plus (out_col, n_tokens, n_kept).
+    """
+    if not 0 <= rate < 1:
+        raise ValueError("rate must be in [0, 1)")
+    from assignment_etl_spark.ext.sampling import portable_hash01
+
+    doc = F.col(id_col)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    kept = F.filter(
+        toks,
+        lambda x, i: portable_hash01(doc * pos_mult + i, salt) >= F.lit(rate),
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("_kept", kept)
+        .withColumn(out_col, F.array_join("_kept", " "))
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn("n_kept", F.size("_kept"))
+        .drop("_toks", "_kept")
+    )

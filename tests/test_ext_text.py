@@ -223,3 +223,56 @@ def test_c4_line_filter_trims_before_matching(spark):
     row = c4_line_filter(docs).collect()[0]
     # trailing spaces must not defeat the terminal-punctuation rule
     assert row.page_kept and row.n_kept == 3
+
+
+def test_augment_word_dropout_deterministic(spark):
+    from assignment_etl_spark.ext.text import augment_word_dropout
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    a = augment_word_dropout(docs, rate=0.4, salt=1).collect()[0]
+    b = augment_word_dropout(docs, rate=0.4, salt=1).collect()[0]
+    assert a.text_aug == b.text_aug            # same salt -> same epoch
+    assert a.n_tokens == 10 and 0 < a.n_kept < 10
+    assert a.text_aug.split(" ") == [t for t in "alpha beta gamma delta epsilon zeta eta theta iota kappa".split() if t in a.text_aug.split(" ")]
+    c = augment_word_dropout(docs, rate=0.4, salt=2).collect()[0]
+    assert c.text_aug != a.text_aug            # new salt -> new epoch
+    z = augment_word_dropout(docs, rate=0.0).collect()[0]
+    assert z.text_aug == docs.collect()[0].text and z.n_kept == 10
+
+
+def test_pmi_collocations(spark):
+    from assignment_etl_spark.ext.collocations import pmi_collocations
+
+    # "new york" always adjacent; "the" everywhere -> low PMI with anything
+    rows = [(i, "the new york trip was the best the end") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_count=5, topk=5).collect()
+    pairs = {(r.x, r.y): r.pmi for r in out}
+    assert ("new", "york") in pairs
+    top = out[0]
+    assert (top.x, top.y) != ("the", "new") or top.pmi <= pairs[("new", "york")]
+    assert pairs[("new", "york")] == max(pairs.values())
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_curate_corpus_funnel(spark):
+    from assignment_etl_spark.ext.curation import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the river. " * 8)
+    docs = spark.createDataFrame(
+        [
+            (1, good),                 # survivor (en, long, stopwords)
+            (2, good),                 # exact dup of 1 -> duplicate
+            (3, "x"),                  # low quality (tiny)
+            (4, "el rapido zorro marron salta sobre el perro perezoso y corre " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in curate_corpus(docs, min_quality=0.5, langs=("en",)).collect()}
+    assert out[1] in ("train", "val", "test")
+    assert out[2] == "duplicate"
+    assert out[3] == "low_quality"
+    assert out[4] == "wrong_lang"
