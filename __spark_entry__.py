@@ -8871,6 +8871,90 @@ FROM fin GROUP BY 1 ORDER BY 1
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (ext/graph.triangle_count): compact-forward in
+    relational form over the deterministic 2-out functional graph
+    doc_id → {(3·id+1) mod 500, (7·id+2) mod 500} — canonical (lo, hi)
+    edges, wedge join, closing-edge join; two node-key shuffles, no
+    cross product. Wedge count (clustering-coefficient denominator)
+    rides along. The oracle replays the same three-relation algebra."""
+    from assignment_etl_spark.ext.graph import triangle_count
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % 500).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 2) % 500).alias("dst"),
+        )
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH raw AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 7 + 2) % 500 AS dst FROM documents),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst),
+w AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM canon e1 JOIN canon e2 ON e1.hi = e2.lo)
+SELECT (SELECT count(*) FROM w JOIN canon ON w.a = canon.lo AND w.c = canon.hi)
+         AS n_triangles,
+       (SELECT count(*) FROM canon) AS n_edges,
+       (SELECT count(*) FROM w) AS n_wedges
+"""
+
+
+def q_percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per order priority (the two relative-
+    position window functions not yet gate-covered): one key-partitioned
+    ordered window, per-group decimal checksums of both distributions —
+    so tie handling ((rank−1)/(n−1) vs #≤/n) is certified against the
+    SQL definitions, not just sampled."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("pr").cast("decimal(28,9)")).cast("double"), 4
+            ).alias("pr_sum"),
+            F.round(
+                F.sum(F.col("cd").cast("decimal(28,9)")).cast("double"), 4
+            ).alias("cd_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PERCENT_RANK_ORDERS = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         round(percent_rank() OVER w, 9) AS pr,
+         round(cume_dist() OVER w, 9) AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice))
+SELECT o_orderpriority, count(*) AS n,
+       round(CAST(sum(CAST(pr AS DECIMAL(28,9))) AS DOUBLE), 4) AS pr_sum,
+       round(CAST(sum(CAST(cd AS DECIMAL(28,9))) AS DOUBLE), 4) AS cd_sum
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9071,6 +9155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_word_dropout": q_augment_word_dropout,
         "pmi_collocations": q_pmi_collocations,
         "curation_pipeline_funnel": q_curation_pipeline,
+        "triangle_count_graph": q_triangle_count,
+        "percent_rank_orders": q_percent_rank_orders,
     }
 
 
@@ -9249,4 +9335,6 @@ def oracle_sql() -> dict[str, str]:
         "augment_word_dropout": _sql_augment_word_dropout(),
         "pmi_collocations": SQL_PMI_COLLOCATIONS,
         "curation_pipeline_funnel": _sql_curation_pipeline(),
+        "triangle_count_graph": SQL_TRIANGLE_COUNT,
+        "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
     }

@@ -93,3 +93,19 @@ def test_min_label_deterministic_across_partitionings(spark):
     r1 = sorted(map(tuple, min_label_rounds(_edges(spark, pairs).repartition(1), rounds=4).collect()))
     r2 = sorted(map(tuple, min_label_rounds(_edges(spark, pairs).repartition(11), rounds=4).collect()))
     assert r1 == r2
+
+
+def test_triangle_count(spark):
+    from assignment_etl_spark.ext.graph import triangle_count
+
+    # K4 minus one edge = 2 triangles; edges given noisily (reverse
+    # duplicates + a self-loop) to exercise canonicalization
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 2)],
+        "src long, dst long",
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r.n_triangles == 2   # {1,2,3} and {1,3,4}
+    assert r.n_edges == 5       # canonical simple edges
+    # wedges a<b<c with (a,b),(b,c) edges: (1,2,3),(1,3,4),(2,3,4),(1,2,2)x
+    assert r.n_wedges == 3
