@@ -8955,6 +8955,235 @@ FROM ranked GROUP BY 1 ORDER BY 1
 """
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (ops/funnel.last_touch_attribution):
+    every purchase credits the user's most recent strictly-prior
+    click/view/signup — the as-of problem solved union+window style
+    (one user-key shuffle, exclusive frame so conversions never
+    self-attribute; no-touch purchases report as 'none'). Oracle
+    replays the IGNORE NULLS carry-forward frame."""
+    from assignment_etl_spark.ops.funnel import last_touch_attribution
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    out = last_touch_attribution(
+        events,
+        tie_break="event_id",
+        is_conversion=F.col("event_type") == "purchase",
+        is_touch=F.col("event_type").isin("click", "view", "signup"),
+    )
+    return (
+        out.groupBy(
+            F.coalesce(F.col("attributed_channel"), F.lit("none")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+            ).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH tagged AS (
+  SELECT user_id, ts, value, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view', 'signup')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+  FROM events)
+SELECT COALESCE(ch, 'none') AS channel,
+       count(*) AS n_conversions,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS attributed_value
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (ext/drift.benford_audit) over order
+    totals: digit extraction via integer rendering (no float log10 in
+    the data path), Benford expectations as Python-computed literals
+    shared with the oracle, per-digit chi-square components. One hash
+    aggregate + a 9-row digit table."""
+    from assignment_etl_spark.ext.drift import benford_audit
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return benford_audit(orders, value_col="o_totalprice", decimal_scale=2)
+
+
+def _sql_benford_orders(scale: int = 2) -> str:
+    import math
+
+    exp_case = " ".join(
+        f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}" for d in range(1, 10)
+    )
+    e = f"(CASE digit {exp_case} END)"
+    return f"""
+WITH base AS (
+  SELECT abs(CAST(round(o_totalprice * {10**scale}, 0) AS BIGINT)) AS i
+  FROM orders WHERE o_totalprice IS NOT NULL),
+counts AS (
+  SELECT CAST(substr(CAST(i AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM base WHERE i > 0 GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM counts)
+SELECT digit, n,
+       round(n / t, 6) AS share,
+       round({e}, 6) AS expected,
+       round((n / t - {e}) * (n / t - {e}) / {e}, 6) AS chi2_component
+FROM counts CROSS JOIN tot ORDER BY digit
+"""
+
+
+def q_impute_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median NULL imputation (ops/repair.impute_group_median):
+    totals nulled for every 7th key, refilled with the per-priority
+    exact interpolating median (the percentile ≡ quantile_cont
+    equivalence the winsorize gate certifies), imputed rows flagged.
+    One grouped percentile + broadcast stats join."""
+    from assignment_etl_spark.ops.repair import impute_group_median
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+    out = impute_group_median(
+        orders, value_col="o_totalprice", by=["o_orderpriority"]
+    )
+    return (
+        out.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("imputed").cast("long")).alias("n_imputed"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_after"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_IMPUTE_MEDIAN_ORDERS = """
+WITH nulled AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS v
+  FROM orders),
+med AS (
+  SELECT o_orderpriority, quantile_cont(v, 0.5) AS m
+  FROM nulled GROUP BY 1),
+filled AS (
+  SELECT n.o_orderpriority,
+         (n.v IS NULL AND m.m IS NOT NULL) AS imputed,
+         COALESCE(n.v, m.m) AS v
+  FROM nulled n LEFT JOIN med m USING (o_orderpriority))
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CASE WHEN imputed THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 4) AS total_after
+FROM filled GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation (ops/timeseries.rolling_corr): per
+    user, value vs epoch-seconds over the trailing 10 events — local
+    trend detection. Six decimal frame sums share ONE window node and
+    feed the computational formula, so unlike the built-in corr window
+    aggregate the result is accumulation-order-independent and the
+    oracle replays it exactly."""
+    from assignment_etl_spark.ops.timeseries import rolling_corr
+
+    _prep(spark)
+    # minutes since 2024-01-01, not raw epoch seconds: y² at 1e18 would
+    # hit catastrophic cancellation in nΣy²−(Σy)² AND engine-divergent
+    # double rounding; small integer-valued y keeps every intermediate
+    # exactly representable
+    events = _t(spark, sf_dir, "events").withColumn(
+        "_epoch",
+        (F.floor(F.unix_timestamp("ts") / 60) - F.lit(28_401_120)).cast(
+            "double"
+        ),
+    )
+    out = rolling_corr(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        x_col="value",
+        y_col="_epoch",
+        window_rows=10,
+        tie_break="event_id",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("corr").isNotNull().cast("long")).alias("n_defined"),
+            F.round(
+                F.sum(F.col("corr").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("corr_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_ROLLING_CORR_EVENTS = """
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+         -- whole-second epoch (Spark unix_timestamp truncates), then
+         -- minutes since 2024-01-01 — small integer-valued doubles
+         CAST(floor(floor(epoch(ts)) / 60) - 28401120 AS DOUBLE) AS ep
+  FROM events),
+framed AS (
+  SELECT user_id,
+         sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+           OVER w AS n,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(value, 6) AS DECIMAL(28,6)) END)
+              OVER w AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(ep, 6) AS DECIMAL(28,6)) END)
+              OVER w AS DOUBLE) AS sy,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(value * ep, 6) AS DECIMAL(28,6)) END)
+              OVER w AS DOUBLE) AS sxy,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(value * value, 6) AS DECIMAL(28,6)) END)
+              OVER w AS DOUBLE) AS sxx,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(ep * ep, 6) AS DECIMAL(28,6)) END)
+              OVER w AS DOUBLE) AS syy
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+scored AS (
+  SELECT user_id,
+         CASE WHEN n >= 2
+                   AND sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+              THEN round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                         6) END AS corr
+  FROM framed)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN corr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_defined,
+       round(CAST(sum(CAST(corr AS DECIMAL(18,6))) AS DOUBLE), 4) AS corr_sum
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9157,6 +9386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_funnel": q_curation_pipeline,
         "triangle_count_graph": q_triangle_count,
         "percent_rank_orders": q_percent_rank_orders,
+        "attribution_last_touch": q_attribution_last_touch,
+        "benford_orders": q_benford_orders,
+        "impute_median_orders": q_impute_median_orders,
+        "rolling_corr_events": q_rolling_corr_events,
     }
 
 
@@ -9337,4 +9570,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline_funnel": _sql_curation_pipeline(),
         "triangle_count_graph": SQL_TRIANGLE_COUNT,
         "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
+        "attribution_last_touch": SQL_ATTRIBUTION_LAST_TOUCH,
+        "benford_orders": _sql_benford_orders(),
+        "impute_median_orders": SQL_IMPUTE_MEDIAN_ORDERS,
+        "rolling_corr_events": SQL_ROLLING_CORR_EVENTS,
     }

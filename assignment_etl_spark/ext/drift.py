@@ -394,3 +394,67 @@ def ab_test(
         F.round(z, round_to).alias("z_score"),
         (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    *,
+    value_col: str,
+    decimal_scale: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-digit (Benford's law) distribution audit — the standard
+    fabricated-numbers screen for financial/measurement columns: the
+    observed share of each leading digit 1–9 of |value| against the
+    Benford expectation log10(1 + 1/d), with the per-digit chi-square
+    component (Σ of which is the test statistic).
+
+    Digit extraction avoids float log10 entirely: values scale to
+    integer units (``decimal_scale``), and the leading digit is the
+    first character of the BIGINT's decimal rendering — integer→string
+    is identical in every engine, so the digit histogram is exact.
+    Expectations are Python-computed double literals (one source for
+    both engines). One hash aggregate over the column; the 9-row digit
+    table carries the scalar total via its own broadcast.
+
+    Zero values carry no leading digit and are excluded (reported via
+    the share denominator = nonzero count).
+    """
+    import math
+
+    scaled = F.abs(
+        F.round(F.col(value_col) * (10**decimal_scale), 0).cast("long")
+    )
+    digit = F.substring(scaled.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (scaled > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    expected = None
+    for d in range(1, 10):
+        e = F.lit(math.log10(1.0 + 1.0 / d))
+        expected = (
+            F.when(F.col("digit") == d, e)
+            if expected is None
+            else expected.when(F.col("digit") == d, e)
+        )
+    share = F.col("n") / F.col("_tot")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_exp", expected)
+        .select(
+            "digit",
+            "n",
+            F.round(share, round_to).alias("share"),
+            F.round(F.col("_exp"), round_to).alias("expected"),
+            F.round(
+                (share - F.col("_exp"))
+                * (share - F.col("_exp"))
+                / F.col("_exp"),
+                round_to,
+            ).alias("chi2_component"),
+        )
+        .orderBy("digit")
+    )

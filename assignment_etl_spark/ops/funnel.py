@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel(
@@ -165,4 +166,55 @@ def cohort_retention(
                 "retention"
             ),
         )
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_break: str | None = None,
+    is_conversion=None,
+    is_touch=None,
+    channel_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    channel of the user's most recent STRICTLY PRIOR touch event
+    (conversions with no prior touch attribute to NULL — report them,
+    don't drop them).
+
+    Spark shape: the classic as-of-join problem, solved the
+    union+window way (same trade as ops/asof.py — no join explosion,
+    no per-conversion probe): one ordered window per user carries the
+    last touch channel forward with ``last(..., ignorenulls=True)``
+    over an UNBOUNDED-PRECEDING-to-1-PRECEDING frame, so a conversion
+    never attributes to itself or to later touches. One shuffle on the
+    user key, bounded state per user.
+
+    ``is_conversion`` / ``is_touch`` are Column predicates (required);
+    ``tie_break`` orders equal timestamps deterministically.
+
+    Returns the conversion rows with an ``attributed_channel`` column.
+    """
+    if is_conversion is None or is_touch is None:
+        raise ValueError("is_conversion and is_touch predicates are required")
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.withColumn(
+        "attributed_channel",
+        F.last(
+            F.when(is_touch, F.col(channel_col)), ignorenulls=True
+        ).over(w),
+    )
+    return tagged.filter(is_conversion).select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(value_col),
+        "attributed_channel",
     )

@@ -75,3 +75,37 @@ def fd_repair(
         .withColumn(dep_col, repaired)
         .drop("winner")
     )
+
+
+def impute_group_median(
+    df: DataFrame,
+    *,
+    value_col: str,
+    by: list[str],
+    flag_col: str | None = "imputed",
+) -> DataFrame:
+    """Fill NULLs in ``value_col`` with the exact per-group median
+    (SQL ``percentile(0.5)`` — interpolating, matching DuckDB
+    ``quantile_cont``, the equivalence the winsorize gate certifies).
+    Groups with no non-NULL values keep their NULLs; ``flag_col``
+    (optional) marks rows that were filled, preserving the audit trail
+    the reference's cleaning ops keep for every mutation (SURVEY §2.9).
+
+    One grouped percentile aggregate (output rows = #groups, tiny) and
+    one broadcast join back — the stats-table pattern shared with
+    ops/outliers.winsorize. Exact percentile needs the group's values
+    in one task; at extreme group cardinality swap in approx_percentile
+    (same plan shape, sketch-mergeable).
+    """
+    med = df.groupBy(*by).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+    )
+    v = F.col(value_col)
+    filled = v.isNull() & F.col("_med").isNotNull()
+    out = df.join(F.broadcast(med), on=by, how="left")
+    if flag_col:
+        # the flag must be materialized BEFORE value_col is overwritten —
+        # afterwards the predicate would see the filled values
+        out = out.withColumn(flag_col, filled)
+    out = out.withColumn(value_col, F.when(filled, F.col("_med")).otherwise(v))
+    return out.drop("_med")

@@ -257,3 +257,67 @@ def ewma(
         out_col,
         F.when(den > 0, F.round(num / den, round_to)),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 10,
+    tie_break: str | None = None,
+    decimal_scale: int = 6,
+    round_to: int = 6,
+    out_col: str = "corr",
+) -> DataFrame:
+    """Per-key rolling Pearson correlation of (x, y) over the trailing
+    ``window_rows`` rows, via the computational formula
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+
+    with every frame sum decimal-cast (per-row products rounded at
+    ``decimal_scale`` first) — so unlike the built-in ``corr`` window
+    aggregate, the result is independent of accumulation order and
+    replays exactly in any engine. NULL when the frame has fewer than 2
+    rows or either variance is zero. Rows where x or y is NULL are
+    excluded from the frame sums but still receive a value (their
+    nulls simply don't contribute — both sums skip them consistently).
+
+    One ordered window per key — six shared-frame sum aggregates in a
+    single window node, pure codegen.
+
+    Numerical caveat: the computational formula cancels catastrophically
+    when |x| or |y| dwarfs its in-frame variance (e.g. raw epoch seconds
+    — Σy² ≈ 1e19 loses the variance below double precision, and round()
+    itself diverges across engines at that magnitude). CENTER such
+    columns first (subtract a constant base); with magnitudes ≲1e6 every
+    intermediate stays exact.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    dec = f"decimal(28,{decimal_scale})"
+    x, y = F.col(x_col), F.col(y_col)
+    both = x.isNotNull() & y.isNotNull()
+    xd = F.when(both, F.round(x, decimal_scale)).cast(dec)
+    yd = F.when(both, F.round(y, decimal_scale)).cast(dec)
+    xyd = F.when(both, F.round(x * y, decimal_scale)).cast(dec)
+    xxd = F.when(both, F.round(x * x, decimal_scale)).cast(dec)
+    yyd = F.when(both, F.round(y * y, decimal_scale)).cast(dec)
+    n = F.sum(both.cast("long")).over(w).cast("double")
+    sx = F.sum(xd).over(w).cast("double")
+    sy = F.sum(yd).over(w).cast("double")
+    sxy = F.sum(xyd).over(w).cast("double")
+    sxx = F.sum(xxd).over(w).cast("double")
+    syy = F.sum(yyd).over(w).cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return df.withColumn(
+        out_col,
+        F.when((n >= 2) & (den > 0), F.round(num / den, round_to)),
+    )

@@ -151,3 +151,46 @@ def test_cohort_retention(spark):
     assert out[("2024-01-01", 1)] == (1, 2, 0.5)
     assert out[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+def test_last_touch_attribution(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.funnel import last_touch_attribution
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10), "click", 0.0),
+        (1, 2, datetime(2024, 1, 1, 11), "purchase", 5.0),
+        (1, 3, datetime(2024, 1, 1, 12), "view", 0.0),
+        (1, 4, datetime(2024, 1, 1, 13), "purchase", 7.0),
+        (2, 5, datetime(2024, 1, 1, 9), "purchase", 3.0),  # no prior touch
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.value: r.attributed_channel
+        for r in last_touch_attribution(
+            df,
+            tie_break="event_id",
+            is_conversion=F.col("event_type") == "purchase",
+            is_touch=F.col("event_type").isin("click", "view"),
+        ).collect()
+    }
+    assert out[5.0] == "click"
+    assert out[7.0] == "view"   # most recent touch wins
+    assert out[3.0] is None     # unattributed reported, not dropped
+
+
+def test_impute_group_median(spark):
+    from assignment_etl_spark.ops.repair import impute_group_median
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", None), ("b", None), ("b", 10.0),
+            ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = impute_group_median(df, value_col="v", by=["g"]).collect()
+    a = sorted([r.v for r in out if r.g == "a"])
+    assert a == [1.0, 2.0, 3.0]          # median of {1,3} = 2 interpolated
+    assert {r.v for r in out if r.g == "b"} == {10.0}
+    assert [r.v for r in out if r.g == "c"] == [None]   # all-NULL group stays
+    assert sum(1 for r in out if r.imputed) == 2

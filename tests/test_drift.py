@@ -114,3 +114,19 @@ def test_ab_test_welch(spark):
     assert abs(r.se - (1 / 3 + (20 / 3) / 4) ** 0.5) < 1e-6   # = sqrt(2)
     assert abs(r.z_score - (-3 / 2**0.5)) < 1e-6
     assert bool(r.significant_95) is True
+
+
+def test_benford_audit(spark):
+    import math
+
+    from assignment_etl_spark.ext.drift import benford_audit
+
+    rows = [(v,) for v in [1.23, 12.0, 199.0, 2.5, 31.0, 0.0, None, -4.2, 9.99]]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_audit(df, value_col="v").collect()}
+    # zeros and NULLs excluded; 7 nonzero values
+    assert sum(r.n for r in out.values()) == 7
+    assert out[1].n == 3 and out[2].n == 1 and out[3].n == 1
+    assert out[4].n == 1 and out[9].n == 1
+    assert abs(out[1].expected - round(math.log10(2), 6)) < 1e-9
+    assert all(r.chi2_component >= 0 for r in out.values())

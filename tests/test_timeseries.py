@@ -188,3 +188,26 @@ def test_ewma_hand_computed(spark):
     # NULL values drop out of both sums; the row still gets a smoothed value
     assert out[("b", 2)] == 1.0
     assert out[("b", 3)] == 4.25 / 1.25
+
+
+def test_rolling_corr_known_values(spark):
+    from assignment_etl_spark.ops.timeseries import rolling_corr
+
+    # y = 2x + 1 -> corr exactly 1; then an anti-correlated tail
+    rows = [("a", i, float(i), float(2 * i + 1)) for i in range(1, 6)]
+    rows += [("b", 1, 1.0, 3.0), ("b", 2, 2.0, 1.0), ("b", 3, 3.0, None)]
+    df = spark.createDataFrame(rows, "k string, i int, x double, y double").select(
+        "k", F.timestamp_seconds(F.col("i")).alias("ts"), "i", "x", "y"
+    )
+    out = {
+        (r.k, r.i): r.corr
+        for r in rolling_corr(
+            df, key_col="k", ts_col="ts", x_col="x", y_col="y",
+            window_rows=4, tie_break="i",
+        ).collect()
+    }
+    assert out[("a", 1)] is None           # single-row frame
+    assert out[("a", 3)] == 1.0 and out[("a", 5)] == 1.0
+    assert out[("b", 2)] == -1.0
+    # NULL y at b3: frame keeps the two valid rows -> still -1
+    assert out[("b", 3)] == -1.0
