@@ -9184,6 +9184,142 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join (io/store.write_bucketed_table):
+    orders and lineitem land pre-shuffled into 8 sorted buckets on the
+    join key, so the fact-fact join runs WITHOUT an exchange on either
+    side (the SMB pattern — pay the shuffle once at write, amortize it
+    over every join; `test_store.py` asserts the exchange-free plan,
+    this gate hash-certifies the bucketed write→read→join round-trip
+    against a plain-SQL oracle). Result: revenue by order priority."""
+    from assignment_etl_spark.io.store import write_bucketed_table
+
+    _prep(spark)
+    suffix = uuid.uuid4().hex[:8]
+    t_ord, t_li = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    write_bucketed_table(
+        _t(spark, sf_dir, "orders"), t_ord, ["o_orderkey"], 8,
+        sort_by=["o_orderkey"],
+    )
+    write_bucketed_table(
+        _t(spark, sf_dir, "lineitem"), t_li, ["l_orderkey"], 8,
+        sort_by=["l_orderkey"],
+    )
+    try:
+        o, li = spark.table(t_ord), spark.table(t_li)
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount"))
+                        ).cast("decimal(28,6)")
+                    ).cast("double"),
+                    4,
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)  # source tables are dropped below
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+    return out
+
+
+SQL_BUCKETED_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring (ops/funnel.rfm_segments): recency/
+    frequency/monetary quintiles (higher = better, customer-key tie
+    breaks → total-ordered, replayable ntiles). The windows run over
+    the one-row-per-customer aggregate, not the fact table. Gate
+    reports per-segment population and spend."""
+    from assignment_etl_spark.ops.funnel import rfm_segments
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    seg = rfm_segments(orders)
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(28,4)")).cast("double"),
+                4,
+            ).alias("segment_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT o_custkey AS customer,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1),
+asof_d AS (SELECT max(o_orderdate) AS a FROM orders),
+rfm AS (
+  SELECT customer,
+         datediff('day', last_order, a) AS recency_days,
+         frequency, monetary,
+         ntile(5) OVER (ORDER BY datediff('day', last_order, a) DESC,
+                        customer) AS r,
+         ntile(5) OVER (ORDER BY frequency, customer) AS f,
+         ntile(5) OVER (ORDER BY monetary, customer) AS m
+  FROM per CROSS JOIN asof_d)
+SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment,
+       count(*) AS n_customers,
+       round(CAST(sum(CAST(monetary AS DECIMAL(28,4))) AS DOUBLE), 4)
+         AS segment_spend
+FROM rfm GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (ops/funnel.
+    event_transitions): per-user lead() pairs → (from, to) counts →
+    P(next|current) from a window over the |types|² matrix. One key
+    shuffle + one pair aggregate; no second scan for the denominators."""
+    from assignment_etl_spark.ops.funnel import event_transitions
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    return event_transitions(events, tie_break="event_id").orderBy(
+        "from_type", "to_type"
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH led AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM led WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs ORDER BY from_type, to_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9390,6 +9526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": q_benford_orders,
         "impute_median_orders": q_impute_median_orders,
         "rolling_corr_events": q_rolling_corr_events,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
+        "rfm_segments": q_rfm_segments,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -9574,4 +9713,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_orders": _sql_benford_orders(),
         "impute_median_orders": SQL_IMPUTE_MEDIAN_ORDERS,
         "rolling_corr_events": SQL_ROLLING_CORR_EVENTS,
+        "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
+        "rfm_segments": SQL_RFM_SEGMENTS,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
     }

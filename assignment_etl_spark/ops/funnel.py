@@ -218,3 +218,109 @@ def last_touch_attribution(
         F.col(value_col),
         "attributed_channel",
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+    as_of=None,
+    n_tiles: int = 5,
+    decimal_scale: int = 4,
+) -> DataFrame:
+    """RFM scoring: per customer, Recency (days from last order to
+    ``as_of``), Frequency (order count), Monetary (decimal-exact spend),
+    each ``ntile``-d into 1..n_tiles with the convention HIGHER TILE =
+    BETTER (recent, frequent, big-spending customers score n_tiles).
+    Ties break on the customer key, making every tile assignment
+    total-ordered and engine-replayable.
+
+    One groupBy on the customer key, then three ntile windows over the
+    AGGREGATED table (one row per customer — orders of magnitude
+    smaller than the fact table; at 100 TB of orders this window input
+    is the customer dimension, and the same two-phase range trick as
+    ops/ids.py applies if even that funnels).
+
+    ``as_of`` defaults to the max order date (a Column or literal can
+    pin it for reproducible reports).
+
+    Returns (customer, recency_days, frequency, monetary, r, f, m,
+    segment) with segment = concat(r, f, m).
+    """
+    dec = f"decimal(28,{decimal_scale})"
+    per = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(F.col(ts_col)).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast(dec)).alias("_spend"),
+    )
+    if as_of is None:
+        as_of_df = orders.agg(F.max(F.col(ts_col)).alias("_asof"))
+        per = per.crossJoin(F.broadcast(as_of_df))
+    else:
+        per = per.withColumn("_asof", F.lit(as_of))
+    per = per.select(
+        "customer",
+        F.datediff(F.col("_asof"), F.col("_last")).alias("recency_days"),
+        "frequency",
+        F.col("_spend").cast("double").alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("customer"))
+    w_f = Window.orderBy(F.col("frequency"), F.col("customer"))
+    w_m = Window.orderBy(F.col("monetary"), F.col("customer"))
+    return per.select(
+        "customer",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).alias("r"),
+        F.ntile(n_tiles).over(w_f).alias("f"),
+        F.ntile(n_tiles).over(w_m).alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_break: str | None = None,
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (current, next) event-type pair, the transition
+    count and the conditional probability P(next | current). Stream
+    ends contribute no transition (lead is NULL).
+
+    One lead() window per user (single key shuffle), one pair count
+    aggregate, and the per-source totals come from a window over the
+    |types|² matrix — no second scan. The matrix is category-squared
+    rows: driver- and broadcast-safe at any corpus size.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_break)] if tie_break else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("_next", F.lead(F.col(type_col)).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_tot), round_to).alias("p"),
+    )

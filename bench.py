@@ -85,6 +85,17 @@ HEADLINE = [
     "global_row_number_orders",
     "geo_radius_pairs",
     "k_anonymity_audit",
+    # round-4 closing-session additions
+    "semantic_dedup_embeddings",
+    "c4_line_filter",
+    "bm25_search",
+    "curation_pipeline_funnel",
+    "dedup_keep_best_quality",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "skyline_orders",
+    "pmi_collocations",
+    "cohort_retention_events",
 ]
 
 

@@ -194,3 +194,53 @@ def test_impute_group_median(spark):
     assert {r.v for r in out if r.g == "b"} == {10.0}
     assert [r.v for r in out if r.g == "c"] == [None]   # all-NULL group stays
     assert sum(1 for r in out if r.imputed) == 2
+
+
+def test_rfm_segments(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.funnel import rfm_segments
+
+    # 5 customers with strictly increasing recency/frequency/monetary
+    rows = []
+    for c in range(1, 6):
+        for k in range(c):  # customer c has c orders
+            rows.append((c, datetime(2024, 1, c), 100.0 * c))
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r.customer: r for r in rfm_segments(orders).collect()}
+    # customer 5: most recent, most frequent, biggest spend -> all 5s
+    assert out[5].segment == "555"
+    assert out[1].segment == "111"
+    assert out[3].recency_days == 2 and out[3].frequency == 3
+    assert out[4].monetary == 1600.0
+    # higher tile = better on every axis
+    assert out[2].r < out[4].r and out[2].f < out[4].f and out[2].m < out[4].m
+
+
+def test_event_transitions(spark):
+    from datetime import datetime
+
+    from assignment_etl_spark.ops.funnel import event_transitions
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10), "a"),
+        (1, 2, datetime(2024, 1, 1, 11), "b"),
+        (1, 3, datetime(2024, 1, 1, 12), "a"),
+        (1, 4, datetime(2024, 1, 1, 13), "c"),
+        (2, 5, datetime(2024, 1, 1, 10), "a"),
+        (2, 6, datetime(2024, 1, 1, 11), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transitions(df, tie_break="event_id").collect()
+    }
+    # from 'a': 2x ->b, 1x ->c; last event of each user emits nothing
+    assert out[("a", "b")] == (2, round(2 / 3, 6))
+    assert out[("a", "c")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in out and len(out) == 3
