@@ -9320,6 +9320,208 @@ FROM pairs ORDER BY from_type, to_type
 """
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (ext/text.span_corruption): block-
+    quantized deterministic masking (block b of doc d masks iff
+    hash01(d·1000003+b) < 0.15), inputs collapse each masked block to
+    one sentinel, targets carry sentinel-prefixed spans — the seq2seq
+    denoising pair as a pure projection. Oracle replays every block
+    decision and both reassembled strings' lengths."""
+    from assignment_etl_spark.ext.text import span_corruption
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = span_corruption(docs, span_len=3, rate=0.15, salt=5)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tot_tokens"),
+            F.sum("n_masked").alias("masked_tokens"),
+            F.sum(F.length("inputs")).alias("inputs_len"),
+            F.sum(F.length("targets")).alias("targets_len"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_span_corruption(
+    span_len: int = 3, rate: float = 0.15, salt: int = 5,
+    sentinel: str = "<extra_id>",
+) -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01(
+        f"(doc_id * 1000003 + CAST(floor((i - 1) / {span_len}) AS BIGINT))",
+        salt=salt,
+    )
+    m = f"({u}) < {rate!r}"
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         array_to_string(list_filter(list_transform(toks, (x, i) ->
+           CASE WHEN NOT ({m}) THEN x
+                WHEN (i - 1) % {span_len} = 0 THEN '{sentinel}' END),
+           v -> v IS NOT NULL), ' ') AS inputs,
+         array_to_string(list_filter(list_transform(toks, (x, i) ->
+           CASE WHEN ({m}) AND (i - 1) % {span_len} = 0
+                THEN '{sentinel} ' || x
+                WHEN ({m}) THEN x END),
+           v -> v IS NOT NULL), ' ') AS targets,
+         len(list_filter(list_transform(toks, (x, i) ->
+           CASE WHEN ({m}) THEN true ELSE false END), b -> b)) AS n_masked
+  FROM t)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       CAST(sum(n_masked) AS BIGINT) AS masked_tokens,
+       CAST(sum(length(inputs)) AS BIGINT) AS inputs_len,
+       CAST(sum(length(targets)) AS BIGINT) AS targets_len
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (ext/sampling.kfold_split):
+    portable bucket mod k, pure projection — every engine re-derives
+    the same folds. Gate reports per-fold population and id checksum."""
+    from assignment_etl_spark.ext.sampling import kfold_split
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        kfold_split(docs, id_col="doc_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("fold")
+    )
+
+
+SQL_KFOLD_SPLIT = """
+SELECT (((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) % 5
+         AS fold,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (Dataset.exceptAll / intersectAll — the
+    multiset complements of the already-gated INTERSECT/EXCEPT
+    DISTINCT): lineitem category multiset minus/intersected-with its
+    March slice; duplicate multiplicities must survive exactly. Oracle
+    uses DuckDB EXCEPT ALL / INTERSECT ALL."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_returnflag", "l_linestatus")
+    b = li.filter(F.month("l_shipdate") == 3).select(
+        "l_returnflag", "l_linestatus"
+    )
+    diff = (
+        a.exceptAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return diff.unionByName(inter).orderBy("op", "l_returnflag", "l_linestatus")
+
+
+SQL_EXCEPT_ALL_ORDERS = """
+WITH a AS (SELECT l_returnflag, l_linestatus FROM lineitem),
+b AS (SELECT l_returnflag, l_linestatus FROM lineitem
+      WHERE month(l_shipdate) = 3),
+d AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+SELECT l_returnflag, l_linestatus, n, op FROM (
+  SELECT l_returnflag, l_linestatus, count(*) AS n, 'except_all' AS op
+  FROM d GROUP BY 1, 2
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, count(*) AS n, 'intersect_all' AS op
+  FROM i GROUP BY 1, 2) q
+ORDER BY op, l_returnflag, l_linestatus
+"""
+
+
+def q_khop_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (ext/graph.khop_reachable): nodes within 3 directed
+    hops of the %100 seed set over the 2-out functional graph — k
+    rounds of join → distinct → anti-join, frontier = newly reached
+    only. Oracle unrolls the same three rounds."""
+    from assignment_etl_spark.ext.graph import khop_reachable
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % 500).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 2) % 500).alias("dst"),
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    reached = khop_reachable(edges, seeds, k=3)
+    return (
+        reached.groupBy("min_hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").alias("node_checksum"),
+        )
+        .orderBy("min_hops")
+    )
+
+
+def _sql_khop_reachable(k: int = 3) -> str:
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % 500 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 7 + 2) % 500 AS dst FROM documents),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS node, 0 AS min_hops FROM documents
+  WHERE doc_id % 100 = 0),
+f0 AS (SELECT node FROM r0)"""
+    ]
+    for h in range(1, k + 1):
+        parts.append(
+            f""",
+n{h} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM f{h - 1} f JOIN e ON f.node = e.src),
+new{h} AS MATERIALIZED (
+  SELECT n.node, {h} AS min_hops FROM n{h} n
+  WHERE NOT EXISTS (SELECT 1 FROM r{h - 1} r WHERE r.node = n.node)),
+r{h} AS MATERIALIZED (
+  SELECT node, min_hops FROM r{h - 1}
+  UNION ALL SELECT node, min_hops FROM new{h}),
+f{h} AS (SELECT node FROM new{h})"""
+        )
+    parts.append(
+        f"""
+SELECT min_hops, count(*) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_checksum
+FROM r{k} GROUP BY 1 ORDER BY 1
+"""
+    )
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9529,6 +9731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "rfm_segments": q_rfm_segments,
         "event_transitions": q_event_transitions,
+        "span_corruption_documents": q_span_corruption,
+        "kfold_split_documents": q_kfold_split,
+        "except_all_lineitem": q_except_all_orders,
+        "khop_reachable_graph": q_khop_reachable,
     }
 
 
@@ -9716,4 +9922,8 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
         "rfm_segments": SQL_RFM_SEGMENTS,
         "event_transitions": SQL_EVENT_TRANSITIONS,
+        "span_corruption_documents": _sql_span_corruption(),
+        "kfold_split_documents": SQL_KFOLD_SPLIT,
+        "except_all_lineitem": SQL_EXCEPT_ALL_ORDERS,
+        "khop_reachable_graph": _sql_khop_reachable(),
     }

@@ -193,3 +193,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
         )
     )
+
+
+def khop_reachable(
+    edges: DataFrame, seeds: DataFrame, *, k: int
+) -> DataFrame:
+    """(node, min_hops) for every node reachable from ``seeds`` (a
+    one-column DataFrame) in at most ``k`` directed hops — bounded
+    frontier BFS as k rounds of join → distinct → anti-join. Each
+    round's frontier holds only the NEWLY reached nodes, so repeated
+    work is bounded by |V| total across rounds; per-round cost is one
+    edge join (O(frontier-adjacent edges)) plus two node-key shuffles.
+    The reached set is localCheckpointed per round — constant plan
+    depth, same hygiene as min_label_rounds. Fixed k is the
+    oracle-certifiable contract (the PageRank trade)."""
+    reached = (
+        seeds.toDF("node").distinct().withColumn("min_hops", F.lit(0))
+    ).localCheckpoint(eager=True)
+    frontier = reached.select("node")
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(reached.select("node"), "node", "left_anti").withColumn(
+            "min_hops", F.lit(h)
+        )
+        reached = reached.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return reached

@@ -430,3 +430,20 @@ SELECT t.*, mix_rate
 FROM {table} t JOIN _rates USING ({domain_col})
 WHERE {sql_hash01(f"t.{id_col}", salt)} <= mix_rate
 """
+
+
+def kfold_split(
+    df: DataFrame, *, id_col: str, k: int = 5, out: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    portable bucket of the id in [0, k) — a pure projection (the same
+    reproducibility contract as ext/text.hash_split, which this
+    generalizes from fixed percent weights to equal folds). Fold f's
+    validation set is ``fold == f``; its training set is everything
+    else — no materialized copies, each fold is a filter."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    require_integral_id(df, id_col, "kfold_split")
+    from assignment_etl_spark.ext.text import split_bucket
+
+    return df.withColumn(out, split_bucket(F.col(id_col), k))

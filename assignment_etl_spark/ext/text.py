@@ -426,3 +426,84 @@ def augment_word_dropout(
         .withColumn("n_kept", F.size("_kept"))
         .drop("_toks", "_kept")
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    rate: float = 0.15,
+    salt: int = 0,
+    sentinel: str = "<extra_id>",
+    pos_mult: int = 1_000_003,
+) -> DataFrame:
+    """T5-style span corruption, deterministic: the token stream is cut
+    into fixed ``span_len`` blocks and block ``b`` of document ``d`` is
+    masked iff ``hash01(d·pos_mult + b, salt) < rate``. Masked blocks
+    collapse to one ``sentinel`` occurrence in the input; the targets
+    string carries sentinel-prefixed masked spans in order — the
+    (inputs, targets) pair seq2seq denoising training consumes.
+
+    Block-quantized selection replaces T5's sequential span sampling
+    with an order-free rule: decisions are independent per block, so
+    the operator is a pure higher-order projection (split → indexed
+    transforms → rejoin), zero shuffle, reproducible across engines and
+    partitionings (salt = corruption epoch, same contract as
+    ``augment_word_dropout``).
+
+    Returns input plus (inputs, targets, n_tokens, n_masked).
+    """
+    if not 0 <= rate < 1:
+        raise ValueError("rate must be in [0, 1)")
+    if span_len < 1:
+        raise ValueError("span_len must be >= 1")
+    from assignment_etl_spark.ext.sampling import portable_hash01
+
+    doc = F.col(id_col)
+
+    def masked(i: Column) -> Column:
+        block = F.floor(i / span_len)
+        return portable_hash01(doc * pos_mult + block, salt) < F.lit(rate)
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
+    out = df.withColumn("_toks", toks)
+    # inputs: keep unmasked tokens; emit ONE sentinel at each masked
+    # block's first position (block starts at i % span_len == 0)
+    inputs = F.array_join(
+        F.filter(
+            F.transform(
+                F.col("_toks"),
+                lambda t, i: F.when(~masked(i), t).when(
+                    i % span_len == 0, F.lit(sentinel)
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        ),
+        " ",
+    )
+    # targets: sentinel before each masked block, then its tokens
+    targets = F.array_join(
+        F.filter(
+            F.transform(
+                F.col("_toks"),
+                lambda t, i: F.when(
+                    masked(i) & (i % span_len == 0),
+                    F.concat(F.lit(sentinel), F.lit(" "), t),
+                ).when(masked(i), t),
+            ),
+            lambda t: t.isNotNull(),
+        ),
+        " ",
+    )
+    n_masked = F.size(
+        F.filter(F.transform(F.col("_toks"), lambda t, i: masked(i)), lambda b: b)
+    )
+    return (
+        out.withColumn("inputs", inputs)
+        .withColumn("targets", targets)
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn("n_masked", n_masked)
+        .drop("_toks")
+    )

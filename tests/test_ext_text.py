@@ -276,3 +276,28 @@ def test_curate_corpus_funnel(spark):
     assert out[2] == "duplicate"
     assert out[3] == "low_quality"
     assert out[4] == "wrong_lang"
+
+
+def test_span_corruption_structure(spark):
+    from assignment_etl_spark.ext.text import span_corruption
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(12)))], "doc_id long, text string"
+    )
+    r = span_corruption(docs, span_len=3, rate=0.5, salt=9).collect()[0]
+    toks = r.text.split(" ")
+    assert r.n_tokens == 12 and r.n_masked % 3 == 0
+    n_spans = r.n_masked // 3
+    # each masked block -> exactly one sentinel in inputs, one in targets
+    assert r.inputs.count("<extra_id>") == n_spans
+    assert r.targets.count("<extra_id>") == n_spans
+    # inputs + masked tokens reconstruct the original multiset
+    kept = [t for t in r.inputs.split(" ") if t != "<extra_id>" and t]
+    masked = [t for t in r.targets.split(" ") if t != "<extra_id>" and t]
+    assert sorted(kept + masked) == sorted(toks)
+    assert len(masked) == r.n_masked
+    # determinism + epoch change
+    again = span_corruption(docs, span_len=3, rate=0.5, salt=9).collect()[0]
+    assert again.inputs == r.inputs and again.targets == r.targets
+    other = span_corruption(docs, span_len=3, rate=0.5, salt=10).collect()[0]
+    assert (other.inputs, other.targets) != (r.inputs, r.targets)

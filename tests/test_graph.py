@@ -109,3 +109,19 @@ def test_triangle_count(spark):
     assert r.n_edges == 5       # canonical simple edges
     # wedges a<b<c with (a,b),(b,c) edges: (1,2,3),(1,3,4),(2,3,4),(1,2,2)x
     assert r.n_wedges == 3
+
+
+def test_khop_reachable(spark):
+    from assignment_etl_spark.ext.graph import khop_reachable
+
+    # path 1->2->3->4->5 plus a shortcut 1->4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r.node: r.min_hops
+        for r in khop_reachable(edges, seeds, k=3).collect()
+    }
+    # min_hops, not any-hops: node 4 is 1 hop via the shortcut
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
