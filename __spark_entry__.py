@@ -9522,6 +9522,106 @@ FROM r{k} GROUP BY 1 ORDER BY 1
     return "".join(parts)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase query (ext/invindex.
+    build_positional_index + phrase_search): exact adjacent-token
+    phrase resolved from the index alone — |phrase| term rows, explode
+    the first term's positions, semi-join each offset on
+    (doc, pos+off); cost is O(Σ phrase-term postings), corpus-size
+    independent. Oracle counts adjacent pairs directly in the text —
+    certifying index construction AND query resolution against the
+    scan definition."""
+    from assignment_etl_spark.ext.invindex import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_positional_index(docs)
+    return phrase_search(idx, ["table", "value"]).orderBy("doc_id")
+
+
+SQL_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> len(t) > 0) AS l
+  FROM documents)
+SELECT doc_id, n_matches FROM (
+  SELECT doc_id,
+         len(list_filter(list_zip(l[1:len(l) - 1], l[2:len(l)]),
+                         z -> z[1] = 'table' AND z[2] = 'value'))
+           AS n_matches
+  FROM toks WHERE len(l) >= 2) q
+WHERE n_matches > 0 ORDER BY doc_id
+"""
+
+
+def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (ext/dsir.dsir_weights): per-document
+    log-likelihood ratio between a target-domain bigram LM (the 'zh'
+    slice) and the raw-corpus LM, both trained in-engine; top 20 most
+    target-like by the length-normalized ratio. Both sum_lp totals are
+    decimal-exact, so the ratio subtracts cleanly and the oracle
+    replays every weight bit-for-bit by running BOTH LM replicas."""
+    from assignment_etl_spark.ext.dsir import dsir_weights
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "zh"))
+    return w.orderBy(
+        F.desc("log2_ratio_per_token"), F.asc("doc_id")
+    ).limit(20)
+
+
+SQL_DSIR_TOP_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split(text, ' '), w -> length(w) > 0)) AS token,
+         unnest(range(1, len(list_filter(str_split(text, ' '), w -> length(w) > 0)) + 1)) AS pos
+  FROM documents),
+big AS (
+  SELECT doc_id, token,
+         coalesce(lag(token) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev
+  FROM toks),
+tdocs AS (SELECT doc_id FROM documents WHERE lang = 'zh'),
+tbig AS (SELECT b.* FROM big b JOIN tdocs USING (doc_id)),
+bc_r AS (SELECT prev, token, count(*) AS n FROM big GROUP BY 1, 2),
+cc_r AS (SELECT prev, count(*) AS n FROM big GROUP BY 1),
+v_r AS (SELECT count(DISTINCT token) AS v FROM big),
+bc_t AS (SELECT prev, token, count(*) AS n FROM tbig GROUP BY 1, 2),
+cc_t AS (SELECT prev, count(*) AS n FROM tbig GROUP BY 1),
+v_t AS (SELECT count(DISTINCT token) AS v FROM tbig),
+lp_r AS (
+  SELECT b.doc_id,
+         CAST(round(log2((coalesce(bc_r.n, 0) + 1.0)
+                         / (coalesce(cc_r.n, 0) + 1.0 * v_r.v)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM big b
+  LEFT JOIN bc_r USING (prev, token)
+  LEFT JOIN cc_r USING (prev)
+  CROSS JOIN v_r),
+lp_t AS (
+  SELECT b.doc_id,
+         CAST(round(log2((coalesce(bc_t.n, 0) + 1.0)
+                         / (coalesce(cc_t.n, 0) + 1.0 * v_t.v)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM big b
+  LEFT JOIN bc_t USING (prev, token)
+  LEFT JOIN cc_t USING (prev)
+  CROSS JOIN v_t),
+ar AS (SELECT doc_id, count(*) AS n_tokens, sum(lp) AS s FROM lp_r GROUP BY 1),
+at2 AS (SELECT doc_id, sum(lp) AS s FROM lp_t GROUP BY 1)
+SELECT ar.doc_id, ar.n_tokens,
+       round(CAST(at2.s - ar.s AS DOUBLE), 6) AS log2_ratio,
+       round(CAST(at2.s - ar.s AS DOUBLE) / ar.n_tokens, 6)
+         AS log2_ratio_per_token
+FROM ar JOIN at2 USING (doc_id)
+ORDER BY log2_ratio_per_token DESC, ar.doc_id LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9735,6 +9835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_split_documents": q_kfold_split,
         "except_all_lineitem": q_except_all_orders,
         "khop_reachable_graph": q_khop_reachable,
+        "phrase_search_documents": q_phrase_search,
+        "dsir_top_docs": q_dsir_top_docs,
     }
 
 
@@ -9926,4 +10028,6 @@ def oracle_sql() -> dict[str, str]:
         "kfold_split_documents": SQL_KFOLD_SPLIT,
         "except_all_lineitem": SQL_EXCEPT_ALL_ORDERS,
         "khop_reachable_graph": _sql_khop_reachable(),
+        "phrase_search_documents": SQL_PHRASE_SEARCH,
+        "dsir_top_docs": SQL_DSIR_TOP_DOCS,
     }

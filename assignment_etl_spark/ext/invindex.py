@@ -191,3 +191,56 @@ def bm25_search(
             Window.orderBy(F.col("score").desc(), F.col(id_col))
         ),
     )
+
+
+def build_positional_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, doc_id, positions: sorted int array) — the positional
+    inverted index phrase/proximity queries need. One posexplode +
+    one (term, doc) groupBy; the shuffle moves (term, doc, pos)
+    triples, never text. Position lists are bounded by per-doc term
+    frequency; the stopword-scale skew bound is the same ``max_df``
+    pruning as the boolean index (apply on a df side-table before
+    persisting)."""
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "term"),
+    )
+    return pairs.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(
+    index: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """doc_ids containing the exact token ``phrase`` (adjacent
+    positions), resolved from the positional index alone: fetch the
+    |phrase| term rows, explode the FIRST term's positions, and
+    semi-join each subsequent term on (doc, pos + offset) — cost is
+    O(Σ posting sizes of the phrase terms), independent of corpus
+    size. Duplicate phrase words are handled naturally (each offset
+    checks its own term row). Returns (doc_id, n_matches)."""
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    terms = [t.lower() for t in phrase]
+    slim = index.filter(F.col("term").isin(sorted(set(terms))))
+    first = (
+        slim.filter(F.col("term") == terms[0])
+        .select("doc_id", F.explode("positions").alias("p0"))
+    )
+    cur = first
+    for off, t in enumerate(terms[1:], start=1):
+        nxt = slim.filter(F.col("term") == t).select(
+            F.col("doc_id"), F.explode("positions").alias(f"_p{off}")
+        )
+        cur = cur.join(
+            nxt,
+            (cur.doc_id == nxt.doc_id)
+            & (F.col(f"_p{off}") == F.col("p0") + off),
+        ).select(cur["doc_id"].alias("doc_id"), F.col("p0"))
+    return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))

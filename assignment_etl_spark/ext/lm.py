@@ -72,7 +72,7 @@ def train_bigram_lm(
     }
 
 
-def score_perplexity(
+def score_loglik(
     docs: DataFrame,
     lm: dict[str, DataFrame],
     *,
@@ -81,12 +81,11 @@ def score_perplexity(
     alpha: float = 1.0,
     broadcast_lm: bool = True,
 ) -> DataFrame:
-    """Per-document bigram perplexity: (id, n_tokens, ppl).
-
-    p(w|prev) = (c(prev,w) + alpha) / (c(prev) + alpha * V); unseen
-    contexts/bigrams degrade to the uniform alpha floor. ppl = 2^H with
-    H = -mean(log2 p). Documents with no tokens produce no row.
-    """
+    """Per-document total log2-likelihood under the bigram LM:
+    (id, n_tokens, sum_lp) with sum_lp the DECIMAL-exact sum of
+    round-6 per-bigram log-probs — the reusable core of
+    :func:`score_perplexity`, exposed for likelihood-RATIO operators
+    (ext/dsir.py) where the exact sums must subtract cleanly."""
     bigrams, contexts, vocab = lm["bigrams"], lm["contexts"], lm["vocab"]
     if broadcast_lm:
         bigrams, contexts = F.broadcast(bigrams), F.broadcast(contexts)
@@ -111,8 +110,33 @@ def score_perplexity(
             .alias("lp"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_lp")
+    )
+
+
+def score_perplexity(
+    docs: DataFrame,
+    lm: dict[str, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document bigram perplexity: (id, n_tokens, ppl).
+
+    p(w|prev) = (c(prev,w) + alpha) / (c(prev) + alpha * V); unseen
+    contexts/bigrams degrade to the uniform alpha floor. ppl = 2^H with
+    H = -mean(log2 p). Documents with no tokens produce no row.
+    """
+    agg = score_loglik(
+        docs,
+        lm,
+        id_col=id_col,
+        text_col=text_col,
+        alpha=alpha,
+        broadcast_lm=broadcast_lm,
     )
     h = -(F.col("sum_lp").cast("double") / F.col("n_tokens"))
     return agg.select(

@@ -78,3 +78,29 @@ def test_bm25_ranking(spark):
     # multi-term query: doc containing both terms wins
     out2 = bm25_search(docs, ["cat", "bird"]).collect()
     assert out2[0].doc_id == 2
+
+
+def test_phrase_search(spark):
+    from assignment_etl_spark.ext.invindex import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data pipeline"),   # "big data" twice
+            (2, "data big is reversed here"),    # reversed -> no match
+            (3, "Big Data works"),               # case-insensitive match
+            (4, "buffalo buffalo buffalo"),      # repeated-word phrase
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_positional_index(docs)
+    out = {r.doc_id: r.n_matches for r in phrase_search(idx, ["big", "data"]).collect()}
+    assert out == {1: 2, 3: 1}
+    # duplicate-word phrase: positions 0-1 and 1-2 both match
+    rep = {r.doc_id: r.n_matches for r in phrase_search(idx, ["buffalo", "buffalo"]).collect()}
+    assert rep == {4: 2}
+    # three-token phrase
+    tri = {r.doc_id: r.n_matches for r in phrase_search(idx, ["big", "data", "pipeline"]).collect()}
+    assert tri == {1: 1}

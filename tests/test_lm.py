@@ -114,3 +114,22 @@ def test_broadcast_off_same_result(corpus, lm):
     a = {(r.doc_id, r.ppl) for r in score_perplexity(corpus, lm, broadcast_lm=True).collect()}
     b = {(r.doc_id, r.ppl) for r in score_perplexity(corpus, lm, broadcast_lm=False).collect()}
     assert a == b
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    from assignment_etl_spark.ext.dsir import dsir_weights
+
+    legal = "the party of the first part agrees to the terms herein"
+    chat = "lol ok cool see you later then bye for now"
+    raw = spark.createDataFrame(
+        [(1, legal), (2, chat), (3, legal + " and the second part"),
+         (4, chat + " ok bye")],
+        "doc_id long, text string",
+    )
+    target = raw.filter("doc_id = 1")  # legal-style target domain
+    w = {r.doc_id: r for r in dsir_weights(raw, target).collect()}
+    assert len(w) == 4
+    # legal-style docs score more target-like than chat-style docs
+    assert w[3].log2_ratio_per_token > w[2].log2_ratio_per_token
+    assert w[3].log2_ratio_per_token > w[4].log2_ratio_per_token
+    assert w[1].log2_ratio_per_token > w[2].log2_ratio_per_token
