@@ -9622,6 +9622,183 @@ ORDER BY log2_ratio_per_token DESC, ar.doc_id LIMIT 20
 """
 
 
+def q_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between table VERSIONS (io/manifest + analytics.table_diff):
+    commit orders as snapshot v0, commit the deterministically mutated
+    table (drop %13 keys, reprice %7, add negated %17) as v1, then diff
+    the two time-travel reads — change capture between any two retained
+    snapshots without a CDC log, the manifest-store payoff the
+    snapshot-diff gate (table_diff_orders) exercises only on in-memory
+    frames. Oracle is the same closed-form mutation census."""
+    import shutil
+    import tempfile
+
+    from assignment_etl_spark.analytics.queries import table_diff
+    from assignment_etl_spark.io.manifest import read_snapshot, write_snapshot
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="ttd_gate_")
+    p = f"{d}/orders_versioned"
+    old = orders.select("o_orderkey", "o_totalprice")
+    write_snapshot(old, p)
+    surviving = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    added = orders.filter(F.col("o_orderkey") % 17 == 0).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_totalprice"
+    )
+    write_snapshot(surviving.unionByName(added), p, mode="overwrite")
+    diff = table_diff(
+        read_snapshot(spark, p, version=0),
+        read_snapshot(spark, p, version=1),
+        "o_orderkey",
+    )
+    out = (
+        diff.groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("diff_status")
+        .localCheckpoint(eager=True)  # store dir is temp — pin the result
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+SQL_TIME_TRAVEL_DIFF = """
+WITH statuses AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'removed'
+              WHEN o_orderkey % 7 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS diff_status
+  FROM orders
+  UNION ALL
+  SELECT 'added' FROM orders WHERE o_orderkey % 17 = 0)
+SELECT diff_status, count(*) AS n FROM statuses GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE (ext/multimodal.resize_images): the same 24
+    real-container images as image_decode_stats, decoded and
+    nearest-neighbor-resized to 4×5 with the floor sample mapping
+    src = (dst·size)//out — pure integer grid, so DuckDB recomputes the
+    resized per-channel sums analytically from the generation formula
+    at the mapped coordinates. Certifies decode + the resize sample
+    grid end to end; closes the decode/feature/resize/frame-sample
+    multimodal quartet."""
+    import numpy as np
+    import pandas as pd
+
+    from assignment_etl_spark.ext.imagecodec import encode_bmp, encode_png
+    from assignment_etl_spark.ext.multimodal import MEDIA_SCHEMA, resize_images
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.when(F.col("media_id") % 2 == 0, F.lit("image/png"))
+            .otherwise(F.lit("image/bmp"))
+            .alias("mime"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, mime in zip(pdf["media_id"], pdf["kind"], pdf["mime"]):
+                i = int(mid)
+                w, h = 6 + i % 5, 6 + (i * 3) % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xs * 7 + ys * 13 + i) % 256,
+                        (xs * 3 + ys * 5 + 2 * i) % 256,
+                        (xs + ys + 5 * i) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payload = (
+                    encode_png(px, cycle_filters=True)
+                    if mime == "image/png"
+                    else encode_bmp(px)
+                )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "mime": mime,
+                        "payload": bytes(payload),
+                        "meta": {},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "meta"]
+            )
+
+    media = sel.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    small = resize_images(media, out_w=4, out_h=5)
+    return (
+        small.withColumn(
+            "mime",
+            F.when(F.col("media_id") % 2 == 0, F.lit("image/png")).otherwise(
+                F.lit("image/bmp")
+            ),
+        )
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("src_width").cast("long").alias("sum_src_w"),
+            F.sum("src_height").cast("long").alias("sum_src_h"),
+            F.sum(F.col("feature")[0]).cast("long").alias("sum_r"),
+            F.sum(F.col("feature")[1]).cast("long").alias("sum_g"),
+            F.sum(F.col("feature")[2]).cast("long").alias("sum_b"),
+        )
+        .orderBy("mime")
+    )
+
+
+SQL_IMAGE_RESIZE_STATS = """
+WITH sel AS (
+  SELECT doc_id AS i,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS mime,
+         6 + (doc_id % 5) AS w,
+         6 + ((doc_id * 3) % 7) AS h
+  FROM documents ORDER BY doc_id LIMIT 24),
+grid AS (
+  SELECT s.i, s.mime,
+         (dx.x * s.w) // 4 AS sx,
+         (dy.y * s.h) // 5 AS sy
+  FROM sel s, range(0, 4) dx(x), range(0, 5) dy(y)),
+px AS (
+  SELECT i, mime,
+         (sx * 7 + sy * 13 + i) % 256 AS r,
+         (sx * 3 + sy * 5 + 2 * i) % 256 AS g,
+         (sx + sy + 5 * i) % 256 AS b
+  FROM grid),
+chan AS (
+  SELECT mime,
+         CAST(sum(r) AS BIGINT) AS sum_r,
+         CAST(sum(g) AS BIGINT) AS sum_g,
+         CAST(sum(b) AS BIGINT) AS sum_b
+  FROM px GROUP BY 1),
+dims AS (
+  SELECT mime, count(*) AS n_images,
+         CAST(sum(w) AS BIGINT) AS sum_src_w,
+         CAST(sum(h) AS BIGINT) AS sum_src_h
+  FROM sel GROUP BY 1)
+SELECT d.mime, d.n_images, d.sum_src_w, d.sum_src_h,
+       c.sum_r, c.sum_g, c.sum_b
+FROM dims d JOIN chan c USING (mime) ORDER BY d.mime
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9837,6 +10014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reachable_graph": q_khop_reachable,
         "phrase_search_documents": q_phrase_search,
         "dsir_top_docs": q_dsir_top_docs,
+        "time_travel_diff": q_time_travel_diff,
+        "image_resize_stats": q_image_resize_stats,
     }
 
 
@@ -10030,4 +10209,6 @@ def oracle_sql() -> dict[str, str]:
         "khop_reachable_graph": _sql_khop_reachable(),
         "phrase_search_documents": SQL_PHRASE_SEARCH,
         "dsir_top_docs": SQL_DSIR_TOP_DOCS,
+        "time_travel_diff": SQL_TIME_TRAVEL_DIFF,
+        "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
     }

@@ -130,3 +130,43 @@ def test_bmp_top_down_rows():
         body += px[y, :, ::-1].tobytes() + b"\x00" * pad
     payload[14 + 40 :] = body
     assert np.array_equal(decode_bmp(bytes(payload)), px)
+
+
+def test_resize_nn_grid():
+    import numpy as np
+
+    from assignment_etl_spark.ext.multimodal import resize_nn
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    small = resize_nn(px, 2, 3)
+    assert small.shape == (3, 2, 3)
+    # floor mapping: rows 0,2,4 and cols 0,2
+    assert (small == px[[0, 2, 4]][:, [0, 2]]).all()
+    # upscale repeats samples, never interpolates
+    big = resize_nn(px, 8, 6)
+    assert big.shape == (6, 8, 3)
+    assert (big[:, 0] == big[:, 1]).all()
+
+
+def test_resize_images_real_and_fallback(spark):
+    import numpy as np
+    import pandas as pd
+
+    from assignment_etl_spark.ext.imagecodec import encode_png
+    from assignment_etl_spark.ext.multimodal import MEDIA_SCHEMA, resize_images
+
+    px = np.zeros((6, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 9  # constant red plane
+    rows = [
+        {"media_id": 1, "kind": "image", "mime": "image/png",
+         "payload": encode_png(px), "meta": {}},
+        {"media_id": 2, "kind": "image", "mime": "image/jpeg",
+         "payload": b"\xff\xd8notapng", "meta": {}},
+    ]
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(media, out_w=3, out_h=2).collect()}
+    r1 = out[1]
+    assert (r1.src_width, r1.src_height, r1.width, r1.height) == (6, 6, 3, 2)
+    assert r1.feature == [9.0 * 6, 0.0, 0.0]  # 3x2 resized, constant channel
+    # non-decodable format: fake dims, NULL feature, row kept
+    assert out[2].feature is None and out[2].width == 3
