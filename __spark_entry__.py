@@ -9799,6 +9799,101 @@ FROM dims d JOIN chan c USING (mime) ORDER BY d.mime
 """
 
 
+def q_audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decimation (ext/multimodal.downsample_audio): the same 24
+    real WAV clips as audio_decode_stats, decoded and decimated by 3
+    (keep frames t ≡ 0 mod 3) — the audio analog of the image resize
+    gate. DuckDB recomputes the decimated per-channel sums analytically
+    from the generation formula at the kept sample indices, certifying
+    decode + the decimation grid end to end."""
+    import numpy as np
+    import pandas as pd
+
+    from assignment_etl_spark.ext.audiocodec import encode_wav
+    from assignment_etl_spark.ext.multimodal import MEDIA_SCHEMA, downsample_audio
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sel = (
+        docs.select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("audio/wav").alias("mime"),
+        )
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                i = int(mid)
+                channels = 1 + i % 2
+                rate = 8000 * (1 + i % 3)
+                n = 120 + (i % 7) * 30
+                t = np.arange(n)[:, None]
+                c = np.arange(channels)[None, :]
+                s = ((t * (3 + 2 * c) + 7 * i) % 2003 - 1001).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": "audio",
+                        "mime": "audio/wav",
+                        "payload": encode_wav(s, sample_rate=rate),
+                        "meta": {},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "meta"]
+            )
+
+    media = sel.mapInPandas(encode, schema=MEDIA_SCHEMA)
+    small = downsample_audio(media, factor=3)
+    return (
+        small.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("out_rate").cast("long").alias("sum_out_rate"),
+            F.sum("src_samples").alias("sum_src_samples"),
+            F.sum("out_samples").alias("sum_out_samples"),
+            F.sum(F.col("feature")[0]).cast("long").alias("sum_s0"),
+            F.sum(F.col("feature")[1]).cast("long").alias("sum_s1"),
+        )
+        .orderBy("channels")
+    )
+
+
+SQL_AUDIO_DOWNSAMPLE_STATS = """
+WITH sel AS (
+  SELECT doc_id AS i,
+         1 + (doc_id % 2) AS channels,
+         8000 * (1 + (doc_id % 3)) AS rate,
+         120 + (doc_id % 7) * 30 AS n
+  FROM documents ORDER BY doc_id LIMIT 24),
+kept AS (
+  SELECT s.i, s.channels, cc.c,
+         (tt.t * (3 + 2 * cc.c) + 7 * s.i) % 2003 - 1001 AS v
+  FROM sel s, range(0, 300) tt(t), range(0, 2) cc(c)
+  WHERE tt.t < s.n AND tt.t % 3 = 0 AND cc.c < s.channels),
+chan AS (
+  SELECT channels,
+         CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_s0,
+         CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_s1
+  FROM kept GROUP BY 1),
+dims AS (
+  SELECT channels, count(*) AS n_clips,
+         CAST(sum(rate // 3) AS BIGINT) AS sum_out_rate,
+         CAST(sum(n) AS BIGINT) AS sum_src_samples,
+         CAST(sum((n + 2) // 3) AS BIGINT) AS sum_out_samples
+  FROM sel GROUP BY 1)
+SELECT d.channels, d.n_clips, d.sum_out_rate, d.sum_src_samples,
+       d.sum_out_samples, c.sum_s0, c.sum_s1
+FROM dims d JOIN chan c USING (channels) ORDER BY d.channels
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10016,6 +10111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_top_docs": q_dsir_top_docs,
         "time_travel_diff": q_time_travel_diff,
         "image_resize_stats": q_image_resize_stats,
+        "audio_downsample_stats": q_audio_downsample_stats,
     }
 
 
@@ -10211,4 +10307,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_top_docs": SQL_DSIR_TOP_DOCS,
         "time_travel_diff": SQL_TIME_TRAVEL_DIFF,
         "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
+        "audio_downsample_stats": SQL_AUDIO_DOWNSAMPLE_STATS,
     }

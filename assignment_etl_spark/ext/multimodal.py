@@ -425,3 +425,75 @@ def resize_images(
             yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return media.mapInPandas(process, schema=RESIZE_SCHEMA)
+
+
+DOWNSAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("src_rate", T.IntegerType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("src_samples", T.LongType()),
+        T.StructField("out_samples", T.LongType()),
+        # [sum(ch0), sum(ch1)] exact int sums of the DECIMATED signal
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def downsample_audio(media: DataFrame, *, factor: int) -> DataFrame:
+    """Integer-factor audio decimation (keep every ``factor``-th frame,
+    starting at 0 — the exact sample grid any engine replays; real
+    resampling would low-pass first, which needs a filter kernel — this
+    is the thumbnail-grade decimation matching ``resize_nn``'s role for
+    images). Real WAV decode; non-WAV rows fall back to the fake
+    decoder's metadata with a NULL feature. Output rate is
+    src_rate // factor. Arrow-batched, one crossing, no shuffle."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from assignment_etl_spark.ext.audiocodec import decode_wav, sniff_wav
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                if sniff_wav(payload):
+                    rate, s = decode_wav(payload)
+                    small = s[::factor]
+                    sums = small.astype(np.int64).sum(axis=0)
+                    feat = [float(x) for x in sums[:2]]
+                    feat += [0.0] * (2 - len(feat))
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "kind": row["kind"],
+                            "src_rate": int(rate),
+                            "out_rate": int(rate) // factor,
+                            "channels": int(s.shape[1]),
+                            "src_samples": int(s.shape[0]),
+                            "out_samples": int(small.shape[0]),
+                            "feature": feat,
+                        }
+                    )
+                else:
+                    rate, channels, n, _ = auto_decode_audio(payload)
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "kind": row["kind"],
+                            "src_rate": int(rate),
+                            "out_rate": int(rate) // factor,
+                            "channels": int(channels),
+                            "src_samples": int(n),
+                            "out_samples": (int(n) + factor - 1) // factor,
+                            "feature": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DOWNSAMPLE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(process, schema=DOWNSAMPLE_SCHEMA)

@@ -104,3 +104,27 @@ def test_extract_audio_features_fake_fallback(spark):
     assert r.sample_rate in (8000, 16000, 24000)
     assert r.channels in (1, 2)
     assert len(r.feature) == 4
+
+
+def test_downsample_audio_decimation(spark):
+    import numpy as np
+    import pandas as pd
+
+    from assignment_etl_spark.ext.audiocodec import encode_wav
+    from assignment_etl_spark.ext.multimodal import MEDIA_SCHEMA, downsample_audio
+
+    s = np.arange(20, dtype=np.int16).reshape(10, 2)  # 10 frames, stereo
+    rows = [
+        {"media_id": 1, "kind": "audio", "mime": "audio/wav",
+         "payload": encode_wav(s, sample_rate=9000), "meta": {}},
+        {"media_id": 2, "kind": "audio", "mime": "audio/mp3",
+         "payload": b"ID3 not a wav", "meta": {}},
+    ]
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in downsample_audio(media, factor=3).collect()}
+    r1 = out[1]
+    assert (r1.src_rate, r1.out_rate) == (9000, 3000)
+    assert (r1.src_samples, r1.out_samples) == (10, 4)  # frames 0,3,6,9
+    # kept frames' channel sums: ch0 = 0+6+12+18, ch1 = 1+7+13+19
+    assert r1.feature == [36.0, 40.0]
+    assert out[2].feature is None  # non-WAV: metadata only, row kept
