@@ -8904,11 +8904,16 @@ canon AS (
   FROM raw WHERE src <> dst),
 w AS (
   SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
-  FROM canon e1 JOIN canon e2 ON e1.hi = e2.lo)
+  FROM canon e1 JOIN canon e2 ON e1.hi = e2.lo),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT lo AS node FROM canon
+        UNION ALL SELECT hi AS node FROM canon) q
+  GROUP BY 1)
 SELECT (SELECT count(*) FROM w JOIN canon ON w.a = canon.lo AND w.c = canon.hi)
          AS n_triangles,
        (SELECT count(*) FROM canon) AS n_edges,
-       (SELECT count(*) FROM w) AS n_wedges
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges
 """
 
 
@@ -9029,15 +9034,19 @@ def _sql_benford_orders(scale: int = 2) -> str:
 WITH base AS (
   SELECT abs(CAST(round(o_totalprice * {10**scale}, 0) AS BIGINT)) AS i
   FROM orders WHERE o_totalprice IS NOT NULL),
-counts AS (
+raw AS (
   SELECT CAST(substr(CAST(i AS VARCHAR), 1, 1) AS INT) AS digit,
          count(*) AS n
   FROM base WHERE i > 0 GROUP BY 1),
-tot AS (SELECT sum(n) AS t FROM counts)
+counts AS (
+  SELECT CAST(s.d AS INT) AS digit, COALESCE(raw.n, 0) AS n
+  FROM range(1, 10) s(d) LEFT JOIN raw ON raw.digit = s.d),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts)
 SELECT digit, n,
        round(n / t, 6) AS share,
        round({e}, 6) AS expected,
-       round((n / t - {e}) * (n / t - {e}) / {e}, 6) AS chi2_component
+       round((n - {e} * t) * (n - {e} * t) / ({e} * t), 6)
+         AS chi2_component
 FROM counts CROSS JOIN tot ORDER BY digit
 """
 

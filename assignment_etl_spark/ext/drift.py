@@ -335,45 +335,42 @@ def ab_test(
     round_to: int = 6,
 ) -> DataFrame:
     """Welch's unequal-variance two-sample test between ``group_a`` and
-    ``group_b``: one row with per-arm counts/means, the mean difference,
-    its standard error, and the z statistic (the experiment-analysis
-    primitive; at the n of any A/B test worth running, Student-t ≡ z).
+    ``group_b``: EXACTLY ONE row with per-arm counts/means, the mean
+    difference, its standard error, and the z statistic (the
+    experiment-analysis primitive; at the n of any A/B test worth
+    running, Student-t ≡ z). A misconfigured arm cannot vanish
+    silently: the row always materializes, with NULL statistics (and
+    the true n_a/n_b, possibly 0) whenever either arm has fewer than
+    two usable values — so the caller sees WHY there is no verdict
+    instead of an empty frame.
 
-    Scale shape: the entire stream reduces in ONE hash aggregate to two
-    rows of (n, Σx, Σx²) — decimal sums so partial-aggregation order
-    cannot shift them — then the scalar algebra runs on a 1×1 broadcast
-    cross join (the repo's standard scalar pattern). Nothing iterates,
-    nothing collects; the test cost is the cost of one scan.
+    Scale shape: the entire stream reduces in ONE conditional hash
+    aggregate to a single row of per-arm (n, Σx, Σx²) — decimal sums so
+    partial-aggregation order cannot shift them — and the scalar
+    algebra is a projection of that row. Nothing iterates, nothing
+    collects; the test costs one scan.
 
     Variance is the computational form (Σx² − (Σx)²/n)/(n−1), exact up
     to the documented decimal rounding of per-row x and x²; every
-    downstream double op is a fixed single expression, so an independent
-    engine replays the statistic bit-for-bit before the final rounding.
+    downstream double op is a fixed single expression, so an
+    independent engine replays the statistic bit-for-bit before the
+    final rounding.
     """
     dec = f"decimal(28,{decimal_scale})"
     x = F.col(value_col)
-    stats = (
-        df.filter(x.isNotNull())
-        .filter(F.col(group_col).isin([group_a, group_b]))
-        .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(x.cast(dec)).alias("sx"),
-            F.sum((x * x).cast(dec)).alias("sxx"),
-        )
-    )
+    g = F.col(group_col)
 
-    def arm(g, suffix):
-        return (
-            stats.filter(F.col(group_col) == g)
-            .select(
-                F.col("n").alias(f"n_{suffix}"),
-                F.col("sx").cast("double").alias(f"sx_{suffix}"),
-                F.col("sxx").cast("double").alias(f"sxx_{suffix}"),
-            )
-        )
+    def arm_aggs(which, suffix):
+        cond = x.isNotNull() & (g == which)
+        return [
+            F.sum(cond.cast("long")).alias(f"n_{suffix}"),
+            F.sum(F.when(cond, x).cast(dec)).cast("double").alias(f"sx_{suffix}"),
+            F.sum(F.when(cond, x * x).cast(dec)).cast("double").alias(
+                f"sxx_{suffix}"
+            ),
+        ]
 
-    both = arm(group_a, "a").crossJoin(F.broadcast(arm(group_b, "b")))
+    row = df.agg(*arm_aggs(group_a, "a"), *arm_aggs(group_b, "b"))
     mean_a = F.col("sx_a") / F.col("n_a")
     mean_b = F.col("sx_b") / F.col("n_b")
     var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
@@ -384,15 +381,21 @@ def ab_test(
     )
     se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
     z = (mean_a - mean_b) / se
-    return both.select(
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return row.select(
         F.col("n_a"),
         F.col("n_b"),
-        F.round(mean_a, round_to).alias("mean_a"),
-        F.round(mean_b, round_to).alias("mean_b"),
-        F.round(mean_a - mean_b, round_to).alias("mean_diff"),
-        F.round(se, round_to).alias("se"),
-        F.round(z, round_to).alias("z_score"),
-        (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+        F.when(F.col("n_a") >= 1, F.round(mean_a, round_to)).alias("mean_a"),
+        F.when(F.col("n_b") >= 1, F.round(mean_b, round_to)).alias("mean_b"),
+        F.when(
+            (F.col("n_a") >= 1) & (F.col("n_b") >= 1),
+            F.round(mean_a - mean_b, round_to),
+        ).alias("mean_diff"),
+        F.when(ok, F.round(se, round_to)).alias("se"),
+        F.when(ok & (se > 0), F.round(z, round_to)).alias("z_score"),
+        F.when(ok & (se > 0), F.abs(z) > F.lit(1.959964)).alias(
+            "significant_95"
+        ),
     )
 
 
@@ -405,9 +408,13 @@ def benford_audit(
 ) -> DataFrame:
     """First-digit (Benford's law) distribution audit — the standard
     fabricated-numbers screen for financial/measurement columns: the
-    observed share of each leading digit 1–9 of |value| against the
-    Benford expectation log10(1 + 1/d), with the per-digit chi-square
-    component (Σ of which is the test statistic).
+    observed share of each leading digit 1-9 of |value| against the
+    Benford expectation log10(1 + 1/d), with the per-digit PEARSON
+    chi-square component (observed - expected)²/expected on COUNTS —
+    sum the column for the 8-degrees-of-freedom test statistic. All
+    nine digits are always emitted: a digit with zero observations
+    still carries its full component (omitting it would understate the
+    statistic exactly when the distribution is most suspicious).
 
     Digit extraction avoids float log10 entirely: values scale to
     integer units (``decimal_scale``), and the leading digit is the
@@ -415,10 +422,10 @@ def benford_audit(
     is identical in every engine, so the digit histogram is exact.
     Expectations are Python-computed double literals (one source for
     both engines). One hash aggregate over the column; the 9-row digit
-    table carries the scalar total via its own broadcast.
+    spine carries the scalar total via broadcast.
 
-    Zero values carry no leading digit and are excluded (reported via
-    the share denominator = nonzero count).
+    Zero values carry no leading digit and are excluded (the share
+    denominator is the nonzero count).
     """
     import math
 
@@ -431,6 +438,12 @@ def benford_audit(
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
     total = counts.agg(F.sum("n").alias("_tot"))
     expected = None
     for d in range(1, 10):
@@ -441,6 +454,7 @@ def benford_audit(
             else expected.when(F.col("digit") == d, e)
         )
     share = F.col("n") / F.col("_tot")
+    exp_n = F.col("_exp") * F.col("_tot")
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn("_exp", expected)
@@ -450,9 +464,7 @@ def benford_audit(
             F.round(share, round_to).alias("share"),
             F.round(F.col("_exp"), round_to).alias("expected"),
             F.round(
-                (share - F.col("_exp"))
-                * (share - F.col("_exp"))
-                / F.col("_exp"),
+                (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n,
                 round_to,
             ).alias("chi2_component"),
         )

@@ -167,11 +167,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     reverse copies), then count paths lo→mid→hi whose closing edge
     (lo, hi) exists — every triangle {a<b<c} is counted exactly once as
     the wedge a→b→c closed by (a, c). Two equi-join shuffles on node
-    keys, no cross product; candidate work is Σ_v deg(v)² (the wedge
-    count, also returned — the standard clustering-coefficient
-    denominator). Degree-ordering the canonical edges is the classic
-    skew bound at web scale; at the repo's gate scale the raw ordering
-    suffices and keeps the oracle replay one-to-one.
+    keys, no cross product; join candidate work is bounded by the
+    ordered-wedge count. ``n_wedges`` is the TRUE path-of-length-2
+    count Σ_v C(deg(v), 2) (the global clustering-coefficient
+    denominator: 3·triangles/wedges), computed from the degree table —
+    NOT the ordered-wedge join count, which misses wedges centered at
+    their own min/max endpoint. Degree-ordering the canonical edges is
+    the classic skew bound at web scale; at the repo's gate scale the
+    raw ordering suffices and keeps the oracle replay one-to-one.
     """
     canon = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -183,15 +186,22 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
+    ordered_wedges = e1.join(e2, "b").select("a", "b", "c")
     closing = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    tri = wedges.join(closing, ["a", "c"])
+    tri = ordered_wedges.join(closing, ["a", "c"])
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .unionByName(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
     return (
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(F.broadcast(canon.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(
-            F.broadcast(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        )
+        .crossJoin(F.broadcast(wedges))
     )
 
 

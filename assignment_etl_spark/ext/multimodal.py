@@ -391,11 +391,18 @@ def resize_images(
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"]) if row["payload"] is not None else b""
                 fmt = sniff(payload)
-                if fmt == "png":
-                    px = decode_png(payload)
-                elif fmt == "bmp":
-                    px = decode_bmp(payload)
-                else:
+                px = None
+                # a sniffable-but-unparseable payload (16-bit/interlaced
+                # PNG, truncated IDAT, ...) must take the SAME fallback as
+                # an unknown format — one bad file cannot abort the job
+                try:
+                    if fmt == "png":
+                        px = decode_png(payload)
+                    elif fmt == "bmp":
+                        px = decode_bmp(payload)
+                except Exception:  # noqa: BLE001 — corrupt-input quarantine
+                    px = None
+                if px is None:
                     w, h, _ = fake_decode(payload)
                     out.append(
                         {
@@ -448,7 +455,9 @@ def downsample_audio(media: DataFrame, *, factor: int) -> DataFrame:
     resampling would low-pass first, which needs a filter kernel — this
     is the thumbnail-grade decimation matching ``resize_nn``'s role for
     images). Real WAV decode; non-WAV rows fall back to the fake
-    decoder's metadata with a NULL feature. Output rate is
+    decoder's metadata with a NULL feature, and sniffable-but-
+    unparseable WAVs (float PCM, 24-bit, truncated) quarantine with
+    zeroed metadata + NULL feature instead of aborting. Output rate is
     src_rate // factor. Arrow-batched, one crossing, no shuffle."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
@@ -460,8 +469,17 @@ def downsample_audio(media: DataFrame, *, factor: int) -> DataFrame:
             out = []
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                decoded = None
+                # sniff only checks RIFF/WAVE magic; float-PCM or 24-bit
+                # WAVs parse-fail inside decode_wav and must take the
+                # metadata fallback, not abort the task
                 if sniff_wav(payload):
-                    rate, s = decode_wav(payload)
+                    try:
+                        decoded = decode_wav(payload)
+                    except Exception:  # noqa: BLE001 — corrupt-input quarantine
+                        decoded = None
+                if decoded is not None:
+                    rate, s = decoded
                     small = s[::factor]
                     sums = small.astype(np.int64).sum(axis=0)
                     feat = [float(x) for x in sums[:2]]
@@ -479,7 +497,11 @@ def downsample_audio(media: DataFrame, *, factor: int) -> DataFrame:
                         }
                     )
                 else:
-                    rate, channels, n, _ = auto_decode_audio(payload)
+                    if sniff_wav(payload):
+                        # unparseable WAV: no trustworthy metadata either
+                        rate, channels, n = 0, 0, 0
+                    else:
+                        rate, channels, n, _ = auto_decode_audio(payload)
                     out.append(
                         {
                             "media_id": row["media_id"],

@@ -410,8 +410,12 @@ def augment_word_dropout(
     """
     if not 0 <= rate < 1:
         raise ValueError("rate must be in [0, 1)")
-    from assignment_etl_spark.ext.sampling import portable_hash01
+    from assignment_etl_spark.ext.sampling import (
+        portable_hash01,
+        require_integral_id,
+    )
 
+    require_integral_id(df, id_col, "augment_word_dropout")
     doc = F.col(id_col)
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: F.length(t) > 0)
     kept = F.filter(
@@ -459,8 +463,12 @@ def span_corruption(
         raise ValueError("rate must be in [0, 1)")
     if span_len < 1:
         raise ValueError("span_len must be >= 1")
-    from assignment_etl_spark.ext.sampling import portable_hash01
+    from assignment_etl_spark.ext.sampling import (
+        portable_hash01,
+        require_integral_id,
+    )
 
+    require_integral_id(df, id_col, "span_corruption")
     doc = F.col(id_col)
 
     def masked(i: Column) -> Column:

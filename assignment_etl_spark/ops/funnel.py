@@ -115,7 +115,6 @@ def cohort_retention(
     *,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    period_days: int = 7,
 ) -> DataFrame:
     """Cohort retention matrix: each user joins the cohort of their
     first-activity week; for every (cohort_week, offset_weeks) cell,
@@ -146,7 +145,7 @@ def cohort_retention(
         acts.join(first, "_u")
         .groupBy(
             F.col("_cohort").alias("cohort_week"),
-            (F.datediff(F.col("_w"), F.col("_cohort")) / period_days)
+            (F.datediff(F.col("_w"), F.col("_cohort")) / 7)
             .cast("int")
             .alias("offset_weeks"),
         )

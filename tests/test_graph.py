@@ -107,8 +107,20 @@ def test_triangle_count(spark):
     r = triangle_count(edges).collect()[0]
     assert r.n_triangles == 2   # {1,2,3} and {1,3,4}
     assert r.n_edges == 5       # canonical simple edges
-    # wedges a<b<c with (a,b),(b,c) edges: (1,2,3),(1,3,4),(2,3,4),(1,2,2)x
-    assert r.n_wedges == 3
+    # true path-of-length-2 count Σ C(deg,2): degs 1:3,2:2,3:3,4:2 -> 3+1+3+1
+    assert r.n_wedges == 8
+
+
+def test_triangle_count_star_graph(spark):
+    from assignment_etl_spark.ext.graph import triangle_count
+
+    # star: no triangles, but C(3,2)=3 wedges centered at the hub — the
+    # ordered-wedge join alone would report 0
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    r = triangle_count(edges).collect()[0]
+    assert (r.n_triangles, r.n_edges, r.n_wedges) == (0, 3, 3)
 
 
 def test_khop_reachable(spark):
