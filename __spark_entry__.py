@@ -9903,6 +9903,95 @@ FROM dims d JOIN chan c USING (channels) ORDER BY d.channels
 """
 
 
+def q_trend_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend slope (ops/timeseries.trend_slope): value over
+    centered minutes-since-2024 — one hash aggregate of decimal sums
+    feeding the computational slope formula (group-wise twin of
+    rolling_corr's policy, same centering caveat). Oracle replays the
+    sums and the fixed expression."""
+    from assignment_etl_spark.ops.timeseries import trend_slope
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events").withColumn(
+        "_mins",
+        (F.floor(F.unix_timestamp("ts") / 60) - F.lit(28_401_120)).cast(
+            "double"
+        ),
+    )
+    return trend_slope(
+        events, key_col="user_id", x_col="_mins", y_col="value"
+    ).orderBy("user_id")
+
+
+SQL_TREND_SLOPE_USERS = """
+WITH base AS (
+  SELECT user_id, value,
+         CAST(floor(floor(epoch(ts)) / 60) - 28401120 AS DOUBLE) AS x
+  FROM events),
+agg AS (
+  SELECT user_id,
+         sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS n,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(x, 6) AS DECIMAL(28,6)) END)
+              AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(value, 6) AS DECIMAL(28,6)) END)
+              AS DOUBLE) AS sy,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(x * value, 6) AS DECIMAL(28,6)) END)
+              AS DOUBLE) AS sxy,
+         CAST(sum(CASE WHEN value IS NOT NULL
+                  THEN CAST(round(x * x, 6) AS DECIMAL(28,6)) END)
+              AS DOUBLE) AS sxx
+  FROM base GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope
+FROM agg ORDER BY user_id
+"""
+
+
+def q_concentration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration (analytics/queries.concentration): Gini and
+    HHI of customer spend within each order priority — rank-formula
+    Gini with (value, entity) tie-breaks and decimal rank-product /
+    share² sums, so both indices replay exactly. Windows run over the
+    per-entity aggregate, never the fact table."""
+    from assignment_etl_spark.analytics.queries import concentration
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return concentration(
+        orders,
+        by="o_orderpriority",
+        entity_col="o_custkey",
+        value_col="o_totalprice",
+    ).orderBy("o_orderpriority")
+
+
+SQL_CONCENTRATION_ORDERS = """
+WITH per AS (
+  SELECT o_orderpriority AS p, o_custkey AS e,
+         sum(CAST(o_totalprice AS DECIMAL(28,4))) AS v
+  FROM orders GROUP BY 1, 2),
+ranked AS (
+  SELECT p, e, v, row_number() OVER (PARTITION BY p ORDER BY v, e) AS rk
+  FROM per),
+tot AS (
+  SELECT p, count(*) AS n, sum(v) AS t,
+         CAST(sum(CAST(v * rk AS DECIMAL(38,4))) AS DOUBLE) AS rv,
+         CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE) AS vv
+  FROM ranked GROUP BY 1)
+SELECT p AS o_orderpriority, n AS n_entities,
+       round(CAST(t AS DOUBLE), 4) AS total_value,
+       round((2.0 * rv) / (n * CAST(t AS DOUBLE)) - (n + 1.0) / n, 6)
+         AS gini,
+       round(vv / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi
+FROM tot ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10121,6 +10210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_diff": q_time_travel_diff,
         "image_resize_stats": q_image_resize_stats,
         "audio_downsample_stats": q_audio_downsample_stats,
+        "trend_slope_users": q_trend_slope_users,
+        "concentration_orders": q_concentration_orders,
     }
 
 
@@ -10317,4 +10408,6 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_diff": SQL_TIME_TRAVEL_DIFF,
         "image_resize_stats": SQL_IMAGE_RESIZE_STATS,
         "audio_downsample_stats": SQL_AUDIO_DOWNSAMPLE_STATS,
+        "trend_slope_users": SQL_TREND_SLOPE_USERS,
+        "concentration_orders": SQL_CONCENTRATION_ORDERS,
     }

@@ -203,3 +203,64 @@ def profile_columns(
         F.explode(F.array(*[F.col(f"_p_{c}") for c in columns])).alias("p")
     )
     return stacked.select("p.*")
+
+
+def concentration(
+    df: DataFrame,
+    *,
+    by: str,
+    entity_col: str,
+    value_col: str,
+    decimal_scale: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Market-concentration metrics per group: the Herfindahl–Hirschman
+    index (Σ share², share = entity value / group total) and the Gini
+    coefficient via the rank formula
+
+        G = (2·Σ rank·v) / (n·Σv) − (n + 1)/n
+
+    over entity totals ranked ascending (ties broken by the entity key,
+    so the rank sum — and therefore G — is engine-replayable).
+
+    Spark shape: one (group, entity) hash aggregate with decimal sums,
+    one rank window per group over the AGGREGATED table (rows = entity
+    count, not the fact table), one group aggregate. The per-entity
+    share is exact decimal/decimal in double. Groups with a zero total
+    report NULL metrics.
+
+    Reference parity note: the reference's analytics layer has value
+    histograms only; concentration is the next question an analyst asks
+    of the same tables ("how dominated is this segment?").
+    """
+    from pyspark.sql.window import Window
+
+    dec = f"decimal(28,{decimal_scale})"
+    per = df.groupBy(F.col(by), F.col(entity_col)).agg(
+        F.sum(F.col(value_col).cast(dec)).alias("_v")
+    )
+    w = Window.partitionBy(by).orderBy(F.col("_v"), F.col(entity_col))
+    ranked = per.withColumn("_rk", F.row_number().over(w))
+    # rank-product and value² sums stay decimal (exact, associative) —
+    # a float sum here would be partition-order-dependent
+    tot = ranked.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("_v").alias("_tot"),
+        F.sum((F.col("_v") * F.col("_rk")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("_rv"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("_vv"),
+    )
+    t = F.col("_tot").cast("double")
+    n = F.col("n_entities").cast("double")
+    gini = (F.lit(2.0) * F.col("_rv")) / (n * t) - (n + 1.0) / n
+    hhi = F.col("_vv") / (t * t)
+    return tot.select(
+        F.col(by),
+        "n_entities",
+        F.round(t, decimal_scale).alias("total_value"),
+        F.when(t > 0, F.round(gini, round_to)).alias("gini"),
+        F.when(t > 0, F.round(hhi, round_to)).alias("hhi"),
+    )

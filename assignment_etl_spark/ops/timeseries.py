@@ -321,3 +321,54 @@ def rolling_corr(
         out_col,
         F.when((n >= 2) & (den > 0), F.round(num / den, round_to)),
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    decimal_scale: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key OLS trend slope of y over x:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+
+    from ONE hash aggregate of decimal-cast sums (per-row products
+    rounded first — the rolling_corr policy applied group-wise), so the
+    slope is accumulation-order-independent and replays exactly in any
+    engine. NULL when the key has <2 usable points or zero x-variance.
+    Rows with NULL x or y drop out of all sums consistently. Output:
+    (key, n, slope). Same centering caveat as rolling_corr: center
+    large-magnitude x (e.g. epoch seconds) before calling.
+    """
+    dec = f"decimal(28,{decimal_scale})"
+    x, y = F.col(x_col), F.col(y_col)
+    both = x.isNotNull() & y.isNotNull()
+    agg = df.groupBy(key_col).agg(
+        F.sum(both.cast("long")).alias("_n"),
+        F.sum(F.when(both, F.round(x, decimal_scale)).cast(dec))
+        .cast("double")
+        .alias("_sx"),
+        F.sum(F.when(both, F.round(y, decimal_scale)).cast(dec))
+        .cast("double")
+        .alias("_sy"),
+        F.sum(F.when(both, F.round(x * y, decimal_scale)).cast(dec))
+        .cast("double")
+        .alias("_sxy"),
+        F.sum(F.when(both, F.round(x * x, decimal_scale)).cast(dec))
+        .cast("double")
+        .alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
+    return agg.select(
+        F.col(key_col),
+        F.col("_n").alias("n"),
+        F.when((F.col("_n") >= 2) & (den > 0), F.round(slope, round_to)).alias(
+            "slope"
+        ),
+    )

@@ -244,3 +244,21 @@ def test_event_transitions(spark):
     assert out[("a", "c")] == (1, round(1 / 3, 6))
     assert out[("b", "a")] == (1, 1.0)
     assert ("c", "a") not in out and len(out) == 3
+
+
+def test_concentration_gini_hhi(spark):
+    from assignment_etl_spark.analytics.queries import concentration
+
+    rows = [("eq", i, 10.0) for i in range(4)]           # perfectly equal
+    rows += [("dom", 0, 97.0)] + [("dom", i, 1.0) for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, e long, v double")
+    out = {
+        r.g: r
+        for r in concentration(
+            df, by="g", entity_col="e", value_col="v"
+        ).collect()
+    }
+    assert out["eq"].gini == 0.0 and out["eq"].hhi == 0.25  # 4 * (1/4)^2
+    # one entity holds 97%: near-maximal concentration
+    assert out["dom"].gini > 0.7 and out["dom"].hhi > 0.9
+    assert out["dom"].n_entities == 4 and out["dom"].total_value == 100.0

@@ -211,3 +211,15 @@ def test_rolling_corr_known_values(spark):
     assert out[("b", 2)] == -1.0
     # NULL y at b3: frame keeps the two valid rows -> still -1
     assert out[("b", 3)] == -1.0
+
+
+def test_trend_slope(spark):
+    from assignment_etl_spark.ops.timeseries import trend_slope
+
+    rows = [("a", float(i), 2.0 * i + 1) for i in range(5)]
+    rows += [("b", 1.0, 5.0), ("b", 2.0, None), ("c", 3.0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r for r in trend_slope(df, key_col="k", x_col="x", y_col="y").collect()}
+    assert out["a"].slope == 2.0 and out["a"].n == 5
+    assert out["b"].slope is None and out["b"].n == 1  # <2 usable points
+    assert out["c"].slope is None                       # zero x-variance
