@@ -9992,6 +9992,72 @@ FROM tot ORDER BY 1
 """
 
 
+def q_survival_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime curve (ops/funnel.survival_curve):
+    per-user activity span in minutes, churned = last activity more
+    than a day before the observation end (others right-censored — the
+    case KM exists for). Portable product via round-6 ln terms decimal-
+    summed over the bounded distinct-duration table; the d=n tail pins
+    to exact 0 instead of engine-divergent ln(0). Oracle replays risk
+    sets, censoring, and the log-sum curve."""
+    from assignment_etl_spark.ops.funnel import survival_curve
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    mins = F.floor(F.unix_timestamp("ts") / 60)
+    per = (
+        events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(mins).alias("_fmin"), F.max(mins).alias("_lmin"))
+    )
+    g = per.agg(F.max("_lmin").alias("_gmax"))
+    subjects = per.crossJoin(F.broadcast(g)).select(
+        (F.col("_lmin") - F.col("_fmin")).alias("t_dur"),
+        (F.col("_lmin") < F.col("_gmax") - 1440).cast("int").alias("churned"),
+    )
+    return survival_curve(
+        subjects, duration_col="t_dur", event_col="churned"
+    )
+
+
+SQL_SURVIVAL_USERS = """
+WITH per AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(min(ts))) / 60) AS BIGINT) AS fmin,
+         CAST(floor(floor(epoch(max(ts))) / 60) AS BIGINT) AS lmin
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+g AS (SELECT max(lmin) AS gmax FROM per),
+subj AS (
+  SELECT lmin - fmin AS t,
+         CASE WHEN lmin < gmax - 1440 THEN 1 ELSE 0 END AS ev
+  FROM per CROSS JOIN g),
+per_t AS (
+  SELECT t, count(*) AS n_at, CAST(sum(ev) AS BIGINT) AS n_events
+  FROM subj GROUP BY 1),
+tot AS (SELECT sum(n_at) AS total FROM per_t),
+risk0 AS (
+  SELECT t, n_events,
+         CAST(total - COALESCE(sum(n_at) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM per_t CROSS JOIN tot),
+risk AS (SELECT * FROM risk0 WHERE n_events > 0),
+curve AS (
+  SELECT t, n_risk, n_events,
+         CASE WHEN max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                   OVER wc = 1
+              THEN 0.0
+              ELSE round(exp(CAST(sum(CAST(
+                     CASE WHEN n_events < n_risk
+                          THEN round(ln(1.0 - n_events / n_risk), 6)
+                          ELSE 0.0 END AS DECIMAL(18,6))) OVER wc
+                   AS DOUBLE)), 6) END AS survival
+  FROM risk
+  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t, n_risk, n_events, survival FROM curve ORDER BY t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10212,6 +10278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_downsample_stats": q_audio_downsample_stats,
         "trend_slope_users": q_trend_slope_users,
         "concentration_orders": q_concentration_orders,
+        "survival_users": q_survival_users,
     }
 
 
@@ -10410,4 +10477,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_downsample_stats": SQL_AUDIO_DOWNSAMPLE_STATS,
         "trend_slope_users": SQL_TREND_SLOPE_USERS,
         "concentration_orders": SQL_CONCENTRATION_ORDERS,
+        "survival_users": SQL_SURVIVAL_USERS,
     }

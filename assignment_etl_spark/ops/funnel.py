@@ -323,3 +323,74 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(w_tot), round_to).alias("p"),
     )
+
+
+def survival_curve(
+    subjects: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate over (duration, event) subject
+    rows (event=1 observed, 0 right-censored — the user-lifetime /
+    churn curve): for each distinct observed-event time t,
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    with d_i the events at t_i and n_i the at-risk count (duration ≥
+    t_i). Censored subjects leave the risk set without an event — the
+    whole point of KM vs a naive survival fraction.
+
+    Engine-portable product: the running product is exp(Σ ln(1−d/n))
+    with each ln term rounded to 6 and decimal-summed (the PageRank/LM
+    policy), so the curve replays exactly. The cumulative window runs
+    over the DISTINCT EVENT TIME table — bounded by the time-grid
+    cardinality, not the subject count (same bounded-window contract as
+    vocab ranking); the subject table itself reduces in one hash
+    aggregate per distinct duration.
+
+    Returns (t, n_risk, n_events, survival) ordered by t.
+    """
+    d, e = F.col(duration_col), F.col(event_col)
+    per_t = subjects.groupBy(d.alias("t")).agg(
+        F.count(F.lit(1)).alias("_n_at_t"),
+        F.sum(e.cast("long")).alias("n_events"),
+    )
+    # at-risk at t = subjects with duration >= t: total minus the
+    # exclusive running count of earlier durations
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    total = per_t.agg(F.sum("_n_at_t").alias("_total"))
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("_total")
+            - F.coalesce(F.sum("_n_at_t").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    # d == n would be ln(0) (engine-divergent -inf/NULL): flag it and pin
+    # the curve to exactly 0 from that time on instead
+    dead = F.col("n_events") == F.col("n_risk")
+    term = F.when(
+        ~dead,
+        F.round(
+            F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")), 6
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    zeroed = F.max(dead.cast("int")).over(w_cum) == 1
+    return (
+        risk.withColumn("_lt", term)
+        .withColumn(
+            "survival",
+            F.when(zeroed, F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(F.sum("_lt").over(w_cum).cast("double")), round_to
+                )
+            ),
+        )
+        .select("t", "n_risk", "n_events", "survival")
+        .orderBy("t")
+    )

@@ -262,3 +262,28 @@ def test_concentration_gini_hhi(spark):
     # one entity holds 97%: near-maximal concentration
     assert out["dom"].gini > 0.7 and out["dom"].hhi > 0.9
     assert out["dom"].n_entities == 4 and out["dom"].total_value == 100.0
+
+
+def test_survival_curve_textbook(spark):
+    from assignment_etl_spark.ops.funnel import survival_curve
+
+    # classic KM: events at t=1 (1 of 5) and t=3 (1 of 3);
+    # censored at t=2 and t=4; one subject survives past t=5 (censored)
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "t_dur long, churned int")
+    out = {r.t: r for r in survival_curve(df, duration_col="t_dur", event_col="churned").collect()}
+    assert set(out) == {1, 3}              # only event times appear
+    assert out[1].n_risk == 5 and out[1].n_events == 1
+    assert abs(out[1].survival - 0.8) < 1e-6
+    assert out[3].n_risk == 3
+    # S(3) = (1 - 1/5)(1 - 1/3) = 0.533333
+    assert abs(out[3].survival - 0.8 * (2 / 3)) < 1e-4
+
+
+def test_survival_curve_all_die(spark):
+    from assignment_etl_spark.ops.funnel import survival_curve
+
+    df = spark.createDataFrame([(1, 1), (1, 1), (2, 1)], "t_dur long, churned int")
+    out = {r.t: r.survival for r in survival_curve(df, duration_col="t_dur", event_col="churned").collect()}
+    assert abs(out[1] - 1 / 3) < 1e-6
+    assert out[2] == 0.0                   # d == n pins the tail to exact 0
