@@ -9106,6 +9106,19 @@ FROM filled GROUP BY 1 ORDER BY 1
 """
 
 
+# epoch minutes for 2024-01-01T00:00Z — the centering base shared by the
+# rolling-correlation and trend-slope gates (and their oracle SQL)
+_MINUTES_2024 = 28_401_120
+
+
+def _mins_since_2024() -> Column:
+    """Whole-second epoch truncated to minutes, centered on 2024-01-01 —
+    small integer-valued doubles (see rolling_corr's magnitude caveat)."""
+    return (F.floor(F.unix_timestamp("ts") / 60) - F.lit(_MINUTES_2024)).cast(
+        "double"
+    )
+
+
 def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling Pearson correlation (ops/timeseries.rolling_corr): per
     user, value vs epoch-seconds over the trailing 10 events — local
@@ -9121,10 +9134,7 @@ def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double rounding; small integer-valued y keeps every intermediate
     # exactly representable
     events = _t(spark, sf_dir, "events").withColumn(
-        "_epoch",
-        (F.floor(F.unix_timestamp("ts") / 60) - F.lit(28_401_120)).cast(
-            "double"
-        ),
+        "_epoch", _mins_since_2024()
     )
     out = rolling_corr(
         events,
@@ -9913,10 +9923,7 @@ def q_trend_slope_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     events = _t(spark, sf_dir, "events").withColumn(
-        "_mins",
-        (F.floor(F.unix_timestamp("ts") / 60) - F.lit(28_401_120)).cast(
-            "double"
-        ),
+        "_mins", _mins_since_2024()
     )
     return trend_slope(
         events, key_col="user_id", x_col="_mins", y_col="value"
@@ -9930,22 +9937,23 @@ WITH base AS (
   FROM events),
 agg AS (
   SELECT user_id,
-         sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS n,
-         CAST(sum(CASE WHEN value IS NOT NULL
+         sum(CASE WHEN value IS NOT NULL AND x IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n,
+         CAST(sum(CASE WHEN value IS NOT NULL AND x IS NOT NULL
                   THEN CAST(round(x, 6) AS DECIMAL(28,6)) END)
               AS DOUBLE) AS sx,
-         CAST(sum(CASE WHEN value IS NOT NULL
+         CAST(sum(CASE WHEN value IS NOT NULL AND x IS NOT NULL
                   THEN CAST(round(value, 6) AS DECIMAL(28,6)) END)
               AS DOUBLE) AS sy,
-         CAST(sum(CASE WHEN value IS NOT NULL
+         CAST(sum(CASE WHEN value IS NOT NULL AND x IS NOT NULL
                   THEN CAST(round(x * value, 6) AS DECIMAL(28,6)) END)
               AS DOUBLE) AS sxy,
-         CAST(sum(CASE WHEN value IS NOT NULL
+         CAST(sum(CASE WHEN value IS NOT NULL AND x IS NOT NULL
                   THEN CAST(round(x * x, 6) AS DECIMAL(28,6)) END)
               AS DOUBLE) AS sxx
   FROM base GROUP BY 1)
 SELECT user_id, CAST(n AS BIGINT) AS n,
-       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 1e-9 * n * sxx
             THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
        END AS slope
 FROM agg ORDER BY user_id
@@ -9977,17 +9985,22 @@ WITH per AS (
   FROM orders GROUP BY 1, 2),
 ranked AS (
   SELECT p, e, v, row_number() OVER (PARTITION BY p ORDER BY v, e) AS rk
-  FROM per),
+  FROM per WHERE v IS NOT NULL),
 tot AS (
   SELECT p, count(*) AS n, sum(v) AS t,
-         CAST(sum(CAST(v * rk AS DECIMAL(38,4))) AS DOUBLE) AS rv,
-         CAST(sum(CAST(v * v AS DECIMAL(38,8))) AS DOUBLE) AS vv
+         CAST(sum(CAST(round(CAST(v AS DOUBLE) * rk, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS rv,
+         CAST(sum(CAST(round(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 8)
+                       AS DECIMAL(38,8))) AS DOUBLE) AS vv
   FROM ranked GROUP BY 1)
 SELECT p AS o_orderpriority, n AS n_entities,
        round(CAST(t AS DOUBLE), 4) AS total_value,
-       round((2.0 * rv) / (n * CAST(t AS DOUBLE)) - (n + 1.0) / n, 6)
-         AS gini,
-       round(vv / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS hhi
+       CASE WHEN CAST(t AS DOUBLE) > 0
+            THEN round((2.0 * rv) / (n * CAST(t AS DOUBLE)) - (n + 1.0) / n, 6)
+       END AS gini,
+       CASE WHEN CAST(t AS DOUBLE) > 0
+            THEN round(vv / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+       END AS hhi
 FROM tot ORDER BY 1
 """
 

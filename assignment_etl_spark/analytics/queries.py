@@ -239,17 +239,25 @@ def concentration(
     per = df.groupBy(F.col(by), F.col(entity_col)).agg(
         F.sum(F.col(value_col).cast(dec)).alias("_v")
     )
+    # an entity with only NULL values has no share: drop it BEFORE
+    # ranking (NULLS FIRST here vs NULLS LAST in SQL engines would shift
+    # every rank, and n would disagree with the sums)
+    per = per.filter(F.col("_v").isNotNull())
     w = Window.partitionBy(by).orderBy(F.col("_v"), F.col(entity_col))
     ranked = per.withColumn("_rk", F.row_number().over(w))
-    # rank-product and value² sums stay decimal (exact, associative) —
-    # a float sum here would be partition-order-dependent
+    # rank-product and value² terms: ONE double product per row (exact,
+    # deterministic), rounded, then decimal-summed — a float SUM here
+    # would be partition-order-dependent, and a decimal×decimal product
+    # would hit Spark's precision-loss rescale (38,8 → 38,6), silently
+    # rounding small squares to zero
+    vd = F.col("_v").cast("double")
     tot = ranked.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_entities"),
         F.sum("_v").alias("_tot"),
-        F.sum((F.col("_v") * F.col("_rk")).cast("decimal(38,4)"))
+        F.sum(F.round(vd * F.col("_rk"), 4).cast("decimal(38,4)"))
         .cast("double")
         .alias("_rv"),
-        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,8)"))
+        F.sum(F.round(vd * vd, 8).cast("decimal(38,8)"))
         .cast("double")
         .alias("_vv"),
     )

@@ -350,7 +350,11 @@ def survival_curve(
     vocab ranking); the subject table itself reduces in one hash
     aggregate per distinct duration.
 
-    Returns (t, n_risk, n_events, survival) ordered by t.
+    Returns (t, n_risk, n_events, survival) ordered by t. ``round_to``
+    controls only the OUTPUT rounding: the per-step ln terms are pinned
+    at 6 decimals / decimal(18,6) (the cross-engine contract), so
+    requesting round_to > 6 exposes term-rounding artifacts, not extra
+    precision.
     """
     d, e = F.col(duration_col), F.col(event_col)
     per_t = subjects.groupBy(d.alias("t")).agg(

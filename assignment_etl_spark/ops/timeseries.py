@@ -365,10 +365,14 @@ def trend_slope(
     n = F.col("_n").cast("double")
     den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
+    # RELATIVE variance guard: with per-row rounding, a key whose x
+    # values agree to 6 decimals can still leave a rounding residue in
+    # den (round(x·x) vs round(x)²) — a plain den > 0 would then emit a
+    # garbage slope. Variance below 1e-9 of the x² mass is
+    # indistinguishable from that noise and reports NULL.
+    ok = (F.col("_n") >= 2) & (den > F.lit(1e-9) * n * F.col("_sxx"))
     return agg.select(
         F.col(key_col),
         F.col("_n").alias("n"),
-        F.when((F.col("_n") >= 2) & (den > 0), F.round(slope, round_to)).alias(
-            "slope"
-        ),
+        F.when(ok, F.round(slope, round_to)).alias("slope"),
     )
