@@ -10071,6 +10071,48 @@ SELECT t, n_risk, n_events, survival FROM curve ORDER BY t
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (ext/similarity.hard_negatives): for 20
+    query embeddings, the 3 most-similar DIFFERENT-label vectors — the
+    contrastive-training near-misses. Label inequality is pushed into
+    the broadcast join (mismatched pairs never scored); ranking ties
+    break on (rounded cosine desc, id). The oracle replays the
+    bit-identical left-fold cosine."""
+    from assignment_etl_spark.ext.similarity import hard_negatives
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = hard_negatives(emb.filter(F.col("vec_id") < 20), emb, 3)
+    return out.orderBy("query_id", "rank")
+
+
+SQL_HARD_NEGATIVES = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round(
+           list_reduce(list_transform(list_zip(q.v, c.v),
+                                      z -> z[1]*z[2]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(q.v, x -> x*x),
+                               (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(c.v, x -> x*x),
+                                 (x, y) -> x + y))), 6) AS cos_sim
+  FROM e q JOIN e c
+    ON q.vec_id <> c.vec_id AND q.label <> c.label
+  WHERE q.vec_id < 20)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM s) q
+WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10292,6 +10334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope_users": q_trend_slope_users,
         "concentration_orders": q_concentration_orders,
         "survival_users": q_survival_users,
+        "hard_negatives_topk": q_hard_negatives,
     }
 
 
@@ -10491,4 +10534,5 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope_users": SQL_TREND_SLOPE_USERS,
         "concentration_orders": SQL_CONCENTRATION_ORDERS,
         "survival_users": SQL_SURVIVAL_USERS,
+        "hard_negatives_topk": SQL_HARD_NEGATIVES,
     }

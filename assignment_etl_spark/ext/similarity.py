@@ -475,3 +475,64 @@ def centroids_long(centroids: DataFrame, *, by: str = "label") -> DataFrame:
     return centroids.select(
         by, "n", F.posexplode("centroid").alias("pos", "value")
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    broadcast_candidates: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the ``k`` most-similar candidates with a DIFFERENT label — the
+    near-misses that teach an embedding model its decision boundary
+    (random negatives are trivially easy; hard negatives carry the
+    gradient signal).
+
+    Same plan shape as :func:`brute_force_topk` (broadcast candidate
+    pool, per-query window top-k with (rounded cos desc, id) ties) plus
+    the label-inequality predicate pushed into the join — mismatched
+    pairs are never scored. At corpus scale swap the exact pool for an
+    IVF/LSH candidate stage (ivf_topk/lsh_topk) and apply the same
+    label filter to its bucket join; this exact form is the
+    verification baseline, the same exact-vs-approx contract as the
+    rest of this module.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qv"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+    )
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    scored = q.join(
+        c,
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -183,3 +183,19 @@ def test_minhash_dedup_keep_best(spark):
     assert out[1].cluster == out[2].cluster != out[3].cluster
     assert not out[1].keep and out[2].keep  # best quality wins, not min id
     assert out[3].keep                       # singleton survives
+
+
+def test_hard_negatives_label_exclusion(spark):
+    from assignment_etl_spark.ext.similarity import hard_negatives
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.99, 0.01]),   # same label as 1 — never a negative for 1
+        (3, 1, [0.98, 0.02]),   # different label, very close — hard
+        (4, 1, [0.0, 1.0]),     # different label, orthogonal — easy
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = [r for r in hard_negatives(emb.filter("vec_id = 1"), emb, 2).collect()]
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [3, 4]
+    assert all(r.neighbor_label != r.query_label for r in out)
+    assert out[0].cos_sim > out[1].cos_sim
