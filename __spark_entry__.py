@@ -10113,6 +10113,67 @@ WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty (ext/decontam.novelty_scores): fraction of each
+    document's distinct word trigrams absent from the reference slice
+    (every 10th doc) — the diversity-measurement inverse of the
+    decontamination operator, same broadcast-gram-set economics. The
+    gate decimal-sums per-source novelty, so every document's score is
+    hash-certified."""
+    from assignment_etl_spark.ext.decontam import novelty_scores
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    nov = novelty_scores(corp, ref, n=3)
+    return (
+        nov.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("grams"),
+            F.sum("n_novel").alias("novel"),
+            F.round(
+                F.sum(F.col("novelty").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("novelty_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_NOVELTY_SCORES = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM words WHERE len(w) >= 3) q),
+ref AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+dg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 <> 0),
+counts AS (
+  SELECT dg.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM dg LEFT JOIN ref r ON dg.gram = r.gram GROUP BY 1),
+scored AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(c.n_grams, 0) AS n_grams,
+         COALESCE(c.n_novel, 0) AS n_novel,
+         CASE WHEN COALESCE(c.n_grams, 0) > 0
+              THEN round(c.n_novel / c.n_grams, 6) END AS novelty
+  FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+  WHERE d.doc_id % 10 <> 0)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS grams,
+       CAST(sum(n_novel) AS BIGINT) AS novel,
+       round(CAST(sum(CAST(novelty AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS novelty_sum
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10335,6 +10396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration_orders": q_concentration_orders,
         "survival_users": q_survival_users,
         "hard_negatives_topk": q_hard_negatives,
+        "novelty_scores_documents": q_novelty_scores,
     }
 
 
@@ -10535,4 +10597,5 @@ def oracle_sql() -> dict[str, str]:
         "concentration_orders": SQL_CONCENTRATION_ORDERS,
         "survival_users": SQL_SURVIVAL_USERS,
         "hard_negatives_topk": SQL_HARD_NEGATIVES,
+        "novelty_scores_documents": SQL_NOVELTY_SCORES,
     }

@@ -114,3 +114,60 @@ def decontaminate(
         )
         dirty_ids = hits.filter(F.col("n_hits") >= min_hits).select(id_col)
     return docs.join(dirty_ids, id_col, "left_anti")
+
+
+def novelty_scores(
+    corpus: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of the document's distinct word n-grams absent from the
+    reference's distinct n-gram set — the inverse of contamination
+    (decontaminate drops overlap with a benchmark; novelty MEASURES
+    distance from what a model has already seen, the dedup-aware
+    diversity signal data-mixing decisions use).
+
+    Returns (id, n_grams, n_novel, novelty) — novelty NULL for docs
+    with fewer than n words (no grams to judge).
+
+    Scale shape: same economics as decontamination when the reference
+    is broadcastable; when it is NOT (novelty vs the full pretraining
+    corpus), the gram join runs shuffled on the gram key — still
+    key-partitioned, never all-pairs — and pre-hash both sides with
+    xxhash64 to shuffle 8-byte keys instead of strings.
+    """
+    ref_grams = (
+        reference.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    counts = (
+        doc_grams.join(F.broadcast(ref_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("_seen").isNull().cast("long")).alias("n_novel"),
+        )
+    )
+    return corpus.select(F.col(id_col)).join(counts, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_novel") / F.col("n_grams"), round_to),
+        ).alias("novelty"),
+    )

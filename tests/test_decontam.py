@@ -63,3 +63,26 @@ def test_decontaminate_broadcast_plan(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_novelty_scores(spark):
+    from assignment_etl_spark.ext.decontam import novelty_scores
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # fully seen -> 0.0
+            (2, "a totally different sentence here entirely"),  # all novel
+            (3, "the quick brown cat runs away"),    # 1 of 4 grams seen
+            (4, "too short"),                        # <3 words -> NULL
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in novelty_scores(corpus, ref, n=3).collect()}
+    assert out[1].novelty == 0.0
+    assert out[2].novelty == 1.0
+    assert out[3].n_grams == 4 and out[3].n_novel == 3
+    assert abs(out[3].novelty - 0.75) < 1e-9
+    assert out[4].novelty is None and out[4].n_grams == 0
