@@ -10174,6 +10174,67 @@ FROM scored GROUP BY 1 ORDER BY 1
 """
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering, the training-order pipeline composed from
+    three certified kernels: quality_score → fixed-width decile bucket
+    (pure projection — no global ntile funnel), deterministic hash
+    shuffle within bucket, and ops/ids.global_row_number for the global
+    position (range-partitioned, no single-partition window). The gate
+    proves the contract — buckets occupy contiguous position ranges in
+    descending quality order with shuffled interiors — via per-bucket
+    position extents and id checksums."""
+    from assignment_etl_spark.ext.sampling import portable_hash01
+    from assignment_etl_spark.ext.text import quality_score
+    from assignment_etl_spark.ops.ids import global_row_number
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.least(
+            F.floor(quality_score(F.col("text")) * 10).cast("int"), F.lit(9)
+        ).alias("bucket"),
+        F.round(portable_hash01(F.col("doc_id"), 21), 9).alias("_u"),
+    ).withColumn("_inv", (F.lit(9) - F.col("bucket")))
+    ordered = global_row_number(
+        b, ["_inv", "_u", "doc_id"], num_partitions=8, out_col="pos"
+    )
+    return (
+        ordered.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy(F.desc("bucket"))
+    )
+
+
+def _sql_curriculum_order() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("doc_id", salt=21)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {_SQL_QUALITY_EXPR} AS q FROM documents),
+b AS (
+  SELECT doc_id,
+         LEAST(CAST(floor(q * 10) AS INT), 9) AS bucket,
+         round({u}, 9) AS u
+  FROM scored),
+r AS (
+  SELECT doc_id, bucket,
+         row_number() OVER (ORDER BY (9 - bucket), u, doc_id) AS pos
+  FROM b)
+SELECT bucket, count(*) AS n_docs,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM r GROUP BY 1 ORDER BY 1 DESC
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10397,6 +10458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_users": q_survival_users,
         "hard_negatives_topk": q_hard_negatives,
         "novelty_scores_documents": q_novelty_scores,
+        "curriculum_order_documents": q_curriculum_order,
     }
 
 
@@ -10598,4 +10660,5 @@ def oracle_sql() -> dict[str, str]:
         "survival_users": SQL_SURVIVAL_USERS,
         "hard_negatives_topk": SQL_HARD_NEGATIVES,
         "novelty_scores_documents": SQL_NOVELTY_SCORES,
+        "curriculum_order_documents": _sql_curriculum_order(),
     }
