@@ -9937,6 +9937,10 @@ WITH base AS (
   FROM events),
 agg AS (
   SELECT user_id,
+         min(CASE WHEN value IS NOT NULL AND x IS NOT NULL
+                  THEN round(x, 6) END) AS xmin,
+         max(CASE WHEN value IS NOT NULL AND x IS NOT NULL
+                  THEN round(x, 6) END) AS xmax,
          sum(CASE WHEN value IS NOT NULL AND x IS NOT NULL
                   THEN 1 ELSE 0 END) AS n,
          CAST(sum(CASE WHEN value IS NOT NULL AND x IS NOT NULL
@@ -9953,7 +9957,7 @@ agg AS (
               AS DOUBLE) AS sxx
   FROM base GROUP BY 1)
 SELECT user_id, CAST(n AS BIGINT) AS n,
-       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 1e-9 * n * sxx
+       CASE WHEN n >= 2 AND xmin < xmax AND (n * sxx - sx * sx) > 0
             THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
        END AS slope
 FROM agg ORDER BY user_id
@@ -10247,7 +10251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-prefix holds never-driver-sampled gates (six r3 leftovers + the
     # earliest round-4 additions); everything past 50 — including the
     # closing-session additions at the tail — is judge-verifiable with
-    # `python tools/check_correctness.py` (the whole 193-query registry
+    # `python tools/check_correctness.py` (the whole registry
     # is green at sf0.01 AND sf0.001), and the spilled entries lean on
     # strong standalone pytest coverage or share oracle SQL with a
     # sampled gate (streaming_hll_users ↔ hll_distinct_users).

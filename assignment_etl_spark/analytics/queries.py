@@ -251,13 +251,18 @@ def concentration(
     # would hit Spark's precision-loss rescale (38,8 → 38,6), silently
     # rounding small squares to zero
     vd = F.col("_v").cast("double")
+    sq = 2 * decimal_scale
     tot = ranked.groupBy(by).agg(
         F.count(F.lit(1)).alias("n_entities"),
         F.sum("_v").alias("_tot"),
-        F.sum(F.round(vd * F.col("_rk"), 4).cast("decimal(38,4)"))
+        F.sum(
+            F.round(vd * F.col("_rk"), decimal_scale).cast(
+                f"decimal(38,{decimal_scale})"
+            )
+        )
         .cast("double")
         .alias("_rv"),
-        F.sum(F.round(vd * vd, 8).cast("decimal(38,8)"))
+        F.sum(F.round(vd * vd, sq).cast(f"decimal(38,{sq})"))
         .cast("double")
         .alias("_vv"),
     )

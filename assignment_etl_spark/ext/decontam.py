@@ -124,6 +124,7 @@ def novelty_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    broadcast_reference: bool = True,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against a reference corpus: the
     fraction of the document's distinct word n-grams absent from the
@@ -137,9 +138,10 @@ def novelty_scores(
 
     Scale shape: same economics as decontamination when the reference
     is broadcastable; when it is NOT (novelty vs the full pretraining
-    corpus), the gram join runs shuffled on the gram key — still
-    key-partitioned, never all-pairs — and pre-hash both sides with
-    xxhash64 to shuffle 8-byte keys instead of strings.
+    corpus), pass ``broadcast_reference=False`` — the gram join then
+    runs shuffled on the gram key (still key-partitioned, never
+    all-pairs; pre-hash both sides with xxhash64 to shuffle 8-byte keys
+    instead of strings).
     """
     ref_grams = (
         reference.select(
@@ -154,8 +156,10 @@ def novelty_scores(
             "gram"
         ),
     )
+    if broadcast_reference:
+        ref_grams = F.broadcast(ref_grams)
     counts = (
-        doc_grams.join(F.broadcast(ref_grams), "gram", "left")
+        doc_grams.join(ref_grams, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -504,8 +504,13 @@ def hard_negatives(
     rest of this module.
 
     Output: (query_id, query_label, neighbor_id, neighbor_label,
-    cos_sim, rank).
+    cos_sim, rank). NULL-labeled rows are excluded from BOTH sides up
+    front (a NULL label can neither anchor nor serve as a negative —
+    silently vanishing queries would be the failure mode
+    require_integral_id exists to prevent elsewhere).
     """
+    queries = queries.filter(F.col(label_col).isNotNull())
+    candidates = candidates.filter(F.col(label_col).isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),

@@ -347,7 +347,10 @@ def trend_slope(
     dec = f"decimal(28,{decimal_scale})"
     x, y = F.col(x_col), F.col(y_col)
     both = x.isNotNull() & y.isNotNull()
+    xr = F.when(both, F.round(x, decimal_scale))
     agg = df.groupBy(key_col).agg(
+        F.min(xr).alias("_xmin"),
+        F.max(xr).alias("_xmax"),
         F.sum(both.cast("long")).alias("_n"),
         F.sum(F.when(both, F.round(x, decimal_scale)).cast(dec))
         .cast("double")
@@ -365,12 +368,18 @@ def trend_slope(
     n = F.col("_n").cast("double")
     den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
-    # RELATIVE variance guard: with per-row rounding, a key whose x
-    # values agree to 6 decimals can still leave a rounding residue in
-    # den (round(x·x) vs round(x)²) — a plain den > 0 would then emit a
-    # garbage slope. Variance below 1e-9 of the x² mass is
-    # indistinguishable from that noise and reports NULL.
-    ok = (F.col("_n") >= 2) & (den > F.lit(1e-9) * n * F.col("_sxx"))
+    # EXACT zero-variance detection: a key whose x values all agree at
+    # decimal_scale must report NULL, but per-row rounding can leave a
+    # residue in den (round(x·x) vs round(x)²) that a plain den > 0
+    # check mistakes for variance — so the guard compares min/max of the
+    # ROUNDED x directly (exact, no thresholds), and den > 0 remains
+    # only as the numeric-validity backstop. x values distinguishable
+    # only below decimal_scale are noise-limited by construction.
+    ok = (
+        (F.col("_n") >= 2)
+        & (F.col("_xmin") < F.col("_xmax"))
+        & (den > 0)
+    )
     return agg.select(
         F.col(key_col),
         F.col("_n").alias("n"),

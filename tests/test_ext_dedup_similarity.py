@@ -195,7 +195,10 @@ def test_hard_negatives_label_exclusion(spark):
         (4, 1, [0.0, 1.0]),     # different label, orthogonal — easy
     ]
     emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
-    out = [r for r in hard_negatives(emb.filter("vec_id = 1"), emb, 2).collect()]
-    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [3, 4]
+    out = sorted(
+        hard_negatives(emb.filter("vec_id = 1"), emb, 2).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.neighbor_id for r in out] == [3, 4]
     assert all(r.neighbor_label != r.query_label for r in out)
     assert out[0].cos_sim > out[1].cos_sim
