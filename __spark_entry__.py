@@ -10239,6 +10239,112 @@ FROM r GROUP BY 1 ORDER BY 1 DESC
 """
 
 
+def q_readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease (ext/text.readability_scores): vowel-group
+    syllables, terminal-punctuation sentences (floored at 1), the
+    standard 206.835 formula — three regexp_count projections, no UDF,
+    no shuffle until the per-source aggregate. Decimal-summed scores
+    hash-certify every document's value."""
+    from assignment_etl_spark.ext.text import readability_scores
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    words, sentences, syllables, flesch = readability_scores(docs)
+    scored = docs.select(
+        "source",
+        words.alias("w"),
+        syllables.alias("sy"),
+        flesch.alias("fl"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("words"),
+            F.sum("sy").alias("syllables"),
+            F.round(
+                F.sum(F.col("fl").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("flesch_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_READABILITY_DOCUMENTS = r"""
+WITH scored AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_extract_all(trim(text), '\S+')) END AS w,
+         greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS snt,
+         length(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS words,
+       CAST(sum(sy) AS BIGINT) AS syllables,
+       round(CAST(sum(CAST(
+         CASE WHEN w > 0
+              THEN round(206.835 - 1.015 * (w / snt) - 84.6 * (sy / w), 4)
+         END AS DECIMAL(18,4))) AS DOUBLE), 4) AS flesch_sum
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points (inequality visualization companion to the
+    concentration gate): customers ranked by spend, cumulative value
+    share at each population decile — the per-entity table carries ONE
+    ordered window (cumulative decimal sums over #entities rows), the
+    fact stream reduces first. Oracle replays ranks, cumulative sums,
+    and decile cuts."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("v")
+    )
+    w = Window.orderBy(F.col("v"), F.col("c"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("v").alias("_t")
+    )
+    ranked = (
+        per.withColumn("rk", F.row_number().over(w))
+        .withColumn("cum", F.sum("v").over(wcum))
+        .crossJoin(F.broadcast(tot))
+    )
+    decile = F.ceil(F.col("rk") * 10 / F.col("_n")).cast("int")
+    return (
+        ranked.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                (F.max("cum").cast("double") / F.max("_t").cast("double")), 6
+            ).alias("cum_value_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_LORENZ_CURVE_ORDERS = """
+WITH per AS (
+  SELECT o_custkey AS c, sum(CAST(o_totalprice AS DECIMAL(28,4))) AS v
+  FROM orders GROUP BY 1),
+tot AS (SELECT count(*) AS n, sum(v) AS t FROM per),
+ranked AS (
+  SELECT c, v,
+         row_number() OVER (ORDER BY v, c) AS rk,
+         sum(v) OVER (ORDER BY v, c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM per)
+SELECT CAST(ceil(rk * 10 / n) AS INT) AS decile,
+       count(*) AS n_customers,
+       round(CAST(max(cum) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6)
+         AS cum_value_share
+FROM ranked CROSS JOIN tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10463,6 +10569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_topk": q_hard_negatives,
         "novelty_scores_documents": q_novelty_scores,
         "curriculum_order_documents": q_curriculum_order,
+        "readability_documents": q_readability_documents,
+        "lorenz_curve_orders": q_lorenz_curve_orders,
     }
 
 
@@ -10665,4 +10773,6 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_topk": SQL_HARD_NEGATIVES,
         "novelty_scores_documents": SQL_NOVELTY_SCORES,
         "curriculum_order_documents": _sql_curriculum_order(),
+        "readability_documents": SQL_READABILITY_DOCUMENTS,
+        "lorenz_curve_orders": SQL_LORENZ_CURVE_ORDERS,
     }

@@ -515,3 +515,40 @@ def span_corruption(
         .withColumn("n_masked", n_masked)
         .drop("_toks")
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    round_to: int = 4,
+) -> tuple[Column, Column, Column, Column]:
+    """Flesch reading-ease ingredients as pure codegen expressions:
+    (n_words, n_sentences, n_syllables, flesch). Syllables use the
+    standard vowel-group heuristic (runs of [aeiouy] per word);
+    sentences count terminal-punctuation runs, floored at 1 so
+    fragment-only documents don't divide by zero.
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+
+    All three counts are regexp_count projections — no tokenizer UDF,
+    no shuffle; the formula is one fixed expression, so the score
+    replays exactly in any engine (the corpus-quality companion to
+    quality_score/gopher_flags: heuristic, cheap, calibratable).
+    Returns COLUMNS (not a DataFrame) so callers embed them in any
+    projection; NULL text yields NULL score.
+    """
+    t = F.col(text_col)
+    words = whitespace_token_count(t)
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    flesch = F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sentences)
+            - F.lit(84.6) * (syllables / words),
+            round_to,
+        ),
+    )
+    return words, sentences, syllables, flesch

@@ -287,3 +287,17 @@ def test_survival_curve_all_die(spark):
     out = {r.t: r.survival for r in survival_curve(df, duration_col="t_dur", event_col="churned").collect()}
     assert abs(out[1] - 1 / 3) < 1e-6
     assert out[2] == 0.0                   # d == n pins the tail to exact 0
+
+
+def test_lorenz_curve_monotone(spark):
+    import __spark_entry__ as e
+
+    out = e.q_lorenz_curve_orders(
+        e.SparkSession.builder.getOrCreate(), "/root/testdata/sf0.001"
+    ).collect()
+    shares = [r.cum_value_share for r in out]
+    assert shares == sorted(shares)            # Lorenz curve is monotone
+    assert abs(shares[-1] - 1.0) < 1e-9        # ends at 100% of value
+    # convexity (inequality): first decile's share below uniform 10%
+    assert shares[0] < 0.1
+    assert [r.decile for r in out] == list(range(1, 11))

@@ -301,3 +301,25 @@ def test_span_corruption_structure(spark):
     assert again.inputs == r.inputs and again.targets == r.targets
     other = span_corruption(docs, span_len=3, rate=0.5, salt=10).collect()[0]
     assert (other.inputs, other.targets) != (r.inputs, r.targets)
+
+
+def test_readability_scores(spark):
+    from assignment_etl_spark.ext.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "no terminal punctuation here"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    w, snt, sy, fl = readability_scores(docs)
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", w.alias("w"), snt.alias("s"), sy.alias("sy"), fl.alias("f")
+        ).collect()
+    }
+    assert out[1].w == 6 and out[1].s == 2
+    # flesch = 206.835 - 1.015*(6/2) - 84.6*(sy/6)
+    assert abs(out[1].f - round(206.835 - 1.015 * 3 - 84.6 * out[1].sy / 6, 4)) < 1e-9
+    assert out[2].s == 1            # fragment floor
+    assert out[3].f is None
