@@ -10345,6 +10345,105 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_ab_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (ext/drift.ab_conversion_test): purchase
+    rate between hash-assigned variants — pooled-SE formula, one
+    conditional hash aggregate, always exactly one row. Companion to
+    the mean-based ab_test gate; the oracle replays hash assignment,
+    exact counts, and the fixed z expression."""
+    from assignment_etl_spark.ext.drift import ab_conversion_test
+    from assignment_etl_spark.ext.sampling import portable_hash01
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    tagged = events.select(
+        F.when(portable_hash01(F.col("user_id"), 13) < 0.5, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return ab_conversion_test(
+        tagged,
+        group_col="variant",
+        conversion_col="converted",
+        group_a="A",
+        group_b="B",
+    )
+
+
+def _sql_ab_conversion_events() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("user_id", salt=13)
+    return f"""
+WITH tagged AS (
+  SELECT CASE WHEN ({u}) < 0.5 THEN 'A' ELSE 'B' END AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+  FROM events),
+arms AS (
+  SELECT CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN v = 'A' THEN c ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN v = 'B' THEN c ELSE 0 END) AS BIGINT) AS x_b
+  FROM tagged)
+SELECT n_a, n_b, x_a, x_b,
+       round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b, 6)
+         AS rate_diff,
+       round(sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)), 6) AS se,
+       round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
+       abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+           / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))) > 1.959964 AS significant_95
+FROM arms
+"""
+
+
+def q_iqr_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fences (ops/outliers.iqr_outliers): per-priority Q1/Q3
+    exact percentiles, 1.5·IQR fences, outlier counts — one grouped
+    percentile aggregate + broadcast fence join (the winsorize plan
+    shape, and the boxplot rule every dashboard draws)."""
+    from assignment_etl_spark.ops.outliers import iqr_outliers
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return iqr_outliers(
+        orders, value_col="o_totalprice", by=["o_orderpriority"]
+    ).orderBy("o_orderpriority")
+
+
+SQL_IQR_OUTLIERS_ORDERS = """
+WITH fences AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY 1),
+f AS (
+  SELECT o_orderpriority, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM fences)
+SELECT o.o_orderpriority,
+       round(max(q1), 4) AS q1, round(max(q3), 4) AS q3,
+       round(max(lo), 4) AS lo, round(max(hi), 4) AS hi,
+       CAST(sum(CASE WHEN o.o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o.o_totalprice IS NOT NULL
+                      AND (o.o_totalprice < lo OR o.o_totalprice > hi)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o JOIN f USING (o_orderpriority)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10571,6 +10670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order_documents": q_curriculum_order,
         "readability_documents": q_readability_documents,
         "lorenz_curve_orders": q_lorenz_curve_orders,
+        "ab_conversion_events": q_ab_conversion_events,
+        "iqr_outliers_orders": q_iqr_outliers_orders,
     }
 
 
@@ -10775,4 +10876,6 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order_documents": _sql_curriculum_order(),
         "readability_documents": SQL_READABILITY_DOCUMENTS,
         "lorenz_curve_orders": SQL_LORENZ_CURVE_ORDERS,
+        "ab_conversion_events": _sql_ab_conversion_events(),
+        "iqr_outliers_orders": SQL_IQR_OUTLIERS_ORDERS,
     }

@@ -470,3 +470,60 @@ def benford_audit(
         )
         .orderBy("digit")
     )
+
+
+def ab_conversion_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    conversion_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test — the conversion-RATE companion to
+    :func:`ab_test`'s mean test: one row with per-arm trials/
+    conversions/rates, the rate difference, the pooled standard error
+
+        se = sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ = (x_a+x_b)/(n_a+n_b)
+
+    and z = (p_a − p_b)/se. Same robustness contract as ab_test: the
+    row ALWAYS materializes (one conditional hash aggregate), with NULL
+    statistics when either arm has no trials or the pooled rate is
+    degenerate (0 or 1 — se would be 0). ``conversion_col`` is any
+    boolean/0-1 expression-compatible column. Counts are exact
+    integers, every double op a fixed expression — bit-replayable.
+    """
+    g = F.col(group_col)
+    c = F.col(conversion_col).cast("long")
+
+    def arm(which, s):
+        cond = c.isNotNull() & (g == which)
+        return [
+            F.sum(cond.cast("long")).alias(f"n_{s}"),
+            F.sum(F.when(cond, c)).alias(f"x_{s}"),
+        ]
+
+    row = df.agg(*arm(group_a, "a"), *arm(group_b, "b"))
+    n_a, x_a = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    n_b, x_b = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    p_a, p_b = x_a / n_a, x_b / n_b
+    pool = (x_a + x_b) / (n_a + n_b)
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+    )
+    z = (p_a - p_b) / se
+    ok = (F.col("n_a") >= 1) & (F.col("n_b") >= 1)
+    valid = ok & (se > 0)
+    return row.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("x_a"),
+        F.col("x_b"),
+        F.when(ok, F.round(p_a, round_to)).alias("rate_a"),
+        F.when(ok, F.round(p_b, round_to)).alias("rate_b"),
+        F.when(ok, F.round(p_a - p_b, round_to)).alias("rate_diff"),
+        F.when(valid, F.round(se, round_to)).alias("se"),
+        F.when(valid, F.round(z, round_to)).alias("z_score"),
+        F.when(valid, F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    )

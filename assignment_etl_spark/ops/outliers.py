@@ -143,3 +143,48 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    *,
+    value_col: str,
+    by: list[str],
+    k: float = 1.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Tukey's fences per group: rows outside [Q1 − k·IQR, Q3 + k·IQR]
+    counted as outliers (the boxplot rule — the rank-based complement
+    of the median/MAD detector above: IQR fences are the convention
+    dashboards draw, MAD is the robust-statistics choice).
+
+    One grouped exact-percentile aggregate (#groups rows), one
+    broadcast fence join, one counting aggregate — the winsorize plan
+    shape. Exact interpolating percentiles ≡ DuckDB quantile_cont (the
+    equivalence the winsorize gate certifies). NULL values are neither
+    trials nor outliers. Returns per-group (q1, q3, lo, hi,
+    n_rows, n_outliers).
+    """
+    v = F.col(value_col)
+    fences = df.groupBy(*by).agg(
+        F.percentile(v, F.lit(0.25)).alias("q1"),
+        F.percentile(v, F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))
+    fences = fences.select(*by, "q1", "q3", lo.alias("lo"), hi.alias("hi"))
+    joined = df.join(F.broadcast(fences), on=by)
+    out = (v < F.col("lo")) | (v > F.col("hi"))
+    return (
+        joined.groupBy(*by)
+        .agg(
+            F.round(F.first("q1"), round_to).alias("q1"),
+            F.round(F.first("q3"), round_to).alias("q3"),
+            F.round(F.first("lo"), round_to).alias("lo"),
+            F.round(F.first("hi"), round_to).alias("hi"),
+            F.sum(v.isNotNull().cast("long")).alias("n_rows"),
+            F.sum(F.when(v.isNotNull() & out, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -130,3 +130,31 @@ def test_benford_audit(spark):
     assert out[4].n == 1 and out[9].n == 1
     assert abs(out[1].expected - round(math.log10(2), 6)) < 1e-9
     assert all(r.chi2_component >= 0 for r in out.values())
+
+
+def test_ab_conversion_test(spark):
+    from assignment_etl_spark.ext.drift import ab_conversion_test
+
+    # A: 8/10 convert; B: 2/10 convert -> clearly significant
+    rows = [("A", 1)] * 8 + [("A", 0)] * 2 + [("B", 1)] * 2 + [("B", 0)] * 8
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = ab_conversion_test(
+        df, group_col="variant", conversion_col="converted",
+        group_a="A", group_b="B",
+    ).collect()[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (10, 8, 10, 2)
+    assert (r.rate_a, r.rate_b, r.rate_diff) == (0.8, 0.2, 0.6)
+    # pooled p=0.5 -> se = sqrt(0.25*0.2) = sqrt(0.05)
+    assert abs(r.se - 0.05**0.5) < 1e-6
+    assert bool(r.significant_95) is True
+
+    # degenerate pooled rate (all convert) -> NULL stats, row still there
+    allc = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 1)], "variant string, converted int"
+    )
+    r2 = ab_conversion_test(
+        allc, group_col="variant", conversion_col="converted",
+        group_a="A", group_b="B",
+    ).collect()[0]
+    assert r2.se is None and r2.z_score is None
+    assert (r2.rate_a, r2.rate_b) == (1.0, 1.0)

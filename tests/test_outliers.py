@@ -94,3 +94,14 @@ def test_winsorize_null_passthrough_and_groups(spark):
     assert got[("a", 100.0)] == 2.0  # clipped to group-a median
     assert got[("b", 5.0)] == 5.0
     assert got[("b", None)] is None
+
+
+def test_iqr_outliers(spark):
+    from assignment_etl_spark.ops.outliers import iqr_outliers
+
+    vals = [float(v) for v in range(1, 12)] + [100.0, None]  # one extreme
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = iqr_outliers(df, value_col="v", by=["g"]).collect()[0]
+    assert r.n_rows == 12                 # NULL excluded
+    assert r.n_outliers == 1              # only the 100.0
+    assert r.q1 < r.q3 and r.lo < r.q1 and r.hi > r.q3
