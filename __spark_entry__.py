@@ -9957,7 +9957,8 @@ agg AS (
               AS DOUBLE) AS sxx
   FROM base GROUP BY 1)
 SELECT user_id, CAST(n AS BIGINT) AS n,
-       CASE WHEN n >= 2 AND xmin < xmax AND (n * sxx - sx * sx) > 0
+       CASE WHEN n >= 2 AND xmin < xmax
+                 AND (n * sxx - sx * sx) > 2e-6 * n * abs(sx)
             THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
        END AS slope
 FROM agg ORDER BY user_id
@@ -10193,11 +10194,17 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
     b = docs.select(
         "doc_id",
-        F.least(
-            F.floor(quality_score(F.col("text")) * 10).cast("int"), F.lit(9)
-        ).alias("bucket"),
+        # least() skips NULLs, which would promote unknown-quality docs
+        # to the TOP bucket — route them to an explicit tail bucket -1
+        F.when(
+            q.isNotNull(),
+            F.least(F.floor(q * 10).cast("int"), F.lit(9)),
+        )
+        .otherwise(F.lit(-1))
+        .alias("bucket"),
         F.round(portable_hash01(F.col("doc_id"), 21), 9).alias("_u"),
     ).withColumn("_inv", (F.lit(9) - F.col("bucket")))
     ordered = global_row_number(
@@ -10224,7 +10231,8 @@ WITH scored AS (
   SELECT doc_id, {_SQL_QUALITY_EXPR} AS q FROM documents),
 b AS (
   SELECT doc_id,
-         LEAST(CAST(floor(q * 10) AS INT), 9) AS bucket,
+         CASE WHEN q IS NULL THEN -1
+              ELSE LEAST(CAST(floor(q * 10) AS INT), 9) END AS bucket,
          round({u}, 9) AS u
   FROM scored),
 r AS (
@@ -10360,7 +10368,9 @@ def q_ab_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(portable_hash01(F.col("user_id"), 13) < 0.5, F.lit("A"))
         .otherwise(F.lit("B"))
         .alias("variant"),
-        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("converted"),
     )
     return ab_conversion_test(
         tagged,
@@ -10387,21 +10397,30 @@ arms AS (
          CAST(sum(CASE WHEN v = 'B' THEN c ELSE 0 END) AS BIGINT) AS x_b
   FROM tagged)
 SELECT n_a, n_b, x_a, x_b,
-       round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
-       round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
-       round(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b, 6)
-         AS rate_diff,
-       round(sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+       CASE WHEN n_a >= 1
+            THEN round(CAST(x_a AS DOUBLE) / n_a, 6) END AS rate_a,
+       CASE WHEN n_b >= 1
+            THEN round(CAST(x_b AS DOUBLE) / n_b, 6) END AS rate_b,
+       CASE WHEN n_a >= 1 AND n_b >= 1
+            THEN round(CAST(x_a AS DOUBLE) / n_a
+                       - CAST(x_b AS DOUBLE) / n_b, 6) END AS rate_diff,
+       CASE WHEN n_a >= 1 AND n_b >= 1
+                 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+            THEN round(sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
                   * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-                  * (1.0 / n_a + 1.0 / n_b)), 6) AS se,
-       round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                  * (1.0 / n_a + 1.0 / n_b)), 6) END AS se,
+       CASE WHEN n_a >= 1 AND n_b >= 1
+                 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+            THEN round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
              / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
                     * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score,
-       abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                    * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score,
+       CASE WHEN n_a >= 1 AND n_b >= 1
+                 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+            THEN abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
            / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
                   * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-                  * (1.0 / n_a + 1.0 / n_b))) > 1.959964 AS significant_95
+                  * (1.0 / n_a + 1.0 / n_b))) > 1.959964 END AS significant_95
 FROM arms
 """
 

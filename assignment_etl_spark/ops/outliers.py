@@ -173,7 +173,12 @@ def iqr_outliers(
     lo = F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))
     fences = fences.select(*by, "q1", "q3", lo.alias("lo"), hi.alias("hi"))
-    joined = df.join(F.broadcast(fences), on=by)
+    # null-safe fence join: a NULL group key is still a group (plain
+    # equi-join would silently drop it, outliers and all) — same helper
+    # winsorize uses
+    joined = _join_nullsafe(
+        df, F.broadcast(fences), by, ["q1", "q3", "lo", "hi"]
+    )
     out = (v < F.col("lo")) | (v > F.col("hi"))
     return (
         joined.groupBy(*by)

@@ -352,9 +352,7 @@ def trend_slope(
         F.min(xr).alias("_xmin"),
         F.max(xr).alias("_xmax"),
         F.sum(both.cast("long")).alias("_n"),
-        F.sum(F.when(both, F.round(x, decimal_scale)).cast(dec))
-        .cast("double")
-        .alias("_sx"),
+        F.sum(xr.cast(dec)).cast("double").alias("_sx"),
         F.sum(F.when(both, F.round(y, decimal_scale)).cast(dec))
         .cast("double")
         .alias("_sy"),
@@ -368,17 +366,22 @@ def trend_slope(
     n = F.col("_n").cast("double")
     den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
-    # EXACT zero-variance detection: a key whose x values all agree at
-    # decimal_scale must report NULL, but per-row rounding can leave a
-    # residue in den (round(x·x) vs round(x)²) that a plain den > 0
-    # check mistakes for variance — so the guard compares min/max of the
-    # ROUNDED x directly (exact, no thresholds), and den > 0 remains
-    # only as the numeric-validity backstop. x values distinguishable
-    # only below decimal_scale are noise-limited by construction.
+    # Two guards, both needed:
+    # 1. exact zero-variance: min/max of the ROUNDED x (a key whose x
+    #    values all agree at decimal_scale reports NULL — a plain
+    #    den > 0 would mistake rounding residue for variance);
+    # 2. residue bound: per-row rounding perturbs den by at most
+    #    ~2·10^-scale·n·|Σx| (the Σx² cross term dominates), so a den
+    #    below that bound is noise, not signal — this is what makes
+    #    the docstring's centering advice quantitative: large |x̄|
+    #    inflates the bound until genuine small variances drown.
+    residue_bound = (
+        F.lit(2.0 * 10.0 ** (-decimal_scale)) * n * F.abs(F.col("_sx"))
+    )
     ok = (
         (F.col("_n") >= 2)
         & (F.col("_xmin") < F.col("_xmax"))
-        & (den > 0)
+        & (den > residue_bound)
     )
     return agg.select(
         F.col(key_col),

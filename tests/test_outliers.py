@@ -105,3 +105,15 @@ def test_iqr_outliers(spark):
     assert r.n_rows == 12                 # NULL excluded
     assert r.n_outliers == 1              # only the 100.0
     assert r.q1 < r.q3 and r.lo < r.q1 and r.hi > r.q3
+
+
+def test_iqr_outliers_null_group_kept(spark):
+    from assignment_etl_spark.ops.outliers import iqr_outliers
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            (None, 10.0), (None, 11.0), (None, 12.0), (None, 13.0),
+            (None, 500.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in iqr_outliers(df, value_col="v", by=["g"]).collect()}
+    assert None in out                      # NULL key is still a group
+    assert out[None].n_rows == 5 and out[None].n_outliers == 1
