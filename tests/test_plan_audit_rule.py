@@ -1,0 +1,86 @@
+"""The plan-audit broadcast-hint rule (VERDICT r4 ask #2): an explicit
+F.broadcast() over an un-aggregated scan of an sf-proportional table must be
+flagged; broadcasts of aggregates/distincts and of fixed-size dims must not.
+"""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+from tools.plan_audit import audit_broadcast_hints  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {
+        name: spark.read.parquet(f"{SF}/{name}.parquet")
+        for name in ("customer", "orders", "nation", "part", "events")
+    }
+
+
+def test_flags_broadcast_of_customer_scan(tables):
+    df = tables["orders"].join(
+        F.broadcast(tables["customer"]),
+        tables["orders"].o_custkey == tables["customer"].c_custkey,
+    )
+    bad = audit_broadcast_hints(df)
+    assert bad == ["broadcast-hint-over-customer"]
+
+
+def test_flags_filtered_big_scan_too(tables):
+    # a constant-fraction filter is still sf-proportional
+    members = tables["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    df = tables["orders"].join(
+        F.broadcast(members.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    assert audit_broadcast_hints(df) == ["broadcast-hint-over-customer"]
+
+
+def test_flags_part_scan(tables):
+    df = tables["orders"].crossJoin(F.broadcast(tables["part"].limit(5)))
+    # limit() does not collapse sf-proportionality guarantees in the rule's
+    # eyes only Aggregate/Deduplicate do; limit is driver-chosen and bounded,
+    # but the rule is deliberately strict about raw scans
+    assert audit_broadcast_hints(df) == ["broadcast-hint-over-part"]
+
+
+def test_exempts_aggregate_of_big_table(tables):
+    tot = tables["orders"].agg(F.count(F.lit(1)).alias("n"))
+    df = tables["nation"].crossJoin(F.broadcast(tot))
+    assert audit_broadcast_hints(df) == []
+
+
+def test_exempts_distinct_of_bounded_domain(tables):
+    buckets = tables["events"].select(
+        F.floor(F.unix_timestamp("ts") / 86400).alias("b")
+    ).distinct()
+    df = tables["nation"].crossJoin(F.broadcast(buckets))
+    assert audit_broadcast_hints(df) == []
+
+
+def test_exempts_fixed_size_dim(tables):
+    df = tables["orders"].join(
+        F.broadcast(tables["nation"]), F.lit(True), "left"
+    )
+    assert audit_broadcast_hints(df) == []
+
+
+def test_registry_sample_is_clean(spark):
+    # the nine de-hinted round-5 sites must stay clean
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "revenue_by_region",
+        "promo_revenue",
+        "small_quantity_revenue",
+        "bloom_join_prune",
+        "min_cost_supplier",
+        "large_volume_customers",
+    ):
+        assert audit_broadcast_hints(qs[name](spark, SF)) == [], name

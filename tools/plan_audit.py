@@ -22,6 +22,62 @@ import re
 import sys
 
 HARD = ("CartesianProduct", "BatchEvalPython")
+
+# sf-proportional tables: an explicit broadcast() hint whose subtree scans one
+# of these without an intervening Aggregate overrides Catalyst's size check
+# and would attempt a multi-GB broadcast at production scale (VERDICT r4 §What's
+# wrong #1). Marker columns identify the relation in the analyzed plan; small
+# fixed-size dims (region, nation) and supplier (10k x sf, narrow — the
+# sanctioned hint set per SCALE.md) are deliberately absent.
+_BIG_TABLE_MARKERS = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "part": "p_partkey",
+    "events": "event_type",
+    "documents": "doc_id",
+    "embeddings": "embedding",
+}
+
+
+def _walk_big_scan(node) -> set[str]:
+    """Return the sf-proportional tables scanned in this logical subtree,
+    treating Aggregate as a cardinality collapse (its subtree is exempt:
+    a grouped/global aggregate of a big table is bounded by the group-key
+    domain, not the input row count)."""
+    name = node.getClass().getSimpleName()
+    if "Aggregate" in name or "Deduplicate" in name:
+        return set()
+    found: set[str] = set()
+    if "Relation" in name:
+        out = node.output()
+        cols = {out.apply(i).name() for i in range(out.length())}
+        for table, marker in _BIG_TABLE_MARKERS.items():
+            if marker in cols:
+                found.add(table)
+    kids = node.children()
+    for i in range(kids.length()):
+        found |= _walk_big_scan(kids.apply(i))
+    return found
+
+
+def audit_broadcast_hints(df) -> list[str]:
+    """Flag explicit broadcast hints over un-aggregated sf-proportional
+    scans in the analyzed logical plan. Returns violation strings."""
+    bad: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+            tables = _walk_big_scan(node)
+            if tables:
+                bad.append(f"broadcast-hint-over-{'+'.join(sorted(tables))}")
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return bad
 SOFT = (
     "Exchange",
     "WholeStageCodegen",
@@ -70,6 +126,7 @@ def main() -> int:
             continue
         try:
             df = fn(spark, sf_dir)
+            hint_bad = audit_broadcast_hints(df)
             # materialize THIS plan (count() would execute a different,
             # count-aggregated plan): AQE only inserts WholeStageCodegen
             # stages and settles re-plans in the executed final plan
@@ -83,6 +140,8 @@ def main() -> int:
         for k in HARD:
             if c[k]:
                 violations.append(f"{name}: {k} x{c[k]}")
+        for h in hint_bad:
+            violations.append(f"{name}: {h}")
         rows.append((name, c, None))
         print(
             f"{name}: xchg={c['Exchange']} codegen={c['WholeStageCodegen']} "
