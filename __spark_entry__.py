@@ -8328,7 +8328,10 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assignment_etl_spark.ops.timeseries import ewma
 
     _prep(spark)
-    events = _t(spark, sf_dir, "events")
+    # NULL-ts rows are excluded on BOTH engine sides: Spark sorts NULLs
+    # first ascending while DuckDB sorts them last, so an unfiltered
+    # ordered window would diverge if the fixture ever gains NULL ts
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     e = ewma(
         events,
         key_col="user_id",
@@ -8364,7 +8367,7 @@ def _sql_ewma_user_value(alpha: float = 0.5, max_lags: int = 4) -> str:
     return f"""
 WITH lagged AS (
   SELECT user_id, {lags}
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sm AS (
   SELECT user_id,
@@ -8445,32 +8448,45 @@ def _sql_ab_test_events() -> str:
     return f"""
 WITH tagged AS (
   SELECT CASE WHEN ({u}) < 0.5 THEN 'A' ELSE 'B' END AS variant, value
-  FROM events WHERE value IS NOT NULL),
-stats AS (
-  SELECT variant, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
-  FROM tagged GROUP BY 1),
+  FROM events),
+-- ONE conditional-aggregate row, mirroring ab_test's always-one-row
+-- contract: an empty or all-NULL arm yields n=0 (not a vanished CROSS
+-- JOIN row) and the n>=2 CASE gates below replay Spark's NULL-stats
+-- degenerate path; value IS NOT NULL lives inside the aggregate exactly
+-- like ab_test's cond, so only a fully empty events table yields NULL n
 arms AS (
-  SELECT a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
-         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
-  FROM (SELECT * FROM stats WHERE variant = 'A') a
-  CROSS JOIN (SELECT * FROM stats WHERE variant = 'B') b)
+  SELECT CAST(sum(CASE WHEN value IS NOT NULL AND variant = 'A'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN value IS NOT NULL AND variant = 'A'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sx_a,
+         CAST(sum(CASE WHEN value IS NOT NULL AND variant = 'A'
+                  THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_a,
+         CAST(sum(CASE WHEN value IS NOT NULL AND variant = 'B'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN value IS NOT NULL AND variant = 'B'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sx_b,
+         CAST(sum(CASE WHEN value IS NOT NULL AND variant = 'B'
+                  THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_b
+  FROM tagged),
+scored AS (
+  SELECT *,
+         CASE WHEN n_a >= 2 AND n_b >= 2
+              THEN sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                      + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b)
+         END AS se_raw
+  FROM arms)
 SELECT n_a, n_b,
-       round(sx_a / n_a, 6) AS mean_a,
-       round(sx_b / n_b, 6) AS mean_b,
-       round(sx_a / n_a - sx_b / n_b, 6) AS mean_diff,
-       round(sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 6) AS se,
-       round((sx_a / n_a - sx_b / n_b)
-             / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                  + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 6)
-         AS z_score,
-       abs((sx_a / n_a - sx_b / n_b)
-           / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b))
-         > 1.959964 AS significant_95
-FROM arms
+       CASE WHEN n_a >= 1 THEN round(sx_a / n_a, 6) END AS mean_a,
+       CASE WHEN n_b >= 1 THEN round(sx_b / n_b, 6) END AS mean_b,
+       CASE WHEN n_a >= 1 AND n_b >= 1
+            THEN round(sx_a / n_a - sx_b / n_b, 6) END AS mean_diff,
+       round(se_raw, 6) AS se,
+       CASE WHEN se_raw > 0
+            THEN round((sx_a / n_a - sx_b / n_b) / se_raw, 6) END AS z_score,
+       CASE WHEN se_raw > 0
+            THEN abs((sx_a / n_a - sx_b / n_b) / se_raw) > 1.959964
+       END AS significant_95
+FROM scored
 """
 
 
@@ -8856,6 +8872,7 @@ surv AS (
 fin AS (
   SELECT s.doc_id, s.quality,
          CASE
+           WHEN s.quality IS NULL THEN 'unscored'
            WHEN s.quality < {min_quality!r} THEN 'low_quality'
            WHEN s.lang_detected <> 'en' THEN 'wrong_lang'
            WHEN v.rn > 1 THEN 'duplicate'
@@ -8970,7 +8987,8 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assignment_etl_spark.ops.funnel import last_touch_attribution
 
     _prep(spark)
-    events = _t(spark, sf_dir, "events")
+    # NULL-ts parity: Spark orders NULLs first, DuckDB last — exclude them
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     out = last_touch_attribution(
         events,
         tie_break="event_id",
@@ -9000,7 +9018,7 @@ WITH tagged AS (
                          THEN event_type END IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT COALESCE(ch, 'none') AS channel,
        count(*) AS n_conversions,
        round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
@@ -9133,8 +9151,11 @@ def q_rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hit catastrophic cancellation in nΣy²−(Σy)² AND engine-divergent
     # double rounding; small integer-valued y keeps every intermediate
     # exactly representable
-    events = _t(spark, sf_dir, "events").withColumn(
-        "_epoch", _mins_since_2024()
+    # NULL-ts parity: Spark orders NULLs first, DuckDB last — exclude them
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("_epoch", _mins_since_2024())
     )
     out = rolling_corr(
         events,
@@ -9164,7 +9185,7 @@ WITH base AS (
          -- whole-second epoch (Spark unix_timestamp truncates), then
          -- minutes since 2024-01-01 — small integer-valued doubles
          CAST(floor(floor(epoch(ts)) / 60) - 28401120 AS DOUBLE) AS ep
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 framed AS (
   SELECT user_id,
          sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
@@ -9216,15 +9237,18 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     suffix = uuid.uuid4().hex[:8]
     t_ord, t_li = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
-    write_bucketed_table(
-        _t(spark, sf_dir, "orders"), t_ord, ["o_orderkey"], 8,
-        sort_by=["o_orderkey"],
-    )
-    write_bucketed_table(
-        _t(spark, sf_dir, "lineitem"), t_li, ["l_orderkey"], 8,
-        sort_by=["l_orderkey"],
-    )
+    # writes live INSIDE the try: if the second write fails the finally's
+    # DROP still cleans up the first table instead of leaking it into the
+    # session catalog/warehouse
     try:
+        write_bucketed_table(
+            _t(spark, sf_dir, "orders"), t_ord, ["o_orderkey"], 8,
+            sort_by=["o_orderkey"],
+        )
+        write_bucketed_table(
+            _t(spark, sf_dir, "lineitem"), t_li, ["l_orderkey"], 8,
+            sort_by=["l_orderkey"],
+        )
         o, li = spark.table(t_ord), spark.table(t_li)
         out = (
             li.join(o, li.l_orderkey == o.o_orderkey)
@@ -9318,7 +9342,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assignment_etl_spark.ops.funnel import event_transitions
 
     _prep(spark)
-    events = _t(spark, sf_dir, "events")
+    # NULL-ts parity: Spark orders NULLs first, DuckDB last — exclude them
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return event_transitions(events, tie_break="event_id").orderBy(
         "from_type", "to_type"
     )
@@ -9329,7 +9354,7 @@ WITH led AS (
   SELECT event_type AS from_type,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS to_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 pairs AS (
   SELECT from_type, to_type, count(*) AS n
   FROM led WHERE to_type IS NOT NULL GROUP BY 1, 2)

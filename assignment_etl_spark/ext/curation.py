@@ -46,11 +46,14 @@ def curate_corpus(
     split_weights: dict[str, int] | None = None,
 ) -> DataFrame:
     """Tag every document with its pipeline outcome: ``status`` is
-    'low_quality' | 'wrong_lang' | 'duplicate' | a split label. Filters
-    apply in that order (a low-quality wrong-language doc reports
-    'low_quality'); dedup is keep-first-by-id among the docs that
-    survived both filters. Returns (id, quality, lang_detected,
-    status) — survivors are the rows whose status is a split label."""
+    'unscored' | 'low_quality' | 'wrong_lang' | 'duplicate' | a split
+    label. Filters apply in that order (a low-quality wrong-language doc
+    reports 'low_quality'); dedup is keep-first-by-id among the docs
+    that survived both filters. A NULL quality (NULL text) routes to
+    'unscored' — an unknown-quality doc must never classify as a
+    survivor by falling through every NULL-propagating drop branch.
+    Returns (id, quality, lang_detected, status) — survivors are the
+    rows whose status is a split label."""
     weights = split_weights or {"train": 90, "val": 5, "test": 5}
     scored = docs.select(
         F.col(id_col),
@@ -75,7 +78,8 @@ def curate_corpus(
         F.col(id_col),
         "quality",
         "lang_detected",
-        F.when(F.col("quality") < min_quality, F.lit("low_quality"))
+        F.when(F.col("quality").isNull(), F.lit("unscored"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
         .when(~F.col("lang_detected").isin(list(langs)), F.lit("wrong_lang"))
         .when(F.col("_rn") > 1, F.lit("duplicate"))
         .otherwise(F.col("split"))

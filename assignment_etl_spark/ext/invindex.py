@@ -134,6 +134,8 @@ def bm25_search(
     uniq = sorted({t.lower() for t in terms})
     if not uniq:
         raise ValueError("bm25_search needs at least one term")
+    if topk is not None and topk < 1:
+        raise ValueError(f"topk must be >= 1 when set, got {topk!r}")
     base = docs.select(
         F.col(id_col), tokenize(text_col).alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
@@ -177,7 +179,7 @@ def bm25_search(
     sc = scored.select(
         F.col(id_col), F.round(score, round_to).alias("score")
     ).filter(F.col("score") > 0)
-    if topk:
+    if topk is not None:
         # orderBy+limit compiles to TakeOrderedAndProject (per-partition
         # heaps, no global sort); the rank window then runs over ≤ topk
         # rows, never the full match set

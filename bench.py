@@ -136,6 +136,7 @@ def main() -> None:
     # reported for honesty.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    runs3: dict[str, list[float]] = {}
     for name in HEADLINE:
         runs = []
         n = 0
@@ -145,6 +146,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        runs3[name] = [round(r, 3) for r in runs]
         print(f"# {name}: {n} rows in {timings[name]:.2f}s (cold {cold[name]:.2f}s)", file=sys.stderr)
 
     # regression check vs the committed baseline (BENCH_BASELINE.json):
@@ -174,6 +176,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query spread for screening phantom regressions: `queries`
+                # is min-of-3; `runs3` holds all three wall-clocks so a flagged
+                # slowdown can be checked against in-run variance before it's
+                # treated as a plan regression (driver flags in r2-r4 were all
+                # host contention, never reproducible)
+                "min3": timings,
+                "runs3": runs3,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "regressions_vs_baseline": regressions,

@@ -268,6 +268,7 @@ def test_curate_corpus_funnel(spark):
             (2, good),                 # exact dup of 1 -> duplicate
             (3, "x"),                  # low quality (tiny)
             (4, "el rapido zorro marron salta sobre el perro perezoso y corre " * 10),
+            (5, None),                 # NULL text: quality 0.6, lang 'und'
         ],
         "doc_id long, text string",
     )
@@ -276,6 +277,12 @@ def test_curate_corpus_funnel(spark):
     assert out[2] == "duplicate"
     assert out[3] == "low_quality"
     assert out[4] == "wrong_lang"
+    # NULL text scores non-NULL quality (0.6) with lang 'und' on BOTH
+    # engines, so it drops as wrong_lang — never a split label; the
+    # 'unscored' status guards the (currently unreachable) NULL-quality
+    # path so a future quality_score change can't silently promote
+    # unknown-quality docs to survivors
+    assert out[5] == "wrong_lang"
 
 
 def test_span_corruption_structure(spark):

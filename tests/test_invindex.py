@@ -79,6 +79,14 @@ def test_bm25_ranking(spark):
     out2 = bm25_search(docs, ["cat", "bird"]).collect()
     assert out2[0].doc_id == 2
 
+    # topk=0 must be rejected, not silently treated as "no limit"
+    import pytest
+
+    with pytest.raises(ValueError, match="topk"):
+        bm25_search(docs, ["cat"], topk=0)
+    with pytest.raises(ValueError, match="topk"):
+        bm25_search(docs, ["cat"], topk=-3)
+
 
 def test_phrase_search(spark):
     from assignment_etl_spark.ext.invindex import (
