@@ -5734,12 +5734,15 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME representation lets DuckDB replay all 10 unrolled
     iterations (pair counts from zipped token lists, argmax with the
     count-desc/pair-asc tie-break, literal replace) to the identical
-    merge table: an oracle-certified iterative trainer."""
+    merge table: an oracle-certified iterative trainer. batch_k=4 runs
+    the BATCHED selection path (ext/bpe._safe_batch): the oracle replays
+    strictly sequential selection, so the hash match certifies the
+    batch-prefix rule's order-equivalence proof on real data."""
     from assignment_etl_spark.ext.bpe import merges_df, train_bpe
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    merges = train_bpe(docs, n_merges=10)
+    merges = train_bpe(docs, n_merges=10, batch_k=4)
     return merges_df(spark, merges).orderBy("step")
 
 

@@ -71,38 +71,110 @@ def _pair_counts(sym: DataFrame) -> DataFrame:
     )
 
 
+def _safe_batch(rows, k: int, truncated: bool):
+    """Pick the longest PREFIX of the count-sorted candidate list (≤ k)
+    that provably yields the SAME merge sequence as one-at-a-time
+    selection. Candidate i is accepted only if, for every already
+    accepted merge a=(l,r):
+
+    1. it shares no symbol with {l, r, l+r} (so its own count — and its
+       existence — is untouched by applying a, including the case where
+       the concatenated symbol string collides with an existing symbol);
+    2. cnt_i > U_a + M_a, where U_a bounds the count of any pair
+       NEWLY CREATED by a ((x,lr) ≤ old cnt(x,l); (lr,y) ≤ old
+       cnt(r,y)) and M_a bounds the old count of any pair already
+       containing a symbol spelled "lr" that the merge could increment;
+       both maxima fall back to the smallest collected count when the
+       candidate window was truncated (an uncollected pair can be no
+       larger). Strict > keeps the count-desc/pair-asc tie-break safe.
+
+    After applying the accepted prefix in order, every remaining pair's
+    count is ≤ its pre-batch value (merges only destroy adjacencies of
+    their own symbols) and every created/incremented pair is < the next
+    accepted candidate's count — so the sequential argmax at each
+    intermediate state is exactly the next prefix element."""
+    c_min = int(rows[-1].cnt) if truncated else 0
+    accepted: list = []
+    bounds: list[int] = []
+    forbidden: set[str] = set()
+    for r in rows:
+        if len(accepted) == k:
+            break
+        if accepted:
+            if {r.lft, r.rgt} & forbidden:
+                break
+            if not all(int(r.cnt) > b for b in bounds):
+                break
+        accepted.append(r)
+        concat = r.lft + r.rgt
+        u = c_min
+        m = c_min
+        for q in rows:
+            if q.rgt == r.lft or q.lft == r.rgt:
+                u = max(u, int(q.cnt))
+            if concat in (q.lft, q.rgt):
+                m = max(m, int(q.cnt))
+        bounds.append(u + m)
+        forbidden |= {r.lft, r.rgt, concat}
+    return accepted
+
+
 def train_bpe(
     docs: DataFrame,
     *,
     n_merges: int,
     text_col: str = "text",
+    batch_k: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` merges from the corpus; returns
     [(step, left, right, pair_count), ...] in training order. Stops early
-    if no adjacent pair remains."""
+    if no adjacent pair remains.
+
+    ``batch_k`` > 1 batches merge selection: each round collects a
+    window of top pairs in ONE job and applies the longest provably
+    order-equivalent prefix (see ``_safe_batch``) as a single chained
+    substitution — cutting driver round-trips up to ``batch_k``× for a
+    production 32k-merge vocabulary while returning bit-identical
+    merges to the sequential path (the gated config is oracle-certified
+    with batch_k=4 against a sequential SQL replay). Zipfian pair
+    counts decay steeply, so real batches stay near ``batch_k``.
+    ``stats``, when passed, records {"rounds": <jobs run>} so callers
+    can assert the round-trip saving."""
     sym = (
         _word_freq(docs, text_col=text_col)
         .select(_to_symbols(F.col("word")).alias("s"), "n")
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        best = (
+    rounds = 0
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        window = 1 if k == 1 else max(4 * k, 16)
+        rows = (
             _pair_counts(sym)
             .orderBy(F.desc("cnt"), F.asc("lft"), F.asc("rgt"))
-            .limit(1)
+            .limit(window)
             .collect()
         )
-        if not best:
+        rounds += 1
+        if not rows:
             break
-        lft, rgt, cnt = best[0].lft, best[0].rgt, int(best[0].cnt)
-        merges.append((step, lft, rgt, cnt))
-        sym = sym.select(
-            F.replace(
-                F.col("s"), F.lit(f"({lft})({rgt})"), F.lit(f"({lft}{rgt})")
-            ).alias("s"),
-            "n",
-        ).localCheckpoint(eager=True)
+        batch = (
+            rows
+            if k == 1
+            else _safe_batch(rows, k, truncated=len(rows) == window)
+        )
+        col = F.col("s")
+        for r in batch:
+            merges.append((len(merges) + 1, r.lft, r.rgt, int(r.cnt)))
+            # chained in acceptance order: one fused projection per round
+            col = F.replace(
+                col, F.lit(f"({r.lft})({r.rgt})"), F.lit(f"({r.lft}{r.rgt})")
+            )
+        sym = sym.select(col.alias("s"), "n").localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -272,11 +272,19 @@ def stream_upsert_sink(
     order_cols: list[str],
     checkpoint: str,
     partition_by: list[str] | None = None,
+    post_batch_hook=None,
 ) -> "StreamingQuery":  # noqa: F821
     """CDC-style keyed streaming sink: every micro-batch MERGEs into a
     parquet state table through ``io.store.upsert_parquet``, keeping the
     LATEST row per key by ``order_cols`` (compared lexicographically, so
     pass a total order like ``["ts", "event_id"]``).
+
+    ``post_batch_hook(epoch_id)``, when given, runs after the state
+    merge but BEFORE Spark commits the batch to the checkpoint — a
+    hook that raises simulates a crash inside foreachBatch's
+    at-least-once window (state written, offset not committed), which
+    is exactly the replay the keep-latest filter must absorb. Used by
+    the restart test; production callers can use it for metrics.
 
     Convergence is deliberately independent of micro-batch boundaries and
     file listing order: each batch is first reduced to its own latest row
@@ -320,9 +328,10 @@ def stream_upsert_sink(
                 .drop("_cur_ord")
             )
         latest = latest.localCheckpoint(eager=True)  # sever lineage from `path`
-        if latest.isEmpty():
-            return
-        upsert_parquet(spark, path, latest, key, partition_by=partition_by)
+        if not latest.isEmpty():
+            upsert_parquet(spark, path, latest, key, partition_by=partition_by)
+        if post_batch_hook is not None:
+            post_batch_hook(epoch_id)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -82,3 +82,35 @@ def test_deterministic_across_partitionings(spark):
     d1 = spark.createDataFrame([(t,) for t in texts], "text string").repartition(1)
     d2 = spark.createDataFrame([(t,) for t in texts], "text string").repartition(9)
     assert train_bpe(d1, n_merges=6) == train_bpe(d2, n_merges=6)
+
+
+def test_batched_path_equals_sequential(spark):
+    # the prefix-batched selection (batch_k>1) must return the EXACT
+    # merge sequence of one-at-a-time training, in fewer driver rounds
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest newest low lowest newer news widen widen",
+        "the the the them theme theme thematic an and and banana",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    seq_stats, bat_stats = {}, {}
+    seq = train_bpe(docs, n_merges=12, batch_k=1, stats=seq_stats)
+    bat = train_bpe(docs, n_merges=12, batch_k=4, stats=bat_stats)
+    assert bat == seq
+    assert seq_stats["rounds"] == len(seq)
+    assert bat_stats["rounds"] < seq_stats["rounds"]
+    # and against the pure-python reference too
+    wc = Counter(w for t in texts for w in t.split())
+    assert bat == _reference_bpe(wc, 12)
+
+
+def test_batched_path_greedy_overlap_and_ties(spark):
+    # adversarial: self-pairs, chained symbols, and exact count ties —
+    # the batch rule must bail to sequential rather than reorder
+    docs = spark.createDataFrame(
+        [("aaa aaa bb", ), ("ab ab ba ba", ), ("ccc ccc ccc", )],
+        "text string",
+    )
+    wc = Counter(w for d in docs.collect() for w in d.text.split())
+    for n in (1, 3, 6):
+        assert train_bpe(docs, n_merges=n, batch_k=4) == _reference_bpe(wc, n)

@@ -80,6 +80,53 @@ def test_late_and_new_data_absorbed(spark, paths):
     assert got == {1: "a", 2: "fresh"}
 
 
+def test_crash_mid_batch_then_restart_converges(spark, paths):
+    """Kill the query INSIDE the at-least-once window — after the state
+    merge, before the checkpoint commit — then restart from the same
+    checkpoint. The killed batch replays; the keep-latest filter must
+    absorb the replay so the final state still equals the batch
+    keep-latest recompute (the exactly-once-convergence claim in
+    SCALE.md, proven under restart instead of argued)."""
+    src, state, ckpt = paths
+    rows = [(e, e * 7 % 23, e % 6, f"t{e % 4}", float(e)) for e in range(60)]
+    df = _events(spark, rows)
+    # 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+    df.repartitionByRange(4, "ts", "event_id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    crashed = {"n": 0}
+
+    def crash_after_second_batch(epoch_id):
+        crashed["n"] += 1
+        if crashed["n"] == 2:
+            raise RuntimeError("injected crash after state write")
+
+    q = stream_upsert_sink(
+        read_events_stream(spark, src, schema=schema),
+        path=state,
+        key=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint=ckpt,
+        post_batch_hook=crash_after_second_batch,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert crashed["n"] == 2  # died mid-stream: batch 2 written, uncommitted
+
+    # restart from the SAME checkpoint: batch 2 replays (its offsets were
+    # never committed) plus the remaining files
+    _run(spark, src, state, ckpt)
+    got = {r.user_id: (r.ts, r.event_id) for r in spark.read.parquet(state).collect()}
+    exp = {r.user_id: (r.ts, r.event_id) for r in _latest(df).collect()}
+    assert got == exp
+    # row-level equality with the batch oracle, not just keys (columns
+    # sorted by name: upsert_parquet may reorder them in the state table)
+    cols = sorted(df.columns)
+    got_rows = sorted(map(tuple, spark.read.parquet(state).select(*cols).collect()))
+    exp_rows = sorted(map(tuple, _latest(df).select(*cols).collect()))
+    assert got_rows == exp_rows
+
+
 def test_streaming_hll_matches_batch_and_restarts(spark, tmp_path):
     """Register state after the streamed drain equals the one-shot batch
     sketch; a checkpointed re-run changes nothing (max-merge idempotent)."""
