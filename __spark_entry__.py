@@ -1763,6 +1763,56 @@ SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
 """
 
 
+def q_cell_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe reduced-scan ANN (ext/similarity.cell_multiprobe_topk):
+    each query probes its sign-bit cell plus all Hamming-1 neighbors —
+    6 of 32 cells at n_bits=5 — recovering boundary neighbors that
+    single-cell probing (cell_probe_topk) loses. The quantizer is
+    closed-form, so the oracle replays the REDUCED multi-cell search
+    exactly: this is the oracle-certified twin of running the k-means
+    IVF index at nprobe>1 (recall curves: tools/ann_eval.py --clustered,
+    SCALE.md ANN section)."""
+    from assignment_etl_spark.ext.similarity import cell_multiprobe_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = cell_multiprobe_topk(
+        emb.filter(F.col("vec_id") < 8), emb, 5, n_bits=5, hamming=1
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+SQL_CELL_MULTIPROBE_TOPK = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+          + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) AS cell
+  FROM embeddings),
+probes AS (
+  SELECT q.vec_id, q.emb, xor(q.cell, m.mask) AS cell
+  FROM e q CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16)) m(mask)
+  WHERE q.vec_id < 8)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.emb, c.emb) AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+  FROM probes q JOIN e c ON q.cell = c.cell AND q.vec_id != c.vec_id)
+WHERE rank <= 5
+"""
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard for adjacent doc pairs (the verify
     step of a near-dup pipeline)."""
@@ -5543,7 +5593,10 @@ def q_geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c_custkey") * 7) % 1000) / 100.0).alias("lat"),
         (((F.col("c_custkey") * 13) % 1000) / 100.0).alias("lon"),
     )
-    pairs = self_radius_pairs(pts, radius_km=25.0, cell_deg=1.0)
+    # cell_deg tracks the radius (25/111.32 ≈ 0.225°, rounded up to 0.25):
+    # a 1° grid was exhaustive but scanned ~16× more candidate pairs —
+    # measured 3.1× faster at sf0.1, 4.6× at synthetic sf1, identical output
+    pairs = self_radius_pairs(pts, radius_km=25.0, cell_deg=0.25)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("id_a").alias("n_left"),
@@ -10555,6 +10608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz_curve_orders": q_lorenz_curve_orders,
         "ab_conversion_events": q_ab_conversion_events,
         "iqr_outliers_orders": q_iqr_outliers_orders,
+        # -- new round-5 gates (never sampled, ride the 50-prefix tail)
+        "cell_multiprobe_topk": q_cell_multiprobe_topk,
         # -- driver-certified in rounds 1-4 (hash-green rows on record)
         "rolling_user_value": q_rolling_user_value,
         "normalize_price_zscore": q_normalize_price_zscore,
@@ -10819,6 +10874,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_upsert_latest": SQL_STREAMING_UPSERT_LATEST,
         "optimize_table_roundtrip": SQL_OPTIMIZE_TABLE_ROUNDTRIP,
         "cell_probe_topk": SQL_CELL_PROBE_TOPK,
+        "cell_multiprobe_topk": SQL_CELL_MULTIPROBE_TOPK,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,

@@ -139,6 +139,70 @@ def cell_probe_topk(
     )
 
 
+def cell_multiprobe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 5,
+    hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe ANN over sign-bit cells: each query probes its own cell
+    PLUS every cell within Hamming distance ``hamming`` of it — the
+    boundary-recovery trick that lifts reduced-probe recall (a neighbor
+    that fell one sign-flip across a cell wall is found without scanning
+    the whole corpus). With n_bits=5, hamming=1 each query scans 6 of 32
+    cells ≈ 19% of brute-force pairs; tools/ann_eval.py measures the IVF
+    analogue at ~10% probe ≥ 0.98 recall@10 on a clustered corpus.
+
+    Scale shape: queries explode ×(1+Σ C(n_bits,≤h)) probe rows (tiny
+    side), then the SAME well-distributed cell equi-join as
+    cell_probe_topk — never a cross join; dedup is free because probe
+    cells are distinct by construction. The quantizer is closed-form, so
+    a SQL oracle replays the REDUCED search exactly (gate
+    ``cell_multiprobe_topk``)."""
+    if hamming not in (0, 1):
+        raise ValueError("hamming must be 0 or 1 (probe-set generation)")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        signbit_cell(F.col(vec_col), n_bits).alias("_home"),
+    )
+    masks = [0] + [1 << i for i in range(n_bits)] if hamming == 1 else [0]
+    probe = F.array(*[F.lit(m) for m in masks])
+    q = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.transform(probe, lambda m: F.col("_home").bitwiseXOR(m))
+        ).alias("_cell"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
+    )
+    scored = (
+        q.join(c, on="_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 # ------------------------------------------------------------------ LSH path
 
 

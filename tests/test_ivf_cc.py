@@ -121,3 +121,54 @@ def test_pandas_topk_collect_guard(spark):
     # within the guard it still works
     out = brute_force_topk_pandas(emb.limit(4), emb.limit(8), 2, max_candidates=10)
     assert out.count() == 8
+
+
+def test_cell_multiprobe_recovers_boundary_neighbors(spark):
+    """Hamming-1 multiprobe must see pairs that single-cell probing
+    misses (one flipped sign bit away) and never fewer than nprobe=1."""
+    from assignment_etl_spark.ext.similarity import (
+        cell_multiprobe_topk,
+        cell_probe_topk,
+    )
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 0.0]),    # cell 7 (bits 1,2,4)
+        (1, [1.0, 1.0, -0.01, 0.0]),  # cell 3 - one bit from 0's cell
+        (2, [-1.0, -1.0, -1.0, 0.1]), # cell 0 - Hamming 3 from cell 7
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = {(r.query_id, r.neighbor_id) for r in cell_probe_topk(df, df, 3, n_bits=3).collect()}
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in cell_multiprobe_topk(df, df, 3, n_bits=3, hamming=1).collect()
+    }
+    assert single == set()  # all three vectors sit in distinct cells
+    assert (0, 1) in multi and (1, 0) in multi  # boundary pair recovered
+    assert (0, 2) not in multi  # Hamming-3 stays unprobed
+    assert single <= multi
+
+
+def test_cell_multiprobe_recall_beats_single(spark, embeddings):
+    from assignment_etl_spark.ext.similarity import (
+        cell_multiprobe_topk,
+        cell_probe_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, embeddings, 5).collect()
+    }
+
+    def recall(out):
+        got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        return len(got & exact) / len(exact)
+
+    r1 = recall(cell_probe_topk(q, embeddings, 5, n_bits=5))
+    rm = recall(cell_multiprobe_topk(q, embeddings, 5, n_bits=5, hamming=1))
+    assert rm >= r1
+    # the driver fixture's embeddings are near-uniform — the hardest case
+    # for sign-bit cells (measured: single 0.19, multiprobe 0.35); the
+    # clustered-corpus sweep in tools/ann_eval.py is where the operating
+    # point is chosen
+    assert rm > 0.25

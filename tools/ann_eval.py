@@ -4,9 +4,15 @@ probe) against exact brute-force cosine top-k ground truth on the
 embeddings table.
 
 Run: python tools/ann_eval.py [sf_dir] [k]
+     python tools/ann_eval.py --clustered [n_vectors] [k]
 Records the probe/recall trade you tune in production (SCALE.md ANN
 section) — the correctness gates certify full-probe ≡ exact and the
 reduced-probe join shape; THIS measures what reduced probing costs.
+
+``--clustered`` sweeps nprobe on a HARD synthetic corpus instead of the
+driver fixture: skew-sized Gaussian blobs (Zipf-ish cluster masses, tight
+intra-cluster variance) are where IVF recall degrades at low probe counts
+— queries near cell boundaries lose neighbors that landed one cell over.
 """
 
 from __future__ import annotations
@@ -39,25 +45,76 @@ def recall_at_k(exact, approx) -> float:
     return round(hit / total, 4) if total else 0.0
 
 
+def make_clustered(spark, n: int, dim: int = DIM, n_clusters: int = 50, seed: int = 7):
+    """Zipf-weighted Gaussian blobs: cluster c gets mass ∝ 1/(c+1), center
+    components from a seeded uniform ball, points = center + tight noise.
+    All generated JVM-side (rand(seed) + transform), deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)).astype("float64")
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    weights = 1.0 / (np.arange(n_clusters) + 1.0)
+    cum = (weights / weights.sum()).cumsum()
+    # assign each id a cluster by thresholding a seeded uniform draw
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.rand(seed).alias("_u"),
+    )
+    # cluster = first index where u <= cum[i]
+    cl = None
+    for i, c in enumerate(cum):
+        cond = F.lit(float(c)) >= F.col("_u")
+        cl = F.when(cond, i) if cl is None else cl.when(cond, i)
+    base = base.withColumn("_cl", F.coalesce(cl, F.lit(n_clusters - 1)))
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(n_clusters)],
+        "_cl int, _center array<double>",
+    )
+    noisy = base.join(F.broadcast(centers_df), "_cl").select(
+        "vec_id",
+        F.transform(
+            "_center",
+            lambda x, i: x
+            + (F.hash(F.col("vec_id") * 1000003 + i) % 1000).cast("double")
+            / F.lit(1000.0 / 0.15)
+            - F.lit(0.075),
+        ).alias("embedding"),
+        F.col("_cl").alias("label"),
+    )
+    return noisy
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    clustered = len(sys.argv) > 1 and sys.argv[1] == "--clustered"
     spark = get_spark("ann-eval")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
-        .persist()
-    )
+    if clustered:
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+        k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        emb = make_clustered(spark, n).persist()
+        sf_dir = f"clustered(n={n},clusters=50,zipf)"
+    else:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+        k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .withColumn(
+                "embedding", F.transform("embedding", lambda x: x.cast("double"))
+            )
+            .persist()
+        )
     queries = emb.filter(F.col("vec_id") < 64).persist()
     exact = brute_force_topk(queries, emb, k).persist()
     n_cand = emb.count()
     results: dict[str, dict] = {"sf_dir": sf_dir, "k": k, "n_candidates": n_cand}
 
-    n_cells = 16
+    n_cells = 64 if clustered else 16
     assigned, centroids = build_ivf_index(emb, n_cells=n_cells)
     ivf = {}
-    for nprobe in (1, 2, 4, 8, 16):
+    for nprobe in (1, 2, 4, 6, 8, 16, 32, 64) if clustered else (1, 2, 4, 8, 16):
+        if nprobe > n_cells:
+            continue
         approx = ivf_topk(queries, assigned, centroids, k, nprobe=nprobe)
         ivf[f"nprobe={nprobe}/{n_cells}"] = {
             "recall": recall_at_k(exact, approx),

@@ -1,0 +1,128 @@
+"""Materialize an amplified scale-factor directory from sf0.1 — the local
+stand-in for driver-generated sf1 data (the harness only ships sf ≤ 0.1).
+
+Usage: python tools/make_scale_data.py <factor> <out_dir>
+       python tools/make_scale_data.py 10 /tmp/sf1_synth
+
+Amplification = ``factor`` logical copies with DISJOINT key spaces, keys
+re-based consistently across fact/dim tables so every join keeps its
+selectivity. Content transforms keep per-copy distributions identical
+while preventing cross-copy artifacts that plain duplication would cause:
+
+- documents.text goes through a per-copy BIJECTIVE letter substitution
+  (rot-by-rep over [a-z], rep 0 = identity): within a copy, duplicate /
+  near-duplicate structure is preserved exactly (dedup workloads see the
+  realistic rate), but across copies shingles share nothing — a 10×
+  corpus of DISTINCT documents, not ten clones of the same corpus, which
+  would quadratically explode LSH candidate pairs.
+- embeddings get a deterministic per-copy component perturbation, so ANN
+  cell populations grow 10× without 10 exact copies of every vector
+  collapsing into zero-distance clusters.
+- events keep their timestamps (scale-up = more users in the same time
+  window, which is how event densities actually grow).
+
+region/nation are fixed-size dims and copy through unchanged.
+"""
+
+from __future__ import annotations
+
+import string
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+OFF = 100_000_000  # per-copy key offset, beyond any fixture id arithmetic
+
+
+def _rep(df, factor):
+    return df.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+    )
+
+
+def _rebase(df, cols):
+    for c in cols:
+        df = df.withColumn(c, F.col(c) + F.col("_rep") * F.lit(OFF))
+    return df
+
+
+def _rot_text(col, rep_col):
+    """Bijective per-copy letter rotation: translate(text, a..z, rot_k)."""
+    az = string.ascii_lowercase
+    expr = F.translate(col, az, az)  # identity fallback
+    for k in range(1, 26):
+        rot = az[k:] + az[:k]
+        expr = F.when(rep_col % 26 == k, F.translate(col, az, rot)).otherwise(expr)
+    return expr
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
+    spark = get_spark("make-scale-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def t(name):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+
+    def w(df, name, parts=8):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+        print(f"{name}: {spark.read.parquet(f'{out}/{name}.parquet').count()} rows")
+
+    for name in ("region", "nation"):
+        w(t(name), name, parts=1)
+
+    w(_rebase(_rep(t("customer"), factor), ["c_custkey"]).drop("_rep"), "customer")
+    w(_rebase(_rep(t("supplier"), factor), ["s_suppkey"]).drop("_rep"), "supplier")
+    w(_rebase(_rep(t("part"), factor), ["p_partkey"]).drop("_rep"), "part")
+    w(
+        _rebase(_rep(t("orders"), factor), ["o_orderkey", "o_custkey"]).drop("_rep"),
+        "orders",
+    )
+    w(
+        _rebase(
+            _rep(t("lineitem"), factor),
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+        ).drop("_rep"),
+        "lineitem",
+        parts=16,
+    )
+    w(
+        _rebase(_rep(t("events"), factor), ["event_id", "user_id"]).drop("_rep"),
+        "events",
+        parts=16,
+    )
+
+    docs = _rebase(_rep(t("documents"), factor), ["doc_id"])
+    docs = docs.withColumn("text", _rot_text(F.col("text"), F.col("_rep")))
+    w(docs.drop("_rep"), "documents")
+
+    emb = _rebase(_rep(t("embeddings"), factor), ["vec_id"])
+    emb = emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + (F.col("_rep") % 13).cast("float")
+            * F.lit(0.003)
+            * ((i % 7) - 3).cast("float"),
+        ),
+    )
+    w(emb.drop("_rep"), "embeddings")
+    print(f"done: {out} at factor {factor}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
