@@ -1813,6 +1813,228 @@ WHERE rank <= 5
 """
 
 
+def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (ext/drift.cuped_adjust, Deng et al.
+    WSDM'13): per-user pre-period value sum (Jan 1-15) as the covariate,
+    experiment-period sum (Jan 16-30) as the metric; θ, adjusted
+    variance, and the reduction factor from ONE decimal-moment
+    aggregate. The oracle replays the per-user conditional sums and the
+    fixed-order moment algebra exactly."""
+    from assignment_etl_spark.ext.drift import cuped_adjust
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.col("value")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("x_pre"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("y_post"),
+    )
+    return cuped_adjust(
+        per_user, key_col="user_id", metric_col="y_post", covariate_col="x_pre"
+    )
+
+
+SQL_CUPED_EVENTS = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+m AS (
+  SELECT CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x AS DECIMAL(28,6)) END) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE) AS sy,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * y AS DECIMAL(28,6)) END) AS DOUBLE) AS sxy,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * x AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(y * y AS DECIMAL(28,6)) END) AS DOUBLE) AS syy
+  FROM per_user),
+alg AS (
+  SELECT n, sx, sy, sxy, sxx, syy,
+         (sxx - sx * sx / n) / n AS var_x,
+         (syy - sy * sy / n) / n AS var_y,
+         (sxy - sx * sy / n) / n AS cov
+  FROM m)
+SELECT n,
+       CASE WHEN n >= 2 AND var_x > 0 THEN round(cov / var_x, 6) END AS theta,
+       CASE WHEN n >= 1 THEN round(sy / n, 6) END AS mean_y,
+       CASE WHEN n >= 2 THEN round(var_y, 6) END AS var_y,
+       CASE WHEN n >= 2 AND var_x > 0
+            THEN round(var_y - cov * cov / var_x, 6) END AS var_cuped,
+       CASE WHEN n >= 2 AND var_x > 0 AND var_y > 0
+            THEN round(1.0 - (var_y - cov * cov / var_x) / var_y, 6)
+       END AS reduction
+FROM alg
+"""
+
+
+def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (ext/valuation.py, Jia et al.
+    VLDB'19): every training embedding's Shapley value for 5-NN accuracy
+    on an 8-point validation slice, via the closed-form suffix-sum
+    recurrence — one pair join + two windows, no iteration. The oracle
+    replays ranking (cosine distance, id tie-break), the decimal suffix
+    sum, and the per-point mean exactly; Σ shapley = validation accuracy
+    (the efficiency axiom) is asserted in tests/test_valuation.py."""
+    from assignment_etl_spark.ext.valuation import knn_shapley
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = knn_shapley(
+        emb.filter(F.col("vec_id") >= 8),
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+    )
+    return out.orderBy("vec_id")
+
+
+SQL_KNN_SHAPLEY_VALUATION = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, t.vec_id AS train_id,
+         1.0 - list_cosine_similarity(t.emb, q.emb) AS dist,
+         CASE WHEN t.label = q.label THEN 1 ELSE 0 END AS match
+  FROM e t CROSS JOIN e q
+  WHERE t.vec_id >= 8 AND q.vec_id < 8),
+ranked AS (
+  SELECT query_id, train_id, match,
+         row_number() OVER w AS i,
+         count(*) OVER (PARTITION BY query_id) AS n,
+         lead(match) OVER w AS next_match
+  FROM pairs
+  WINDOW w AS (PARTITION BY query_id ORDER BY dist ASC, train_id)),
+inc AS (
+  SELECT query_id, train_id, i,
+         round(CASE WHEN next_match IS NULL
+                    THEN CAST(match AS DOUBLE) / n
+                    ELSE CAST(match - next_match AS DOUBLE) / 5.0
+                         * CAST(least(5, i) AS DOUBLE) / i END,
+               12) AS inc
+  FROM ranked),
+valued AS (
+  SELECT query_id, train_id,
+         sum(CAST(inc AS DECIMAL(28,12)))
+           OVER (PARTITION BY query_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS s
+  FROM inc)
+SELECT train_id AS vec_id,
+       round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 8) AS shapley
+FROM valued GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed Naive-Bayes text classifier (ext/textclf.py) — the
+    fasttext-style linear filter every production corpus pipeline
+    trains (CCNet wiki-vs-crawl, GPT-3 WebText quality). Self-supervised
+    here: label = (lang == 'en') from the documents metadata, features =
+    portable-hashed token buckets, train + score in one dataflow. Gate
+    reports per-language doc counts, decimal-summed scores, and the
+    count of correct sign predictions — training AND scoring replayed
+    end-to-end by the DuckDB oracle (counts are exact ints, each weight
+    one rounded ln expression, scores decimal sums)."""
+    from assignment_etl_spark.ext.textclf import (
+        score_documents_nb,
+        train_nb_classifier,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("_y", F.col("lang") == "en")
+    weights = train_nb_classifier(
+        labeled, label_col="_y", n_buckets=512
+    )
+    scored = score_documents_nb(docs, weights, n_buckets=512)
+    return (
+        scored.join(docs.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tot_tokens"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(28,6)")).cast("double"), 3
+            ).alias("score_sum"),
+            F.sum(
+                ((F.col("score") > 0) == (F.col("lang") == "en"))
+                .cast("long")
+            ).alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_nb_quality_classifier(n_buckets: int = 512, alpha: float = 1.0) -> str:
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    sh = (
+        "CASE WHEN length(tok) = 0 THEN 0 ELSE "
+        "list_reduce([ord(substr(tok, i, 1))::BIGINT "
+        "FOR i IN range(1, length(tok) + 1)], "
+        f"(a, x) -> (a * 31 + x) % {PRIME_P}) END"
+    )
+    h1 = f"((sh % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+    h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+    h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    bucket = f"((({h4}) % {n_buckets}) + {n_buckets}) % {n_buckets}"
+    a = float(alpha)
+    shift = a * n_buckets
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS y, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents),
+tok2 AS (SELECT doc_id, y, tok FROM tok WHERE tok <> ''),
+b AS (SELECT doc_id, y, {sh} AS sh FROM tok2),
+feat AS (SELECT doc_id, y, {bucket} AS bucket FROM b),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n_neg
+  FROM feat GROUP BY 1),
+totals AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS tot_pos,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS tot_neg
+  FROM feat),
+weights AS (
+  SELECT bucket,
+         round(ln((n_pos + {a!r}) / (tot_pos + {shift!r}))
+             - ln((n_neg + {a!r}) / (tot_neg + {shift!r})), 9) AS w
+  FROM counts CROSS JOIN totals),
+scored AS (
+  SELECT f.doc_id,
+         count(*) AS n_tokens,
+         round(CAST(sum(CAST(coalesce(w.w, 0.0) AS DECIMAL(28,9))) AS DOUBLE), 6)
+           AS score
+  FROM feat f LEFT JOIN weights w USING (bucket)
+  GROUP BY 1)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS tot_tokens,
+       round(CAST(sum(CAST(s.score AS DECIMAL(28,6))) AS DOUBLE), 3) AS score_sum,
+       CAST(sum(CASE WHEN (s.score > 0) = (d.lang = 'en') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard for adjacent doc pairs (the verify
     step of a near-dup pipeline)."""
@@ -10610,6 +10832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iqr_outliers_orders": q_iqr_outliers_orders,
         # -- new round-5 gates (never sampled, ride the 50-prefix tail)
         "cell_multiprobe_topk": q_cell_multiprobe_topk,
+        "nb_quality_classifier": q_nb_quality_classifier,
+        "knn_shapley_valuation": q_knn_shapley_valuation,
+        "cuped_events": q_cuped_events,
         # -- driver-certified in rounds 1-4 (hash-green rows on record)
         "rolling_user_value": q_rolling_user_value,
         "normalize_price_zscore": q_normalize_price_zscore,
@@ -10875,6 +11100,9 @@ def oracle_sql() -> dict[str, str]:
         "optimize_table_roundtrip": SQL_OPTIMIZE_TABLE_ROUNDTRIP,
         "cell_probe_topk": SQL_CELL_PROBE_TOPK,
         "cell_multiprobe_topk": SQL_CELL_MULTIPROBE_TOPK,
+        "nb_quality_classifier": _sql_nb_quality_classifier(),
+        "knn_shapley_valuation": SQL_KNN_SHAPLEY_VALUATION,
+        "cuped_events": SQL_CUPED_EVENTS,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,

@@ -527,3 +527,68 @@ def ab_conversion_test(
         F.when(valid, F.round(z, round_to)).alias("z_score"),
         F.when(valid, F.abs(z) > F.lit(1.959964)).alias("significant_95"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    *,
+    key_col: str,
+    metric_col: str,
+    covariate_col: str,
+    decimal_scale: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    pre-experiment-covariate adjustment every experimentation platform
+    applies before a t/z test: with θ = cov(X,Y)/var(X) estimated from
+    the data, the adjusted metric Y − θ(X − E[X]) has the same mean as Y
+    but variance var(Y)·(1 − ρ²), shrinking required sample sizes by the
+    squared correlation with the pre-period covariate.
+
+    Input is ALREADY one row per unit (compose with a groupBy upstream:
+    per-user pre-period X, experiment-period Y). Shape: ONE conditional
+    hash aggregate collapses the table to a single row of decimal sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) — partial-aggregation order cannot shift
+    them — and θ, means, variances, and the reduction factor are a pure
+    projection of that row. Nothing iterates, nothing collects. Returns
+    EXACTLY ONE row: (n, theta, mean_y, var_y, var_cuped, reduction);
+    rows with NULL metric or covariate are excluded from the moments;
+    var/θ are NULL when n < 2 or var(X) = 0 (constant covariate), in
+    which case reduction is NULL too — the caller sees why there is no
+    adjustment instead of a division blowing up.
+
+    Determinism: population variances from the computational identities
+    (Σy² − (Σy)²/n)/n etc. over decimal sums; every double op is one
+    fixed expression, replayed exactly by the SQL oracle.
+    """
+    dec = f"decimal(28,{decimal_scale})"
+    x = F.col(covariate_col)
+    y = F.col(metric_col)
+    ok = x.isNotNull() & y.isNotNull()
+    row = df.agg(
+        F.sum(ok.cast("long")).alias("n"),
+        F.sum(F.when(ok, x).cast(dec)).cast("double").alias("sx"),
+        F.sum(F.when(ok, y).cast(dec)).cast("double").alias("sy"),
+        F.sum(F.when(ok, x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.when(ok, x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.when(ok, y * y).cast(dec)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    theta = cov / var_x
+    # var(Y - θX) = var(Y) - cov²/var(X)  (θ plugged in)
+    var_adj = var_y - cov * cov / var_x
+    valid = (n >= 2) & (var_x > 0)
+    return row.select(
+        n,
+        F.when(valid, F.round(theta, round_to)).alias("theta"),
+        F.when(n >= 1, F.round(F.col("sy") / n, round_to)).alias("mean_y"),
+        F.when(n >= 2, F.round(var_y, round_to)).alias("var_y"),
+        F.when(valid, F.round(var_adj, round_to)).alias("var_cuped"),
+        F.when(
+            valid & (var_y > 0),
+            F.round(F.lit(1.0) - var_adj / var_y, round_to),
+        ).alias("reduction"),
+    )

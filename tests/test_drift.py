@@ -158,3 +158,44 @@ def test_ab_conversion_test(spark):
     ).collect()[0]
     assert r2.se is None and r2.z_score is None
     assert (r2.rate_a, r2.rate_b) == (1.0, 1.0)
+
+
+def test_cuped_adjust(spark):
+    import pytest
+
+    from assignment_etl_spark.ext.drift import cuped_adjust
+
+    # y strongly correlated with x -> large reduction
+    rows = [(i, float(i % 17), float(i % 17) * 2.0 + (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "uid long, x double, y double")
+    r = cuped_adjust(df, key_col="uid", metric_col="y", covariate_col="x").collect()[0]
+    assert r.n == 60
+    assert r.theta == pytest.approx(2.0, abs=0.1)
+    assert r.var_cuped < r.var_y
+    assert r.reduction > 0.9
+
+    # numpy golden on the same data
+    import numpy as np
+
+    x = np.array([float(i % 17) for i in range(60)])
+    y = np.array([float(i % 17) * 2.0 + (i % 3) for i in range(60)])
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    var_adj = np.var(y) - np.cov(x, y, bias=True)[0, 1] ** 2 / np.var(x)
+    assert r.theta == pytest.approx(theta, abs=1e-4)
+    assert r.var_cuped == pytest.approx(var_adj, abs=1e-3)
+
+    # constant covariate -> no adjustment, NULL stats (never a div-by-zero)
+    const = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(10)], "uid long, x double, y double"
+    )
+    r2 = cuped_adjust(const, key_col="uid", metric_col="y", covariate_col="x").collect()[0]
+    assert r2.n == 10 and r2.theta is None and r2.var_cuped is None and r2.reduction is None
+    assert r2.var_y is not None
+
+    # NULL rows excluded from moments but counted out of n
+    some_null = spark.createDataFrame(
+        [(1, None, 5.0), (2, 2.0, 4.0), (3, 3.0, 6.0), (4, 4.0, 8.0)],
+        "uid long, x double, y double",
+    )
+    r3 = cuped_adjust(some_null, key_col="uid", metric_col="y", covariate_col="x").collect()[0]
+    assert r3.n == 3
