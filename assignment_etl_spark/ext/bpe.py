@@ -88,22 +88,35 @@ def _safe_batch(rows, k: int, truncated: bool):
        candidate window was truncated (an uncollected pair can be no
        larger). Strict > keeps the count-desc/pair-asc tie-break safe.
 
-    After applying the accepted prefix in order, every remaining pair's
-    count is ≤ its pre-batch value (merges only destroy adjacencies of
-    their own symbols) and every created/incremented pair is < the next
-    accepted candidate's count — so the sequential argmax at each
-    intermediate state is exactly the next prefix element."""
+    The dominance bound is CUMULATIVE across the whole accepted set: a
+    single pair can gain occurrences from EVERY accepted merge (e.g.
+    two accepted merges whose concatenations spell the same symbol both
+    feed pairs containing it), so candidate i must beat
+    max_a(M_a) + Σ_a U_a — the worst pre-existing concat-containing
+    count plus every possible creation gain — not each accepted merge's
+    bound separately. Accepted concatenation strings also join the
+    forbidden set, so two merges spelling the same new symbol can never
+    co-batch.
+
+    After applying the accepted prefix in order, every pair not touching
+    an accepted symbol keeps its count (so the original ranking and
+    tie-break order stand), and every pair that an accepted merge could
+    create or grow is < the next accepted candidate's count by the
+    cumulative bound — the sequential argmax at each intermediate state
+    is exactly the next prefix element."""
     c_min = int(rows[-1].cnt) if truncated else 0
     accepted: list = []
-    bounds: list[int] = []
+    cum_u = 0  # Σ creation gains over accepted merges
+    m_max = 0  # worst old count of any pair containing an accepted concat
     forbidden: set[str] = set()
     for r in rows:
         if len(accepted) == k:
             break
         if accepted:
-            if {r.lft, r.rgt} & forbidden:
+            concat_r = r.lft + r.rgt
+            if {r.lft, r.rgt, concat_r} & forbidden:
                 break
-            if not all(int(r.cnt) > b for b in bounds):
+            if not int(r.cnt) > m_max + cum_u:
                 break
         accepted.append(r)
         concat = r.lft + r.rgt
@@ -114,7 +127,8 @@ def _safe_batch(rows, k: int, truncated: bool):
                 u = max(u, int(q.cnt))
             if concat in (q.lft, q.rgt):
                 m = max(m, int(q.cnt))
-        bounds.append(u + m)
+        cum_u += u
+        m_max = max(m_max, m)
         forbidden |= {r.lft, r.rgt, concat}
     return accepted
 

@@ -46,23 +46,32 @@ def brute_force_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    broadcast_candidates: bool = True,
+    broadcast_side: str | None = "queries",
 ) -> DataFrame:
     """Exact cosine top-k: for each query row, the k nearest candidates.
 
     Output: (query_id, neighbor_id, cos_sim), k rows per query, excluding
-    the self-pair. The candidate side is broadcast by default (dimension
-    tables / sampled candidate pools); at full scale flip to shuffling the
-    queries instead.
+    the self-pair. The QUERY side is broadcast by default — brute force
+    runs in the small-trusted-slice-vs-big-corpus regime, so the corpus
+    STREAMS and only the query slice replicates (broadcasting an
+    sf-proportional candidate table is the OOM-at-scale shape the
+    plan-audit broadcast rule exists to catch). Pass
+    ``broadcast_side="candidates"`` for the inverted regime (big query
+    stream against a small sampled pool), or ``None`` to let Catalyst
+    decide.
     """
+    if broadcast_side not in (None, "queries", "candidates"):
+        raise ValueError(f"broadcast_side: {broadcast_side!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    if broadcast_candidates:
+    if broadcast_side == "candidates":
         c = F.broadcast(c)
+    elif broadcast_side == "queries":
+        q = F.broadcast(q)
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -549,7 +558,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    broadcast_candidates: bool = True,
+    broadcast_side: str | None = "queries",
     round_to: int = 6,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query,
@@ -558,12 +567,12 @@ def hard_negatives(
     (random negatives are trivially easy; hard negatives carry the
     gradient signal).
 
-    Same plan shape as :func:`brute_force_topk` (broadcast candidate
-    pool, per-query window top-k with (rounded cos desc, id) ties) plus
-    the label-inequality predicate pushed into the join — mismatched
-    pairs are never scored. At corpus scale swap the exact pool for an
-    IVF/LSH candidate stage (ivf_topk/lsh_topk) and apply the same
-    label filter to its bucket join; this exact form is the
+    Same plan shape as :func:`brute_force_topk` (query slice broadcast,
+    corpus streaming, per-query window top-k with (rounded cos desc,
+    id) ties) plus the label-inequality predicate pushed into the join —
+    mismatched pairs are never scored. At corpus scale swap the exact
+    pool for an IVF/LSH candidate stage (ivf_topk/lsh_topk) and apply
+    the same label filter to its bucket join; this exact form is the
     verification baseline, the same exact-vs-approx contract as the
     rest of this module.
 
@@ -573,6 +582,8 @@ def hard_negatives(
     silently vanishing queries would be the failure mode
     require_integral_id exists to prevent elsewhere).
     """
+    if broadcast_side not in (None, "queries", "candidates"):
+        raise ValueError(f"broadcast_side: {broadcast_side!r}")
     queries = queries.filter(F.col(label_col).isNotNull())
     candidates = candidates.filter(F.col(label_col).isNotNull())
     q = queries.select(
@@ -585,8 +596,10 @@ def hard_negatives(
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("_cv"),
     )
-    if broadcast_candidates:
+    if broadcast_side == "candidates":
         c = F.broadcast(c)
+    elif broadcast_side == "queries":
+        q = F.broadcast(q)
     scored = q.join(
         c,
         (F.col("query_id") != F.col("neighbor_id"))

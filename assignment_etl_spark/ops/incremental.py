@@ -86,6 +86,8 @@ def join_view_delta(
     base_b: DataFrame,
     delta_b: DataFrame,
     on: list[str],
+    *,
+    broadcast_deltas: bool = True,
 ) -> DataFrame:
     """The rows a batch adds to the inner-join view A⋈B, WITHOUT
     recomputing it: Δ(A⋈B) = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB), where
@@ -93,15 +95,19 @@ def join_view_delta(
     the first leg, never the second). Insert-only streams; updates or
     deletes need retraction records, out of scope here.
 
-    Scale shape: the deltas are small, so both legs are broadcast joins
-    of a delta against a base — the bases are scanned (with pruning when
-    partitioning correlates with the key) but never shuffled, and the
-    existing view rows are never touched. This is the manual form of
-    what an incrementally-maintained materialized join view does."""
+    Scale shape: the DELTAS are the batch-sized sides, so they are what
+    broadcasts — the bases are scanned (with pruning when partitioning
+    correlates with the key) but never shuffled or replicated, and the
+    existing view rows are never touched. Broadcasting B_new (the full
+    updated dimension) would be the OOM-at-scale inversion the
+    plan-audit broadcast rule flags. Set ``broadcast_deltas=False``
+    when the deltas are themselves table-sized (backfills, the
+    synthetic modulo deltas in the gate) and let AQE pick the
+    strategy."""
     b_new = base_b.unionByName(delta_b)
-    return delta_a.join(F.broadcast(b_new), on=on).unionByName(
-        base_a.join(F.broadcast(delta_b), on=on)
-    )
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    return da.join(b_new, on=on).unionByName(base_a.join(db, on=on))
 
 
 def merge_join_view(
@@ -111,9 +117,14 @@ def merge_join_view(
     base_b: DataFrame,
     delta_b: DataFrame,
     on: list[str],
+    *,
+    broadcast_deltas: bool = True,
 ) -> DataFrame:
     """view ∪ Δ(A⋈B): after the merge the view equals
     (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) exactly (tested + oracle-gated)."""
     return view.unionByName(
-        join_view_delta(base_a, delta_a, base_b, delta_b, on)
+        join_view_delta(
+            base_a, delta_a, base_b, delta_b, on,
+            broadcast_deltas=broadcast_deltas,
+        )
     )

@@ -96,6 +96,13 @@ HEADLINE = [
     "skyline_orders",
     "pmi_collocations",
     "cohort_retention_events",
+    # round-5 additions (no BENCH_BASELINE entry until its next
+    # regeneration; bench tolerates missing baselines)
+    "cell_multiprobe_topk",
+    "nb_quality_classifier",
+    "knn_shapley_valuation",
+    "cuped_events",
+    "bpe_train_merges",
 ]
 
 
@@ -175,13 +182,12 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                # `queries` IS min-of-3 already; `runs3` holds all three
+                # wall-clocks so a flagged slowdown can be checked against
+                # in-run variance before it's treated as a plan regression
+                # (driver flags in r2-r4 were all host contention, never
+                # reproducible)
                 "queries": timings,
-                # per-query spread for screening phantom regressions: `queries`
-                # is min-of-3; `runs3` holds all three wall-clocks so a flagged
-                # slowdown can be checked against in-run variance before it's
-                # treated as a plan regression (driver flags in r2-r4 were all
-                # host contention, never reproducible)
-                "min3": timings,
                 "runs3": runs3,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),

@@ -114,3 +114,47 @@ def test_batched_path_greedy_overlap_and_ties(spark):
     wc = Counter(w for d in docs.collect() for w in d.text.split())
     for n in (1, 3, 6):
         assert train_bpe(docs, n_merges=n, batch_k=4) == _reference_bpe(wc, n)
+
+
+def test_safe_batch_cumulative_bound():
+    """The review counterexample: two accepted merges whose concatenations
+    spell the same symbol could jointly grow a pair past a later candidate.
+    _safe_batch must (a) never co-batch same-concat merges, (b) apply the
+    CUMULATIVE gain bound, not per-merge bounds."""
+    from collections import namedtuple
+
+    from assignment_etl_spark.ext.bpe import _safe_batch
+
+    R = namedtuple("R", "lft rgt cnt")
+    # a1=(ab,c) and a2=(a,bc) both create a symbol spelled "abc"
+    rows = [R("ab", "c", 100), R("a", "bc", 90), R("x", "y", 6)]
+    batch = _safe_batch(rows, 3, truncated=False)
+    # a2's concat "abc" == a1's concat "abc" -> forbidden; prefix stops at 1
+    assert [(r.lft, r.rgt) for r in batch] == [("ab", "c")]
+
+    # cumulative bound: candidate must beat m_max + SUM of U_a, not each
+    # U_a separately. Here u for (a,b) counts adjacent pairs (x,a)/(b,y):
+    # give each accepted merge an adjacent pair worth 5 so cum_u grows.
+    rows2 = [
+        R("a", "b", 100),
+        R("c", "d", 90),
+        R("e", "f", 9),   # must beat cum_u from both prior merges
+        R("x", "a", 5),   # adjacent to merge 1 (rgt == 'a')
+        R("y", "c", 5),   # adjacent to merge 2 (rgt == 'c')
+    ]
+    batch2 = _safe_batch(rows2, 3, truncated=False)
+    # merge1: u=5 (x,a); merge2: u=5 (y,c); cum_u=10 > cnt(e,f)=9 -> stop
+    assert [(r.lft, r.rgt) for r in batch2] == [("a", "b"), ("c", "d")]
+
+    # same shape but a comfortable candidate passes the cumulative bound
+    rows3 = [
+        R("a", "b", 100),
+        R("c", "d", 90),
+        R("e", "f", 50),
+        R("x", "a", 5),
+        R("y", "c", 5),
+    ]
+    batch3 = _safe_batch(rows3, 3, truncated=False)
+    assert [(r.lft, r.rgt) for r in batch3] == [
+        ("a", "b"), ("c", "d"), ("e", "f")
+    ]

@@ -84,3 +84,19 @@ def test_registry_sample_is_clean(spark):
         "large_volume_customers",
     ):
         assert audit_broadcast_hints(qs[name](spark, SF)) == [], name
+
+
+def test_exempts_literal_key_upper_bound(spark, tables):
+    # `vec_id < 8`-style filters are FIXED-size at any sf — broadcastable
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    df = emb.crossJoin(F.broadcast(q.select("vec_id")))
+    assert audit_broadcast_hints(df) == []
+
+
+def test_flags_key_lower_bound(spark):
+    # `vec_id >= 8` keeps the sf-proportional complement — still flagged
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    big = emb.filter(F.col("vec_id") >= 8)
+    df = emb.crossJoin(F.broadcast(big.select("vec_id")))
+    assert audit_broadcast_hints(df) == ["broadcast-hint-over-embeddings"]

@@ -73,10 +73,13 @@ def make_clustered(spark, n: int, dim: int = DIM, n_clusters: int = 50, seed: in
     )
     noisy = base.join(F.broadcast(centers_df), "_cl").select(
         "vec_id",
+        # pmod, not %: Spark hash() is signed and % keeps the dividend's
+        # sign, which would bias the noise negative and triple its range
         F.transform(
             "_center",
             lambda x, i: x
-            + (F.hash(F.col("vec_id") * 1000003 + i) % 1000).cast("double")
+            + F.pmod(F.hash(F.col("vec_id") * 1000003 + i), F.lit(1000))
+            .cast("double")
             / F.lit(1000.0 / 0.15)
             - F.lit(0.075),
         ).alias("embedding"),

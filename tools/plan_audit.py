@@ -40,13 +40,33 @@ _BIG_TABLE_MARKERS = {
 }
 
 
+# a Filter that pins a table's KEY column under an integer literal yields a
+# FIXED-size result at any scale factor (`vec_id < 8` is 8 rows forever) —
+# unlike categorical filters (`c_mktsegment = 'BUILDING'`), which keep a
+# constant FRACTION and stay sf-proportional. Only <, <=, = qualify
+# (`vec_id >= 8` is the sf-proportional complement).
+_KEY_COLS = "|".join(
+    ("c_custkey", "o_orderkey", "l_orderkey", "p_partkey",
+     "event_id", "doc_id", "vec_id")
+)
+_BOUNDED_KEY_FILTER = re.compile(
+    # literal may print bare ("8") or wrapped ("cast(8 as bigint)")
+    rf"\b(?:{_KEY_COLS})#\d+L?\s*(?:<|<=|=)\s*(?:\d+\b|cast\(\d+ as \w+\))"
+)
+
+
 def _walk_big_scan(node) -> set[str]:
     """Return the sf-proportional tables scanned in this logical subtree,
     treating Aggregate as a cardinality collapse (its subtree is exempt:
     a grouped/global aggregate of a big table is bounded by the group-key
-    domain, not the input row count)."""
+    domain, not the input row count), likewise Deduplicate and literal
+    key-upper-bound Filters (fixed-size at any sf)."""
     name = node.getClass().getSimpleName()
     if "Aggregate" in name or "Deduplicate" in name:
+        return set()
+    if name == "Filter" and _BOUNDED_KEY_FILTER.search(
+        node.condition().toString()
+    ):
         return set()
     found: set[str] = set()
     if "Relation" in name:
