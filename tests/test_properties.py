@@ -138,3 +138,56 @@ def test_portable_minhash_matches_python_model(spark, values):
     }
     for i, v in enumerate(values):
         assert got[i] == model(v), f"mismatch for {v!r}"
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4), min_size=8, max_size=40
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(WORDS, min_size=2, max_size=5))
+def test_batched_bpe_equals_sequential(spark, docs_words):
+    """For arbitrary small corpora, the prefix-batched merge selection
+    must return the EXACT sequential merge list — the property the
+    cumulative-bound proof claims for all inputs, not just the gate's."""
+    from assignment_etl_spark.ext.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(" ".join(ws),) for ws in docs_words], "text string"
+    )
+    seq = train_bpe(docs, n_merges=6, batch_k=1)
+    bat = train_bpe(docs, n_merges=6, batch_k=4)
+    assert bat == seq
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=30),
+                min_size=4, max_size=10))
+def test_nb_score_concat_additivity(spark, texts):
+    """NB scoring is a decimal sum of per-token bucket weights, so the
+    score of a concatenation equals the sum of the parts' scores (up to
+    the final rounding): score(a + ' ' + b) = score(a) + score(b)."""
+    from assignment_etl_spark.ext.textclf import (
+        score_documents_nb,
+        train_nb_classifier,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, t, i % 2 == 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, y boolean",
+    )
+    w = train_nb_classifier(labeled, label_col="y", n_buckets=64)
+    a, b = texts[0], texts[1]
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, f"{a} {b}")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in score_documents_nb(docs, w, n_buckets=64, round_to=9).collect()
+    }
+    pa, pb, pc = got[1], got[2], got[3]
+    if pc is None:
+        assert pa is None and pb is None
+    else:
+        assert abs(((pa or 0.0) + (pb or 0.0)) - pc) < 1e-6
