@@ -8602,6 +8602,120 @@ GROUP BY 1, 2 ORDER BY 1
 """
 
 
+def q_cuped_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B test (ext/drift.cuped_ab_test) — the actual
+    experimentation-platform pipeline: per-user pre-period value sum
+    (Jan 1-15) as the covariate, experiment-period sum (Jan 16-30) as
+    the metric, hash-bucketed variants, pooled θ (rounded, 1-row
+    broadcast), Welch z on the adjusted metric. The oracle replays the
+    per-user sums, the pooled moments, the adjustment projection, and
+    ab_test's always-one-row conditional aggregate end-to-end."""
+    from assignment_etl_spark.ext.drift import cuped_ab_test
+    from assignment_etl_spark.ext.sampling import portable_hash01
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.col("value")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("x_pre"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("y_post"),
+    )
+    tagged = per_user.withColumn(
+        "variant",
+        F.when(portable_hash01(F.col("user_id"), 7) < 0.5, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    return cuped_ab_test(
+        tagged,
+        group_col="variant",
+        metric_col="y_post",
+        covariate_col="x_pre",
+        group_a="A",
+        group_b="B",
+    )
+
+
+def _sql_cuped_ab_test() -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+
+    u = sql_hash01("user_id", salt=7)
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS y,
+         CASE WHEN ({u}) < 0.5 THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x AS DECIMAL(28,6)) END) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE) AS sy,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * y AS DECIMAL(28,6)) END) AS DOUBLE) AS sxy,
+         CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * x AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx
+  FROM per_user),
+stats AS (
+  SELECT CASE WHEN n >= 2 AND (sxx - sx * sx / n) / n > 0
+              THEN round(((sxy - sx * sy / n) / n)
+                       / ((sxx - sx * sx / n) / n), 9) END AS theta,
+         CASE WHEN n >= 1 THEN round(sx / n, 9) END AS xbar
+  FROM m),
+adjusted AS (
+  SELECT variant,
+         CASE WHEN x IS NOT NULL AND y IS NOT NULL AND theta IS NOT NULL
+              THEN y - theta * (x - xbar)
+              WHEN x IS NOT NULL AND y IS NOT NULL THEN y END AS v
+  FROM per_user CROSS JOIN stats),
+arms AS (
+  SELECT CAST(sum(CASE WHEN v IS NOT NULL AND variant = 'A'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN v IS NOT NULL AND variant = 'A'
+                  THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) AS sx_a,
+         CAST(sum(CASE WHEN v IS NOT NULL AND variant = 'A'
+                  THEN CAST(v * v AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_a,
+         CAST(sum(CASE WHEN v IS NOT NULL AND variant = 'B'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN v IS NOT NULL AND variant = 'B'
+                  THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) AS sx_b,
+         CAST(sum(CASE WHEN v IS NOT NULL AND variant = 'B'
+                  THEN CAST(v * v AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx_b
+  FROM adjusted),
+scored AS (
+  SELECT *,
+         CASE WHEN n_a >= 2 AND n_b >= 2
+              THEN sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                      + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b)
+         END AS se_raw
+  FROM arms)
+SELECT n_a, n_b,
+       CASE WHEN n_a >= 1 THEN round(sx_a / n_a, 6) END AS mean_a,
+       CASE WHEN n_b >= 1 THEN round(sx_b / n_b, 6) END AS mean_b,
+       CASE WHEN n_a >= 1 AND n_b >= 1
+            THEN round(sx_a / n_a - sx_b / n_b, 6) END AS mean_diff,
+       round(se_raw, 6) AS se,
+       CASE WHEN se_raw > 0
+            THEN round((sx_a / n_a - sx_b / n_b) / se_raw, 6) END AS z_score,
+       CASE WHEN se_raw > 0
+            THEN abs((sx_a / n_a - sx_b / n_b) / se_raw) > 1.959964
+       END AS significant_95
+FROM scored
+"""
+
+
 def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lag EWMA (ops/timeseries.ewma): per-user exponentially
     weighted moving average of event values (α=0.5, 4 lags, event_id
@@ -10847,6 +10961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_classifier": q_nb_quality_classifier,
         "knn_shapley_valuation": q_knn_shapley_valuation,
         "cuped_events": q_cuped_events,
+        "cuped_ab_test_events": q_cuped_ab_test,
         # -- driver-certified in rounds 1-4 (hash-green rows on record)
         "rolling_user_value": q_rolling_user_value,
         "normalize_price_zscore": q_normalize_price_zscore,
@@ -11115,6 +11230,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_classifier": _sql_nb_quality_classifier(),
         "knn_shapley_valuation": SQL_KNN_SHAPLEY_VALUATION,
         "cuped_events": SQL_CUPED_EVENTS,
+        "cuped_ab_test_events": _sql_cuped_ab_test(),
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,

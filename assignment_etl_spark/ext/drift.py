@@ -592,3 +592,70 @@ def cuped_adjust(
             F.round(F.lit(1.0) - var_adj / var_y, round_to),
         ).alias("reduction"),
     )
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    *,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+    group_a,
+    group_b,
+    decimal_scale: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """The production experiment-analysis pipeline: CUPED-adjust the
+    per-unit metric with the POOLED θ (standard practice — estimating θ
+    per arm would bias the contrast), then run Welch's z on the adjusted
+    metric between the two arms via :func:`ab_test`. Input is one row
+    per unit with (group, metric, covariate); rows with NULL metric or
+    covariate contribute to neither θ nor the test.
+
+    Scale shape: one pooled decimal-moment aggregate (a 1-row broadcast
+    carrying θ and the covariate mean, each rounded so the adjusted
+    metric is a fixed replayable expression), one projection, then
+    ab_test's single conditional aggregate — three passes total, no
+    shuffle wider than a 1-row broadcast. Degenerate inputs inherit both
+    contracts: constant covariate → θ is NULL → adjusted metric falls
+    back to the RAW metric (CUPED with no usable covariate is a no-op,
+    not a NULL-out), and thin arms get ab_test's NULL-stats row.
+    """
+    dec = f"decimal(28,{decimal_scale})"
+    x = F.col(covariate_col)
+    y = F.col(metric_col)
+    ok = x.isNotNull() & y.isNotNull() & F.col(group_col).isin(
+        [group_a, group_b]
+    )
+    m = df.agg(
+        F.sum(ok.cast("long")).alias("_n"),
+        F.sum(F.when(ok, x).cast(dec)).cast("double").alias("_sx"),
+        F.sum(F.when(ok, y).cast(dec)).cast("double").alias("_sy"),
+        F.sum(F.when(ok, x * y).cast(dec)).cast("double").alias("_sxy"),
+        F.sum(F.when(ok, x * x).cast(dec)).cast("double").alias("_sxx"),
+    )
+    n = F.col("_n")
+    var_x = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / n
+    cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / n) / n
+    stats = m.select(
+        F.when((n >= 2) & (var_x > 0), F.round(cov / var_x, 9)).alias(
+            "_theta"
+        ),
+        F.when(n >= 1, F.round(F.col("_sx") / n, 9)).alias("_xbar"),
+    )
+    adjusted = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_y_adj",
+        F.when(
+            x.isNotNull() & y.isNotNull() & F.col("_theta").isNotNull(),
+            y - F.col("_theta") * (x - F.col("_xbar")),
+        ).otherwise(F.when(x.isNotNull() & y.isNotNull(), y)),
+    )
+    return ab_test(
+        adjusted,
+        group_col=group_col,
+        value_col="_y_adj",
+        group_a=group_a,
+        group_b=group_b,
+        decimal_scale=decimal_scale,
+        round_to=round_to,
+    )

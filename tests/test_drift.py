@@ -199,3 +199,39 @@ def test_cuped_adjust(spark):
     )
     r3 = cuped_adjust(some_null, key_col="uid", metric_col="y", covariate_col="x").collect()[0]
     assert r3.n == 3
+
+
+def test_cuped_ab_test(spark):
+    import pytest
+
+    from assignment_etl_spark.ext.drift import ab_test, cuped_ab_test
+
+    # covariate strongly predicts the metric; a small true lift on arm B
+    rows = [
+        (i, "A" if i % 2 == 0 else "B",
+         float(i % 23),
+         float(i % 23) * 3.0 + (1.0 if i % 2 else 0.0) + (i % 5) * 0.1)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "uid long, variant string, x double, y double")
+    raw = ab_test(df, group_col="variant", value_col="y",
+                  group_a="A", group_b="B").collect()[0]
+    adj = cuped_ab_test(df, group_col="variant", metric_col="y",
+                        covariate_col="x", group_a="A", group_b="B").collect()[0]
+    # 200/23 is not integral, so the arms' covariate means differ — the
+    # raw contrast is biased by that imbalance while CUPED removes it:
+    # the adjusted estimate lands on the TRUE lift (-1.0) with a much
+    # smaller standard error
+    assert adj.n_a == raw.n_a and adj.n_b == raw.n_b
+    assert adj.mean_diff == pytest.approx(-1.0, abs=0.05)
+    assert abs(adj.mean_diff - -1.0) < abs(raw.mean_diff - -1.0)
+    assert adj.se < raw.se * 0.2
+    assert adj.significant_95  # the adjusted test detects the true lift
+
+    # constant covariate -> theta NULL -> adjusted test IS the raw test
+    const = df.withColumn("x", df.x * 0)
+    fallback = cuped_ab_test(const, group_col="variant", metric_col="y",
+                             covariate_col="x", group_a="A", group_b="B").collect()[0]
+    raw2 = ab_test(const, group_col="variant", value_col="y",
+                   group_a="A", group_b="B").collect()[0]
+    assert fallback == raw2
