@@ -1940,6 +1940,67 @@ FROM valued GROUP BY 1 ORDER BY 1
 """
 
 
+def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent k-NN graph (ext/nndescent.build_knn_graph, Dong et al.
+    WWW'11): sign-bit multiprobe seed graph + one refine round (the
+    symmetrized neighbor-of-neighbor join), exact cosine, per-node
+    top-5. The graph-ANN family expressed as pure joins — the DuckDB
+    oracle UNROLLS the whole construction (seed cells, Hamming-1
+    probes, the round's candidate join, the final window) and
+    hash-matches every edge."""
+    from assignment_etl_spark.ext.nndescent import build_knn_graph
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return build_knn_graph(emb, k=5, rounds=1, init_bits=4).orderBy(
+        "src", "rank"
+    )
+
+
+SQL_KNN_GRAPH_NNDESCENT = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+  FROM embeddings),
+probes AS (
+  SELECT q.vec_id, q.emb, xor(q.cell, m.mask) AS cell
+  FROM e q CROSS JOIN (VALUES (0),(1),(2),(4),(8)) m(mask)),
+seed AS (
+  SELECT src, dst FROM (
+    SELECT q.vec_id AS src, c.vec_id AS dst,
+           row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+             AS rank
+    FROM probes q JOIN e c ON q.cell = c.cell AND q.vec_id != c.vec_id)
+  WHERE rank <= 5),
+undirected AS (
+  SELECT src, dst FROM seed
+  UNION ALL SELECT dst AS src, src AS dst FROM seed),
+proposals AS (
+  SELECT a.dst AS src, b.dst AS dst
+  FROM undirected a JOIN undirected b ON a.src = b.src
+  WHERE a.dst != b.dst),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM seed UNION ALL SELECT src, dst FROM proposals)),
+scored AS (
+  SELECT c.src, c.dst, list_cosine_similarity(s.emb, d.emb) AS cos_sim
+  FROM cand c JOIN e s ON c.src = s.vec_id JOIN e d ON c.dst = d.vec_id)
+SELECT src, dst, round(cos_sim, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT src, dst, cos_sim,
+         row_number() OVER (PARTITION BY src
+            ORDER BY cos_sim DESC, dst) AS rank
+  FROM scored)
+WHERE rank <= 5 ORDER BY src, rank
+"""
+
+
 def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed Naive-Bayes text classifier (ext/textclf.py) — the
     fasttext-style linear filter every production corpus pipeline
@@ -10962,6 +11023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_shapley_valuation": q_knn_shapley_valuation,
         "cuped_events": q_cuped_events,
         "cuped_ab_test_events": q_cuped_ab_test,
+        "knn_graph_nndescent": q_knn_graph_nndescent,
         # -- driver-certified in rounds 1-4 (hash-green rows on record)
         "rolling_user_value": q_rolling_user_value,
         "normalize_price_zscore": q_normalize_price_zscore,
@@ -11231,6 +11293,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_shapley_valuation": SQL_KNN_SHAPLEY_VALUATION,
         "cuped_events": SQL_CUPED_EVENTS,
         "cuped_ab_test_events": _sql_cuped_ab_test(),
+        "knn_graph_nndescent": SQL_KNN_GRAPH_NNDESCENT,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,

