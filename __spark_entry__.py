@@ -10959,10 +10959,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row yet come FIRST. Round-5 state: entries 1-48 are exactly the
     # old 200-registry minus the union of CORRECTNESS_r01-r04 hash-green
     # names — a 50-sample certifies all of them, completing the driver
-    # record for every pre-round-5 query — and entries 49-52 are the four
-    # new round-5 gates (the first two ride the same prefix; the last two,
-    # knn_shapley_valuation and cuped_events, exceed the 50 slots and wait
-    # for the round-6 sample). Everything after is already on the driver
+    # record for every pre-round-5 query — and entries 49-54 are the SIX
+    # new round-5 gates (cell_multiprobe_topk and nb_quality_classifier
+    # ride the same prefix; knn_shapley_valuation, cuped_events,
+    # cuped_ab_test_events, and knn_graph_nndescent exceed the 50 slots
+    # and wait for the round-6 sample). Everything after is already on the driver
     # record, and the whole registry stays judge-verifiable with
     # `python tools/check_correctness.py`.
     return {

@@ -88,13 +88,15 @@ def _safe_batch(rows, k: int, truncated: bool):
        candidate window was truncated (an uncollected pair can be no
        larger). Strict > keeps the count-desc/pair-asc tie-break safe.
 
-    The dominance bound is CUMULATIVE across the whole accepted set: a
-    single pair can gain occurrences from EVERY accepted merge (e.g.
-    two accepted merges whose concatenations spell the same symbol both
-    feed pairs containing it), so candidate i must beat
-    max_a(M_a) + Σ_a U_a — the worst pre-existing concat-containing
-    count plus every possible creation gain — not each accepted merge's
-    bound separately. Accepted concatenation strings also join the
+    The dominance bound is CUMULATIVE across the whole accepted set AND
+    channel-aware: one merge (l,r) can feed a SINGLE post-merge pair
+    through up to three distinct adjacency channels at once — (x,l)
+    left-extensions, (r,y) right-extensions, and the (r,l) self-chain —
+    when the concatenation's spelling collides with a pre-existing
+    symbol (all three conflate into one count). Each channel is bounded
+    by U_a, so candidate i must beat max_a(M_a) + 3·Σ_a U_a: the worst
+    pre-existing concat-containing count plus three creation channels
+    per accepted merge. Accepted concatenation strings also join the
     forbidden set, so two merges spelling the same new symbol can never
     co-batch.
 
@@ -116,7 +118,7 @@ def _safe_batch(rows, k: int, truncated: bool):
             concat_r = r.lft + r.rgt
             if {r.lft, r.rgt, concat_r} & forbidden:
                 break
-            if not int(r.cnt) > m_max + cum_u:
+            if not int(r.cnt) > m_max + 3 * cum_u:
                 break
         accepted.append(r)
         concat = r.lft + r.rgt

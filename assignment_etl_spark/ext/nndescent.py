@@ -58,6 +58,47 @@ def _top_k_edges(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def refine_knn_graph(
+    edges: DataFrame,
+    emb: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """One NN-descent refine round over an existing (src, dst, ...) edge
+    list: for each pivot v, every member of B(v) ∪ R(v) (neighbors AND
+    reverse neighbors) proposes every other member — one symmetrized
+    edge self-join on the pivot, exact re-score, per-node top-k.
+    Forward-only propagation stalls at a much lower recall (measured:
+    0.53 vs 0.95 on the same seed graph). ``checkpoint=False`` keeps
+    the full lineage (plan-inspection/testing; production rounds
+    checkpoint so plan depth stays constant)."""
+    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    undirected = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    e1 = undirected.select(F.col("src").alias("_via"), F.col("dst").alias("src"))
+    e2 = undirected.select(F.col("src").alias("_via"), F.col("dst").alias("dst"))
+    proposals = (
+        e1.join(e2, on="_via")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    cand = edges.select("src", "dst").unionByName(proposals).distinct()
+    scored = (
+        cand.join(vecs.withColumnRenamed("_vid", "src"), on="src")
+        .withColumnRenamed("_v", "_sv")
+        .join(vecs.withColumnRenamed("_vid", "dst"), on="dst")
+        .select(
+            "src", "dst", cosine(F.col("_sv"), F.col("_v")).alias("cos_sim")
+        )
+    )
+    out = _top_k_edges(scored, k)
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
 def build_knn_graph(
     emb: DataFrame,
     *,
@@ -67,15 +108,21 @@ def build_knn_graph(
     vec_col: str = "embedding",
     init_bits: int = 4,
     round_to: int = 6,
+    checkpoint_rounds: bool = True,
 ) -> DataFrame:
     """Approximate k-NN graph: (src, dst, cos_sim, rank), up to k edges
-    per node, refined through ``rounds`` NN-descent passes from the
-    sign-bit-cell seed graph. ``cos_sim`` is rounded to ``round_to``
-    AFTER ranking (ties rank by unrounded score then dst id, the repo's
-    standard ANN contract)."""
+    per node, refined through ``rounds`` NN-descent passes
+    (:func:`refine_knn_graph`) from the sign-bit-cell seed graph.
+    ``cos_sim`` is rounded to ``round_to`` AFTER ranking (ties rank by
+    unrounded score then dst id, the repo's standard ANN contract).
+    Note the eager per-round checkpoints mean CONSTRUCTING this
+    DataFrame runs the build when ``rounds > 0`` and
+    ``checkpoint_rounds`` is on — pass ``checkpoint_rounds=False`` for
+    plan inspection (the broadcast-hint audit sees the full lineage
+    that way; tests/test_nndescent.py pins the uncheckpointed plan
+    clean)."""
     if k < 1 or rounds < 0:
         raise ValueError(f"need k >= 1 and rounds >= 0, got k={k} rounds={rounds}")
-    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     edges = cell_multiprobe_topk(
         emb, emb, k, id_col=id_col, vec_col=vec_col,
         n_bits=init_bits, hamming=1,
@@ -86,41 +133,10 @@ def build_knn_graph(
         "rank",
     )
     for _ in range(rounds):
-        # the general NN-descent rule: for each pivot v, every member of
-        # B(v) ∪ R(v) (neighbors AND reverse neighbors) proposes every
-        # other member — one symmetrized edge list self-joined on the
-        # pivot. Forward-only propagation stalls at a much lower recall
-        # (measured: 0.53 vs 0.80+ on the same seed graph).
-        undirected = edges.select("src", "dst").unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        edges = refine_knn_graph(
+            edges, emb, k, id_col=id_col, vec_col=vec_col,
+            checkpoint=checkpoint_rounds,
         )
-        e1 = undirected.select(
-            F.col("src").alias("_via"), F.col("dst").alias("src")
-        )
-        e2 = undirected.select(
-            F.col("src").alias("_via"), F.col("dst").alias("dst")
-        )
-        proposals = (
-            e1.join(e2, on="_via")
-            .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst")
-        )
-        cand = (
-            edges.select("src", "dst").unionByName(proposals).distinct()
-        )
-        scored = (
-            cand.join(vecs.withColumnRenamed("_vid", "src"), on="src")
-            .withColumnRenamed("_v", "_sv")
-            .join(vecs.withColumnRenamed("_vid", "dst"), on="dst")
-            .select(
-                "src", "dst", cosine(F.col("_sv"), F.col("_v")).alias("cos_sim")
-            )
-        )
-        edges = _top_k_edges(scored, k)
-        # bound lineage: each round's plan is self-contained
-        edges = edges.localCheckpoint(eager=True)
     return edges.withColumn("cos_sim", F.round("cos_sim", round_to))
 
 

@@ -103,6 +103,10 @@ HEADLINE = [
     "knn_shapley_valuation",
     "cuped_events",
     "bpe_train_merges",
+    "cuped_ab_test_events",
+    # knn_graph_nndescent is gate-certified but excluded here: a full
+    # 2000-node graph build is ~15s at sf0.1, out of scale with the
+    # per-query bench (its cost profile lives in SCALE.md instead)
 ]
 
 

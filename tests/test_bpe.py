@@ -158,3 +158,27 @@ def test_safe_batch_cumulative_bound():
     assert [(r.lft, r.rgt) for r in batch3] == [
         ("a", "b"), ("c", "d"), ("e", "f")
     ]
+
+
+def test_safe_batch_preexisting_concat_spelling():
+    """Reviewer counterexample: a PRE-EXISTING symbol spelled exactly
+    like the accepted merge's concatenation lets one merge feed the
+    conflated pair through THREE channels at once (left-extend,
+    right-extend, self-chain) — per-channel bounds must multiply."""
+    from collections import namedtuple
+
+    from assignment_etl_spark.ext.bpe import _safe_batch
+
+    R = namedtuple("R", "lft rgt cnt")
+    rows = [
+        R("l", "r", 100),
+        R("e", "f", 70),     # 70 > old bound 20+20; must NOT pass 20+3*20
+        R("lr", "l", 20),    # left-extension channel (T,l)
+        R("r", "lr", 20),    # right-extension channel (r,T)
+        R("r", "l", 20),     # self-chain channel (r,l)
+        R("lr", "lr", 20),   # the conflated pair's pre-existing count
+    ]
+    batch = _safe_batch(rows, 3, truncated=False)
+    # post-merge ('lr','lr') can reach 20+20+20+20 = 80 > 70: sequential
+    # would pick it next, so the batch must stop after the top-1
+    assert [(b.lft, b.rgt) for b in batch] == [("l", "r")]

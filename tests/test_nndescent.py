@@ -83,3 +83,20 @@ def test_validation(spark, blobs):
         build_knn_graph(blobs, k=0)
     with pytest.raises(ValueError, match="rounds >= 0"):
         build_knn_graph(blobs, k=3, rounds=-1)
+
+
+def test_uncheckpointed_build_passes_hint_audit(spark, blobs):
+    """checkpoint_rounds=False keeps the full lineage visible, so the
+    broadcast-hint audit can inspect every join inside the rounds (the
+    checkpointed production path truncates the plan at LogicalRDDs)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import audit_broadcast_hints
+
+    g = build_knn_graph(blobs, k=4, rounds=2, checkpoint_rounds=False)
+    assert audit_broadcast_hints(g) == []
+    # and the uncheckpointed build returns the identical graph
+    a = sorted(map(tuple, g.collect()))
+    b = sorted(map(tuple, build_knn_graph(blobs, k=4, rounds=2).collect()))
+    assert a == b

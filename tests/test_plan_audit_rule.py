@@ -100,3 +100,17 @@ def test_flags_key_lower_bound(spark):
     big = emb.filter(F.col("vec_id") >= 8)
     df = emb.crossJoin(F.broadcast(big.select("vec_id")))
     assert audit_broadcast_hints(df) == ["broadcast-hint-over-embeddings"]
+
+
+def test_flags_negated_and_disjunctive_key_filters(spark):
+    # NOT (vec_id < 8) keeps the sf-proportional complement; an OR arm
+    # widens the filter past the bounded comparison — both must flag
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    neg = emb.filter(~(F.col("vec_id") < 8))
+    assert audit_broadcast_hints(
+        emb.crossJoin(F.broadcast(neg.select("vec_id")))
+    ) == ["broadcast-hint-over-embeddings"]
+    disj = emb.filter((F.col("vec_id") == 8) | (F.col("label") == 1))
+    assert audit_broadcast_hints(
+        emb.crossJoin(F.broadcast(disj.select("vec_id")))
+    ) == ["broadcast-hint-over-embeddings"]

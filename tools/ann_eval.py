@@ -147,11 +147,16 @@ def main() -> None:
     from assignment_etl_spark.ext.nndescent import (
         build_knn_graph,
         knn_graph_expand_search,
+        refine_knn_graph,
     )
 
+    # incremental: each refine round extends the previous graph instead
+    # of rebuilding seed + earlier rounds from scratch
     graph = {}
+    g = build_knn_graph(emb, k=k, rounds=0)
     for rounds in (0, 1, 2):
-        g = build_knn_graph(emb, k=k, rounds=rounds)
+        if rounds > 0:
+            g = refine_knn_graph(g, emb, k)
         approx = knn_graph_expand_search(queries, emb, g, k)
         graph[f"rounds={rounds}"] = {"recall": recall_at_k(exact, approx)}
     results["nndescent_graph_search"] = graph

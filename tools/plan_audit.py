@@ -1,7 +1,8 @@
 """Physical-plan audit over every registered query: the 100 TB smell test,
 mechanized. For each __spark_entry__ query this builds the DataFrame at a
-small SF (plan construction only — no result materialization beyond what a
-query's own plan-time stats passes do) and greps the executed plan for:
+small SF, EXECUTES it (AQE only settles re-plans in the executed final
+plan; a handful of gates also materialize eagerly at construction time,
+e.g. localCheckpointed iterations), and greps the executed plan for:
 
 - hard violations: CartesianProduct (unbounded pair blowup) and
   BatchEvalPython (row-at-a-time Python UDF in the pipeline);
@@ -49,10 +50,21 @@ _KEY_COLS = "|".join(
     ("c_custkey", "o_orderkey", "l_orderkey", "p_partkey",
      "event_id", "doc_id", "vec_id")
 )
+# the WHOLE condition must be the bounded comparison (fullmatch after
+# stripping the printed outer parens) — substring search would falsely
+# exempt negations ("NOT (vec_id < 8)") and disjunctions
+# ("(vec_id = 8) OR (label = 1)"), which keep sf-proportional complements
 _BOUNDED_KEY_FILTER = re.compile(
     # literal may print bare ("8") or wrapped ("cast(8 as bigint)")
-    rf"\b(?:{_KEY_COLS})#\d+L?\s*(?:<|<=|=)\s*(?:\d+\b|cast\(\d+ as \w+\))"
+    rf"(?:{_KEY_COLS})#\d+L?\s*(?:<|<=|=)\s*(?:\d+|cast\(\d+ as \w+\))"
 )
+
+
+def _is_bounded_key_condition(cond: str) -> bool:
+    s = cond.strip()
+    while s.startswith("(") and s.endswith(")"):
+        s = s[1:-1].strip()
+    return bool(_BOUNDED_KEY_FILTER.fullmatch(s))
 
 
 def _walk_big_scan(node) -> set[str]:
@@ -64,7 +76,7 @@ def _walk_big_scan(node) -> set[str]:
     name = node.getClass().getSimpleName()
     if "Aggregate" in name or "Deduplicate" in name:
         return set()
-    if name == "Filter" and _BOUNDED_KEY_FILTER.search(
+    if name == "Filter" and _is_bounded_key_condition(
         node.condition().toString()
     ):
         return set()
