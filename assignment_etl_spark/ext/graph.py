@@ -158,6 +158,78 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    *,
+    iters: int = 2,
+    scale: int = 12,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(node, hub, auth) after ``iters`` synchronous HITS iterations
+    from the uniform start (hub = 1 for every node): each iteration
+    computes auth'(v) = Σ_{u→v} hub(u), L1-normalizes, then
+    hub'(u) = Σ_{u→v} auth'(v), L1-normalizes. L1 (sum) normalization
+    replaces the textbook L2 so every step stays within the decimal-sum
+    determinism policy (an L2 norm would need a cross-engine-identical
+    sqrt of an accumulated sum; the ranking is identical under any
+    positive rescaling). Per iteration: two edge joins + two node-key
+    aggregates, O(|E|) each — the same Pregel-in-joins dataflow as
+    :func:`pagerank`; norms ride 1-row broadcasts, never driver
+    scalars. Nodes with no in-edges report auth 0, no out-edges hub 0.
+    Fixed ``iters`` is the oracle-certifiable contract (the PageRank
+    trade)."""
+    dec = f"decimal(28,{scale})"
+
+    def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+        norm = scores.agg(F.sum(col).alias("_norm"))
+        return scores.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(
+                F.col("_norm") > 0,
+                F.round(
+                    F.col(col).cast("double") / F.col("_norm").cast("double"),
+                    scale,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast(dec)
+            .alias(col),
+        )
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1).cast(dec).alias("hub"))
+    auth = nodes.select("node", F.lit(0).cast(dec).alias("auth"))
+    for i in range(iters):
+        auth = _l1_normalize(
+            nodes.join(
+                edges.join(hub.withColumnRenamed("node", "src"), on="src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").cast(dec).alias("auth")),
+                on="node",
+                how="left",
+            ).select("node", F.coalesce("auth", F.lit(0).cast(dec)).alias("auth")),
+            "auth",
+        )
+        hub = _l1_normalize(
+            nodes.join(
+                edges.join(auth.withColumnRenamed("node", "dst"), on="dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth").cast(dec).alias("hub")),
+                on="node",
+                how="left",
+            ).select("node", F.coalesce("hub", F.lit(0).cast(dec)).alias("hub")),
+            "hub",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return nodes.join(hub, on="node").join(auth, on="node")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over the undirected simple graph induced by
     (src, dst): one row (n_triangles, n_edges, n_wedges).

@@ -1,0 +1,190 @@
+"""Lexical-diversity corpus diagnostics: type-token ratio, hapax
+profile, and the Zipf slope of the token-frequency distribution.
+
+These are the standard corpus-health dashboards a training-data team
+watches next to the quality filters in ext/text.py: a collapsing TTR or
+a Zipf slope drifting away from ≈ −1 flags template spam, boilerplate
+floods, or synthetic-text contamination before any model sees the data
+(the diagnostics used by corpus studies of C4/Pile-class datasets).
+
+Dataflow shapes, all built-in expressions:
+
+- ``lexical_diversity``: one explode + one (doc, token) aggregate —
+  per-document token/type counts and TTR. Cost is the same single
+  tokenizing pass every token-counting operator here pays.
+- ``corpus_lexical_profile``: the group-level rollup — per-group vocab
+  size, hapax count/ratio (vocabulary seen exactly once — the raw-tail
+  mass), and mean TTR. Two token-key aggregates, no joins wider than
+  the group keys.
+- ``zipf_slope``: rank the global token frequencies, keep the top
+  ``top_n``, regress ln(freq) on ln(rank) with the decimal-moment OLS
+  in ops/timeseries.trend_slope — order-independent sums, so the slope
+  replays exactly in a second engine. ``top_n`` bounds the sort input
+  to a constant; the frequency table itself is vocabulary-sized (not
+  corpus-sized) after the first aggregate.
+
+Tokenization matches ext/textclf.py (lowercase, whitespace split) so
+the two surfaces profile the same token stream.
+
+Determinism contract: counts and ranks are exact integers; every ln is
+one closed-form expression rounded before the decimal-moment sums
+(trend_slope's policy); TTR/ratios are single divisions of integers
+rounded to ``round_to`` — all bit-replayable by the DuckDB oracles
+(gates ``lexical_diversity_by_lang``, ``zipf_slope_documents``).
+
+Reference parity note: the reference repo has no corpus-statistics
+surface; this is training-data-pipeline scope alongside ext/text.py
+(quality filters) and ext/repetition.py (repetition profiling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda t: F.length(t) > 0
+    )
+
+
+def token_frequencies(
+    docs: DataFrame, *, text_col: str = "text", group_cols: list[str] | None = None
+) -> DataFrame:
+    """(token, freq) — optionally per ``group_cols`` — over the
+    lowercased whitespace token stream. One explode + one hash
+    aggregate; output is vocabulary-sized."""
+    keys = list(group_cols or [])
+    tok = docs.select(
+        *keys, F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    return tok.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document (id, n_tokens, n_types, ttr). TTR = distinct tokens
+    / total tokens, NULL for empty/NULL text — a document never
+    silently vanishes from a profiling pass (same contract as
+    ext/textclf.score_documents_nb)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_t")
+    )
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("_t").alias("n_types"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.round(F.col("n_types") / F.col("n_tokens"), round_to),
+            ).alias("ttr"),
+        )
+    )
+
+
+def corpus_lexical_profile(
+    docs: DataFrame,
+    *,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    decimal_scale: int = 6,
+) -> DataFrame:
+    """Per-group corpus profile: (group, n_docs, vocab, hapax,
+    hapax_ratio, avg_ttr). ``hapax`` counts vocabulary items seen
+    exactly once in the group (the raw tail that dominates memorization
+    risk); ``avg_ttr`` is the mean per-doc TTR over docs with tokens,
+    decimal-summed (rounded per doc first) so the mean is
+    accumulation-order-independent."""
+    dec = f"decimal(28,{decimal_scale})"
+    freq = token_frequencies(docs, text_col=text_col, group_cols=[group_col])
+    vocab = freq.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("freq") == 1).cast("long")).alias("hapax"),
+    )
+    ttr = lexical_diversity(
+        docs, id_col=id_col, text_col=text_col, round_to=decimal_scale
+    ).join(docs.select(id_col, group_col), on=id_col)
+    per_group = ttr.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ttr").cast(dec)).alias("_ttr_sum"),
+        F.sum(F.col("ttr").isNotNull().cast("long")).alias("_n_ttr"),
+    )
+    return (
+        per_group.join(vocab, on=group_col, how="left")
+        .select(
+            group_col,
+            "n_docs",
+            F.coalesce("vocab", F.lit(0)).alias("vocab"),
+            F.coalesce("hapax", F.lit(0)).alias("hapax"),
+            F.when(
+                F.coalesce(F.col("vocab"), F.lit(0)) > 0,
+                F.round(F.col("hapax") / F.col("vocab"), round_to),
+            ).alias("hapax_ratio"),
+            F.when(
+                F.col("_n_ttr") > 0,
+                F.round(
+                    F.col("_ttr_sum").cast("double") / F.col("_n_ttr"),
+                    round_to,
+                ),
+            ).alias("avg_ttr"),
+        )
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    top_n: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """One row (n, slope): OLS slope of ln(freq) on ln(rank) over the
+    ``top_n`` most frequent tokens (rank 1 = most frequent; ties broken
+    by token so the rank assignment is engine-replayable). A healthy
+    natural-language corpus sits near −1 (Zipf's law); the slope going
+    shallow flags boilerplate/template flooding, going steep flags
+    vocabulary collapse. The ranking window sorts the vocabulary-sized
+    frequency table, and ``top_n`` caps the regression input — the
+    corpus itself is touched once, by the frequency aggregate."""
+    from assignment_etl_spark.ops.timeseries import trend_slope
+
+    freq = token_frequencies(docs, text_col=text_col)
+    ranked = (
+        freq.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("freq"), F.asc("token"))
+            ),
+        )
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.lit("corpus").alias("_k"),
+            F.log(F.col("rank").cast("double")).alias("ln_rank"),
+            F.log(F.col("freq").cast("double")).alias("ln_freq"),
+        )
+    )
+    return trend_slope(
+        ranked,
+        key_col="_k",
+        x_col="ln_rank",
+        y_col="ln_freq",
+        round_to=round_to,
+    ).select("n", "slope")

@@ -106,6 +106,119 @@ def train_nb_classifier(
     )
 
 
+def score_calibration(
+    scored: DataFrame,
+    *,
+    label_col: str,
+    score_col: str = "score",
+    bin_width: float = 2.0,
+    lo_bin: int = -5,
+    hi_bin: int = 5,
+    round_to: int = 6,
+    decimal_scale: int = 6,
+) -> DataFrame:
+    """Reliability diagram over fixed-width score bins: (bin, n, n_pos,
+    pos_rate, avg_score) per bin, where bin = clamp(floor(score /
+    bin_width), lo_bin, hi_bin) — fixed boundaries, not quantiles, so
+    binning needs no global sort and replays identically in any engine
+    (a well-calibrated scorer shows pos_rate rising monotonically with
+    the bin). Rows with a NULL score (unscored docs) are excluded.
+    ``avg_score`` decimal-sums the (already-rounded) scores so the mean
+    is accumulation-order-independent. One hash aggregate over at most
+    hi_bin − lo_bin + 1 output rows."""
+    dec = f"decimal(28,{decimal_scale})"
+    s = F.col(score_col)
+    binned = scored.filter(s.isNotNull()).withColumn(
+        "bin",
+        F.least(
+            F.greatest(
+                F.floor(s / F.lit(float(bin_width))), F.lit(lo_bin)
+            ),
+            F.lit(hi_bin),
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+            F.sum(s.cast(dec)).alias("_s"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), round_to).alias("pos_rate"),
+            F.round(
+                F.col("_s").cast("double") / F.col("n"), round_to
+            ).alias("avg_score"),
+        )
+    )
+
+
+def label_noise_suspects(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: int = 0,
+    topk: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Confident-learning-lite label-noise detection: train the NB
+    classifier ON the (possibly noisy) labels, score every document,
+    and surface the ``topk`` docs whose label most confidently
+    disagrees with the model — the cross-validation-free core of the
+    Cleanlab recipe, which production labeling pipelines run to triage
+    annotation errors before training.
+
+    ``margin`` = score / n_tokens (mean per-token log-odds) — the
+    length-normalized confidence, so a long document can't dominate the
+    suspect list just by having more tokens. A suspect is a doc with
+    n_tokens > 0 whose score sign contradicts its label; ranking is
+    by |margin| desc, then id (engine-replayable tie-break). Output:
+    (id, label, n_tokens, margin), strongest suspects first.
+
+    Cost: one training pass + one scoring pass (both single dataflows,
+    weight table broadcast) + a TakeOrderedAndProject of the suspect
+    subset — nothing here is heavier than scoring itself."""
+    if topk < 1:
+        raise ValueError(f"need topk >= 1, got {topk}")
+    weights = train_nb_classifier(
+        docs,
+        label_col=label_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+        salt=salt,
+    )
+    scored = score_documents_nb(
+        docs,
+        weights,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        salt=salt,
+        round_to=round_to,
+    )
+    lab = scored.join(docs.select(id_col, label_col), on=id_col)
+    suspects = lab.filter(
+        (F.col("n_tokens") > 0)
+        & ((F.col("score") > 0) != F.col(label_col))
+    ).select(
+        id_col,
+        label_col,
+        "n_tokens",
+        F.round(F.col("score") / F.col("n_tokens"), round_to).alias("margin"),
+    )
+    return suspects.orderBy(
+        F.abs(F.col("margin")).desc(), F.col(id_col)
+    ).limit(topk)
+
+
 def score_documents_nb(
     docs: DataFrame,
     weights: DataFrame,

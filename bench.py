@@ -104,6 +104,12 @@ HEADLINE = [
     "cuped_events",
     "bpe_train_merges",
     "cuped_ab_test_events",
+    "label_noise_suspects",
+    "nb_score_calibration",
+    "source_overlap_matrix",
+    "lexical_diversity_by_lang",
+    "zipf_slope_documents",
+    "hits_event_graph",
     # knn_graph_nndescent is gate-certified but excluded here: a full
     # 2000-node graph build is ~15s at sf0.1, out of scale with the
     # per-query bench (its cost profile lives in SCALE.md instead)

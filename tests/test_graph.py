@@ -3,6 +3,7 @@ determinism, dangling variant semantics."""
 
 from decimal import Decimal
 
+import pytest
 from pyspark.sql import functions as F
 
 from assignment_etl_spark.ext.graph import degrees, pagerank
@@ -137,3 +138,59 @@ def test_khop_reachable(spark):
     }
     # min_hops, not any-hops: node 4 is 1 hop via the shortcut
     assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+# --- HITS (ext/graph.hits) -------------------------------------------------
+
+
+def test_hits_star(spark):
+    # x,y,z → hub: 'hub' is the sole authority (auth 1 after L1 norm),
+    # x/y/z are equal hubs at 1/3, and the authority's own hub score is 0
+    e = _edges(spark, [("x", "hub"), ("y", "hub"), ("z", "hub")])
+    from assignment_etl_spark.ext.graph import hits
+
+    got = {r.node: r for r in hits(e, iters=2).collect()}
+    assert set(got) == {"x", "y", "z", "hub"}
+    assert float(got["hub"].auth) == pytest.approx(1.0, abs=1e-9)
+    assert float(got["hub"].hub) == 0.0
+    for leaf in ("x", "y", "z"):
+        assert float(got[leaf].auth) == 0.0
+        assert float(got[leaf].hub) == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_hits_l1_norms_sum_to_one(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")],
+    )
+    from assignment_etl_spark.ext.graph import hits
+
+    rows = hits(e, iters=2).collect()
+    assert sum(float(r.hub) for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert sum(float(r.auth) for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_distinguishes_hubs_from_authorities(spark):
+    # a cites everything (pure hub); p is cited by everyone (pure authority);
+    # HITS must rank a top on hub and p top on auth — PageRank on this
+    # graph would rank only p (in-link blind spot is what HITS fixes)
+    e = _edges(
+        spark,
+        [("a", "p"), ("a", "q"), ("b", "p"), ("c", "p")],
+    )
+    from assignment_etl_spark.ext.graph import hits
+
+    got = {r.node: r for r in hits(e, iters=2).collect()}
+    best_hub = max(got.values(), key=lambda r: float(r.hub)).node
+    best_auth = max(got.values(), key=lambda r: float(r.auth)).node
+    assert best_hub == "a"
+    assert best_auth == "p"
+
+
+def test_hits_checkpointed_matches_uncheckpointed(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    from assignment_etl_spark.ext.graph import hits
+
+    plain = sorted(map(tuple, hits(e, iters=2).collect()))
+    ckpt = sorted(map(tuple, hits(e, iters=2, checkpoint_every=1).collect()))
+    assert plain == ckpt

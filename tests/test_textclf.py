@@ -77,3 +77,87 @@ def test_deterministic_across_partitionings(spark, corpus):
     a = train_nb_classifier(corpus.repartition(1), label_col="y", n_buckets=128)
     b = train_nb_classifier(corpus.repartition(7), label_col="y", n_buckets=128)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- label-noise triage (ext/textclf.label_noise_suspects) ------------------
+
+
+def test_label_noise_flags_the_flipped_label(spark):
+    # four clean docs per class + one doc with obviously-English text
+    # labeled False: it must surface as the TOP suspect, with a negative
+    # margin (scored positive-class, labeled negative)
+    from assignment_etl_spark.ext.textclf import label_noise_suspects
+
+    rows = [
+        (1, EN, True),
+        (2, "the cat and the dog sat in the warm sun all day", True),
+        (3, "the river runs over the brown rocks and the dog swims", True),
+        (4, ES, False),
+        (5, "el gato y el perro estan en el sol calido todo el dia", False),
+        (6, "el rio corre sobre el campo y el perro nada", False),
+        (99, "the quick dog and the lazy fox run to the warm river", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = label_noise_suspects(docs, label_col="y", n_buckets=256, topk=5).collect()
+    assert out, "the flipped label must be detected"
+    top = out[0]
+    assert top.doc_id == 99
+    assert top.y is False and top.margin > 0  # scored EN, labeled not-EN
+    # ranking is by |margin| desc
+    margins = [abs(r.margin) for r in out]
+    assert margins == sorted(margins, reverse=True)
+
+
+def test_label_noise_topk_validation(spark, corpus):
+    from assignment_etl_spark.ext.textclf import label_noise_suspects
+
+    with pytest.raises(ValueError, match="topk"):
+        label_noise_suspects(corpus, label_col="y", topk=0)
+
+
+# --- score calibration (ext/textclf.score_calibration) ----------------------
+
+
+def test_score_calibration_bins_and_rates(spark):
+    from assignment_etl_spark.ext.textclf import score_calibration
+
+    rows = [
+        (1, -12.5, False),  # floor(-6.25) = -7 clamps to lo_bin -5
+        (2, -2.0, False),  # bin -1
+        (3, -1.0, True),   # bin -1
+        (4, 3.0, True),    # bin 1
+        (5, 30.0, True),   # clamps to hi_bin 5
+        (6, None, True),   # unscored: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, y boolean")
+    got = {r.bin: r for r in score_calibration(df, label_col="y").collect()}
+    assert set(got) == {-5, -1, 1, 5}
+    assert (got[-5].n, got[-5].n_pos, got[-5].pos_rate) == (1, 0, 0.0)
+    assert (got[-1].n, got[-1].n_pos, got[-1].pos_rate) == (2, 1, 0.5)
+    assert got[-1].avg_score == -1.5
+    assert (got[1].n, got[5].n) == (1, 1)
+    assert got[5].avg_score == 30.0
+
+
+def test_score_calibration_monotone_on_separable_corpus(spark):
+    # NB on a separable two-language corpus: every bin at or above zero
+    # must have pos_rate 1.0, every bin below zero 0.0
+    from assignment_etl_spark.ext.textclf import (
+        score_calibration,
+        score_documents_nb,
+        train_nb_classifier,
+    )
+
+    rows = [
+        (1, EN, True),
+        (2, "the cat and the dog sat in the warm sun all day", True),
+        (3, ES, False),
+        (4, "el gato y el perro estan en el sol calido todo el dia", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w = train_nb_classifier(docs, label_col="y", n_buckets=256)
+    scored = score_documents_nb(docs, w, n_buckets=256).join(
+        docs.select("doc_id", "y"), on="doc_id"
+    )
+    for r in score_calibration(scored, label_col="y").collect():
+        assert r.pos_rate == (1.0 if r.bin >= 0 else 0.0), r
