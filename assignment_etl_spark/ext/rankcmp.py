@@ -1,0 +1,128 @@
+"""Rank-agreement metrics between two document scorers: Spearman rho
+and rank-biased overlap (RBO).
+
+When a pipeline swaps quality scorers (a heuristic for a classifier, a
+classifier for a bigger one), the operative question is how differently
+the CORPUS RANKING comes out — globally (Spearman) and at the top,
+where selection actually happens (RBO, Webber et al. TOIS'10, the
+top-weighted overlap measure built for indefinite rankings). Both here
+as pure dataflows over (id, score) inputs.
+
+Shapes and determinism:
+
+- ``ranked``: row_number over (score desc, id asc) — ties broken by id,
+  so the ranking is total and engine-replayable (this makes the
+  Spearman below the TIE-BROKEN variant, not average-rank rho; for
+  continuous scores the two coincide). The global sort is the one
+  corpus-sized cost (same caveat as ext/lexdiv.zipf_slope: a window
+  sort over the scored table; rank joins and everything after are
+  id-keyed).
+- ``spearman_rho``: rho = 1 − 6·Σd²/(n(n²−1)) with d = rank_a − rank_b.
+  Σd² is an EXACT decimal integer sum (order-independent); only the
+  final division is floating point, rounded to ``round_to``.
+- ``rbo_estimate``: truncated RBO_min at ``depth``:
+  (1−p)·Σ_{d=1..depth} p^(d−1)·|A_d ∩ B_d|/d. Prefix overlap at d is
+  #{docs: max(rank_a, rank_b) ≤ d} — one inner join on id + one
+  bounded ``depth``×``depth`` range join (both sides ≤ depth rows
+  after the prefix filter, never corpus-sized). p^(d−1) is rounded to
+  12 decimals before use (absorbing libm pow ulps), each term to 9,
+  terms decimal-summed — the repo's standard cross-engine contract.
+
+Reference parity note: the reference repo has no ranking surface; this
+is training-data-pipeline scope alongside ext/textclf.py (gate
+``rank_agreement_quality_length``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ranked(
+    df: DataFrame, *, id_col: str, score_col: str
+) -> DataFrame:
+    """(id, rank) with rank 1 = highest score; ties broken by id
+    ascending (total, deterministic order)."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return df.select(
+        F.col(id_col), F.row_number().over(w).alias("rank")
+    )
+
+
+def spearman_rho(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    *,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One row (n, rho) from two (id, rank) tables (inner-joined on id).
+    NULL rho when n < 2. Σd² is summed as decimal(38,0) — exact at any
+    corpus size — so rho replays bit-for-bit."""
+    j = ranks_a.withColumnRenamed("rank", "_ra").join(
+        ranks_b.withColumnRenamed("rank", "_rb"), on=id_col
+    )
+    d = F.col("_ra") - F.col("_rb")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((d * d).cast("decimal(38,0)")).alias("_sd2"),
+    )
+    n = F.col("n").cast("double")
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("_sd2").cast("double") / (
+        n * (n * n - F.lit(1.0))
+    )
+    return agg.select(
+        "n", F.when(F.col("n") >= 2, F.round(rho, round_to)).alias("rho")
+    )
+
+
+def rbo_estimate(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    *,
+    id_col: str,
+    p: float = 0.9,
+    depth: int = 50,
+    round_to: int = 6,
+    decimal_scale: int = 9,
+) -> DataFrame:
+    """One row (depth, overlap_at_depth, rbo): truncated rank-biased
+    overlap of the two rankings' top-``depth`` prefixes. The residual
+    mass beyond ``depth`` is ignored (RBO_min — a lower bound)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"need 0 < p < 1, got {p}")
+    if depth < 1:
+        raise ValueError(f"need depth >= 1, got {depth}")
+    dec = f"decimal(28,{decimal_scale})"
+    m = (
+        ranks_a.withColumnRenamed("rank", "_ra")
+        .join(ranks_b.withColumnRenamed("rank", "_rb"), on=id_col)
+        .filter((F.col("_ra") <= depth) & (F.col("_rb") <= depth))
+        .select(F.greatest("_ra", "_rb").alias("_m"))
+        .groupBy("_m")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    depths = F.broadcast(
+        ranks_a.sparkSession.range(1, depth + 1).select(
+            F.col("id").cast("int").alias("_d")
+        )
+    )
+    # overlap@d = Σ_{m ≤ d} c_m : a bounded depth×depth range join
+    overlap = (
+        depths.join(m, on=(F.col("_m") <= F.col("_d")), how="left")
+        .groupBy("_d")
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("_ov"))
+    )
+    w = F.round(F.pow(F.lit(float(p)), F.col("_d") - 1), 12)
+    term = F.round(w * F.col("_ov") / F.col("_d"), decimal_scale).cast(dec)
+    return overlap.agg(
+        F.lit(depth).alias("depth"),
+        F.max(F.when(F.col("_d") == depth, F.col("_ov"))).alias(
+            "overlap_at_depth"
+        ),
+        F.round(
+            F.lit(1.0 - float(p)) * F.sum(term).cast("double"), round_to
+        ).alias("rbo"),
+    )

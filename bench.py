@@ -107,6 +107,7 @@ HEADLINE = [
     "label_noise_suspects",
     "nb_score_calibration",
     "source_overlap_matrix",
+    "rank_agreement_quality_length",
     "lexical_diversity_by_lang",
     "zipf_slope_documents",
     "hits_event_graph",
