@@ -2273,10 +2273,17 @@ rb AS (
   SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
   FROM documents),
 j AS (SELECT ra.r AS x, rb.r AS y FROM ra JOIN rb USING (doc_id)),
+-- Spearman re-ranks within the intersection (identity here, where both
+-- rankings cover every doc — mirrors ext/rankcmp.spearman_rho); RBO
+-- below keeps the ORIGINAL ranks (prefixes of each full ranking)
+jr AS (
+  SELECT row_number() OVER (ORDER BY x) AS x2,
+         row_number() OVER (ORDER BY y) AS y2
+  FROM j),
 sp AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         sum(CAST((x - y) * (x - y) AS DECIMAL(38,0))) AS sd2
-  FROM j),
+         sum(CAST((x2 - y2) * (x2 - y2) AS DECIMAL(38,0))) AS sd2
+  FROM jr),
 m AS (
   SELECT greatest(x, y) AS m, count(*) AS c
   FROM j WHERE x <= 50 AND y <= 50 GROUP BY 1),
@@ -2404,18 +2411,11 @@ def q_hits_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with L1 normalization riding 1-row broadcasts — the decimal-sum
     policy end to end, so the oracle unrolls both iterations to the
     exact digits."""
-    from pyspark.sql.window import Window as W
-
     from assignment_etl_spark.ext.graph import hits
 
     _prep(spark)
-    events = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.withColumn("prev", F.lag("event_type").over(w))
     edges = (
-        seq.filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
-        .distinct()
+        _event_type_edges(_t(spark, sf_dir, "events"))
         # materialize the (tiny) edge list once: every normalize barrier
         # inside hits() launches its own broadcast job, and without this
         # each of those jobs would re-run the events window + distinct
@@ -2440,15 +2440,8 @@ def _sql_hits_event_graph(iters: int = 2) -> str:
     pagerank oracle."""
     dec = "DECIMAL(28,12)"
     parts = [
-        f"""
-WITH seq AS (
-  SELECT event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev
-  FROM events),
-edges AS (
-  SELECT DISTINCT prev AS src, event_type AS dst
-  FROM seq WHERE prev IS NOT NULL),
+        _SQL_EVENT_TYPE_EDGES
+        + f""",
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 h0 AS (SELECT node, CAST(1 AS {dec}) AS hub FROM nodes)"""
     ]
@@ -6754,6 +6747,40 @@ FROM prof ORDER BY bin
 """
 
 
+def _event_type_edges(events: DataFrame) -> DataFrame:
+    """Distinct event-type transition edges (u→v when some user's event
+    of type u is immediately followed by type v; lag window ordered by
+    ts, event_id) — the ONE edge derivation shared by the pagerank and
+    HITS gates, so graph-construction fixes can't drift between them.
+    NULL-ts rows are excluded on BOTH engine sides (the repo's
+    ordered-window parity rule: Spark sorts NULLs first ascending,
+    DuckDB last — see `_SQL_EVENT_TYPE_EDGES`)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.filter(F.col("ts").isNotNull()).withColumn(
+        "prev", F.lag("event_type").over(w)
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+    )
+
+
+# the SQL twin of _event_type_edges — a WITH-clause fragment (seq, edges
+# CTEs) prepended by both graph oracles
+_SQL_EVENT_TYPE_EDGES = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events WHERE ts IS NOT NULL),
+edges AS (
+  SELECT DISTINCT prev AS src, event_type AS dst
+  FROM seq WHERE prev IS NOT NULL)"""
+
+
 def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (ext/graph.py) over the event-type
     transition graph (edge u→v when some user's event of type u is
@@ -6764,19 +6791,10 @@ def q_pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution rounded in double then summed as decimal), so the
     oracle replays all three unrolled iterations to the exact same
     digits — a cross-engine-certified iterative algorithm."""
-    from pyspark.sql.window import Window as W
-
     from assignment_etl_spark.ext.graph import pagerank
 
     _prep(spark)
-    events = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.withColumn("prev", F.lag("event_type").over(w))
-    edges = (
-        seq.filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
-        .distinct()
-    )
+    edges = _event_type_edges(_t(spark, sf_dir, "events"))
     ranks = pagerank(edges, iters=3)
     return ranks.select(
         "node", F.round(F.col("rank").cast("double"), 6).alias("rank")
@@ -6788,15 +6806,8 @@ def _sql_pagerank_event_graph() -> str:
     including the cast-before-add that keeps precision under 38."""
     dec = "DECIMAL(28,12)"
     parts = [
-        f"""
-WITH seq AS (
-  SELECT event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev
-  FROM events),
-edges AS (
-  SELECT DISTINCT prev AS src, event_type AS dst
-  FROM seq WHERE prev IS NOT NULL),
+        _SQL_EVENT_TYPE_EDGES
+        + f""",
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT count(*) AS n FROM nodes),
 outd AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),

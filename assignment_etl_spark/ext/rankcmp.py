@@ -60,9 +60,22 @@ def spearman_rho(
 ) -> DataFrame:
     """One row (n, rho) from two (id, rank) tables (inner-joined on id).
     NULL rho when n < 2. Σd² is summed as decimal(38,0) — exact at any
-    corpus size — so rho replays bit-for-bit."""
+    corpus size — so rho replays bit-for-bit.
+
+    The permutation formula 1 − 6Σd²/(n(n²−1)) is only valid when both
+    rank columns are permutations of 1..n, which raw ranks are NOT once
+    the two rankings cover different id sets (a partial scorer vs a
+    full one would yield rho far outside [−1, 1]). So the joined rows
+    are RE-RANKED within the intersection first — identity when the id
+    sets already coincide, the correct Spearman-on-common-support
+    otherwise. The two re-rank windows sort the intersection (same
+    single-partition caveat as :func:`ranked`)."""
     j = ranks_a.withColumnRenamed("rank", "_ra").join(
         ranks_b.withColumnRenamed("rank", "_rb"), on=id_col
+    )
+    j = j.select(
+        F.row_number().over(Window.orderBy("_ra")).alias("_ra"),
+        F.row_number().over(Window.orderBy("_rb")).alias("_rb"),
     )
     d = F.col("_ra") - F.col("_rb")
     agg = j.agg(

@@ -69,3 +69,22 @@ def test_validation(spark, scores):
         rbo_estimate(a, a, id_col="doc_id", p=1.5)
     with pytest.raises(ValueError, match="depth"):
         rbo_estimate(a, a, id_col="doc_id", depth=0)
+
+
+def test_spearman_partial_scorer_reranks_intersection(spark, scores):
+    # a partial scorer covering only ids 9,10 (which rank 9,10 = LAST in
+    # the full ranking): raw-rank d would be 8 each and the permutation
+    # formula would emit rho = -19207-style garbage; re-ranking within
+    # the intersection must give exactly rho = 1 (same relative order)
+    partial = scores.filter("doc_id >= 9")
+    a = ranked(partial, id_col="doc_id", score_col="s")
+    b = ranked(scores, id_col="doc_id", score_col="s")
+    r = spearman_rho(a, b, id_col="doc_id").collect()[0]
+    assert r.n == 2
+    assert r.rho == 1.0
+    # and reversed relative order on the intersection → exactly -1
+    rev = partial.selectExpr("doc_id", "-s AS s")
+    r2 = spearman_rho(
+        ranked(rev, id_col="doc_id", score_col="s"), b, id_col="doc_id"
+    ).collect()[0]
+    assert r2.rho == -1.0
