@@ -2309,6 +2309,67 @@ FROM sp CROSS JOIN rbo
 """
 
 
+def q_interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (ops/intervals.py): two interval sets
+    derived from events (20-min windows on every 7th event × 15-min
+    windows on every 11th) joined on range intersection via the
+    time-cell equi-join — never a nested-loop theta join; pairs are
+    kept once in the later-start cell, so no dedup shuffle. The gate
+    aggregates pair counts AND total overlap seconds per type pair
+    (certifying the exact intersection arithmetic); the oracle is the
+    brute-force theta join — the two must agree pair-for-pair."""
+    from assignment_etl_spark.ops.intervals import interval_overlap_join
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    left = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("l_id"),
+        F.col("event_type").alias("l_type"),
+        sec.alias("start"),
+        (sec + 1200).alias("end"),
+    )
+    right = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("r_id"),
+        F.col("event_type").alias("r_type"),
+        sec.alias("start"),
+        (sec + 900).alias("end"),
+    )
+    pairs = interval_overlap_join(left, right, cell_width=900)
+    return (
+        pairs.groupBy("l_type", "r_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.least("end", "end_r") - F.greatest("start", "start_r")
+            ).alias("overlap_sec"),
+        )
+        .orderBy("l_type", "r_type")
+    )
+
+
+SQL_INTERVAL_OVERLAP_EVENTS = """
+WITH l AS (
+  SELECT event_type AS l_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 1200 AS e
+  FROM events WHERE event_id % 7 = 0),
+r AS (
+  SELECT event_type AS r_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 900 AS e
+  FROM events WHERE event_id % 11 = 0),
+p AS (
+  SELECT l_type, r_type,
+         least(l.e, r.e) - greatest(l.s, r.s) AS ov
+  FROM l JOIN r ON l.s < r.e AND r.s < l.e)
+SELECT l_type, r_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ov) AS BIGINT) AS overlap_sec
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_lexical_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language lexical-diversity profile
     (ext/lexdiv.corpus_lexical_profile): vocabulary size, hapax
@@ -11366,14 +11427,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row yet come FIRST. Round-5 state: entries 1-48 are exactly the
     # old 200-registry minus the union of CORRECTNESS_r01-r04 hash-green
     # names — a 50-sample certifies all of them, completing the driver
-    # record for every pre-round-5 query — and entries 49-61 are the
-    # THIRTEEN new round-5 gates (cell_multiprobe_topk and
-    # nb_quality_classifier ride the same prefix; the other eleven —
+    # record for every pre-round-5 query — and entries 49-62 are the
+    # FOURTEEN new round-5 gates (cell_multiprobe_topk and
+    # nb_quality_classifier ride the same prefix; the other twelve —
     # knn_shapley_valuation, cuped_events, cuped_ab_test_events,
     # knn_graph_nndescent, label_noise_suspects, nb_score_calibration,
     # source_overlap_matrix, rank_agreement_quality_length,
-    # lexical_diversity_by_lang, zipf_slope_documents, hits_event_graph
-    # — exceed the 50 slots and wait for the round-6 sample).
+    # interval_overlap_events, lexical_diversity_by_lang,
+    # zipf_slope_documents, hits_event_graph — exceed the 50 slots and
+    # wait for the round-6 sample).
     # Everything after is already on the driver
     # record, and the whole registry stays judge-verifiable with
     # `python tools/check_correctness.py`.
@@ -11440,6 +11502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_score_calibration": q_nb_score_calibration,
         "source_overlap_matrix": q_source_overlap_matrix,
         "rank_agreement_quality_length": q_rank_agreement_quality_length,
+        "interval_overlap_events": q_interval_overlap_events,
         "lexical_diversity_by_lang": q_lexical_diversity_by_lang,
         "zipf_slope_documents": q_zipf_slope_documents,
         "hits_event_graph": q_hits_event_graph,
@@ -11717,6 +11780,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_score_calibration": _sql_nb_score_calibration(),
         "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
         "rank_agreement_quality_length": _sql_rank_agreement_quality_length(),
+        "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
         "lexical_diversity_by_lang": SQL_LEXICAL_DIVERSITY_BY_LANG,
         "zipf_slope_documents": SQL_ZIPF_SLOPE_DOCUMENTS,
         "hits_event_graph": _sql_hits_event_graph(),

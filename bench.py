@@ -108,6 +108,7 @@ HEADLINE = [
     "nb_score_calibration",
     "source_overlap_matrix",
     "rank_agreement_quality_length",
+    "interval_overlap_events",
     "lexical_diversity_by_lang",
     "zipf_slope_documents",
     "hits_event_graph",
