@@ -19,6 +19,7 @@ gate is sha256 math, recomputed by DuckDB from the same payload bytes.
 
 from __future__ import annotations
 
+import math
 import uuid
 from collections.abc import Callable
 
@@ -2306,6 +2307,101 @@ SELECT sp.n,
        END AS rho,
        rbo.depth, rbo.overlap_at_depth, rbo.rbo
 FROM sp CROSS JOIN rbo
+"""
+
+
+def q_jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-random projection (ext/projection.py, Achlioptas '01):
+    64-dim embeddings → 8 dims via the hash-derived ±1 matrix scaled by
+    1/√8 (expected isometry) — one narrow map, no shuffle, no UDF;
+    per-term rounding +
+    decimal accumulation makes every projected coordinate
+    engine-exact. Gate emits (vec_id, dim, value) scalars for the
+    first 20 vectors; the oracle re-derives the SAME matrix from the
+    same integer mix (inlined as VALUES) and replays the fold as a
+    decimal group-sum — equal because exact arithmetic is
+    order-independent."""
+    from assignment_etl_spark.ext.projection import project_embeddings
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    proj = project_embeddings(emb, d_in=64, d_out=8, salt=3)
+    return (
+        proj.select(
+            "vec_id", F.posexplode("projected").alias("dim", "value")
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+def _sql_jl_project_embeddings(d_in: int = 64, d_out: int = 8, salt: int = 3) -> str:
+    from assignment_etl_spark.ext.projection import jl_sign_matrix
+
+    signs = jl_sign_matrix(d_in, d_out, salt)
+    values = ",".join(
+        f"({j},{i},{signs[j][i]})"
+        for j in range(d_out)
+        for i in range(d_in)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 20),
+s(j, i, sg) AS (VALUES {values}),
+t AS (
+  SELECT vec_id, j, round(emb[i + 1] * sg, 9) AS p
+  FROM e CROSS JOIN s),
+agg AS (
+  SELECT vec_id, j,
+         CAST(sum(CAST(p AS DECIMAL(28,9))) AS DOUBLE) AS acc
+  FROM t GROUP BY 1, 2)
+SELECT vec_id, CAST(j AS INTEGER) AS dim,
+       round(acc / {math.sqrt(d_out)!r}, 6) AS value
+FROM agg ORDER BY vec_id, dim
+"""
+
+
+def q_dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy histogram (ext/privacy.dp_noisy_counts):
+    per-event-type counts + deterministic hash-seeded Laplace noise
+    (inverse CDF of the portable-hash uniform), true counts never
+    emitted. Deterministic BY DESIGN so the oracle replays the release
+    digit-for-digit — production swaps a secret per-release salt and
+    keeps the dataflow (see the operator docstring for the formal-DP
+    caveat). One aggregate + one closed-form noise projection."""
+    from assignment_etl_spark.ext.privacy import dp_noisy_counts
+
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(
+        ev, ["event_type"], epsilon=1.0, salt=7
+    ).orderBy("event_type")
+
+
+def _sql_dp_noisy_counts_events(epsilon: float = 1.0, salt: int = 7) -> str:
+    from assignment_etl_spark.ext.sampling import sql_hash01
+    from assignment_etl_spark.portable import PRIME_P
+
+    sh = (
+        "CASE WHEN length(k) = 0 THEN 0 ELSE "
+        "list_reduce([ord(substr(k, i, 1))::BIGINT "
+        "FOR i IN range(1, length(k) + 1)], "
+        f"(a, x) -> (a * 31 + x) % {PRIME_P}) END"
+    )
+    u = sql_hash01("sh", salt)
+    b = 1.0 / float(epsilon)
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+h AS (SELECT event_type, n, {sh} AS sh
+      FROM (SELECT event_type, n, event_type AS k FROM c)),
+uu AS (SELECT event_type, n, {u} AS u FROM h)
+SELECT event_type,
+       round(n + round(-({b!r}) * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS noisy_count,
+       CAST({float(epsilon)!r} AS DOUBLE) AS epsilon
+FROM uu ORDER BY event_type
 """
 
 
@@ -11427,13 +11523,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row yet come FIRST. Round-5 state: entries 1-48 are exactly the
     # old 200-registry minus the union of CORRECTNESS_r01-r04 hash-green
     # names — a 50-sample certifies all of them, completing the driver
-    # record for every pre-round-5 query — and entries 49-62 are the
-    # FOURTEEN new round-5 gates (cell_multiprobe_topk and
-    # nb_quality_classifier ride the same prefix; the other twelve —
+    # record for every pre-round-5 query — and entries 49-64 are the
+    # SIXTEEN new round-5 gates (cell_multiprobe_topk and
+    # nb_quality_classifier ride the same prefix; the other fourteen —
     # knn_shapley_valuation, cuped_events, cuped_ab_test_events,
     # knn_graph_nndescent, label_noise_suspects, nb_score_calibration,
     # source_overlap_matrix, rank_agreement_quality_length,
-    # interval_overlap_events, lexical_diversity_by_lang,
+    # interval_overlap_events, dp_noisy_counts_events,
+    # jl_project_embeddings, lexical_diversity_by_lang,
     # zipf_slope_documents, hits_event_graph — exceed the 50 slots and
     # wait for the round-6 sample).
     # Everything after is already on the driver
@@ -11503,6 +11600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": q_source_overlap_matrix,
         "rank_agreement_quality_length": q_rank_agreement_quality_length,
         "interval_overlap_events": q_interval_overlap_events,
+        "dp_noisy_counts_events": q_dp_noisy_counts_events,
+        "jl_project_embeddings": q_jl_project_embeddings,
         "lexical_diversity_by_lang": q_lexical_diversity_by_lang,
         "zipf_slope_documents": q_zipf_slope_documents,
         "hits_event_graph": q_hits_event_graph,
@@ -11781,6 +11880,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,
         "rank_agreement_quality_length": _sql_rank_agreement_quality_length(),
         "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
+        "dp_noisy_counts_events": _sql_dp_noisy_counts_events(),
+        "jl_project_embeddings": _sql_jl_project_embeddings(),
         "lexical_diversity_by_lang": SQL_LEXICAL_DIVERSITY_BY_LANG,
         "zipf_slope_documents": SQL_ZIPF_SLOPE_DOCUMENTS,
         "hits_event_graph": _sql_hits_event_graph(),

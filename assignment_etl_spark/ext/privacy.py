@@ -114,3 +114,56 @@ def suppress_below_k(df: DataFrame, quasi: list[str], k: int) -> DataFrame:
         .filter(F.col("is_k_anonymous"))
         .drop("class_size", "is_k_anonymous")
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    epsilon: float,
+    sensitivity: float = 1.0,
+    salt: int = 0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Laplace-mechanism noisy group counts — the standard
+    differential-privacy release for histograms/marginals (count
+    queries have sensitivity 1; noise scale b = sensitivity/ε).
+
+    The noise is DERIVED, not drawn: uniform u ∈ (0,1) from the
+    portable hash of the group key + ``salt``, pushed through the
+    Laplace inverse CDF −b·sgn(u−½)·ln(1−2|u−½|). That makes the
+    release deterministic, engine-replayable, and auditable (gate
+    ``dp_noisy_counts_events`` replays it in DuckDB) — but formally DP
+    ONLY if the salt is secret and fresh per release: with a public or
+    reused salt an adversary can invert the noise. Production swaps a
+    CSPRNG-drawn salt per release and keeps the same dataflow; the
+    mechanism's shape (one aggregate, one closed-form noise expression,
+    true counts never emitted) is what the engine owns.
+
+    Output: group_cols + (noisy_count, epsilon). The true count column
+    is dropped. NULL group values participate via concat_ws's
+    skip-NULL convention — disambiguate upstream if NULL vs '' matters.
+    One hash aggregate; noise is a per-group projection."""
+    from assignment_etl_spark.ext.sampling import portable_hash01
+    from assignment_etl_spark.ext.sketch import portable_str_hash
+
+    if epsilon <= 0:
+        raise ValueError(f"need epsilon > 0, got {epsilon}")
+    b = float(sensitivity) / float(epsilon)
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    key = portable_str_hash(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    )
+    u = portable_hash01(key, salt)
+    centered = u - F.lit(0.5)
+    noise = F.round(
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)),
+        round_to,
+    )
+    return counts.select(
+        *group_cols,
+        F.round(F.col("_n") + noise, round_to).alias("noisy_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

@@ -109,6 +109,8 @@ HEADLINE = [
     "source_overlap_matrix",
     "rank_agreement_quality_length",
     "interval_overlap_events",
+    "dp_noisy_counts_events",
+    "jl_project_embeddings",
     "lexical_diversity_by_lang",
     "zipf_slope_documents",
     "hits_event_graph",

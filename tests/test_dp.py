@@ -1,0 +1,46 @@
+"""Deterministic Laplace noisy counts (ext/privacy.dp_noisy_counts):
+reproducibility, salt sensitivity, noise-scale behavior, zero-mean-ish
+magnitude bounds, and validation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ext.privacy import dp_noisy_counts
+
+
+@pytest.fixture(scope="module")
+def groups(spark):
+    rows = [(f"g{i % 10}", i) for i in range(500)]
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_deterministic_and_salt_sensitive(spark, groups):
+    a = {r.g: r.noisy_count for r in dp_noisy_counts(groups, ["g"], epsilon=1.0, salt=1).collect()}
+    b = {r.g: r.noisy_count for r in dp_noisy_counts(groups, ["g"], epsilon=1.0, salt=1).collect()}
+    c = {r.g: r.noisy_count for r in dp_noisy_counts(groups, ["g"], epsilon=1.0, salt=2).collect()}
+    assert a == b, "same salt → identical release"
+    assert a != c, "a fresh salt must redraw every group's noise"
+
+
+def test_noise_scale_tracks_epsilon(spark, groups):
+    # true count is 50 per group; lower epsilon → larger noise magnitude
+    tight = dp_noisy_counts(groups, ["g"], epsilon=10.0, salt=3).collect()
+    loose = dp_noisy_counts(groups, ["g"], epsilon=0.1, salt=3).collect()
+    mean_abs_tight = sum(abs(r.noisy_count - 50) for r in tight) / len(tight)
+    mean_abs_loose = sum(abs(r.noisy_count - 50) for r in loose) / len(loose)
+    # same u per group (same salt): loose is exactly 100x tight
+    assert mean_abs_loose == pytest.approx(100 * mean_abs_tight, rel=1e-3)
+    # Laplace(b=0.1) noise keeps counts near-exact at eps=10
+    assert mean_abs_tight < 1.0
+
+
+def test_true_count_not_emitted(spark, groups):
+    out = dp_noisy_counts(groups, ["g"], epsilon=1.0)
+    assert set(out.columns) == {"g", "noisy_count", "epsilon"}
+
+
+def test_validation(spark, groups):
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(groups, ["g"], epsilon=0.0)
