@@ -161,6 +161,72 @@ def main() -> None:
         graph[f"rounds={rounds}"] = {"recall": recall_at_k(exact, approx)}
     results["nndescent_graph_search"] = graph
 
+    # JL projection: brute-force in the REDUCED space vs exact in the
+    # original — what d_in/d_out of compute+shuffle savings costs in
+    # recall (ext/projection.py; compose with IVF/cells for the full
+    # scale path)
+    from assignment_etl_spark.ext.projection import project_embeddings
+
+    from pyspark.sql.window import Window as W
+
+    from assignment_etl_spark.ext.similarity import cosine
+
+    jl = {}
+    for d_out in (8, 16, 32):
+        proj = (
+            project_embeddings(emb, d_in=DIM, d_out=d_out)
+            .select("vec_id", F.col("projected").alias("embedding"))
+            .persist()
+        )
+        pq = proj.filter(F.col("vec_id") < 64)
+        approx = brute_force_topk(pq, proj, k)
+        entry = {
+            "recall": recall_at_k(exact, approx),
+            "compute_frac": round(d_out / DIM, 4),
+        }
+        # the production pattern: JL-space top-M candidates, exact
+        # re-rank to top-k — projection is candidate GENERATION (dense
+        # clusters collapse under JL, so raw projected top-k is not a
+        # retrieval index; a wider pool + exact re-score recovers it)
+        for m in (5 * k, 20 * k):
+            cand = brute_force_topk(pq, proj, m).select(
+                "query_id", "neighbor_id"
+            )
+            qv = emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("_qv"),
+            )
+            cv = emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_cv"),
+            )
+            rescored = (
+                cand.join(qv, "query_id")
+                .join(cv, "neighbor_id")
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+                )
+            )
+            topk = (
+                rescored.withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        W.partitionBy("query_id").orderBy(
+                            F.desc("cos_sim"), F.asc("neighbor_id")
+                        )
+                    ),
+                )
+                .filter(F.col("_rk") <= k)
+            )
+            entry[f"rerank_m={m}"] = {
+                "recall": recall_at_k(exact, topk),
+                "exact_frac": round(m / n_cand, 4),
+            }
+        jl[f"d_out={d_out}"] = entry
+    results["jl_projection"] = jl
+
     print(json.dumps(results))
 
 
