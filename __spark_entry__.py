@@ -2042,18 +2042,30 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_str_hash(var: str) -> str:
+    """DuckDB replica of ext/sketch.portable_str_hash over the SQL
+    identifier ``var`` (31-ary polynomial over codepoints mod PRIME_P,
+    empty string → 0). ONE definition — the NB, DP, and Count-Min
+    oracles all derive from it, so the hash can never desynchronize
+    between replicas (the drift class _SQL_EVENT_TYPE_EDGES closed for
+    graph gates)."""
+    from assignment_etl_spark.portable import PRIME_P
+
+    return (
+        f"CASE WHEN length({var}) = 0 THEN 0 ELSE "
+        f"list_reduce([ord(substr({var}, i, 1))::BIGINT "
+        f"FOR i IN range(1, length({var}) + 1)], "
+        f"(a, x) -> (a * 31 + x) % {PRIME_P}) END"
+    )
+
+
 def _sql_nb_scored_ctes(n_buckets: int = 512, alpha: float = 1.0) -> str:
     """The shared NB train+score CTE prefix (tok → feat → weights →
     scored), replayed identically by the classifier gate and the
     label-noise gate so the two oracles certify the SAME model."""
     from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
 
-    sh = (
-        "CASE WHEN length(tok) = 0 THEN 0 ELSE "
-        "list_reduce([ord(substr(tok, i, 1))::BIGINT "
-        "FOR i IN range(1, length(tok) + 1)], "
-        f"(a, x) -> (a * 31 + x) % {PRIME_P}) END"
-    )
+    sh = _sql_str_hash("tok")
     h1 = f"((sh % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
     h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
     h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
@@ -2273,13 +2285,13 @@ ra AS (
 rb AS (
   SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
   FROM documents),
-j AS (SELECT ra.r AS x, rb.r AS y FROM ra JOIN rb USING (doc_id)),
+j AS (SELECT doc_id, ra.r AS x, rb.r AS y FROM ra JOIN rb USING (doc_id)),
 -- Spearman re-ranks within the intersection (identity here, where both
--- rankings cover every doc — mirrors ext/rankcmp.spearman_rho); RBO
--- below keeps the ORIGINAL ranks (prefixes of each full ranking)
+-- rankings cover every doc — mirrors ext/rankcmp.spearman_rho, down to
+-- the doc_id tie-break); RBO below keeps the ORIGINAL ranks
 jr AS (
-  SELECT row_number() OVER (ORDER BY x) AS x2,
-         row_number() OVER (ORDER BY y) AS y2
+  SELECT row_number() OVER (ORDER BY x, doc_id) AS x2,
+         row_number() OVER (ORDER BY y, doc_id) AS y2
   FROM j),
 sp AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -2324,7 +2336,11 @@ def q_jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from assignment_etl_spark.ext.projection import project_embeddings
 
     _prep(spark)
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    # embedding IS NOT NULL on BOTH engine sides: posexplode would drop
+    # a NULL projection while the oracle's CTEs would keep the vec_id
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") < 20) & F.col("embedding").isNotNull()
+    )
     proj = project_embeddings(emb, d_in=64, d_out=8, salt=3)
     return (
         proj.select(
@@ -2346,7 +2362,7 @@ def _sql_jl_project_embeddings(d_in: int = 64, d_out: int = 8, salt: int = 3) ->
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-  FROM embeddings WHERE vec_id < 20),
+  FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL),
 s(j, i, sg) AS (VALUES {values}),
 t AS (
   SELECT vec_id, j, round(emb[i + 1] * sg, 9) AS p
@@ -2380,14 +2396,8 @@ def q_dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_dp_noisy_counts_events(epsilon: float = 1.0, salt: int = 7) -> str:
     from assignment_etl_spark.ext.sampling import sql_hash01
-    from assignment_etl_spark.portable import PRIME_P
 
-    sh = (
-        "CASE WHEN length(k) = 0 THEN 0 ELSE "
-        "list_reduce([ord(substr(k, i, 1))::BIGINT "
-        "FOR i IN range(1, length(k) + 1)], "
-        f"(a, x) -> (a * 31 + x) % {PRIME_P}) END"
-    )
+    sh = _sql_str_hash("k")
     u = sql_hash01("sh", salt)
     b = 1.0 / float(epsilon)
     return f"""
@@ -2395,7 +2405,9 @@ WITH c AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1),
 h AS (SELECT event_type, n, {sh} AS sh
-      FROM (SELECT event_type, n, event_type AS k FROM c)),
+      -- coalesce to chr(1) mirrors the engine's NULL-key sentinel
+      -- (chr(0) would hash identically to the empty string)
+      FROM (SELECT event_type, n, coalesce(event_type, chr(1)) AS k FROM c)),
 uu AS (SELECT event_type, n, {u} AS u FROM h)
 SELECT event_type,
        round(n + round(-({b!r}) * sign(u - 0.5)
@@ -7406,12 +7418,7 @@ def _sql_cm_event_type_counts() -> str:
     from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
 
     w, d = 512, 4
-    sh = (
-        "CASE WHEN length(event_type) = 0 THEN 0 ELSE "
-        "list_reduce([ord(substr(event_type, i, 1))::BIGINT "
-        "FOR i IN range(1, length(event_type) + 1)], "
-        f"(a, x) -> (a * 31 + x) % {PRIME_P}) END"
-    )
+    sh = _sql_str_hash("event_type")
     e = f"(sh + r * {CM_SALT_STEP})"
     h1 = f"((({e}) % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
     h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"

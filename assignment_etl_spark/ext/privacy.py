@@ -141,18 +141,29 @@ def dp_noisy_counts(
     true counts never emitted) is what the engine owns.
 
     Output: group_cols + (noisy_count, epsilon). The true count column
-    is dropped. NULL group values participate via concat_ws's
-    skip-NULL convention — disambiguate upstream if NULL vs '' matters.
+    is dropped. NULL group values hash as an explicit \\x01 sentinel —
+    distinct from the empty string, never silently skipped (concat_ws
+    would drop them), and replayed by the oracle with chr(1); chr(0) would collide with '' since its codepoint contributes 0 to the polynomial.
     One hash aggregate; noise is a per-group projection."""
     from assignment_etl_spark.ext.sampling import portable_hash01
     from assignment_etl_spark.ext.sketch import portable_str_hash
 
     if epsilon <= 0:
         raise ValueError(f"need epsilon > 0, got {epsilon}")
+    if sensitivity <= 0:
+        # sensitivity 0 would make b = 0 and release the TRUE counts
+        # under the noisy_count name; negative would invert the noise
+        raise ValueError(f"need sensitivity > 0, got {sensitivity}")
     b = float(sensitivity) / float(epsilon)
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
     key = portable_str_hash(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x01"))
+                for c in group_cols
+            ],
+        )
     )
     u = portable_hash01(key, salt)
     centered = u - F.lit(0.5)

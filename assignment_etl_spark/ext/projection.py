@@ -97,7 +97,10 @@ def project_embeddings(
 ) -> DataFrame:
     """Add ``out_col``: the d_out-dim JL projection of ``vec_col``.
     ``d_in`` is explicit (no driver peek at the data); rows whose
-    vector is NULL get a NULL projection."""
+    vector is NULL get a NULL projection, and a vector whose actual
+    length differs from ``d_in`` raises at execution time — zip_with
+    would otherwise NULL-pad the mismatch and silently poison every
+    coordinate of the fold."""
     if d_out < 1 or d_in < 1:
         raise ValueError(f"need d_in, d_out >= 1, got {d_in}, {d_out}")
     if d_out > d_in:
@@ -106,8 +109,18 @@ def project_embeddings(
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return df.withColumn(
         out_col,
-        F.when(
-            F.col(vec_col).isNotNull(),
+        F.when(F.col(vec_col).isNull(), F.lit(None))
+        .when(
+            F.size(F.col(vec_col)) == d_in,
             project_vector(vec, signs, round_to=round_to),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"project_embeddings: declared d_in={d_in} but "),
+                    F.lit("vector has length "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
         ),
     )

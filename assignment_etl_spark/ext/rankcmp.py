@@ -73,9 +73,12 @@ def spearman_rho(
     j = ranks_a.withColumnRenamed("rank", "_ra").join(
         ranks_b.withColumnRenamed("rank", "_rb"), on=id_col
     )
+    # id tie-break: ranks from ranked() are unique (no-op there), but a
+    # caller passing rank()/dense_rank() output has ties, and an untied
+    # window order would break them partition-dependently
     j = j.select(
-        F.row_number().over(Window.orderBy("_ra")).alias("_ra"),
-        F.row_number().over(Window.orderBy("_rb")).alias("_rb"),
+        F.row_number().over(Window.orderBy("_ra", id_col)).alias("_ra"),
+        F.row_number().over(Window.orderBy("_rb", id_col)).alias("_rb"),
     )
     d = F.col("_ra") - F.col("_rb")
     agg = j.agg(

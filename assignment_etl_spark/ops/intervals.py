@@ -73,7 +73,18 @@ def interval_overlap_join(
         raise ValueError(f"only how='inner' is supported, got {how!r}")
     if cell_width < 1:
         raise ValueError(f"need cell_width >= 1, got {cell_width}")
+    if "_cell" in left.columns or "_cell" in right.columns:
+        raise ValueError("'_cell' is reserved by interval_overlap_join")
     overlap_l = set(left.columns) & set(right.columns)
+    # the suffix rename must not itself collide: a pre-existing 'c_r'
+    # next to a colliding 'c' would make the join output ambiguous
+    clash = {f"{c}_r" for c in overlap_l} & (
+        (set(left.columns) | set(right.columns)) - overlap_l
+    )
+    if clash:
+        raise ValueError(
+            f"suffix collision: renaming would duplicate {sorted(clash)}"
+        )
     r = right
     for c in overlap_l:
         r = r.withColumnRenamed(c, f"{c}_r")

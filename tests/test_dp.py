@@ -44,3 +44,16 @@ def test_true_count_not_emitted(spark, groups):
 def test_validation(spark, groups):
     with pytest.raises(ValueError, match="epsilon"):
         dp_noisy_counts(groups, ["g"], epsilon=0.0)
+
+
+def test_sensitivity_validation_and_null_group(spark):
+    rows = [("a", 1), ("a", 2), (None, 3), ("", 4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    with pytest.raises(ValueError, match="sensitivity"):
+        dp_noisy_counts(df, ["g"], epsilon=1.0, sensitivity=0.0)
+    out = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    # NULL group survives with its own (sentinel-hashed) noise, distinct
+    # from the empty-string group's noise
+    assert set(out) == {"a", None, ""}
+    assert out[None] is not None
+    assert abs(out[None] - 1) != abs(out[""] - 1), "NULL and '' must not collide"

@@ -93,3 +93,15 @@ def test_validation_and_profile(spark, sides):
     prof = explode_profile(left, start="start", end="end", cell_width=50).collect()[0]
     # l1: cells 0,1; l2: cells 2,3; l3: cell 10; l4 empty: 0 cells
     assert (prof.n_intervals, prof.n_cells, prof.max_cells) == (4, 5, 2)
+
+
+def test_reserved_and_suffix_collisions(spark, sides):
+    left, right = sides
+    bad = left.withColumnRenamed("l_id", "_cell")
+    with pytest.raises(ValueError, match="_cell"):
+        interval_overlap_join(bad, right, cell_width=10)
+    # right 'start' collides with left 'start', and left already has a
+    # 'start_r' column: the rename would duplicate it
+    clashing = left.withColumn("start_r", left.start)
+    with pytest.raises(ValueError, match="suffix collision"):
+        interval_overlap_join(clashing, right, cell_width=10)

@@ -64,3 +64,12 @@ def test_null_vector_and_validation(spark):
         project_embeddings(df, d_in=8, d_out=9)
     with pytest.raises(ValueError, match=">= 1"):
         project_embeddings(df, d_in=8, d_out=0)
+
+
+def test_length_mismatch_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    out = project_embeddings(df, d_in=32, d_out=4)
+    with pytest.raises(Exception, match="d_in=32"):
+        out.collect()

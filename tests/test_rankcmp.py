@@ -88,3 +88,20 @@ def test_spearman_partial_scorer_reranks_intersection(spark, scores):
         ranked(rev, id_col="doc_id", score_col="s"), b, id_col="doc_id"
     ).collect()[0]
     assert r2.rho == -1.0
+
+
+def test_spearman_tied_input_ranks_deterministic(spark):
+    # rank()-style TIED input ranks (not produced by ranked()): the
+    # intersection re-rank must break ties by id on both sides, making
+    # the result stable and equal across repeated runs
+    a = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 2), (2, 2), (3, 1)], "doc_id long, rank long"
+    )
+    r1 = spearman_rho(a, b, id_col="doc_id").collect()[0]
+    r2 = spearman_rho(a, b, id_col="doc_id").collect()[0]
+    assert (r1.n, r1.rho) == (r2.n, r2.rho)
+    # ties broken by doc_id: a -> (1,2,3); b -> (2,3,1); d2 = 1+1+4
+    assert r1.rho == round(1 - 6 * 6 / (3 * 8), 6)
