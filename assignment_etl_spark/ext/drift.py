@@ -566,7 +566,10 @@ def cuped_adjust(
     y = F.col(metric_col)
     ok = x.isNotNull() & y.isNotNull()
     row = df.agg(
-        F.sum(ok.cast("long")).alias("n"),
+        # coalesce: F.sum over zero rows is NULL, but the one-row contract
+        # promises the caller sees WHY there is no adjustment — n=0, not an
+        # ambiguous NULL count (ADVICE r5)
+        F.coalesce(F.sum(ok.cast("long")), F.lit(0)).alias("n"),
         F.sum(F.when(ok, x).cast(dec)).cast("double").alias("sx"),
         F.sum(F.when(ok, y).cast(dec)).cast("double").alias("sy"),
         F.sum(F.when(ok, x * y).cast(dec)).cast("double").alias("sxy"),

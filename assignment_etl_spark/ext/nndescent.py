@@ -140,6 +140,102 @@ def build_knn_graph(
     return edges.withColumn("cos_sim", F.round("cos_sim", round_to))
 
 
+def knn_graph_beam_search(
+    queries: DataFrame,
+    emb: DataFrame,
+    graph: DataFrame,
+    k: int,
+    *,
+    beam: int | None = None,
+    hops: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_bits: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-hop beam search over a built k-NN graph — HNSW's search
+    loop as a FIXED unrolled dataflow (VERDICT r5 ask #8): seed the
+    beam from the sign-bit quantizer (multi-probe, top-``beam`` per
+    query), then ``hops`` times expand the current beam along graph
+    edges, exactly score only the NEVER-SCORED candidates (anti-join —
+    each (query, candidate) pair is scored at most once, so total work
+    per query is bounded by beam + hops·beam·k_graph exact distances),
+    and re-select the beam as the global top-``beam`` of everything
+    scored so far. Final answer = top-``k`` of all scored.
+
+    All joins key on candidate/query ids, every window partitions by
+    query_id — no global sort, no collect, no iteration over rows; the
+    hop count is a compile-time constant so a SQL engine replays the
+    whole search (gate ``knn_graph_beam_search``). Ties order by
+    (cos_sim DESC, id) — the repo's standard ANN contract.
+
+    ``beam`` defaults to ``k``. With ``hops=0`` this degrades to the
+    quantizer seed ranking; :func:`knn_graph_expand_search` is the
+    beam=seed-set, one-hop, no-reselection special case kept for the
+    cheap path."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if hops < 0:
+        raise ValueError(f"need hops >= 0, got {hops}")
+    beam = beam or k
+    if beam < 1:
+        raise ValueError(f"need beam >= 1, got {beam}")
+    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # (query_id, cand, cos_sim): the quantizer seed, already exactly
+    # scored within its probed cells
+    scored = cell_multiprobe_topk(
+        queries, emb, beam, id_col=id_col, vec_col=vec_col,
+        n_bits=init_bits, hamming=1,
+    ).select("query_id", F.col("neighbor_id").alias("cand"), "cos_sim")
+    frontier = scored.select("query_id", "cand")
+    edges = graph.select(F.col("src").alias("cand"), F.col("dst"))
+    beam_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("cand")
+    )
+    for _ in range(hops):
+        expanded = (
+            frontier.join(edges, on="cand")
+            .select("query_id", F.col("dst").alias("cand"))
+            .distinct()
+        )
+        fresh = (
+            expanded.filter(F.col("query_id") != F.col("cand"))
+            .join(
+                scored.select("query_id", "cand"),
+                on=["query_id", "cand"],
+                how="left_anti",
+            )
+        )
+        fresh_scored = (
+            fresh.join(qv, on="query_id")
+            .join(vecs.withColumnRenamed("_vid", "cand"), on="cand")
+            .select(
+                "query_id",
+                "cand",
+                cosine(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+            )
+        )
+        scored = scored.unionByName(fresh_scored)
+        frontier = (
+            scored.withColumn("_bk", F.row_number().over(beam_w))
+            .filter(F.col("_bk") <= beam)
+            .select("query_id", "cand")
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(beam_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            F.round("cos_sim", round_to).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def knn_graph_expand_search(
     queries: DataFrame,
     emb: DataFrame,

@@ -16,8 +16,10 @@ source_a < source_b → per-pair distinct counts. The join key is the
 fingerprint — uniform by construction; per-fingerprint fan-out is
 bounded by the number of sources (a small constant), so the join output
 is at most C(n_sources, 2) × shared-fingerprint rows, never all-pairs
-of documents. Output is n_sources + C(n_sources, 2) rows — dashboard-
-sized at any corpus scale.
+of documents. Output is exactly C(n_sources, 2) rows — every source
+pair, INCLUDING zero-overlap pairs (n_shared = 0, jaccard = 0), so a
+caller can distinguish "no overlap" from "not computed" (ADVICE r5) —
+dashboard-sized at any corpus scale.
 
 Determinism: counts are exact; Jaccard is one integer division rounded
 to ``round_to``. The oracle replays equality classes on the NORMALIZED
@@ -43,10 +45,13 @@ def source_overlap_matrix(
     text_col: str = "text",
     round_to: int = 6,
 ) -> DataFrame:
-    """(source_a, source_b, n_a, n_b, n_shared, jaccard) for every
-    source pair with source_a < source_b. ``n_a``/``n_b`` are distinct
+    """(source_a, source_b, n_a, n_b, n_shared, jaccard) for EVERY
+    source pair with source_a < source_b — zero-overlap pairs included
+    (n_shared = 0, jaccard = 0). ``n_a``/``n_b`` are distinct
     fingerprints per source; ``n_shared`` distinct fingerprints present
-    in both; ``jaccard`` = n_shared / (n_a + n_b − n_shared)."""
+    in both; ``jaccard`` = n_shared / (n_a + n_b − n_shared). The pair
+    scaffold is a self-join of the per-source count table (n_sources
+    rows — broadcast-sized), never of the corpus."""
     fp = (
         # NULL text is excluded, not fingerprinted: xxhash64(NULL) is the
         # SEED (a real value), so unfiltered NULLs would register as one
@@ -67,19 +72,25 @@ def source_overlap_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    return (
-        shared.join(
-            per_source.select(
-                F.col("_src").alias("source_a"), F.col("n_fp").alias("n_a")
-            ),
-            on="source_a",
+    # pair scaffold from the tiny per-source table, so zero-overlap pairs
+    # are emitted explicitly instead of silently dropped by the inner join
+    pairs = (
+        per_source.select(
+            F.col("_src").alias("source_a"), F.col("n_fp").alias("n_a")
         )
         .join(
-            per_source.select(
-                F.col("_src").alias("source_b"), F.col("n_fp").alias("n_b")
+            F.broadcast(
+                per_source.select(
+                    F.col("_src").alias("source_b"),
+                    F.col("n_fp").alias("n_b"),
+                )
             ),
-            on="source_b",
+            on=F.col("source_a") < F.col("source_b"),
         )
+    )
+    return (
+        pairs.join(F.broadcast(shared), on=["source_a", "source_b"], how="left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
         .select(
             "source_a",
             "source_b",

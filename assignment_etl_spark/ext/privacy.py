@@ -121,8 +121,8 @@ def dp_noisy_counts(
     group_cols: list[str],
     *,
     epsilon: float,
+    salt: int,
     sensitivity: float = 1.0,
-    salt: int = 0,
     round_to: int = 6,
 ) -> DataFrame:
     """Laplace-mechanism noisy group counts — the standard
@@ -135,10 +135,16 @@ def dp_noisy_counts(
     release deterministic, engine-replayable, and auditable (gate
     ``dp_noisy_counts_events`` replays it in DuckDB) — but formally DP
     ONLY if the salt is secret and fresh per release: with a public or
-    reused salt an adversary can invert the noise. Production swaps a
-    CSPRNG-drawn salt per release and keeps the same dataflow; the
-    mechanism's shape (one aggregate, one closed-form noise expression,
-    true counts never emitted) is what the engine owns.
+    reused salt an adversary can invert the noise. ``salt`` is therefore
+    a REQUIRED argument — there is no default an engine could safely
+    pick, and a silent salt=0 would let callers ship a fully invertible
+    release that still carries an ``epsilon`` column (ADVICE r5).
+    Production swaps a CSPRNG-drawn salt per release and keeps the same
+    dataflow; the mechanism's shape (one aggregate, one closed-form
+    noise expression, true counts never emitted) is what the engine
+    owns. The ``epsilon`` column is the NOMINAL budget of the mechanism
+    shape, a formal guarantee only under the secret-salt discipline
+    above.
 
     Output: group_cols + (noisy_count, epsilon). The true count column
     is dropped. NULL group values hash as an explicit \\x01 sentinel —

@@ -40,6 +40,18 @@ from pyspark.sql import types as T
 
 from assignment_etl_spark.io.jdbc import postgres_ddl
 
+
+def _check_ident(name: str) -> str:
+    """Reject identifiers the double-quote wrapping below cannot make
+    safe. Table/column names are interpolated into SQL wrapped in
+    ``"..."``; a name containing a double quote (or a NUL, which psql
+    truncates at) would break out of the quoting — fail loudly instead
+    of emitting injectable SQL (ADVICE r5)."""
+    if not name or '"' in name or "\x00" in name:
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
+
+
 _TS_WRITE = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _CSV_OPTS = {
     "header": "false",
@@ -112,6 +124,7 @@ def postgres_copy_load(
     exists."""
     if mode not in ("replace", "append"):
         raise ValueError(f"mode must be replace|append, got {mode!r}")
+    _check_ident(table)
     with tempfile.TemporaryDirectory(prefix="pg_copy_") as d:
         out_dir = os.path.join(d, "csv")
         writer = df.write
@@ -134,7 +147,7 @@ def postgres_copy_load(
 
 
 def _select_expr(f: T.StructField) -> str:
-    q = f'"{f.name}"'
+    q = f'"{_check_ident(f.name)}"'
     if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
         return f"to_char({q}, 'YYYY-MM-DD HH24:MI:SS.US') AS {q}"
     if isinstance(f.dataType, T.BooleanType):
@@ -149,10 +162,13 @@ def postgres_read_table(
     schema: T.StructType,
 ) -> DataFrame:
     """Read a Postgres table back as a DataFrame with the given schema
-    via ``COPY TO STDOUT`` — the symmetric bulk-export path. The dumped
-    CSV lands in a temp file and is parsed by Spark's CSV reader with
-    the pinned schema (FAILFAST: a formatting drift fails loudly rather
+    via ``COPY TO STDOUT`` — the symmetric bulk-export path. The dump
+    STREAMS from psql's stdout straight into a temp file (never
+    buffered in this process — a table bigger than driver memory dumps
+    fine; ADVICE r5) and is parsed by Spark's CSV reader with the
+    pinned schema (FAILFAST: a formatting drift fails loudly rather
     than nulling values)."""
+    _check_ident(table)
     select = ", ".join(_select_expr(f) for f in schema.fields)
     # FORCE_QUOTE *: Postgres otherwise emits the empty string as an
     # UNQUOTED empty field, which Spark's reader maps to NULL — quoting
@@ -161,13 +177,20 @@ def postgres_read_table(
         f'COPY (SELECT {select} FROM "{table}") TO STDOUT '
         "WITH (FORMAT csv, NULL '\\N', FORCE_QUOTE *)"
     )
-    text = conn.run(sql)
     tmp = tempfile.NamedTemporaryFile(
         "w", suffix=".csv", delete=False, prefix="pg_dump_"
     )
     try:
-        tmp.write(text)
+        out = subprocess.run(
+            conn.cmd() + ["-c", sql],
+            stdout=tmp,
+            stderr=subprocess.PIPE,
+            text=True,
+            check=False,
+        )
         tmp.close()
+        if out.returncode != 0:
+            raise RuntimeError(f"psql failed: {out.stderr.strip()}")
         return (
             spark.read.options(**_CSV_READ_OPTS)
             # values may carry embedded newlines inside quotes; multiLine
