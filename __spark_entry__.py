@@ -683,10 +683,14 @@ def q_xml_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
+    # TakeOrderedAndProject bounds the fixture slice BEFORE the ordinal
+    # window (≤200 rows; o_orderkey is unique so the order is total)
     w = W.orderBy("o_orderkey")
     sel = (
-        orders.withColumn("rn", F.row_number().over(w) - 1)
-        .filter(F.col("rn") < 200)
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(200)
+        .withColumn("rn", F.row_number().over(w) - 1)
         .select("rn", "o_orderkey", "o_totalprice", "o_orderpriority")
         .orderBy("rn")
         .collect()
@@ -1301,13 +1305,16 @@ def q_messy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
+    # TakeOrderedAndProject bounds the fixture slice BEFORE the ordinal
+    # window (≤1000 rows; (l_orderkey, l_linenumber) is a unique key)
     w = W.orderBy("l_orderkey", "l_linenumber")
     sel = (
         li.select(
             "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_linenumber"
         )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
         .withColumn("rn", F.row_number().over(w) - 1)
-        .filter(F.col("rn") < 1000)
         .drop("l_linenumber")
     )
     comma = F.concat_ws(
@@ -8415,13 +8422,16 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
+    # TakeOrderedAndProject bounds the fixture slice BEFORE the ordinal
+    # window (≤1000 rows; (l_orderkey, l_linenumber) is a unique key)
     w = W.orderBy("l_orderkey", "l_linenumber")
     sel = (
         li.select(
             "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_linenumber"
         )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
         .withColumn("rn", F.row_number().over(w) - 1)
-        .filter(F.col("rn") < 1000)
         .drop("l_linenumber")
     )
     full = F.to_json(
@@ -11551,25 +11561,29 @@ FROM scored GROUP BY 1 ORDER BY 1
 def q_lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve points (inequality visualization companion to the
     concentration gate): customers ranked by spend, cumulative value
-    share at each population decile — the per-entity table carries ONE
-    ordered window (cumulative decimal sums over #entities rows), the
-    fact stream reduces first. Oracle replays ranks, cumulative sums,
-    and decile cuts."""
+    share at each population decile. The per-entity rank AND running
+    sum both ride ONE range exchange (ops/ids.global_cumsum — local
+    scans + per-partition offsets), so even the entity table never
+    funnels through a single-partition window; decimal sums keep the
+    cumulative values engine-exact. Oracle replays ranks, cumulative
+    sums, and decile cuts."""
+    from assignment_etl_spark.ops.ids import global_cumsum
+
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy(F.col("o_custkey").alias("c")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("v")
     )
-    w = Window.orderBy(F.col("v"), F.col("c"))
-    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     tot = per.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("v").alias("_t")
     )
-    ranked = (
-        per.withColumn("rk", F.row_number().over(w))
-        .withColumn("cum", F.sum("v").over(wcum))
-        .crossJoin(F.broadcast(tot))
-    )
+    ranked = global_cumsum(
+        per,
+        [F.asc("v"), F.asc("c")],
+        "v",
+        out_col="cum",
+        row_num_col="rk",
+    ).crossJoin(F.broadcast(tot))
     decile = F.ceil(F.col("rk") * 10 / F.col("_n")).cast("int")
     return (
         ranked.groupBy(decile.alias("decile"))

@@ -91,6 +91,7 @@ def pmi_collocations(
     ).limit(topk)
     return top.withColumn(
         "rank",
+        # ≤ topk rows after the TakeOrderedAndProject limit above
         F.row_number().over(
             Window.orderBy(F.col("pmi").desc(), F.col("x"), F.col("y"))
         ),

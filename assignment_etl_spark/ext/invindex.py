@@ -192,7 +192,7 @@ def bm25_search(
         sc = sc.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
     # with topk=None this window is a single-partition global sort over
     # ALL matches — fine for selective queries, a funnel for stopword
-    # ones; pass topk (or max_df-prune the query) at scale
+    # ones; the bounded default keeps that path opt-in
     return sc.withColumn(
         "rank",
         F.row_number().over(

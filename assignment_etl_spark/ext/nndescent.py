@@ -175,9 +175,44 @@ def knn_graph_beam_search(
     cheap path."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
+    scored = beam_search_scored(
+        queries, emb, graph,
+        beam=beam or k, hops=hops, id_col=id_col, vec_col=vec_col,
+        init_bits=init_bits,
+    )
+    beam_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("cand")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(beam_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            F.round("cos_sim", round_to).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def beam_search_scored(
+    queries: DataFrame,
+    emb: DataFrame,
+    graph: DataFrame,
+    *,
+    beam: int,
+    hops: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_bits: int = 4,
+) -> DataFrame:
+    """The full (query_id, cand, cos_sim) set a beam search scores —
+    :func:`knn_graph_beam_search` is its top-k ranking. Exposed so
+    tools/ann_eval.py can MEASURE the scanned fraction (rows here /
+    n_queries·n_candidates) instead of quoting the
+    beam + hops·beam·k_graph upper bound."""
     if hops < 0:
         raise ValueError(f"need hops >= 0, got {hops}")
-    beam = beam or k
     if beam < 1:
         raise ValueError(f"need beam >= 1, got {beam}")
     vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
@@ -224,16 +259,7 @@ def knn_graph_beam_search(
             .filter(F.col("_bk") <= beam)
             .select("query_id", "cand")
         )
-    return (
-        scored.withColumn("rank", F.row_number().over(beam_w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            F.col("cand").alias("neighbor_id"),
-            F.round("cos_sim", round_to).alias("cos_sim"),
-            "rank",
-        )
-    )
+    return scored
 
 
 def knn_graph_expand_search(

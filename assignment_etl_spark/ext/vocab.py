@@ -46,24 +46,15 @@ def build_vocab(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    # Phase 1: bound the global window's input. Any token in the global
-    # top-max_size is necessarily in its partition's top-max_size, so
-    # per-partition pruning is lossless for the final ranking.
-    part_w = Window.partitionBy("_pid").orderBy(F.desc("n"), F.asc("token"))
-    pruned = (
-        counts.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_pr", F.row_number().over(part_w))
-        .filter(F.col("_pr") <= max_size)
-        .drop("_pid", "_pr")
-    )
-    # Phase 2: global rank over ≤ partitions×max_size survivors.
-    ranked = pruned.withColumn(
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-max_size heaps, merged once — the global window never sees
+    # more than max_size rows (the invindex/lexdiv bounded-rank plan).
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max_size)
+    return top.withColumn(
         "token_id",
+        # ≤ max_size rows after the limit above
         F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))),
-    )
-    return ranked.filter(F.col("token_id") <= max_size).select(
-        "token", "token_id", "n"
-    )
+    ).select("token", "token_id", "n")
 
 
 def encode_docs(

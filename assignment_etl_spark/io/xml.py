@@ -77,7 +77,9 @@ def read_xml_records(
     # past ~1k input partitions. The rank window runs over a projection of
     # the ids only (one row per FILE), then broadcast-joins back.
     ordinals = files.select("_row_id").withColumn(
-        "_file_ord", F.row_number().over(Window.orderBy("_row_id")) - 1
+        "_file_ord",
+        # one row per input FILE (metadata-sized, never row-sized)
+        F.row_number().over(Window.orderBy("_row_id")) - 1,
     )
     files = files.join(F.broadcast(ordinals), on="_row_id").drop("_row_id")
 

@@ -21,7 +21,7 @@ AQE/salting already cover (ops/skew.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -265,17 +265,45 @@ def rfm_segments(
         "frequency",
         F.col("_spend").cast("double").alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("customer"))
-    w_f = Window.orderBy(F.col("frequency"), F.col("customer"))
-    w_m = Window.orderBy(F.col("monetary"), F.col("customer"))
+    # ntile over the whole entity table would single-partition it; the
+    # scalable equivalent is a range-exchange global rank per dimension
+    # (ops/ids.py) + ntile's closed form from the 1-row total: with
+    # base = N div n and extra = N mod n, the first `extra` tiles hold
+    # base+1 rows — identical tile assignment to F.ntile over the same
+    # total order (ties broken by customer, so the order IS total).
+    from assignment_etl_spark.ops.ids import global_row_number
+
+    per = global_row_number(
+        per, [F.desc("recency_days"), F.asc("customer")], out_col="_rk_r"
+    )
+    per = global_row_number(
+        per, [F.asc("frequency"), F.asc("customer")], out_col="_rk_f"
+    )
+    per = global_row_number(
+        per, [F.asc("monetary"), F.asc("customer")], out_col="_rk_m"
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("_nrows"))
+    per = per.crossJoin(F.broadcast(tot))
+
+    def tile(rk: Column) -> Column:
+        n_rows = F.col("_nrows")
+        base = F.floor(n_rows / n_tiles)
+        extra = n_rows % n_tiles
+        big = extra * (base + 1)
+        return (
+            F.when(rk <= big, F.ceil(rk / (base + 1)))
+            .otherwise(extra + F.ceil((rk - big) / base))
+            .cast("int")
+        )
+
     return per.select(
         "customer",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(n_tiles).over(w_r).alias("r"),
-        F.ntile(n_tiles).over(w_f).alias("f"),
-        F.ntile(n_tiles).over(w_m).alias("m"),
+        tile(F.col("_rk_r")).alias("r"),
+        tile(F.col("_rk_f")).alias("f"),
+        tile(F.col("_rk_m")).alias("m"),
     ).withColumn(
         "segment",
         F.concat(
@@ -362,7 +390,8 @@ def survival_curve(
         F.sum(e.cast("long")).alias("n_events"),
     )
     # at-risk at t = subjects with duration >= t: total minus the
-    # exclusive running count of earlier durations
+    # exclusive running count of earlier durations (window input is the
+    # per-duration AGGREGATE — #distinct durations rows, not subjects)
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     total = per_t.agg(F.sum("_n_at_t").alias("_total"))
     risk = (

@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 def global_row_number(
     df: DataFrame,
-    order_by: list[str],
+    order_by: list,
     *,
     num_partitions: int | None = None,
     out_col: str = "row_num",
@@ -40,7 +40,10 @@ def global_row_number(
 ) -> DataFrame:
     """Append ``out_col``: 1-based (or ``start``-based) global sequence
     in ``order_by`` order. ``order_by`` must be a total order (include a
-    unique tie-breaker) for a deterministic result."""
+    unique tie-breaker) for a deterministic result. Entries may be
+    column names or sort-order Columns (``F.desc("score")``) — the same
+    expressions drive both the range exchange and the in-partition
+    numbering, so descending orders work unchanged."""
     parts = (
         df.repartitionByRange(num_partitions, *order_by)
         if num_partitions
@@ -49,7 +52,10 @@ def global_row_number(
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     # running offset over the tiny per-partition count table — the ONLY
-    # unpartitioned window here runs over #partitions rows
+    # single-partition window here runs over #partitions rows, never the
+    # data (tools/plan_audit.py's global-window rule certifies the
+    # aggregate-collapsed input; Spark still logs its no-partition
+    # warning for ANY empty partition spec, bounded or not)
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_offset")
@@ -63,3 +69,54 @@ def global_row_number(
         )
         .drop("_pid", "_local", "_offset")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+    out_col: str = "cum_sum",
+    row_num_col: str | None = None,
+) -> DataFrame:
+    """Append ``out_col``: the inclusive running sum of ``value_col`` in
+    ``order_by`` order, via the same two-phase range-exchange pattern as
+    :func:`global_row_number` — per-partition totals give each partition
+    a starting offset (the only single-partition window runs over the
+    #partitions-row totals table), local cumulative windows run in
+    parallel. ``row_num_col`` additionally emits the global row number
+    off the SAME exchange (one shuffle serves both scans). ``order_by``
+    must be a total order; with an exact type (long/decimal) for
+    ``value_col`` the result is accumulation-order-independent and
+    engine-replayable."""
+    parts = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions
+        else df.repartitionByRange(*order_by)
+    )
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    totals = with_pid.groupBy("_pid").agg(
+        F.sum(value_col).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    # single-partition window over the #partitions-row totals only
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_s").over(off_w), F.lit(0)).alias("_voff"),
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_noff"),
+    )
+    local_cum = Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local_rn = Window.partitionBy("_pid").orderBy(*order_by)
+    out = (
+        with_pid.withColumn("_lcum", F.sum(value_col).over(local_cum))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, F.col("_voff") + F.col("_lcum"))
+    )
+    if row_num_col:
+        out = out.withColumn("_lrn", F.row_number().over(local_rn)).withColumn(
+            row_num_col, (F.col("_noff") + F.col("_lrn")).cast("long")
+        )
+    return out.drop("_pid", "_lcum", "_lrn", "_voff", "_noff")

@@ -37,21 +37,25 @@ def test_noise_scale_tracks_epsilon(spark, groups):
 
 
 def test_true_count_not_emitted(spark, groups):
-    out = dp_noisy_counts(groups, ["g"], epsilon=1.0)
+    out = dp_noisy_counts(groups, ["g"], epsilon=1.0, salt=5)
     assert set(out.columns) == {"g", "noisy_count", "epsilon"}
 
 
 def test_validation(spark, groups):
     with pytest.raises(ValueError, match="epsilon"):
-        dp_noisy_counts(groups, ["g"], epsilon=0.0)
+        dp_noisy_counts(groups, ["g"], epsilon=0.0, salt=1)
+    # salt is REQUIRED (ADVICE r5): a defaulted/public salt makes the
+    # release invertible while still carrying an epsilon column
+    with pytest.raises(TypeError):
+        dp_noisy_counts(groups, ["g"], epsilon=1.0)
 
 
 def test_sensitivity_validation_and_null_group(spark):
     rows = [("a", 1), ("a", 2), (None, 3), ("", 4)]
     df = spark.createDataFrame(rows, "g string, v long")
     with pytest.raises(ValueError, match="sensitivity"):
-        dp_noisy_counts(df, ["g"], epsilon=1.0, sensitivity=0.0)
-    out = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+        dp_noisy_counts(df, ["g"], epsilon=1.0, salt=1, sensitivity=0.0)
+    out = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], epsilon=1.0, salt=0).collect()}
     # NULL group survives with its own (sentinel-hashed) noise, distinct
     # from the empty-string group's noise
     assert set(out) == {"a", None, ""}

@@ -35,14 +35,21 @@ def test_pairwise_jaccard(spark, docs):
     ac = got[("a", "c")]
     assert (ac.n_a, ac.n_b, ac.n_shared) == (3, 2, 1)
     assert ac.jaccard == 0.25
-    # b∩c = ∅ → pair absent (only overlapping pairs are reported)
-    assert ("b", "c") not in got
+    # b∩c = ∅ → pair PRESENT with explicit zeros (ADVICE r5: absence must
+    # not be ambiguous between "no overlap" and "not computed")
+    bc = got[("b", "c")]
+    assert (bc.n_a, bc.n_b, bc.n_shared, bc.jaccard) == (2, 2, 0, 0.0)
+    # exactly C(3,2) pairs, every source pair covered
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
 
 
-def test_no_overlap_is_empty(spark):
+def test_no_overlap_emits_zero_pair(spark):
     rows = [(1, "x y", "a"), (2, "z w", "b")]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    assert source_overlap_matrix(df).count() == 0
+    got = source_overlap_matrix(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.source_a, r.source_b, r.n_shared, r.jaccard) == ("a", "b", 0, 0.0)
 
 
 def test_null_text_excluded(spark):

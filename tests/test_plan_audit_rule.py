@@ -1,15 +1,22 @@
 """The plan-audit broadcast-hint rule (VERDICT r4 ask #2): an explicit
 F.broadcast() over an un-aggregated scan of an sf-proportional table must be
 flagged; broadcasts of aggregates/distincts and of fixed-size dims must not.
+
+Plus the global-window rule (VERDICT r5 ask #3): a Window with an empty (or
+all-literal) partition spec over an un-collapsed sf-proportional scan is the
+single-partition corpus funnel and must be flagged; windows over aggregates,
+limits (TakeOrderedAndProject bounded-rank), bounded key filters, or with a
+real partition key must not.
 """
 
 import sys
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 sys.path.insert(0, "/root/repo")
-from tools.plan_audit import audit_broadcast_hints  # noqa: E402
+from tools.plan_audit import audit_broadcast_hints, audit_global_windows  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
@@ -100,6 +107,68 @@ def test_flags_key_lower_bound(spark):
     big = emb.filter(F.col("vec_id") >= 8)
     df = emb.crossJoin(F.broadcast(big.select("vec_id")))
     assert audit_broadcast_hints(df) == ["broadcast-hint-over-embeddings"]
+
+
+def test_window_rule_flags_corpus_global_window(tables):
+    w = Window.orderBy("o_orderkey")
+    df = tables["orders"].withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == ["global-window-over-orders"]
+
+
+def test_window_rule_flags_literal_partition_key(tables):
+    # Catalyst strips foldable partition keys — partitionBy(F.lit(0)) is
+    # still a single-partition window and must NOT evade the rule
+    w = Window.partitionBy(F.lit(0)).orderBy("o_orderkey")
+    df = tables["orders"].withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == ["global-window-over-orders"]
+
+
+def test_window_rule_flags_entity_aggregate_window_class(tables):
+    # windows over per-entity aggregates are exempt via the Aggregate
+    # collapse (bounded by the key domain) — pin the exemption so the
+    # rule's scope is explicit
+    per = tables["orders"].groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    w = Window.orderBy("v", "o_custkey")
+    df = per.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == []
+
+
+def test_window_rule_exempts_limit_before_window(tables):
+    # orderBy().limit(n) → TakeOrderedAndProject; the window input is ≤ n
+    top = tables["orders"].orderBy("o_orderkey").limit(100)
+    w = Window.orderBy("o_orderkey")
+    df = top.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == []
+
+
+def test_window_rule_exempts_partitioned_window(tables):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    df = tables["orders"].withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == []
+
+
+def test_window_rule_exempts_bounded_key_filter(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    w = Window.orderBy("vec_id")
+    df = q.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == []
+
+
+def test_window_rule_scalable_rank_paths_are_clean(spark):
+    # the two round-6 de-funneled operators must stay clean
+    from assignment_etl_spark.ext.lexdiv import zipf_slope
+    from assignment_etl_spark.ext.rankcmp import ranked
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert audit_global_windows(zipf_slope(docs)) == []
+    scored = docs.select("doc_id", F.length("text").alias("score"))
+    assert (
+        audit_global_windows(ranked(scored, id_col="doc_id", score_col="score"))
+        == []
+    )
 
 
 def test_flags_negated_and_disjunctive_key_filters(spark):

@@ -154,12 +154,55 @@ def main() -> None:
     # of rebuilding seed + earlier rounds from scratch
     graph = {}
     g = build_knn_graph(emb, k=k, rounds=0)
+    g1 = None
     for rounds in (0, 1, 2):
         if rounds > 0:
             g = refine_knn_graph(g, emb, k)
+            if rounds == 1:
+                g1 = g
         approx = knn_graph_expand_search(queries, emb, g, k)
         graph[f"rounds={rounds}"] = {"recall": recall_at_k(exact, approx)}
     results["nndescent_graph_search"] = graph
+
+    # beam-search sweep (round-6 ask #8): beam width × hop count over the
+    # 1-refine-round graph; scanned_frac is MEASURED (rows the search
+    # exactly scores / n_queries·n_candidates), not the
+    # beam+hops·beam·k_graph upper bound
+    from assignment_etl_spark.ext.nndescent import (
+        beam_search_scored,
+        knn_graph_beam_search,
+    )
+    from pyspark.sql.window import Window as _W
+
+    n_queries = queries.count()
+    beam_sweep = {}
+    gb = (g1 if g1 is not None else g).persist()
+    for hops in (1, 2):
+        for beam in (k, 2 * k, 4 * k):
+            scored = beam_search_scored(
+                queries, emb, gb, beam=beam, hops=hops
+            ).persist()
+            topk = (
+                scored.withColumn(
+                    "rank",
+                    F.row_number().over(
+                        _W.partitionBy("query_id").orderBy(
+                            F.desc("cos_sim"), F.col("cand")
+                        )
+                    ),
+                )
+                .filter(F.col("rank") <= k)
+                .select("query_id", F.col("cand").alias("neighbor_id"))
+            )
+            beam_sweep[f"beam={beam},hops={hops}"] = {
+                "recall": recall_at_k(exact, topk),
+                "scanned_frac": round(
+                    scored.count() / (n_queries * n_cand), 4
+                ),
+            }
+            scored.unpersist()
+    gb.unpersist()
+    results["nndescent_beam_search"] = beam_sweep
 
     # JL projection: brute-force in the REDUCED space vs exact in the
     # original — what d_in/d_out of compute+shuffle savings costs in

@@ -30,6 +30,13 @@ HARD = ("CartesianProduct", "BatchEvalPython")
 # wrong #1). Marker columns identify the relation in the analyzed plan; small
 # fixed-size dims (region, nation) and supplier (10k x sf, narrow — the
 # sanctioned hint set per SCALE.md) are deliberately absent.
+#
+# supplier exemption budget (VERDICT r5 watch item): measured Arrow in-memory
+# width is ~42 B/row (sf0.1: 1000 rows = 42 KB; replicated sf1: 10k rows =
+# 424 KB); with Spark's ~4x row overhead that is ~2 MB at sf1 and ~170 MB/1M
+# rows at sf100. EXPIRY CONDITION: the exemption holds while
+# 10_000 * sf * ~170 B < 64 MB, i.e. sf <= ~40. Past that, move "supplier":
+# "s_suppkey" into _BIG_TABLE_MARKERS and re-audit (SCALE.md §broadcast).
 _BIG_TABLE_MARKERS = {
     "customer": "c_custkey",
     "orders": "o_orderkey",
@@ -67,14 +74,22 @@ def _is_bounded_key_condition(cond: str) -> bool:
     return bool(_BOUNDED_KEY_FILTER.fullmatch(s))
 
 
-def _walk_big_scan(node) -> set[str]:
+def _walk_big_scan(node, *, limit_collapses: bool = False) -> set[str]:
     """Return the sf-proportional tables scanned in this logical subtree,
     treating Aggregate as a cardinality collapse (its subtree is exempt:
     a grouped/global aggregate of a big table is bounded by the group-key
     domain, not the input row count), likewise Deduplicate and literal
-    key-upper-bound Filters (fixed-size at any sf)."""
+    key-upper-bound Filters (fixed-size at any sf).
+
+    ``limit_collapses``: the window rule treats GlobalLimit/LocalLimit
+    as a collapse too (orderBy().limit(n) → TakeOrderedAndProject is
+    the SANCTIONED bounded-rank pattern, so a window over it is ≤ n
+    rows); the broadcast rule stays deliberately strict about raw
+    limited scans (tests pin both behaviors)."""
     name = node.getClass().getSimpleName()
     if "Aggregate" in name or "Deduplicate" in name:
+        return set()
+    if limit_collapses and "Limit" in name:
         return set()
     if name == "Filter" and _is_bounded_key_condition(
         node.condition().toString()
@@ -89,7 +104,7 @@ def _walk_big_scan(node) -> set[str]:
                 found.add(table)
     kids = node.children()
     for i in range(kids.length()):
-        found |= _walk_big_scan(kids.apply(i))
+        found |= _walk_big_scan(kids.apply(i), limit_collapses=limit_collapses)
     return found
 
 
@@ -110,6 +125,48 @@ def audit_broadcast_hints(df) -> list[str]:
 
     walk(df._jdf.queryExecution().analyzed())
     return bad
+
+
+def audit_global_windows(df) -> list[str]:
+    """Flag Window nodes whose partition spec is empty — or entirely
+    foldable, since Catalyst strips literal partition keys, so
+    ``partitionBy(F.lit(0))`` is NOT an exemption — and whose input
+    subtree scans an sf-proportional table with no cardinality collapse
+    (Aggregate/Deduplicate/Limit/bounded key filter) in between. Such a
+    window funnels the whole table through one task at production scale
+    (VERDICT r5 What's wrong #1/#2: the rankcmp/lexdiv corpus-window
+    class). Returns violation strings; the scalable alternatives are
+    ops/ids.global_row_number / global_cumsum (range exchange +
+    partition offsets) or orderBy().limit(n) before the window
+    (TakeOrderedAndProject)."""
+    bad: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "Window":
+            spec = node.partitionSpec()
+            has_real_key = any(
+                not spec.apply(i).foldable() for i in range(spec.length())
+            )
+            if not has_real_key:
+                tables = set()
+                kids = node.children()
+                for i in range(kids.length()):
+                    tables |= _walk_big_scan(
+                        kids.apply(i), limit_collapses=True
+                    )
+                if tables:
+                    bad.append(
+                        f"global-window-over-{'+'.join(sorted(tables))}"
+                    )
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return bad
+
+
 SOFT = (
     "Exchange",
     "WholeStageCodegen",
@@ -159,6 +216,7 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             hint_bad = audit_broadcast_hints(df)
+            win_bad = audit_global_windows(df)
             # materialize THIS plan (count() would execute a different,
             # count-aggregated plan): AQE only inserts WholeStageCodegen
             # stages and settles re-plans in the executed final plan
@@ -169,19 +227,23 @@ def main() -> int:
             violations.append(name)
             continue
         c = audit_plan(plan)
+        c["global_windows"] = len(win_bad)
         for k in HARD:
             if c[k]:
                 violations.append(f"{name}: {k} x{c[k]}")
         for h in hint_bad:
             violations.append(f"{name}: {h}")
+        for wv in win_bad:
+            violations.append(f"{name}: {wv}")
         rows.append((name, c, None))
         print(
             f"{name}: xchg={c['Exchange']} codegen={c['WholeStageCodegen']} "
             f"bhj={c['BroadcastHashJoin']} smj={c['SortMergeJoin']} "
             f"bnlj={c['BroadcastNestedLoopJoin']} "
             f"arrow={c['ArrowEvalPython'] + c['MapInPandas'] + c['FlatMapGroupsInPandas']} "
-            f"pushdown={c['scans_with_pushdown']}/{c['scans']}"
-            + (" !!HARD!!" if any(c[k] for k in HARD) else "")
+            f"pushdown={c['scans_with_pushdown']}/{c['scans']} "
+            f"gwin={c['global_windows']}"
+            + (" !!HARD!!" if any(c[k] for k in HARD) or win_bad else "")
         )
 
     if not only:
@@ -202,21 +264,25 @@ def write_report(rows, violations, sf_dir) -> None:
         "sort-merge joins, BroadcastNestedLoopJoin (only sanctioned use is a",
         "1-row broadcast side, e.g. the LM vocab scalar or decontam's empty",
         "gram-set degenerate path), Arrow crossings (sanctioned pandas",
-        "batches), and parquet scans carrying non-empty PushedFilters.",
+        "batches), parquet scans carrying non-empty PushedFilters, and gwin —",
+        "empty-partition Window nodes whose input scans an sf-proportional",
+        "table with no Aggregate/Limit/bounded-filter collapse (the",
+        "single-partition corpus-window funnel; hard violation, must be 0).",
         "",
-        "| query | shuffles | codegen | BHJ | SMJ | BNLJ | arrow | pushdown |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | codegen | BHJ | SMJ | BNLJ | arrow | pushdown | gwin |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name, c, err in rows:
         if err:
-            lines.append(f"| `{name}` | — | — | — | — | — | — | {err} |")
+            lines.append(f"| `{name}` | — | — | — | — | — | — | — | {err} |")
             continue
         arrow = c["ArrowEvalPython"] + c["MapInPandas"] + c["FlatMapGroupsInPandas"]
         lines.append(
             f"| `{name}` | {c['Exchange']} | {c['WholeStageCodegen']} "
             f"| {c['BroadcastHashJoin']} | {c['SortMergeJoin']} "
             f"| {c['BroadcastNestedLoopJoin']} | {arrow} "
-            f"| {c['scans_with_pushdown']}/{c['scans']} |"
+            f"| {c['scans_with_pushdown']}/{c['scans']} "
+            f"| {c['global_windows']} |"
         )
     with open("/root/repo/PLANAUDIT.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
