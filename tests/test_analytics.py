@@ -219,6 +219,59 @@ def test_rfm_segments(spark):
     assert out[2].r < out[4].r and out[2].f < out[4].f and out[2].m < out[4].m
 
 
+def test_rfm_tiles_match_ntile_exactly(spark):
+    # the closed-form tile assignment must reproduce F.ntile bit-for-bit,
+    # including the uneven split (N % n_tiles != 0) where the first
+    # `extra` tiles hold one more row
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.window import Window
+
+    from assignment_etl_spark.ops.funnel import rfm_segments
+
+    rows = []
+    for c in range(1, 24):  # 23 customers: 23 % 5 = 3 uneven tiles
+        for k in range((c * 7) % 4 + 1):
+            rows.append(
+                (c, datetime(2024, 1, 1) + timedelta(days=c % 9), float((c * 31) % 13) * 10)
+            )
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    got = {r.customer: (r.r, r.f, r.m) for r in rfm_segments(orders).collect()}
+    per = (
+        orders.groupBy(F.col("o_custkey").alias("customer"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(orders.agg(F.max("o_orderdate").alias("_asof")))
+        .select(
+            "customer",
+            F.datediff("_asof", "_last").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    ref = {
+        r.customer: (r.r, r.f, r.m)
+        for r in per.select(
+            "customer",
+            F.ntile(5)
+            .over(Window.orderBy(F.col("recency_days").desc(), F.col("customer")))
+            .alias("r"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("frequency"), F.col("customer")))
+            .alias("f"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("monetary"), F.col("customer")))
+            .alias("m"),
+        ).collect()
+    }
+    assert got == ref
+
+
 def test_event_transitions(spark):
     from datetime import datetime
 

@@ -200,6 +200,18 @@ def test_cuped_adjust(spark):
     r3 = cuped_adjust(some_null, key_col="uid", metric_col="y", covariate_col="x").collect()[0]
     assert r3.n == 3
 
+    # empty input: the one-row contract reports n=0, never NULL (ADVICE r5)
+    empty = spark.createDataFrame([], "uid long, x double, y double")
+    r4 = cuped_adjust(empty, key_col="uid", metric_col="y", covariate_col="x").collect()[0]
+    assert r4.n == 0 and r4.theta is None and r4.mean_y is None
+
+    # all-NULL covariate behaves the same: n=0, not NULL
+    all_null = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, 4.0)], "uid long, x double, y double"
+    )
+    r5 = cuped_adjust(all_null, key_col="uid", metric_col="y", covariate_col="x").collect()[0]
+    assert r5.n == 0
+
 
 def test_cuped_ab_test(spark):
     import pytest

@@ -32,6 +32,49 @@ def test_sequence_is_dense_and_complete(spark):
     assert agg.s == 500 * 501 // 2  # dense, no gaps or dupes
 
 
+def test_desc_column_order_matches_window(spark):
+    # Column sort expressions (F.desc) must drive the range exchange and
+    # local numbering identically to a desc single-partition window
+    df = spark.range(0, 300).select(
+        (F.col("id") * 13 % 100).alias("score"), F.col("id").alias("k")
+    )
+    got = {
+        r.k: r.row_num
+        for r in global_row_number(
+            df, [F.desc("score"), F.asc("k")], num_partitions=6
+        ).collect()
+    }
+    rows = sorted(
+        ((r.score, r.k) for r in df.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = {k: i + 1 for i, (_, k) in enumerate(rows)}
+    assert got == expect
+
+
+def test_global_cumsum_matches_window(spark):
+    from decimal import Decimal
+
+    from assignment_etl_spark.ops.ids import global_cumsum
+
+    df = spark.range(0, 400).select(
+        (F.col("id") * 29 % 150).alias("k"),
+        (F.col("id") % 7).cast("decimal(18,2)").alias("v"),
+    )
+    got = global_cumsum(
+        df, ["k", "v"], "v", num_partitions=6, out_col="cum", row_num_col="rn"
+    ).collect()
+    rows = sorted(((r.k, r.v) for r in df.collect()))
+    running, expect = Decimal(0), {}
+    for i, (k, v) in enumerate(rows):
+        running += v
+        expect[i + 1] = (k, running)
+    for r in got:
+        k, cum = expect[r.rn]
+        assert (r.k, Decimal(r.cum)) == (k, cum), r
+    assert len(got) == 400
+
+
 def test_start_offset_and_columns_preserved(spark):
     df = spark.createDataFrame([("b", 2), ("a", 1)], "k string, v int")
     got = global_row_number(df, ["k"], num_partitions=2, start=100)

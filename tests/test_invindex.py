@@ -76,7 +76,16 @@ def test_bm25_ranking(spark):
     assert all(r.score > 0 for r in out)
 
     # multi-term query: doc containing both terms wins
-    out2 = bm25_search(docs, ["cat", "bird"]).collect()
+    # the DEFAULT path must be bounded: topk defaults to 1000, so the
+    # plan carries a limit (TakeOrderedAndProject / GlobalLimit), never
+    # the rank-all-matches single-partition fallback (VERDICT r5 #3)
+    default_df = bm25_search(docs, ["cat", "bird"])
+    plan = default_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in plan or "Limit" in plan
+    unbounded = bm25_search(docs, ["cat", "bird"], topk=None)
+    uplan = unbounded._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" not in uplan  # opt-in rank-everything path
+    out2 = default_df.collect()
     assert out2[0].doc_id == 2
 
     # topk=0 must be rejected, not silently treated as "no limit"

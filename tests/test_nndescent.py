@@ -85,6 +85,71 @@ def test_validation(spark, blobs):
         build_knn_graph(blobs, k=3, rounds=-1)
 
 
+def test_beam_search_beats_one_hop_and_dedups(spark, blobs):
+    from assignment_etl_spark.ext.nndescent import (
+        beam_search_scored,
+        knn_graph_beam_search,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(blobs, blobs, 4).collect()
+    }
+    q = blobs.filter(F.col("vec_id") % 30 == 0)
+    qids = {r.vec_id for r in q.select("vec_id").collect()}
+    exact_q = {(a, b) for a, b in exact if a in qids}
+    g = build_knn_graph(blobs, k=4, rounds=1)
+
+    one_hop = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_graph_expand_search(q, blobs, g, 4).collect()
+    }
+    beam = knn_graph_beam_search(q, blobs, g, 4, beam=8, hops=2).collect()
+    beam_set = {(r.query_id, r.neighbor_id) for r in beam}
+    assert len(beam_set) == len(beam), "no duplicate answers per query"
+    # per-query ranks are 1..k, ties deterministic
+    for r in beam:
+        assert 1 <= r.rank <= 4
+    one_recall = len(one_hop & exact_q) / len(exact_q)
+    beam_recall = len(beam_set & exact_q) / len(exact_q)
+    assert beam_recall >= one_recall
+    assert beam_recall > 0.9  # separated blobs: beam must nearly solve it
+
+    # each (query, candidate) pair is scored AT MOST once (the anti-join
+    # dedup — total exact-distance work is bounded)
+    scored = beam_search_scored(q, blobs, g, beam=8, hops=2)
+    n = scored.count()
+    assert n == scored.select("query_id", "cand").distinct().count()
+
+
+def test_beam_search_hops0_equals_seed_ranking(spark, blobs):
+    from assignment_etl_spark.ext.nndescent import knn_graph_beam_search
+
+    q = blobs.filter(F.col("vec_id") % 30 == 0)
+    g = build_knn_graph(blobs, k=4, rounds=0)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in knn_graph_beam_search(q, blobs, g, 4, beam=4, hops=0).collect()
+    )
+    seed = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cell_multiprobe_topk(q, blobs, 4, n_bits=4, hamming=1).collect()
+    )
+    assert got == seed
+
+
+def test_beam_search_validation(spark, blobs):
+    from assignment_etl_spark.ext.nndescent import knn_graph_beam_search
+
+    g = build_knn_graph(blobs, k=4, rounds=0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        knn_graph_beam_search(blobs, blobs, g, 0)
+    with pytest.raises(ValueError, match="hops >= 0"):
+        knn_graph_beam_search(blobs, blobs, g, 3, hops=-1)
+    with pytest.raises(ValueError, match="beam >= 1"):
+        knn_graph_beam_search(blobs, blobs, g, 3, beam=-2)
+
+
 def test_uncheckpointed_build_passes_hint_audit(spark, blobs):
     """checkpoint_rounds=False keeps the full lineage visible, so the
     broadcast-hint audit can inspect every join inside the rounds (the
