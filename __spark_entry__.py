@@ -1306,13 +1306,17 @@ def q_messy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     # TakeOrderedAndProject bounds the fixture slice BEFORE the ordinal
-    # window (≤1000 rows; (l_orderkey, l_linenumber) is a unique key)
-    w = W.orderBy("l_orderkey", "l_linenumber")
+    # window (≤1000 rows). NB: (l_orderkey, l_linenumber) is NOT unique
+    # in the synthetic data — the full 5-column tuple is the tie-breaker
+    # that makes the order total, so the engine and the oracle pick the
+    # SAME boundary rows (heap-based TakeOrdered is not stable; a
+    # non-total order would select engine-dependent ties at rank 1000)
+    w = W.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
     sel = (
         li.select(
             "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_linenumber"
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
         .limit(1000)
         .withColumn("rn", F.row_number().over(w) - 1)
         .drop("l_linenumber")
@@ -1375,8 +1379,8 @@ def q_messy_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MESSY_CSV_ROUNDTRIP = """
 WITH sel AS (
   SELECT l_quantity, l_extendedprice,
-         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
-  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000),
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice) - 1 AS rn
+  FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice LIMIT 1000),
 survived AS (
   SELECT l_quantity,
          CASE WHEN rn % 11 = 5 THEN NULL ELSE l_extendedprice END AS price
@@ -8423,13 +8427,17 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     # TakeOrderedAndProject bounds the fixture slice BEFORE the ordinal
-    # window (≤1000 rows; (l_orderkey, l_linenumber) is a unique key)
-    w = W.orderBy("l_orderkey", "l_linenumber")
+    # window (≤1000 rows). NB: (l_orderkey, l_linenumber) is NOT unique
+    # in the synthetic data — the full 5-column tuple is the tie-breaker
+    # that makes the order total, so the engine and the oracle pick the
+    # SAME boundary rows (heap-based TakeOrdered is not stable; a
+    # non-total order would select engine-dependent ties at rank 1000)
+    w = W.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
     sel = (
         li.select(
             "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_linenumber"
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
         .limit(1000)
         .withColumn("rn", F.row_number().over(w) - 1)
         .drop("l_linenumber")
@@ -8474,8 +8482,8 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSONL_ROUNDTRIP = """
 WITH sel AS (
   SELECT l_quantity, l_extendedprice,
-         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
-  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000),
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice) - 1 AS rn
+  FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice LIMIT 1000),
 survived AS (
   SELECT l_quantity,
          CASE WHEN rn % 17 = 4 THEN NULL ELSE l_extendedprice END AS price

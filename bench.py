@@ -114,9 +114,15 @@ HEADLINE = [
     "lexical_diversity_by_lang",
     "zipf_slope_documents",
     "hits_event_graph",
+    # round-6 additions (no BENCH_BASELINE entry until its next
+    # regeneration; bench tolerates missing baselines)
+    "interval_overlap_split_events",
     # knn_graph_nndescent is gate-certified but excluded here: a full
     # 2000-node graph build is ~15s at sf0.1, out of scale with the
-    # per-query bench (its cost profile lives in SCALE.md instead)
+    # per-query bench (its cost profile lives in SCALE.md instead);
+    # knn_graph_beam_search is excluded for the same reason (its gate
+    # builds the full seed graph before searching — recall/cost curves
+    # live in SCALE.md's beam-sweep table)
 ]
 
 
