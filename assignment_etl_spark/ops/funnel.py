@@ -21,7 +21,7 @@ AQE/salting already cover (ops/skew.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -266,44 +266,29 @@ def rfm_segments(
         F.col("_spend").cast("double").alias("monetary"),
     )
     # ntile over the whole entity table would single-partition it; the
-    # scalable equivalent is a range-exchange global rank per dimension
-    # (ops/ids.py) + ntile's closed form from the 1-row total: with
-    # base = N div n and extra = N mod n, the first `extra` tiles hold
-    # base+1 rows — identical tile assignment to F.ntile over the same
-    # total order (ties broken by customer, so the order IS total).
-    from assignment_etl_spark.ops.ids import global_row_number
+    # scalable equivalent is ops/ids.global_ntile (range-exchange global
+    # rank + ntile's closed form) per dimension — identical tile
+    # assignment to F.ntile over the same total order (ties broken by
+    # customer, so each order IS total; pinned bit-for-bit in tests).
+    from assignment_etl_spark.ops.ids import global_ntile
 
-    per = global_row_number(
-        per, [F.desc("recency_days"), F.asc("customer")], out_col="_rk_r"
+    per = global_ntile(
+        per, [F.desc("recency_days"), F.asc("customer")], n_tiles, out_col="r"
     )
-    per = global_row_number(
-        per, [F.asc("frequency"), F.asc("customer")], out_col="_rk_f"
+    per = global_ntile(
+        per, [F.asc("frequency"), F.asc("customer")], n_tiles, out_col="f"
     )
-    per = global_row_number(
-        per, [F.asc("monetary"), F.asc("customer")], out_col="_rk_m"
+    per = global_ntile(
+        per, [F.asc("monetary"), F.asc("customer")], n_tiles, out_col="m"
     )
-    tot = per.agg(F.count(F.lit(1)).alias("_nrows"))
-    per = per.crossJoin(F.broadcast(tot))
-
-    def tile(rk: Column) -> Column:
-        n_rows = F.col("_nrows")
-        base = F.floor(n_rows / n_tiles)
-        extra = n_rows % n_tiles
-        big = extra * (base + 1)
-        return (
-            F.when(rk <= big, F.ceil(rk / (base + 1)))
-            .otherwise(extra + F.ceil((rk - big) / base))
-            .cast("int")
-        )
-
     return per.select(
         "customer",
         "recency_days",
         "frequency",
         "monetary",
-        tile(F.col("_rk_r")).alias("r"),
-        tile(F.col("_rk_f")).alias("f"),
-        tile(F.col("_rk_m")).alias("m"),
+        "r",
+        "f",
+        "m",
     ).withColumn(
         "segment",
         F.concat(

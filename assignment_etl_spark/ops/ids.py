@@ -71,6 +71,42 @@ def global_row_number(
     )
 
 
+def global_ntile(
+    df: DataFrame,
+    order_by: list,
+    n_tiles: int,
+    *,
+    num_partitions: int | None = None,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Append ``out_col``: F.ntile(n_tiles)-identical tile assignment in
+    ``order_by`` order WITHOUT the single-partition window. Rank comes
+    from :func:`global_row_number`; the tile is ntile's closed form off
+    the 1-row total: with base = N div n and extra = N mod n, the first
+    ``extra`` tiles hold base+1 rows. Identical to F.ntile over the
+    same total order (pinned bit-for-bit in tests, uneven splits and
+    N < n_tiles included). ``order_by`` must be a total order."""
+    if n_tiles < 1:
+        raise ValueError(f"need n_tiles >= 1, got {n_tiles}")
+    ranked = global_row_number(
+        df, order_by, num_partitions=num_partitions, out_col="_gnt_rk"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("_gnt_n"))
+    out = ranked.crossJoin(F.broadcast(tot))
+    rk, n_rows = F.col("_gnt_rk"), F.col("_gnt_n")
+    base = F.floor(n_rows / n_tiles)
+    extra = n_rows % n_tiles
+    big = extra * (base + 1)
+    tile = (
+        F.when(rk <= big, F.ceil(rk / (base + 1)))
+        # base > 0 whenever this branch is reachable (rk > big implies
+        # N > extra, i.e. N >= n_tiles)
+        .otherwise(extra + F.ceil((rk - big) / base))
+        .cast("int")
+    )
+    return out.withColumn(out_col, tile).drop("_gnt_rk", "_gnt_n")
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: list,

@@ -52,6 +52,43 @@ def test_desc_column_order_matches_window(spark):
     assert got == expect
 
 
+def test_global_ntile_matches_f_ntile(spark):
+    from pyspark.sql.window import Window
+
+    from assignment_etl_spark.ops.ids import global_ntile
+
+    # 23 % 5 = 3: uneven split — the first 3 tiles hold one extra row
+    df = spark.range(0, 23).select(
+        (F.col("id") * 7 % 23).alias("score"), F.col("id").alias("k")
+    )
+    got = {
+        r.k: r.tile
+        for r in global_ntile(
+            df, [F.desc("score"), F.asc("k")], 5, num_partitions=4
+        ).collect()
+    }
+    ref = {
+        r.k: r.t
+        for r in df.select(
+            "k",
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("score"), F.asc("k")))
+            .alias("t"),
+        ).collect()
+    }
+    assert got == ref
+    # N < n_tiles: ntile degenerates to the row number
+    small = spark.range(0, 3).select(F.col("id").alias("k"))
+    got_small = {
+        r.k: r.tile for r in global_ntile(small, ["k"], 10).collect()
+    }
+    assert got_small == {0: 1, 1: 2, 2: 3}
+    import pytest
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        global_ntile(small, ["k"], 0)
+
+
 def test_global_cumsum_matches_window(spark):
     from decimal import Decimal
 
