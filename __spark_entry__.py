@@ -11736,6 +11736,116 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_ks_test_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov (ext/rankstats.ks_two_sample):
+    did the order-price distribution shift between 1995 and 2000? The
+    scalable shape: collapse to one row per distinct price with
+    per-year counts, ONE range exchange gives both cumulative counts
+    (ops/ids.global_cumsum_multi), sup|CDF gap| is a 1-row aggregate of
+    closed-form doubles over exact longs — no global ORDER BY window
+    ever touches row-proportional data. Oracle replays the distinct-
+    value CDFs with window sums."""
+    from assignment_etl_spark.ext.rankstats import ks_two_sample
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    out = ks_two_sample(orders, "yr", "o_totalprice", 1995, 2000)
+    return out.select(
+        "n_a", "n_b", "d_stat", "ks_scaled",
+        F.col("reject").cast("int").alias("reject"),
+    )
+
+
+SQL_KS_TEST_PRICES = """
+WITH f AS (
+  SELECT o_totalprice AS val, year(o_orderdate) AS yr
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 2000) AND o_totalprice IS NOT NULL),
+v AS (
+  SELECT val,
+         CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN yr = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM f GROUP BY val),
+c AS (
+  SELECT sum(na) OVER (ORDER BY val) AS cna,
+         sum(nb) OVER (ORDER BY val) AS cnb
+  FROM v),
+t AS (SELECT sum(na) AS n1, sum(nb) AS n2 FROM v),
+d AS (
+  SELECT max(abs(cna / CAST(n1 AS DOUBLE) - cnb / CAST(n2 AS DOUBLE)))
+           AS dmax
+  FROM c, t)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       round(dmax, 9) AS d_stat,
+       round(sqrt(CAST(n1 * n2 AS DOUBLE) / (n1 + n2)) * dmax, 9)
+         AS ks_scaled,
+       CAST(sqrt(CAST(n1 * n2 AS DOUBLE) / (n1 + n2)) * dmax > 1.358
+            AS INT) AS reject
+FROM d, t
+"""
+
+
+def q_mannwhitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (ext/rankstats.mann_whitney_u): are returned
+    ('R') lineitem quantities stochastically larger than accepted
+    ('A') ones? l_quantity has ~50 distinct values over 40k rows — the
+    distinct-value midrank construction does the whole test on a
+    50-row table after one hash aggregate, with the Σ(t³−t) correction
+    exercised hard (every value is a massive tie block). Rank-sum
+    terms accumulate as decimal(38,0) (they are O(N²) — int64 dies
+    past ~3 B rows); u2_stat = 2·U stays integer-exact and is emitted
+    as bigint at the gate boundary. Oracle replays midranks from the
+    same window sums."""
+    from assignment_etl_spark.ext.rankstats import mann_whitney_u
+
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    out = mann_whitney_u(li, "l_returnflag", "l_quantity", "A", "R")
+    return out.select(
+        "n_a", "n_b",
+        F.col("u2_stat").cast("long").alias("u2_stat"),
+        "u_stat", "z_stat",
+    )
+
+
+SQL_MANNWHITNEY_QUANTITY = """
+WITH f AS (
+  SELECT l_quantity AS val, l_returnflag AS g
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL),
+v AS (
+  SELECT val,
+         CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM f GROUP BY val),
+c AS (
+  SELECT na, nb, na + nb AS t,
+         sum(na + nb) OVER (ORDER BY val) AS ct
+  FROM v),
+a AS (
+  SELECT sum(na) AS n1, sum(nb) AS n2,
+         sum(CAST(na AS DECIMAL(38,0)) * (2 * (ct - t) + t + 1)) AS r2,
+         sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
+  FROM c),
+s AS (
+  SELECT n1, n2,
+         r2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS u2,
+         CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu,
+         (CAST(n1 AS DOUBLE) * n2 / 12.0) *
+           ((n1 + n2 + 1)
+            - CAST(ties AS DOUBLE)
+              / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) AS var
+  FROM a)
+SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       CAST(u2 AS BIGINT) AS u2_stat,
+       round(CAST(u2 AS DOUBLE) / 2.0, 1) AS u_stat,
+       round((CAST(u2 AS DOUBLE) / 2.0 - mu) / sqrt(var), 9) AS z_stat
+FROM s
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -11772,6 +11882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-6 gates (never sampled, ride the same prefix)
         "interval_overlap_split_events": q_interval_overlap_split_events,
         "knn_graph_beam_search": q_knn_graph_beam_search,
+        "ks_test_prices": q_ks_test_prices,
+        "mannwhitney_quantity": q_mannwhitney_quantity,
         # -- driver-certified in round 5 (hash-green rows in
         # CORRECTNESS_r05.json; they pad the rest of the 50-prefix)
         "chunk_documents": q_chunk_documents,
@@ -12101,6 +12213,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_events": SQL_INTERVAL_OVERLAP_EVENTS,
         "interval_overlap_split_events": SQL_INTERVAL_OVERLAP_SPLIT_EVENTS,
         "knn_graph_beam_search": SQL_KNN_GRAPH_BEAM_SEARCH,
+        "ks_test_prices": SQL_KS_TEST_PRICES,
+        "mannwhitney_quantity": SQL_MANNWHITNEY_QUANTITY,
         "dp_noisy_counts_events": _sql_dp_noisy_counts_events(),
         "jl_project_embeddings": _sql_jl_project_embeddings(),
         "lexical_diversity_by_lang": SQL_LEXICAL_DIVERSITY_BY_LANG,

@@ -1,0 +1,195 @@
+"""Rank-based two-sample tests: Kolmogorov–Smirnov and Mann–Whitney U.
+
+PSI / chi-square / Welch (ext/drift.py) compare BINNED or MOMENT
+summaries; the rank statistics here compare whole distributions with no
+binning contract — the standard nonparametric monitors for "did this
+score/price/latency column shift between two cohorts" when you can't
+assume a parametric family or pick bin edges up front.
+
+Scale shape — the whole point of this module: the naive implementation
+ranks the concatenated samples with a global ORDER BY window, the
+classic single-partition 100 TB funnel. Instead both tests:
+
+1. collapse the input to ONE row per distinct value with per-sample
+   counts (a hash aggregate — map-side combined, output ∝ distinct
+   values, not rows);
+2. run ONE range exchange over that distinct-value table to get every
+   cumulative count at once (ops/ids.global_cumsum_multi — the only
+   single-partition window is over the #partitions-row offsets table);
+3. finish with a 1-row aggregate of closed-form per-value expressions.
+
+Ties are handled exactly by construction: a tied block IS one row of
+the distinct-value table (KS evaluates the empirical CDFs at block
+ends, which is where the sup is attained; MWU uses midranks and the
+Σ(t³−t) tie correction).
+
+Determinism / cross-engine policy: every count is exact (long /
+decimal(38,0) — rank-sum terms reach O(N²) and overflow int64 past
+~3 B rows, so the per-value products accumulate as decimal). Doubles
+appear only in single closed-form expressions computed identically by
+any engine from those exact integers, rounded once at the end — the
+repo's standard float policy.
+
+Reference parity note: the reference repo has no statistical testing
+surface; this extends the drift/ab-test family (ext/drift.py) with the
+nonparametric pair a production data-quality monitor runs beside PSI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from assignment_etl_spark.ops.ids import global_cumsum_multi
+
+# KS_ALPHA_COEFF[alpha] = c(alpha) in the large-sample rejection rule
+# D > c(alpha) * sqrt((n1+n2)/(n1*n2))  (two-sided asymptotic)
+KS_ALPHA_COEFF = {0.10: 1.224, 0.05: 1.358, 0.01: 1.628}
+
+
+def _two_sample_counts(
+    df: DataFrame, group_col: str, value_col: str, group_a, group_b
+) -> DataFrame:
+    """One row per distinct value with per-sample counts (na, nb) —
+    the shared reduction both tests start from. NULL values are
+    excluded (they have no rank); rows outside the two groups are
+    filtered before the aggregate so the scan prunes early."""
+    g = F.col(group_col)
+    return (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("val"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("nb"),
+        )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    alpha: float = 0.05,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: ONE row
+    ``(n_a, n_b, d_stat, ks_scaled, reject)``.
+
+    d_stat = sup_x |F_a(x) − F_b(x)| evaluated at distinct-value block
+    ends (where the sup of a pair of step functions is attained);
+    ks_scaled = sqrt(n_a·n_b/(n_a+n_b)) · d_stat; reject is the
+    two-sided asymptotic decision at ``alpha``. Empty samples yield
+    NULL d_stat rather than a misleading 0. Always returns exactly one
+    row (the drift-family contract — see ext/drift.ab_test)."""
+    if alpha not in KS_ALPHA_COEFF:
+        raise ValueError(f"alpha must be one of {sorted(KS_ALPHA_COEFF)}")
+    perv = _two_sample_counts(df, group_col, value_col, group_a, group_b)
+    cum = global_cumsum_multi(
+        perv,
+        [F.asc("val")],
+        [("na", "cna"), ("nb", "cnb")],
+        num_partitions=num_partitions,
+    )
+    tot = perv.agg(
+        F.sum("na").alias("n_a_t"), F.sum("nb").alias("n_b_t")
+    )
+    # per-value |CDF gap|: one closed-form double from exact longs —
+    # identical IEEE expression in any engine, so max() is portable
+    gap = F.abs(
+        F.col("cna") / F.col("n_a_t") - F.col("cnb") / F.col("n_b_t")
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_a_t").alias("n_a"),
+            F.first("n_b_t").alias("n_b"),
+            F.max(gap).alias("_d"),
+        )
+    )
+    n_a, n_b, d = F.col("n_a"), F.col("n_b"), F.col("_d")
+    scale = F.sqrt(n_a * n_b / (n_a + n_b))
+    crit = F.lit(KS_ALPHA_COEFF[alpha])
+    # global agg always yields exactly one row; on empty input the
+    # sums are NULL — coalesce counts to 0 (the ADVICE-r5 cuped_adjust
+    # contract: the caller sees WHY there is no statistic) and leave
+    # the statistics NULL via the guards below
+    return agg.select(
+        F.coalesce(n_a, F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(n_b, F.lit(0)).cast("long").alias("n_b"),
+        F.round(d, 9).alias("d_stat"),
+        F.round(scale * d, 9).alias("ks_scaled"),
+        F.when(
+            (n_a > 0) & (n_b > 0), (scale * d) > crit
+        ).alias("reject"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) with midrank ties and the
+    Σ(t³−t) tie-corrected normal approximation: ONE row
+    ``(n_a, n_b, u2_stat, u_stat, z_stat)``.
+
+    Midranks never materialize per input row: for a tied block of size
+    t starting after ``before`` smaller values, each member's midrank
+    is before + (t+1)/2, so sample A's doubled rank sum is the exact
+    integer  Σ na·(2·before + t + 1)  — accumulated as decimal(38,0)
+    because the terms are O(N²). u2_stat = 2·U (exact integer; U itself
+    may end in .5), z uses σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+    with no continuity correction (documented choice — matches the
+    large-sample form an oracle can replay verbatim). Degenerate inputs
+    (either sample empty, or all values tied so σ = 0) yield NULL z."""
+    perv = _two_sample_counts(df, group_col, value_col, group_a, group_b)
+    perv = perv.withColumn("t", (F.col("na") + F.col("nb")).cast("long"))
+    cum = global_cumsum_multi(
+        perv, [F.asc("val")], [("t", "ct")], num_partitions=num_partitions
+    )
+    dec = "decimal(38,0)"
+    before = (F.col("ct") - F.col("t")).cast(dec)
+    # doubled rank-sum term for sample A at this block + tie cube term
+    r2_term = F.col("na").cast(dec) * (
+        F.lit(2).cast(dec) * before + F.col("t") + F.lit(1)
+    )
+    tie_term = F.col("t").cast(dec) * F.col("t") * F.col("t") - F.col("t")
+    agg = cum.agg(
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
+        F.sum(r2_term).alias("_r2"),
+        F.sum(tie_term).alias("_ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    # 2U = 2R_a − n_a(n_a+1): exact decimal
+    u2 = F.col("_r2") - n_a.cast(dec) * (n_a + F.lit(1))
+    u = u2.cast("double") / 2.0
+    mu = n_a.cast("double") * n_b.cast("double") / 2.0
+    var = (
+        n_a.cast("double") * n_b.cast("double") / 12.0
+    ) * (
+        (n + 1).cast("double")
+        - F.col("_ties").cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
+    )
+    z = (u - mu) / F.sqrt(var)
+    # global agg always yields exactly one row; counts coalesce to 0 on
+    # empty input, statistics stay NULL via the guards (same contract
+    # as ks_two_sample)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when((n_a > 0) | (n_b > 0), u2).alias("u2_stat"),
+        F.when((n_a > 0) | (n_b > 0), F.round(u, 1)).alias("u_stat"),
+        F.when(
+            (n_a > 0) & (n_b > 0) & (var > 0), F.round(z, 9)
+        ).alias("z_stat"),
+    )

@@ -126,6 +126,33 @@ def global_cumsum(
     must be a total order; with an exact type (long/decimal) for
     ``value_col`` the result is accumulation-order-independent and
     engine-replayable."""
+    return global_cumsum_multi(
+        df,
+        order_by,
+        [(value_col, out_col)],
+        num_partitions=num_partitions,
+        row_num_col=row_num_col,
+    )
+
+
+def global_cumsum_multi(
+    df: DataFrame,
+    order_by: list,
+    values: list[tuple[str, str]],
+    *,
+    num_partitions: int | None = None,
+    row_num_col: str | None = None,
+) -> DataFrame:
+    """:func:`global_cumsum` for SEVERAL value columns at once —
+    ``values`` is ``[(value_col, out_col), ...]`` and every running sum
+    (plus the optional global row number) rides ONE range exchange: the
+    per-partition totals aggregate emits one sum per value column, the
+    offsets broadcast carries one offset per column, and the local
+    cumulative windows share the same sort. The multi-CDF shape
+    (ext/rankstats.py needs both samples' cumulative counts in one
+    value order) would otherwise pay one full shuffle per column."""
+    if not values:
+        raise ValueError("need at least one (value_col, out_col) pair")
     parts = (
         df.repartitionByRange(num_partitions, *order_by)
         if num_partitions
@@ -133,26 +160,34 @@ def global_cumsum(
     )
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     totals = with_pid.groupBy("_pid").agg(
-        F.sum(value_col).alias("_s"), F.count(F.lit(1)).alias("_n")
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(vc).alias(f"_s{i}") for i, (vc, _) in enumerate(values)],
     )
     # single-partition window over the #partitions-row totals only
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid",
-        F.coalesce(F.sum("_s").over(off_w), F.lit(0)).alias("_voff"),
         F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_noff"),
+        *[
+            F.coalesce(F.sum(f"_s{i}").over(off_w), F.lit(0)).alias(f"_voff{i}")
+            for i in range(len(values))
+        ],
     )
     local_cum = Window.partitionBy("_pid").orderBy(*order_by).rowsBetween(
         Window.unboundedPreceding, 0
     )
     local_rn = Window.partitionBy("_pid").orderBy(*order_by)
-    out = (
-        with_pid.withColumn("_lcum", F.sum(value_col).over(local_cum))
-        .join(F.broadcast(offsets), on="_pid")
-        .withColumn(out_col, F.col("_voff") + F.col("_lcum"))
-    )
+    out = with_pid
+    for i, (vc, _) in enumerate(values):
+        out = out.withColumn(f"_lcum{i}", F.sum(vc).over(local_cum))
+    out = out.join(F.broadcast(offsets), on="_pid")
+    for i, (_, oc) in enumerate(values):
+        out = out.withColumn(oc, F.col(f"_voff{i}") + F.col(f"_lcum{i}"))
     if row_num_col:
         out = out.withColumn("_lrn", F.row_number().over(local_rn)).withColumn(
             row_num_col, (F.col("_noff") + F.col("_lrn")).cast("long")
         )
-    return out.drop("_pid", "_lcum", "_lrn", "_voff", "_noff")
+    drop = ["_pid", "_lrn", "_noff"]
+    drop += [f"_lcum{i}" for i in range(len(values))]
+    drop += [f"_voff{i}" for i in range(len(values))]
+    return out.drop(*drop)
