@@ -11846,6 +11846,161 @@ FROM s
 """
 
 
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS = 4, 16, 8, 2
+
+
+def q_pq_codebook_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebooks (ext/pq.pq_train): m=4 subspaces
+    of 16 dims, k=8 centroids each, 2 portable Lloyd steps — all four
+    subspace trainings in ONE dataflow per iteration (exploded
+    subvectors, broadcast m·k centroid table, per-(pid,sub) argmin).
+    The gate certifies per-(sub,cidx) population, decimal centroid
+    sums, and decimal quantization error; the oracle replays both
+    Lloyd iterations per subspace from the same smallest-ids init."""
+    from assignment_etl_spark.ext.pq import pq_encode_profile, pq_train
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cents = pq_train(
+        emb, m=_PQ_M, d_sub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS
+    )
+    return pq_encode_profile(codes, cents)
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (ext/pq.pq_adc_topk): the query
+    (smallest vec_id's embedding — one bounded 1-row collect) scores
+    the whole corpus through an m·k broadcast lookup table; per-vector
+    distances are exact decimal sums of rounded lookups, the finish is
+    TakeOrderedAndProject. Completes the ANN family's memory side:
+    IVF prunes WHO is scored, PQ shrinks WHAT is stored."""
+    from assignment_etl_spark.ext.pq import pq_adc_topk, pq_train
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cents = pq_train(
+        emb, m=_PQ_M, d_sub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS
+    )
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return pq_adc_topk(
+        codes, cents, list(q), m=_PQ_M, d_sub=_PQ_DSUB, topk=10
+    )
+
+
+def _sql_pq_cte(m: int, d: int, k: int, iters: int) -> str:
+    """WITH-prefix replaying the per-subspace portable Lloyd kernel
+    (the _sql_kmeans_assign_cte shape ×m subspaces via a range(sub)
+    cross join), ending at fa(pid, sub, cidx, dist) and c{iters}."""
+    dist = (
+        "list_reduce(list_transform(list_zip(v, c), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)"
+    )
+    parts = [
+        f"""
+WITH pts AS MATERIALIZED (
+  SELECT vec_id AS pid, sub,
+         list_slice(embedding::DOUBLE[], (sub-1)*{d}+1, sub*{d}) AS v
+  FROM embeddings, range(1, {m + 1}) t(sub)),
+seed AS MATERIALIZED (
+  SELECT vec_id AS pid, embedding::DOUBLE[] AS fv
+  FROM embeddings ORDER BY vec_id LIMIT {k}),
+c0 AS MATERIALIZED (
+  SELECT sub,
+         row_number() OVER (PARTITION BY sub ORDER BY pid) AS cidx,
+         list_slice(fv, (sub-1)*{d}+1, sub*{d}) AS c
+  FROM seed, range(1, {m + 1}) t(sub))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT pid, sub, v, cidx FROM (
+    SELECT p.pid, p.sub, p.v, cc.cidx,
+           row_number() OVER (PARTITION BY p.pid, p.sub
+                              ORDER BY {dist}, cc.cidx) AS rn
+    FROM pts p JOIN c{i - 1} cc ON p.sub = cc.sub) q WHERE rn = 1),
+m{i} AS MATERIALIZED (
+  SELECT sub, cidx, pos,
+         CAST(sum(CAST(round(v[pos], 7) AS DECIMAL(20,7)))
+              AS DOUBLE) / count(*) AS mv
+  FROM a{i}, range(1, {d + 1}) t(pos) GROUP BY 1, 2, 3),
+c{i} AS MATERIALIZED (
+  SELECT p.sub, p.cidx, COALESCE(n.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN
+       (SELECT sub, cidx, list(mv ORDER BY pos) AS c
+        FROM m{i} GROUP BY 1, 2) n
+       ON p.sub = n.sub AND p.cidx = n.cidx)"""
+        )
+    parts.append(
+        f""",
+fa AS MATERIALIZED (
+  SELECT pid, sub, cidx, dist FROM (
+    SELECT p.pid, p.sub, cc.cidx, {dist} AS dist,
+           row_number() OVER (PARTITION BY p.pid, p.sub
+                              ORDER BY {dist}, cc.cidx) AS rn
+    FROM pts p JOIN c{iters} cc ON p.sub = cc.sub) q
+  WHERE rn = 1)"""
+    )
+    return "".join(parts)
+
+
+def _sql_pq_codebook(
+    m: int = _PQ_M, d: int = _PQ_DSUB, k: int = _PQ_K, iters: int = _PQ_ITERS
+) -> str:
+    return (
+        _sql_pq_cte(m, d, k, iters)
+        + f""",
+fin AS (
+  SELECT sub, cidx, count(*) AS n_points,
+         round(CAST(sum(CAST(round(dist, 7) AS DECIMAL(20,7))) AS DOUBLE), 3)
+           AS sq_err
+  FROM fa GROUP BY 1, 2),
+cs AS (
+  SELECT sub, cidx,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), c),
+                           (a, b) -> a + b), 6) AS centroid_sum
+  FROM c{iters})
+SELECT cs.sub, cs.cidx,
+       COALESCE(fin.n_points, 0) AS n_points,
+       cs.centroid_sum,
+       COALESCE(fin.sq_err, 0.0) AS sq_err
+FROM cs LEFT JOIN fin ON cs.sub = fin.sub AND cs.cidx = fin.cidx
+ORDER BY cs.sub, cs.cidx
+"""
+    )
+
+
+def _sql_pq_adc(
+    m: int = _PQ_M,
+    d: int = _PQ_DSUB,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    topk: int = 10,
+) -> str:
+    dist = (
+        "list_reduce(list_transform(list_zip(v, c), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)"
+    )
+    return (
+        _sql_pq_cte(m, d, k, iters)
+        + f""",
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+       ORDER BY vec_id LIMIT 1),
+lut AS (
+  SELECT sub, cidx, CAST(round({dist}, 7) AS DECIMAL(20,7)) AS qd
+  FROM (SELECT cc.sub, cc.cidx,
+               list_slice(q, (cc.sub-1)*{d}+1, cc.sub*{d}) AS v, cc.c AS c
+        FROM c{iters} cc, qv) t),
+sc AS (
+  SELECT pid, round(CAST(sum(qd) AS DOUBLE), 6) AS adc_dist
+  FROM fa JOIN lut USING (sub, cidx) GROUP BY pid)
+SELECT pid, adc_dist,
+       CAST(row_number() OVER (ORDER BY adc_dist, pid) AS INT) AS rank
+FROM sc ORDER BY adc_dist, pid LIMIT {topk}
+"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -11884,6 +12039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_beam_search": q_knn_graph_beam_search,
         "ks_test_prices": q_ks_test_prices,
         "mannwhitney_quantity": q_mannwhitney_quantity,
+        "pq_codebook_embeddings": q_pq_codebook_embeddings,
+        "pq_adc_topk": q_pq_adc_topk,
         # -- driver-certified in round 5 (hash-green rows in
         # CORRECTNESS_r05.json; they pad the rest of the 50-prefix)
         "chunk_documents": q_chunk_documents,
@@ -12215,6 +12372,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_beam_search": SQL_KNN_GRAPH_BEAM_SEARCH,
         "ks_test_prices": SQL_KS_TEST_PRICES,
         "mannwhitney_quantity": SQL_MANNWHITNEY_QUANTITY,
+        "pq_codebook_embeddings": _sql_pq_codebook(),
+        "pq_adc_topk": _sql_pq_adc(),
         "dp_noisy_counts_events": _sql_dp_noisy_counts_events(),
         "jl_project_embeddings": _sql_jl_project_embeddings(),
         "lexical_diversity_by_lang": SQL_LEXICAL_DIVERSITY_BY_LANG,

@@ -1,0 +1,254 @@
+"""Product quantization (PQ): codebook training, encoding, and
+asymmetric-distance (ADC) top-k search over an embedding column.
+
+PQ is the memory side of the ANN family (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — public): split
+each d-dim vector into m contiguous subvectors, vector-quantize each
+subspace with its own k-centroid codebook, and store each vector as m
+small codes (m·log2(k) bits instead of d doubles — 64 doubles → 4 bytes
+at m=4, k=256). Query time never decodes: the query's distance to every
+centroid of every subspace is a tiny m·k lookup table, and a database
+vector's approximate distance is the sum of its m looked-up entries
+(ADC). This composes with the IVF layer in ext/similarity.py — IVF
+prunes WHICH vectors to score, PQ shrinks WHAT is stored and scored —
+which is exactly FAISS's IVFPQ layout re-expressed as dataflow.
+
+Scale shape:
+- training explodes vectors to (pid, sub, subvector) rows — m·n rows,
+  but each is d/m wide, so bytes stay ~constant — and runs ALL m
+  subspace Lloyd loops in ONE dataflow per iteration: the m·k centroid
+  table broadcasts, assignment is a per-(pid, sub) window argmin over k
+  candidates, the update is a (m·k·d/m)-row decimal-mean aggregate.
+  No per-subspace driver loop, no collect.
+- encoding is the same broadcast-join argmin (one pass);
+- ADC search broadcasts the m·k distance table, joins codes on
+  (sub, cidx), sums per pid, and finishes with orderBy().limit(topk) —
+  TakeOrderedAndProject, per-partition heaps, never a global sort.
+
+Determinism (the portable-kmeans policy, ext/kmeans.py): init is the k
+smallest ids' subvectors per subspace (the SAME k ids for every
+subspace — one bounded limit(k), not a per-subspace window); distances
+are left folds (identical IEEE order in any engine); centroid updates
+are exact decimal component sums whose double image and IEEE division
+are bit-identical in any engine — the mean is deliberately NOT
+re-rounded (see the in-loop comment); argmin ties break on centroid
+index; empty clusters keep their previous centroid. Every stage is
+SQL-replayable, and the gate oracle replays both Lloyd iterations per
+subspace verbatim.
+
+Reference parity note: the reference repo has no vector surface; this
+extends ext/similarity.py (brute/LSH/IVF/cell-probe ANN) and
+ext/quantize.py (SQ8) with the codebook quantizer a 100 TB embedding
+store actually ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from assignment_etl_spark.ext.kmeans import squared_l2
+
+
+def _sub_pts(
+    df: DataFrame, id_col: str, vec_col: str, m: int, d_sub: int
+) -> DataFrame:
+    """(pid, sub 1-based, v: the sub-th length-d_sub slice). A vector
+    whose length differs from m·d_sub raises at execution time — slice
+    would otherwise truncate silently and poison every distance."""
+    dim = m * d_sub
+    src = F.col(vec_col)
+    checked = F.when(
+        src.isNotNull() & (F.size(src) == dim),
+        F.transform(src, lambda x: x.cast("double")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq: declared dim={dim} but vector has length "),
+                F.coalesce(F.size(src).cast("string"), F.lit("NULL")),
+            )
+        ).cast("array<double>")
+    )
+    slices = F.array(
+        *[F.slice(checked, i * d_sub + 1, d_sub) for i in range(m)]
+    )
+    return df.select(
+        F.col(id_col).alias("pid"), F.posexplode(slices).alias("_s0", "v")
+    ).select("pid", (F.col("_s0") + 1).alias("sub"), "v")
+
+
+def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-(pid, sub) argmin over that subspace's k centroids: the
+    broadcast join fans each subvector out ×k (bounded — k is a model
+    constant), the window keys on (pid, sub) so no partition exceeds k
+    rows. Ties break on cidx, the portable-kmeans rule."""
+    d = pts.join(F.broadcast(cents), on="sub").select(
+        "pid", "sub", "v", "cidx",
+        squared_l2(F.col("v"), F.col("c")).alias("dist"),
+    )
+    w = Window.partitionBy("pid", "sub").orderBy("dist", "cidx")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    d_sub: int = 16,
+    k: int = 16,
+    iters: int = 2,
+    comp_scale: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """Train m subspace codebooks of k centroids each with ``iters``
+    Lloyd steps, then encode. Returns ``(codes, cents)``:
+    codes = (pid, sub, cidx, dist) — one row per vector per subspace,
+    dist the squared-L2 quantization error in that subspace;
+    cents = (sub, cidx, c: array<double> of length d_sub)."""
+    if m < 1 or k < 1 or d_sub < 1:
+        raise ValueError(f"need m, k, d_sub >= 1, got {m}, {k}, {d_sub}")
+    pts = _sub_pts(df, id_col, vec_col, m, d_sub)
+    # init: the k smallest ids' subvectors, every subspace — ONE
+    # TakeOrderedAndProject over the source table (bounded k rows),
+    # exploded after, so no per-subspace window touches the data
+    seed = df.select(
+        F.col(id_col).alias("pid"), F.col(vec_col).alias(vec_col)
+    ).orderBy("pid").limit(k)
+    cents = (
+        _sub_pts(seed, "pid", vec_col, m, d_sub)
+        .withColumn(
+            "cidx",
+            F.row_number().over(Window.partitionBy("sub").orderBy("pid")),
+        )
+        .select("sub", "cidx", F.col("v").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    dec = f"decimal(20,{comp_scale})"
+    for _ in range(iters):
+        a = _assign(pts, cents)
+        dims = (
+            a.select("sub", "cidx", F.posexplode("v").alias("pos", "x"))
+            .groupBy("sub", "cidx", "pos")
+            .agg(
+                F.sum(F.round(F.col("x"), comp_scale).cast(dec)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        # the mean is NOT re-rounded: the decimal sum is exact, its
+        # double image is the deterministic nearest double, and the
+        # IEEE division is bit-identical in any engine — whereas a
+        # round-to-9 HERE is where engines diverge (Spark rounds the
+        # shortest string repr HALF_UP, DuckDB multiplies and rounds;
+        # Lloyd means are sums over small counts, which land near
+        # 1e-9 ties systematically — observed at sf0.01)
+        newc = (
+            dims.select(
+                "sub", "cidx", "pos",
+                (F.col("s").cast("double") / F.col("n")).alias("mval"),
+            )
+            .groupBy("sub", "cidx")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("c")
+            )
+        )
+        cents = (
+            cents.select("sub", "cidx", F.col("c").alias("_c_old"))
+            .join(newc, on=["sub", "cidx"], how="left")
+            .select(
+                "sub", "cidx",
+                F.coalesce(F.col("c"), F.col("_c_old")).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    codes = _assign(pts, cents).select("pid", "sub", "cidx", "dist")
+    return codes, cents
+
+
+def pq_encode_profile(codes: DataFrame, cents: DataFrame) -> DataFrame:
+    """Codebook-quality summary, one row per (sub, cidx): population,
+    decimal-summed centroid coordinates, and decimal-summed
+    quantization error — the shape the kmeans gate certifies, per
+    subspace. Empty cells still appear (population 0) so a collapsed
+    codebook is visible, not silently absent."""
+    fin = codes.groupBy("sub", "cidx").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum(F.round(F.col("dist"), 7).cast("decimal(20,7)"))
+            .cast("double"),
+            3,
+        ).alias("sq_err"),
+    )
+    # centroid_sum: an IN-ROW left fold over d_sub doubles — no
+    # partitioning can reorder it, and both engines fold the same list
+    # in the same IEEE order, so the unrounded sum is bit-identical
+    # (re-rounding components to a decimal scale is the tie-divergence
+    # hazard the training loop avoids; see pq_train)
+    cs = cents.select(
+        "sub", "cidx",
+        F.round(
+            F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("centroid_sum"),
+    )
+    return (
+        cs.join(fin, on=["sub", "cidx"], how="left")
+        .select(
+            "sub", "cidx",
+            F.coalesce("n_points", F.lit(0)).alias("n_points"),
+            "centroid_sum",
+            F.coalesce("sq_err", F.lit(0.0)).alias("sq_err"),
+        )
+        .orderBy("sub", "cidx")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    cents: DataFrame,
+    query: list[float],
+    *,
+    m: int,
+    d_sub: int,
+    topk: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (pid, adc_dist, rank). The query
+    never joins the data — its m·k distance table is computed on the
+    centroid table (tiny) and broadcast; each vector's approximate
+    distance is the sum of its m looked-up entries (exact decimal sum
+    of per-entry rounded doubles, so partial-agg order can't flip
+    ranks); the finish is orderBy().limit(topk) →
+    TakeOrderedAndProject. Ties break on pid."""
+    if topk < 1:
+        raise ValueError(f"need topk >= 1, got {topk}")
+    if len(query) != m * d_sub:
+        raise ValueError(
+            f"query has length {len(query)}, expected m*d_sub = {m * d_sub}"
+        )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qsub = F.slice(qlit, (F.col("sub") - 1) * d_sub + 1, d_sub)
+    lut = cents.select(
+        "sub", "cidx",
+        F.round(squared_l2(qsub, F.col("c")), 7)
+        .cast("decimal(20,7)")
+        .alias("qd"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), on=["sub", "cidx"])
+        .groupBy("pid")
+        .agg(F.sum("qd").alias("_d"))
+        .select(
+            "pid", F.round(F.col("_d").cast("double"), round_to).alias("adc_dist")
+        )
+    )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("pid")).limit(topk)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("pid"))  # over ≤ topk rows
+    return top.withColumn("rank", F.row_number().over(w))
