@@ -12001,6 +12001,88 @@ FROM sc ORDER BY adc_dist, pid LIMIT {topk}
     )
 
 
+_MMR_K, _MMR_LAM, _MMR_PRE = 8, 0.7, 128
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (ext/mmr.mmr_topk): greedy
+    λ·rel − (1−λ)·max-sim selection of 8 diverse hits for the
+    smallest-vec_id query. Each greedy round is ONE narrow scan of the
+    relevance-pruned, checkpointed candidate head — the selected set
+    (≤k vectors, a user constant) rides along as an array literal and
+    the diversity penalty is a pure column fold, so there is no join,
+    no shuffle, and exactly one bounded 1-row collect per round. The
+    oracle replays the greedy loop as chained CTEs."""
+    from assignment_etl_spark.ext.mmr import mmr_topk
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return mmr_topk(
+        emb, list(q), k=_MMR_K, lam=_MMR_LAM, prefilter=_MMR_PRE
+    )
+
+
+def _sql_mmr(
+    k: int = _MMR_K, lam: float = _MMR_LAM, prefilter: int = _MMR_PRE
+) -> str:
+    """Chained-CTE replay of the greedy MMR loop: pick{i} is round i's
+    winner, sel{i} the selected set after it. Folds prepend 0.0 so the
+    IEEE accumulation order matches Spark's F.aggregate init."""
+
+    def fold(items: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {items}), "
+            "(a, b) -> a + b)"
+        )
+
+    def dot(a: str, b: str) -> str:
+        return fold(f"list_transform(list_zip({a}, {b}), z -> z[1]*z[2])")
+
+    def nrm(a: str) -> str:
+        return f"sqrt({fold(f'list_transform({a}, x -> x*x)')})"
+
+    unlam = 1.0 - lam
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id AS pid, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS MATERIALIZED (SELECT v AS q FROM base ORDER BY pid LIMIT 1),
+scored AS MATERIALIZED (
+  SELECT pid, v, nrm, {dot('q', 'v')} / ({nrm('q')} * nrm) AS rel
+  FROM (SELECT pid, v, q, {nrm('v')} AS nrm FROM base, qv) t
+  WHERE nrm > 0.0
+  ORDER BY rel DESC, pid LIMIT {prefilter}),
+pick1 AS MATERIALIZED (
+  SELECT pid, v, nrm, rel, {lam} * rel AS score
+  FROM scored ORDER BY score DESC, pid LIMIT 1),
+sel1 AS MATERIALIZED (SELECT pid, v, nrm FROM pick1)"""
+    ]
+    cos = f"{dot('c.v', 's.v')} / (c.nrm * s.nrm)"
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+cand{i} AS MATERIALIZED (
+  SELECT c.pid, c.v, c.nrm, c.rel, max({cos}) AS msim
+  FROM scored c, sel{i - 1} s
+  WHERE c.pid NOT IN (SELECT pid FROM sel{i - 1})
+  GROUP BY c.pid, c.v, c.nrm, c.rel),
+pick{i} AS MATERIALIZED (
+  SELECT pid, v, nrm, rel, {lam} * rel - {unlam} * msim AS score
+  FROM cand{i} ORDER BY score DESC, pid LIMIT 1),
+sel{i} AS MATERIALIZED (
+  SELECT pid, v, nrm FROM sel{i - 1}
+  UNION ALL SELECT pid, v, nrm FROM pick{i})"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, pid, round(rel, 6) AS relevance, "
+        f"round(score, 6) AS mmr_score FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n{selects}\nORDER BY rank\n")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -12041,6 +12123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_quantity": q_mannwhitney_quantity,
         "pq_codebook_embeddings": q_pq_codebook_embeddings,
         "pq_adc_topk": q_pq_adc_topk,
+        "mmr_diverse_topk": q_mmr_diverse_topk,
         # -- driver-certified in round 5 (hash-green rows in
         # CORRECTNESS_r05.json; they pad the rest of the 50-prefix)
         "chunk_documents": q_chunk_documents,
@@ -12374,6 +12457,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_quantity": SQL_MANNWHITNEY_QUANTITY,
         "pq_codebook_embeddings": _sql_pq_codebook(),
         "pq_adc_topk": _sql_pq_adc(),
+        "mmr_diverse_topk": _sql_mmr(),
         "dp_noisy_counts_events": _sql_dp_noisy_counts_events(),
         "jl_project_embeddings": _sql_jl_project_embeddings(),
         "lexical_diversity_by_lang": SQL_LEXICAL_DIVERSITY_BY_LANG,

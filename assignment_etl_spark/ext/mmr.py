@@ -1,0 +1,148 @@
+"""Maximal Marginal Relevance (MMR): diversity-aware top-k selection
+over an embedding column.
+
+Plain cosine top-k returns k near-duplicates of the best hit; MMR
+(Carbonell & Goldstein, SIGIR 1998 — public) greedily picks the
+candidate maximizing  λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)  against
+the already-selected set S — the standard re-ranker for retrieval
+result diversification and for picking diverse exemplars in a
+training-data curation pass (complements ext/similarity.py's raw ANN
+and ext/dedup.py's near-dup removal: those REMOVE redundancy from the
+corpus, MMR SELECTS a non-redundant subset of a candidate pool).
+
+Scale shape: the selected set is at most k vectors — driver-side by
+construction (k is a user constant, not data-sized). Each round is ONE
+narrow scan of the scored candidates: the selected vectors are inlined
+as an array-of-arrays literal and the diversity penalty
+max_{s∈S} cos(d, s) is a pure column FOLD over that literal — no join,
+no shuffle, no cartesian anything; the round finishes with
+orderBy().limit(1) (TakeOrderedAndProject) and a bounded 1-row collect.
+k rounds = k scans of a localCheckpointed, relevance-pruned candidate
+table (``prefilter`` keeps only the top-C by relevance first — C ≥ k·
+a small factor loses nothing: MMR can only pick from the relevant head
+unless λ is tiny, and the gate certifies the exact composition).
+
+Determinism: relevance and pairwise cosines are left folds (identical
+IEEE order in any engine — the ext/kmeans.py policy); the greedy
+argmax breaks ties on id; each round's winner is a single comparison
+of bit-identical doubles, so the oracle replays the greedy loop
+verbatim as chained CTEs.
+
+Reference parity note: the reference repo has no retrieval surface;
+this extends the similarity family the way a RAG/data-curation stack
+uses it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.7,
+    prefilter: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Greedy MMR selection: returns a k-row DataFrame
+    ``(rank, pid, relevance, mmr_score)`` in selection order. The first
+    pick is the plain cosine argmax (its mmr_score is λ·rel — no
+    penalty exists yet). NULL/zero-norm vectors are excluded up front
+    (cosine is undefined for them). ``prefilter`` bounds the candidate
+    pool to the relevance top-C (C ≥ k required): a candidate outside
+    the relevance head can only win if λ is small — pick prefilter
+    accordingly, it is the recall/cost knob."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"need 0 <= lam <= 1, got {lam}")
+    if prefilter < k:
+        raise ValueError(f"prefilter {prefilter} < k {k}")
+    spark = df.sparkSession
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    v = F.col("v")
+    scored = (
+        df.select(
+            F.col(id_col).alias("pid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .filter(v.isNotNull())
+        .withColumn("nrm", _norm(v))
+        .filter(F.col("nrm") > 0.0)
+        .withColumn("rel", _dot(qlit, v) / (_norm(qlit) * F.col("nrm")))
+        # relevance head: TakeOrderedAndProject, then k narrow scans of
+        # a bounded table (the checkpoint severs the scan lineage)
+        .orderBy(F.desc("rel"), F.asc("pid"))
+        .limit(prefilter)
+        .localCheckpoint(eager=True)
+    )
+    picked: list = []  # rows of (rank, pid, rel, score, vec)
+    for rnd in range(1, k + 1):
+        cand = scored
+        if picked:
+            cand = cand.filter(
+                ~F.col("pid").isin([p[1] for p in picked])
+            )
+            sel_lit = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in p[4]])
+                    for p in picked
+                ]
+            )
+            # diversity penalty: a FOLD over the ≤k-entry selected-set
+            # literal — cos(v, s) per entry, max via greatest
+            msim = F.aggregate(
+                sel_lit,
+                F.lit(-2.0),
+                lambda acc, s: F.greatest(
+                    acc, _dot(v, s) / (F.col("nrm") * _norm(s))
+                ),
+            )
+            cand = cand.withColumn(
+                "score",
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * msim,
+            )
+        else:
+            cand = cand.withColumn("score", F.lit(lam) * F.col("rel"))
+        row = (
+            cand.orderBy(F.desc("score"), F.asc("pid"))
+            .limit(1)
+            .collect()  # bounded: ONE row per round, k rounds total
+        )
+        if not row:
+            break  # fewer than k usable candidates
+        r = row[0]
+        picked.append((rnd, r.pid, r.rel, r.score, list(r.v)))
+    out = spark.createDataFrame(
+        [(p[0], p[1], p[2], p[3]) for p in picked],
+        "rank int, pid long, relevance double, mmr_score double",
+    )
+    return out.select(
+        "rank", "pid",
+        F.round("relevance", round_to).alias("relevance"),
+        F.round("mmr_score", round_to).alias("mmr_score"),
+    ).orderBy("rank")

@@ -1,0 +1,90 @@
+"""ext/mmr.py: greedy selection vs a NumPy replay, diversity effect,
+degenerate inputs, parameter guards."""
+
+import numpy as np
+import pytest
+
+from assignment_etl_spark.ext.mmr import mmr_topk
+
+
+def _numpy_mmr(vecs, q, k, lam, prefilter):
+    qn = np.array(q)
+    norm = np.sqrt((vecs**2).sum(1))
+    rel = vecs @ qn / (np.sqrt(qn @ qn) * norm)
+    head = sorted(range(len(vecs)), key=lambda i: (-rel[i], i))[:prefilter]
+    sel, res = [], []
+    for rnd in range(1, k + 1):
+        best = None
+        for i in head:
+            if i in sel:
+                continue
+            if sel:
+                ms = max(
+                    vecs[i] @ vecs[s] / (norm[i] * norm[s]) for s in sel
+                )
+                sc = lam * rel[i] - (1 - lam) * ms
+            else:
+                sc = lam * rel[i]
+            if best is None or sc > best[1] or (sc == best[1] and i < best[0]):
+                best = (i, sc)
+        if best is None:
+            break
+        sel.append(best[0])
+        res.append((rnd, best[0], rel[best[0]], best[1]))
+    return res
+
+
+def test_matches_numpy_greedy(spark):
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(120, 6).round(4)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in vecs[5]]
+    got = mmr_topk(df, q, k=6, lam=0.6, prefilter=48).collect()
+    want = _numpy_mmr(vecs, q, 6, 0.6, 48)
+    assert [(r.rank, r.pid) for r in got] == [(w[0], w[1]) for w in want]
+    for r, w in zip(got, want):
+        assert r.relevance == pytest.approx(w[2], abs=1e-6)
+        assert r.mmr_score == pytest.approx(w[3], abs=1e-6)
+
+
+def test_diversity_beats_plain_topk(spark):
+    # two tight clusters near the query: plain top-k takes all of A,
+    # MMR with a diversity weight must cross into cluster B
+    a = [[1.0, 0.01 * i, 0.0] for i in range(6)]
+    b = [[0.8, 0.0, 0.6]] * 3
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_topk(df, [1.0, 0.0, 0.0], k=3, lam=0.5, prefilter=9).collect()
+    assert any(r.pid >= 6 for r in got)  # a B-cluster doc got selected
+
+
+def test_lambda_one_is_plain_topk(spark):
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(50, 4).round(4)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    got = mmr_topk(df, q, k=4, lam=1.0, prefilter=50).collect()
+    norm = np.sqrt((vecs**2).sum(1))
+    rel = vecs @ np.array(q) / norm
+    want = sorted(range(50), key=lambda i: (-rel[i], i))[:4]
+    assert [r.pid for r in got] == want
+
+
+def test_zero_norm_and_null_excluded_and_short_pool(spark):
+    rows = [(0, [0.0, 0.0]), (1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_topk(df, [1.0, 1.0], k=5, lam=0.7, prefilter=10).collect()
+    assert [r.pid for r in got] == [2, 3]  # only 2 usable candidates
+    assert [r.rank for r in got] == [1, 2]
+
+
+def test_param_guards(spark):
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k >= 1"):
+        mmr_topk(df, [1.0], k=0)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(df, [1.0], k=1, lam=1.5)
+    with pytest.raises(ValueError, match="prefilter"):
+        mmr_topk(df, [1.0], k=5, prefilter=3)
