@@ -266,3 +266,63 @@ def perplexity_filter(
         on=id_col,
         how="inner",
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    round_to: int = 9,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram distribution (Kneser & Ney 1995 /
+    Chen & Goodman 1999 — the smoothing KenLM ships by default, which
+    the add-alpha and stupid-backoff operators above approximate):
+
+        P(w|v) = max(c(v,w) − D, 0)/c(v)
+               + D·N1+(v,·)/c(v) · N1+(·,w)/N1+(·,·)
+
+    where N1+ counts DISTINCT continuations — the "how many contexts
+    has w completed" estimator that makes KN beat raw-frequency backoff
+    on collocation-bound tokens ("Francisco" is frequent but only ever
+    follows "San").
+
+    Returns one row per observed bigram:
+    (prev, token, n_bigram, n_ctx, n1_fwd, n1_bwd, p_kn).
+
+    Scale shape: ONE pass over the corpus builds the bigram count table
+    (explode → lag window on doc id → hash aggregate); every other
+    quantity derives from that vocab²-bounded table — c(v) and N1+(v,·)
+    by re-aggregating on prev, N1+(·,w) on token, N1+(·,·) as a 1-row
+    broadcast. The corpus is never rescanned and the joins key on count
+    tables, not data. Determinism: counts are exact longs; p_kn is one
+    closed-form double expression over them (D = 0.75 is exactly
+    representable), rounded once — engine-replayable."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"need 0 < discount < 1, got {discount}")
+    big = _bigrams(docs, id_col=id_col, text_col=text_col)
+    bc = big.groupBy("prev", "token").agg(
+        F.count(F.lit(1)).alias("n_bigram")
+    )
+    ctx = bc.groupBy("prev").agg(
+        F.sum("n_bigram").alias("n_ctx"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    cont = bc.groupBy("token").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = bc.agg(F.count(F.lit(1)).alias("n1_tot"))
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("n_bigram") - d, F.lit(0.0)) / F.col("n_ctx")
+        + (d * F.col("n1_fwd") / F.col("n_ctx"))
+        * (F.col("n1_bwd") / F.col("n1_tot"))
+    )
+    return (
+        bc.join(ctx, on="prev")
+        .join(cont, on="token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev", "token", "n_bigram", "n_ctx", "n1_fwd", "n1_bwd",
+            F.round(p_kn, round_to).alias("p_kn"),
+        )
+    )

@@ -193,3 +193,88 @@ def mann_whitney_u(
             (n_a > 0) & (n_b > 0) & (var > 0), F.round(z, 9)
         ).alias("z_stat"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    *,
+    alpha: float = 0.1,
+    calib_col: str = "is_calib",
+    round_to: int = 9,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk et al.; Angelopoulos & Bates
+    2021 tutorial — public): the threshold is the ⌈(n+1)(1−α)⌉-th
+    smallest calibration nonconformity score, guaranteeing ≥ 1−α
+    coverage on exchangeable test points. As a pipeline operator: gate
+    a scorer (quality model, outlier detector) with a finite-sample
+    guarantee instead of an eyeballed cutoff.
+
+    ``calib_col`` is boolean: true rows calibrate, false rows report
+    empirical coverage. Returns ONE row
+    (n_calib, rank_q, threshold, n_test, n_covered, coverage).
+
+    Scale shape: the quantile is NOT a global sort — calibration
+    scores collapse to one row per distinct value (hash aggregate),
+    ONE range exchange gives the cumulative counts
+    (ops/ids.global_cumsum), and the threshold is min(value | cum ≥ r),
+    a 1-row aggregate. Test coverage is one more aggregate against the
+    broadcast threshold. When r > n_calib (too few calibration points
+    for the requested α) the threshold is +∞ by the math — reported as
+    NULL with full coverage, and n_calib says why.
+
+    Determinism: counts and ranks are exact longs; the threshold is a
+    data value (no interpolation — conformal uses the empirical
+    quantile); coverage is one long/long division rounded once."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"need 0 < alpha < 1, got {alpha}")
+    from assignment_etl_spark.ops.ids import global_cumsum
+
+    scores = df.filter(F.col(score_col).isNotNull())
+    calib = scores.filter(F.col(calib_col))
+    perv = calib.groupBy(F.col(score_col).alias("val")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cum = global_cumsum(perv, [F.asc("val")], "n", out_col="cn")
+    n_calib = calib.agg(F.count(F.lit(1)).alias("n_calib"))
+    # r = ceil((n+1)(1-alpha)) exactly: with alpha = a/b rational this
+    # is integer math, but alpha arrives as a double — ceil on the
+    # double product is the standard implementation (both engines
+    # compute the identical double, so the same r)
+    r = F.ceil((F.col("n_calib") + 1) * F.lit(1.0 - alpha)).cast("long")
+    thr = (
+        cum.crossJoin(F.broadcast(n_calib))
+        .select("val", "cn", r.alias("r"), "n_calib")
+        .agg(
+            F.first("n_calib").alias("n_calib"),
+            F.first("r").alias("rank_q"),
+            F.min(F.when(F.col("cn") >= F.col("r"), F.col("val"))).alias(
+                "threshold"
+            ),
+        )
+    )
+    test = scores.filter(~F.col(calib_col))
+    cov = test.crossJoin(F.broadcast(thr)).agg(
+        F.first("n_calib").alias("n_calib"),
+        F.first("rank_q").alias("rank_q"),
+        F.first("threshold").alias("threshold"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(
+            F.when(
+                F.col("threshold").isNull()
+                | (F.col(score_col) <= F.col("threshold")),
+                1,
+            ).otherwise(0)
+        ).alias("n_covered"),
+    )
+    return cov.select(
+        F.coalesce("n_calib", F.lit(0)).cast("long").alias("n_calib"),
+        F.col("rank_q").cast("long").alias("rank_q"),
+        "threshold",
+        F.col("n_test").cast("long").alias("n_test"),
+        F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+        F.when(
+            F.col("n_test") > 0,
+            F.round(F.col("n_covered") / F.col("n_test"), round_to),
+        ).alias("coverage"),
+    )

@@ -133,3 +133,54 @@ def test_dsir_weights_prefer_target_like(spark):
     assert w[3].log2_ratio_per_token > w[2].log2_ratio_per_token
     assert w[3].log2_ratio_per_token > w[4].log2_ratio_per_token
     assert w[1].log2_ratio_per_token > w[2].log2_ratio_per_token
+
+
+def test_kneser_ney_hand_computed(corpus):
+    from assignment_etl_spark.ext.lm import kneser_ney_bigram
+    from collections import Counter
+
+    rows = kneser_ney_bigram(corpus).collect()
+    # brute-force replay
+    texts = ["the cat sat", "the cat ran", "zq zzy qqz", "", "the cat sat"]
+    bigrams = Counter()
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        prev = "<s>"
+        for w in toks:
+            bigrams[(prev, w)] += 1
+            prev = w
+    ctx_total = Counter(); n1_fwd = Counter(); n1_bwd = Counter()
+    for (v, w), c in bigrams.items():
+        ctx_total[v] += c; n1_fwd[v] += 1; n1_bwd[w] += 1
+    n1_tot = len(bigrams)
+    D = 0.75
+    assert len(rows) == n1_tot
+    for r in rows:
+        c = bigrams[(r.prev, r.token)]
+        assert (r.n_bigram, r.n_ctx, r.n1_fwd, r.n1_bwd) == (
+            c, ctx_total[r.prev], n1_fwd[r.prev], n1_bwd[r.token]
+        )
+        want = max(c - D, 0.0) / ctx_total[r.prev] + (
+            D * n1_fwd[r.prev] / ctx_total[r.prev]
+        ) * (n1_bwd[r.token] / n1_tot)
+        assert r.p_kn == pytest.approx(want, abs=1e-9)
+    # normalization identity: sum over the FULL continuation vocab of
+    # P(w|v) == 1 for every context v (unseen pairs contribute only the
+    # backoff term, reconstructed here)
+    vocab = list(n1_bwd)
+    seen = {(r.prev, r.token): r.p_kn for r in rows}
+    for v in ctx_total:
+        s = 0.0
+        for w in vocab:
+            if (v, w) in seen:
+                s += seen[(v, w)]
+            else:
+                s += (D * n1_fwd[v] / ctx_total[v]) * (n1_bwd[w] / n1_tot)
+        assert s == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kneser_ney_discount_guard(corpus):
+    from assignment_etl_spark.ext.lm import kneser_ney_bigram
+
+    with pytest.raises(ValueError, match="discount"):
+        kneser_ney_bigram(corpus, discount=1.0)

@@ -130,3 +130,43 @@ def test_ks_rejects_bad_alpha(spark):
     df = spark.createDataFrame([("a", 1.0)], "grp string, val double")
     with pytest.raises(ValueError):
         ks_two_sample(df, "grp", "val", "a", "b", alpha=0.2)
+
+
+def test_conformal_threshold_matches_brute(spark):
+    from assignment_etl_spark.ext.rankstats import conformal_threshold
+
+    rng = np.random.RandomState(17)
+    vals = rng.randn(400).round(3)
+    rows = [(int(i), float(v), bool(i % 2 == 0)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, s double, is_calib boolean")
+    row = conformal_threshold(df, "s", alpha=0.1).collect()[0]
+    calib = np.sort(vals[::2])
+    r = int(np.ceil((len(calib) + 1) * 0.9))
+    thr = calib[r - 1]
+    test = vals[1::2]
+    cov = float((test <= thr).mean())
+    assert row.n_calib == len(calib) and row.rank_q == r
+    assert row.threshold == pytest.approx(thr)
+    assert row.n_test == len(test)
+    assert row.coverage == pytest.approx(cov, abs=1e-9)
+    # the conformal guarantee itself on exchangeable gaussian data
+    assert row.coverage >= 0.85
+
+
+def test_conformal_small_calibration_inf_threshold(spark):
+    from assignment_etl_spark.ext.rankstats import conformal_threshold
+
+    # n_calib = 3, alpha = 0.1 → r = ceil(4*0.9) = 4 > 3 → threshold +inf
+    rows = [(1.0, True), (2.0, True), (3.0, True), (99.0, False)]
+    df = spark.createDataFrame(rows, "s double, is_calib boolean")
+    row = conformal_threshold(df, "s", alpha=0.1).collect()[0]
+    assert row.threshold is None and row.n_covered == 1
+    assert row.coverage == pytest.approx(1.0)
+
+
+def test_conformal_alpha_guard(spark):
+    from assignment_etl_spark.ext.rankstats import conformal_threshold
+
+    df = spark.createDataFrame([(1.0, True)], "s double, is_calib boolean")
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_threshold(df, "s", alpha=0.0)
