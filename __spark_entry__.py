@@ -11887,58 +11887,70 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pq_cte(m: int, d: int, k: int, iters: int) -> str:
-    """WITH-prefix replaying the per-subspace portable Lloyd kernel
+def _sql_pq_cte(
+    m: int,
+    d: int,
+    k: int,
+    iters: int,
+    *,
+    src: str = "SELECT vec_id AS pid, embedding::DOUBLE[] AS fv FROM embeddings",
+    prefix: str = "",
+    lead: str = "WITH ",
+) -> str:
+    """CTE block replaying the per-subspace portable Lloyd kernel
     (the _sql_kmeans_assign_cte shape ×m subspaces via a range(sub)
-    cross join), ending at fa(pid, sub, cidx, dist) and c{iters}."""
+    cross join), ending at {prefix}fa(pid, sub, cidx, dist) and
+    {prefix}c{iters}. ``src`` must yield (pid, fv: DOUBLE[]);
+    ``prefix`` namespaces every CTE so the block composes with other
+    kernels (the IVF-PQ oracle chains it after the coarse-kmeans
+    block, whose CTEs are also named c{i}/fa); ``lead`` is 'WITH ' for
+    a standalone query or ',' when appending to an existing WITH."""
+    P = prefix
     dist = (
         "list_reduce(list_transform(list_zip(v, c), "
         "z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)"
     )
     parts = [
-        f"""
-WITH pts AS MATERIALIZED (
-  SELECT vec_id AS pid, sub,
-         list_slice(embedding::DOUBLE[], (sub-1)*{d}+1, sub*{d}) AS v
-  FROM embeddings, range(1, {m + 1}) t(sub)),
-seed AS MATERIALIZED (
-  SELECT vec_id AS pid, embedding::DOUBLE[] AS fv
-  FROM embeddings ORDER BY vec_id LIMIT {k}),
-c0 AS MATERIALIZED (
+        f"""{lead}{P}pts AS MATERIALIZED (
+  SELECT pid, sub, list_slice(fv, (sub-1)*{d}+1, sub*{d}) AS v
+  FROM ({src}) s, range(1, {m + 1}) t(sub)),
+{P}seed AS MATERIALIZED (
+  SELECT pid, fv FROM ({src}) s ORDER BY pid LIMIT {k}),
+{P}c0 AS MATERIALIZED (
   SELECT sub,
          row_number() OVER (PARTITION BY sub ORDER BY pid) AS cidx,
          list_slice(fv, (sub-1)*{d}+1, sub*{d}) AS c
-  FROM seed, range(1, {m + 1}) t(sub))"""
+  FROM {P}seed, range(1, {m + 1}) t(sub))"""
     ]
     for i in range(1, iters + 1):
         parts.append(
             f""",
-a{i} AS MATERIALIZED (
+{P}a{i} AS MATERIALIZED (
   SELECT pid, sub, v, cidx FROM (
     SELECT p.pid, p.sub, p.v, cc.cidx,
            row_number() OVER (PARTITION BY p.pid, p.sub
                               ORDER BY {dist}, cc.cidx) AS rn
-    FROM pts p JOIN c{i - 1} cc ON p.sub = cc.sub) q WHERE rn = 1),
-m{i} AS MATERIALIZED (
+    FROM {P}pts p JOIN {P}c{i - 1} cc ON p.sub = cc.sub) q WHERE rn = 1),
+{P}m{i} AS MATERIALIZED (
   SELECT sub, cidx, pos,
          CAST(sum(CAST(round(v[pos], 7) AS DECIMAL(20,7)))
               AS DOUBLE) / count(*) AS mv
-  FROM a{i}, range(1, {d + 1}) t(pos) GROUP BY 1, 2, 3),
-c{i} AS MATERIALIZED (
+  FROM {P}a{i}, range(1, {d + 1}) t(pos) GROUP BY 1, 2, 3),
+{P}c{i} AS MATERIALIZED (
   SELECT p.sub, p.cidx, COALESCE(n.c, p.c) AS c
-  FROM c{i - 1} p LEFT JOIN
+  FROM {P}c{i - 1} p LEFT JOIN
        (SELECT sub, cidx, list(mv ORDER BY pos) AS c
-        FROM m{i} GROUP BY 1, 2) n
+        FROM {P}m{i} GROUP BY 1, 2) n
        ON p.sub = n.sub AND p.cidx = n.cidx)"""
         )
     parts.append(
         f""",
-fa AS MATERIALIZED (
+{P}fa AS MATERIALIZED (
   SELECT pid, sub, cidx, dist FROM (
     SELECT p.pid, p.sub, cc.cidx, {dist} AS dist,
            row_number() OVER (PARTITION BY p.pid, p.sub
                               ORDER BY {dist}, cc.cidx) AS rn
-    FROM pts p JOIN c{iters} cc ON p.sub = cc.sub) q
+    FROM {P}pts p JOIN {P}c{iters} cc ON p.sub = cc.sub) q
   WHERE rn = 1)"""
     )
     return "".join(parts)
@@ -12179,6 +12191,115 @@ FROM tst
 """
 
 
+_IVFPQ_NPROBE = 2
+
+
+def q_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (ext/pq.ivfpq_search): the FAISS IVFPQ layout as
+    dataflow — portable coarse kmeans (4 cells, the certified
+    kmeans_embeddings kernel) picks nprobe=2 cells for the query, PQ
+    codebooks trained on cell RESIDUALS compress the vectors, and the
+    per-cell ADC lookup join is simultaneously the IVF prune and the
+    distance evaluation. Everything query-dependent runs on centroid
+    tables; unprobed cells are never rescanned. The oracle chains the
+    coarse-kmeans CTE block, a residual CTE, the namespaced PQ Lloyd
+    block, and the probed-cell ADC replay."""
+    from assignment_etl_spark.ext.kmeans import kmeans
+    from assignment_etl_spark.ext.pq import ivfpq_search, pq_train
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, ccents = kmeans(
+        emb, id_col="vec_id", vec_col="embedding", k=4, iters=2
+    )
+    res = (
+        emb.select(
+            F.col("vec_id").alias("pid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .join(assign.select("pid", F.col("cidx").alias("cell")), on="pid")
+        .join(
+            ccents.select(F.col("cidx").alias("cell"), F.col("c").alias("cc")),
+            on="cell",
+        )
+        .select(
+            "pid", "cell",
+            F.zip_with("v", "cc", lambda a, b: a - b).alias("res"),
+        )
+        .localCheckpoint(eager=True)  # residuals feed train AND search
+    )
+    codes, pq_cents = pq_train(
+        res, id_col="pid", vec_col="res",
+        m=_PQ_M, d_sub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS,
+    )
+    codes_cell = codes.join(res.select("pid", "cell"), on="pid").select(
+        "pid", "cell", "sub", "cidx"
+    )
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return ivfpq_search(
+        codes_cell, pq_cents, ccents, list(q),
+        m=_PQ_M, d_sub=_PQ_DSUB, nprobe=_IVFPQ_NPROBE, topk=10,
+    )
+
+
+def _sql_ivfpq(
+    m: int = _PQ_M,
+    d: int = _PQ_DSUB,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    nprobe: int = _IVFPQ_NPROBE,
+    topk: int = 10,
+) -> str:
+    dist = (
+        "list_reduce(list_transform(list_zip(v, c), "
+        "z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)"
+    )
+    # coarse kernel: the certified kmeans CTE block ends at
+    # fa(pid, v, cidx) and c2(cidx, c) over embeddings (k=4, iters=2)
+    coarse = _sql_kmeans_assign_cte()
+    residual = """,
+res AS MATERIALIZED (
+  SELECT f.pid,
+         list_transform(list_zip(f.v, cc.c), z -> z[1]-z[2]) AS fv,
+         f.cidx AS cell
+  FROM fa f JOIN c2 cc ON f.cidx = cc.cidx)"""
+    pq_block = _sql_pq_cte(
+        m, d, k, iters,
+        src="SELECT pid, fv FROM res",
+        prefix="pq_",
+        lead=",\n",
+    )
+    search = f""",
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+       ORDER BY vec_id LIMIT 1),
+probed AS (
+  SELECT cell, ccell, qd_cell FROM (
+    SELECT cc.cidx AS cell, cc.c AS ccell, {dist} AS qd_cell
+    FROM (SELECT cidx, c FROM c2) cc,
+         (SELECT q AS v FROM qv) qq) t
+  ORDER BY qd_cell, cell LIMIT {nprobe}),
+qres AS (
+  SELECT cell, list_transform(list_zip(q, ccell), z -> z[1]-z[2]) AS qr
+  FROM probed, qv),
+lut AS (
+  SELECT cell, sub, cidx, CAST(round({dist}, 7) AS DECIMAL(20,7)) AS qd
+  FROM (SELECT r.cell, p.sub, p.cidx,
+               list_slice(r.qr, (p.sub-1)*{d}+1, p.sub*{d}) AS v,
+               p.c AS c
+        FROM qres r, pq_c{iters} p) t),
+sc AS (
+  SELECT f.pid, round(CAST(sum(l.qd) AS DOUBLE), 6) AS adc_dist
+  FROM pq_fa f
+  JOIN res rc ON f.pid = rc.pid
+  JOIN lut l ON l.cell = rc.cell AND l.sub = f.sub AND l.cidx = f.cidx
+  GROUP BY f.pid)
+SELECT pid, adc_dist,
+       CAST(row_number() OVER (ORDER BY adc_dist, pid) AS INT) AS rank
+FROM sc ORDER BY adc_dist, pid LIMIT {topk}
+"""
+    return coarse + residual + pq_block + search
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -12222,6 +12343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diverse_topk": q_mmr_diverse_topk,
         "kneser_ney_bigrams": q_kneser_ney_bigrams,
         "conformal_threshold_events": q_conformal_threshold_events,
+        "ivfpq_search_topk": q_ivfpq_search_topk,
         # -- driver-certified in round 5 (hash-green rows in
         # CORRECTNESS_r05.json; they pad the rest of the 50-prefix)
         "chunk_documents": q_chunk_documents,
@@ -12558,6 +12680,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diverse_topk": _sql_mmr(),
         "kneser_ney_bigrams": SQL_KNESER_NEY_BIGRAMS,
         "conformal_threshold_events": SQL_CONFORMAL_THRESHOLD_EVENTS,
+        "ivfpq_search_topk": _sql_ivfpq(),
         "dp_noisy_counts_events": _sql_dp_noisy_counts_events(),
         "jl_project_embeddings": _sql_jl_project_embeddings(),
         "lexical_diversity_by_lang": SQL_LEXICAL_DIVERSITY_BY_LANG,

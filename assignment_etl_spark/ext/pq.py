@@ -252,3 +252,76 @@ def pq_adc_topk(
     top = scored.orderBy(F.asc("adc_dist"), F.asc("pid")).limit(topk)
     w = Window.orderBy(F.asc("adc_dist"), F.asc("pid"))  # over ≤ topk rows
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def ivfpq_search(
+    codes_with_cell: DataFrame,
+    pq_cents: DataFrame,
+    coarse_cents: DataFrame,
+    query: list[float],
+    *,
+    m: int,
+    d_sub: int,
+    nprobe: int = 2,
+    topk: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ search (FAISS's IVFPQ layout as dataflow): the coarse
+    quantizer picks the ``nprobe`` cells nearest the query (a bounded
+    sort of the TINY centroid table), the query's RESIDUAL against each
+    probed cell gets its own m·k ADC lookup table, and only vectors in
+    probed cells are scored — the inner join on (cell, sub, code)
+    against the broadcast LUT is simultaneously the IVF prune and the
+    ADC lookup. approx ||q − (c + r̂)||² = Σ_sub ||q_res_sub − r̂_sub||².
+
+    Inputs: ``codes_with_cell`` = (pid, cell, sub, cidx) — pq_train's
+    codes joined with the coarse assignment; ``pq_cents`` = (sub, cidx,
+    c) over RESIDUALS; ``coarse_cents`` = (cidx, c) full-dimension.
+    Returns (pid, adc_dist, rank), ties on pid.
+
+    Scale shape: everything query-dependent happens on centroid tables
+    (coarse k rows, LUT nprobe·m·k rows — broadcast); the data-side
+    work is one broadcast-join + per-pid sum over probed cells only,
+    then TakeOrderedAndProject. Nothing rescans unprobed cells."""
+    if topk < 1 or nprobe < 1:
+        raise ValueError(f"need topk, nprobe >= 1, got {topk}, {nprobe}")
+    if len(query) != m * d_sub:
+        raise ValueError(
+            f"query has length {len(query)}, expected m*d_sub = {m * d_sub}"
+        )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    probed = (
+        coarse_cents.select(
+            F.col("cidx").alias("cell"),
+            F.col("c").alias("ccell"),
+        )
+        .withColumn("qd_cell", squared_l2(qlit, F.col("ccell")))
+        .orderBy("qd_cell", "cell")
+        .limit(nprobe)
+    )
+    qres = probed.select(
+        "cell", F.zip_with(qlit, F.col("ccell"), lambda a, b: a - b).alias("qr")
+    )
+    pqc = pq_cents.select("sub", "cidx", F.col("c").alias("pc"))
+    lut = qres.crossJoin(pqc).select(
+        "cell", "sub", "cidx",
+        F.round(
+            squared_l2(
+                F.slice(F.col("qr"), (F.col("sub") - 1) * d_sub + 1, d_sub),
+                F.col("pc"),
+            ),
+            7,
+        ).cast("decimal(20,7)").alias("qd"),
+    )
+    scored = (
+        codes_with_cell.join(F.broadcast(lut), on=["cell", "sub", "cidx"])
+        .groupBy("pid")
+        .agg(F.sum("qd").alias("_d"))
+        .select(
+            "pid",
+            F.round(F.col("_d").cast("double"), round_to).alias("adc_dist"),
+        )
+    )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("pid")).limit(topk)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("pid"))  # over ≤ topk rows
+    return top.withColumn("rank", F.row_number().over(w))

@@ -102,3 +102,99 @@ def test_param_validation(emb):
         pq_adc_topk(codes, cents, [0.0] * DIM, m=M, d_sub=DSUB, topk=0)
     with pytest.raises(ValueError, match="query has length"):
         pq_adc_topk(codes, cents, [0.0] * 3, m=M, d_sub=DSUB, topk=1)
+
+
+def _coarse_replay(vecs, kc, iters=2):
+    """NumPy replay of ext/kmeans.kmeans (mean_round=9, comp 7)."""
+    cents = vecs[:kc].astype(float).copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(kc):
+            sel = vecs[assign == c]
+            if len(sel):
+                cents[c] = np.round(np.round(sel, 7).sum(0) / len(sel), 9)
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    return d.argmin(1), cents
+
+
+def _pq_replay(res, m, dsub, kq, iters=2):
+    """NumPy replay of pq_train on residual vectors (no mean rounding)."""
+    out = []
+    for sub in range(m):
+        pts = res[:, sub * dsub : (sub + 1) * dsub]
+        cents = pts[:kq].astype(float).copy()
+        for _ in range(iters):
+            d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(kq):
+                sel = pts[assign == c]
+                if len(sel):
+                    cents[c] = np.round(sel, 7).sum(0) / len(sel)
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        out.append((d.argmin(1), cents))
+    return out
+
+
+def test_ivfpq_matches_numpy_pipeline(spark):
+    from assignment_etl_spark.ext.kmeans import kmeans
+    from assignment_etl_spark.ext.pq import ivfpq_search, pq_train
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(13)
+    n, dim, m, dsub, kq, kc, nprobe, topk = 140, 8, 2, 4, 3, 3, 2, 6
+    vecs = rng.randn(n, dim).round(4)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign, ccents = kmeans(emb, k=kc, iters=2)
+    res_df = (
+        emb.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("v"))
+        .join(assign.select("pid", F.col("cidx").alias("cell")), on="pid")
+        .join(ccents.select(F.col("cidx").alias("cell"), F.col("c").alias("cc")), on="cell")
+        .select("pid", "cell", F.zip_with("v", "cc", lambda a, b: a - b).alias("res"))
+        .localCheckpoint(eager=True)
+    )
+    codes, pq_cents = pq_train(res_df, id_col="pid", vec_col="res", m=m, d_sub=dsub, k=kq, iters=2)
+    codes_cell = codes.join(res_df.select("pid", "cell"), on="pid").select("pid", "cell", "sub", "cidx")
+    q = [float(x) for x in vecs[4]]
+    got = ivfpq_search(codes_cell, pq_cents, ccents, q, m=m, d_sub=dsub, nprobe=nprobe, topk=topk).collect()
+
+    # full NumPy replay
+    ca, cc = _coarse_replay(vecs, kc)
+    res = vecs - cc[ca]
+    pq = _pq_replay(res, m, dsub, kq)
+    qn = np.array(q)
+    cell_d = ((cc - qn) ** 2).sum(1)
+    probed = sorted(range(kc), key=lambda c: (cell_d[c], c))[:nprobe]
+    adc = {}
+    for i in range(n):
+        if ca[i] not in probed:
+            continue
+        qr = qn - cc[ca[i]]
+        s = 0.0
+        for sub in range(m):
+            a_sub, c_sub = pq[sub]
+            lut = np.round(
+                ((c_sub - qr[sub * dsub : (sub + 1) * dsub]) ** 2).sum(1), 7
+            )
+            s += lut[a_sub[i]]
+        adc[i] = round(s, 6)
+    want = sorted(adc, key=lambda i: (adc[i], i))[:topk]
+    assert [r.pid for r in got] == want
+    for r in got:
+        assert r.adc_dist == pytest.approx(adc[r.pid], abs=1e-6)
+    # structural: every hit lives in a probed cell
+    cell_of = {i: int(ca[i]) for i in range(n)}
+    assert all(cell_of[r.pid] in [int(p) for p in probed] for r in got)
+
+
+def test_ivfpq_guards(spark):
+    from assignment_etl_spark.ext.pq import ivfpq_search
+
+    empty = spark.createDataFrame([], "pid long, cell int, sub int, cidx int")
+    cents = spark.createDataFrame([], "sub int, cidx int, c array<double>")
+    cc = spark.createDataFrame([], "cidx int, c array<double>")
+    with pytest.raises(ValueError, match="topk, nprobe"):
+        ivfpq_search(empty, cents, cc, [0.0] * 8, m=2, d_sub=4, nprobe=0)
+    with pytest.raises(ValueError, match="query has length"):
+        ivfpq_search(empty, cents, cc, [0.0] * 5, m=2, d_sub=4)
