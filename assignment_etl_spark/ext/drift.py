@@ -662,3 +662,63 @@ def cuped_ab_test(
         decimal_scale=decimal_scale,
         round_to=round_to,
     )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    *,
+    time_col: str,
+    value_col: str,
+    value_scale: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUSUM change-point estimate over a PRE-AGGREGATED series (one
+    row per time bucket — the caller aggregates raw data to buckets
+    first, so this table is bounded by the time range, not data size;
+    the page-Hinkley/CUSUM chart every pipeline monitor draws).
+
+    S_t = Σ_{i≤t} (x_i − x̄); the change-point estimate is the bucket
+    maximizing |S_t| (ties → earliest bucket). Returns ONE row
+    (n_buckets, cp_time, s_abs_max, mean).
+
+    Exactness: the argmax is computed on  n·S_t = n·C_t − t·T  (C_t
+    running sum, T total, all decimal — x is rounded to
+    ``value_scale`` once on entry, the raw-data rounding class), so
+    the maximizer is integer-exact with NO float comparison anywhere;
+    doubles appear only in the reported s_abs_max = max|n·S_t|/n and
+    mean = T/n, each one division rounded once. The ordering window
+    runs over the bucketed
+    table (aggregated input by contract — the plan-audit global-window
+    rule's sanctioned case)."""
+    dec = f"decimal(38,{value_scale})"
+    x = F.round(F.col(value_col), value_scale).cast(dec)
+    s = series.filter(
+        F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(time_col).alias("t"), x.alias("x"))
+    w = Window.orderBy("t")
+    cum = s.withColumn(
+        "ct", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("rn", F.row_number().over(w))
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("x").alias("tt")
+    )
+    ns = (
+        F.col("n_buckets").cast(dec) * F.col("ct")
+        - F.col("rn").cast(dec) * F.col("tt")
+    )
+    top = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("t", "n_buckets", "tt", F.abs(ns).alias("absns"))
+        .orderBy(F.desc("absns"), F.asc("t"))
+        .limit(1)
+    )
+    return top.select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("t").alias("cp_time"),
+        F.round(
+            F.col("absns").cast("double") / F.col("n_buckets"), round_to
+        ).alias("s_abs_max"),
+        F.round(
+            F.col("tt").cast("double") / F.col("n_buckets"), round_to
+        ).alias("mean"),
+    )
