@@ -12440,8 +12440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver row yet come FIRST. Round-6 state: the union of
     # CORRECTNESS_r01-r05 hash-green rows covers 202/216 of the round-5
     # registry; the FOURTEEN round-5 gates that exceeded round 5's 50-slot
-    # sample lead the dict, followed by the new round-6 gates, so a
-    # 50-sample certifies every remaining uncertified entry with room to
+    # sample lead the dict, followed by the TWELVE new round-6 gates
+    # (interval split, beam search, KS, Mann-Whitney, PQ codebook/ADC,
+    # MMR, Kneser-Ney, conformal, IVF-PQ, BH-FDR, CUSUM) — 26 uncertified
+    # entries total, so a 50-sample certifies every one with room to
     # spare. Everything after is already on the driver record, and the
     # whole registry stays judge-verifiable with
     # `python tools/check_correctness.py`.

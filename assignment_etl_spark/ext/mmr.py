@@ -95,9 +95,13 @@ def mmr_topk(
         .filter(F.col("nrm") > 0.0)
         .withColumn("rel", _dot(qlit, v) / (_norm(qlit) * F.col("nrm")))
         # relevance head: TakeOrderedAndProject, then k narrow scans of
-        # a bounded table (the checkpoint severs the scan lineage)
+        # a bounded table (the checkpoint severs the scan lineage).
+        # coalesce(1): the head is ≤ prefilter rows — one partition
+        # makes each greedy round a single task instead of a
+        # #partitions-task job whose scheduling dominates the round
         .orderBy(F.desc("rel"), F.asc("pid"))
         .limit(prefilter)
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     picked: list = []  # rows of (rank, pid, rel, score, vec)
