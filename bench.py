@@ -117,6 +117,16 @@ HEADLINE = [
     # round-6 additions (no BENCH_BASELINE entry until its next
     # regeneration; bench tolerates missing baselines)
     "interval_overlap_split_events",
+    "ks_test_prices",
+    "mannwhitney_quantity",
+    "pq_codebook_embeddings",
+    "pq_adc_topk",
+    "ivfpq_search_topk",
+    "mmr_diverse_topk",
+    "kneser_ney_bigrams",
+    "conformal_threshold_events",
+    "bh_fdr_segments",
+    "cusum_changepoint_events",
     # knn_graph_nndescent is gate-certified but excluded here: a full
     # 2000-node graph build is ~15s at sf0.1, out of scale with the
     # per-query bench (its cost profile lives in SCALE.md instead);
