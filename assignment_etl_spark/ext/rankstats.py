@@ -278,3 +278,41 @@ def conformal_threshold(
             F.round(F.col("n_covered") / F.col("n_test"), round_to),
         ).alias("coverage"),
     )
+
+
+def score_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    *,
+    round_to: int = 9,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ROC AUC of a score against a binary label WITHOUT sorting the
+    corpus: AUC = P(score⁺ > score⁻) + ½P(tie) = U/(n⁺·n⁻), the
+    Mann–Whitney identity — so the whole evaluation is the midrank
+    reduction :func:`mann_whitney_u` already does (distinct-value
+    counts + one range exchange + a 1-row aggregate). The classifier-
+    evaluation primitive for scorer validation at corpus scale (the
+    companion to ext/textclf's calibration gate).
+
+    ``label_col`` is boolean/int (truthy = positive). Returns ONE row
+    (n_pos, n_neg, auc, z_stat) — z is the tie-corrected null test
+    (AUC = 0.5). Degenerate inputs (one class absent) yield NULL auc."""
+    lab = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+    tagged = df.withColumn("_auc_lab", lab.cast("int"))
+    mw = mann_whitney_u(
+        tagged, "_auc_lab", score_col, 1, 0, num_partitions=num_partitions
+    )
+    n_pos, n_neg = F.col("n_a"), F.col("n_b")
+    auc = F.col("u2_stat").cast("double") / (
+        F.lit(2.0) * n_pos * n_neg
+    )
+    return mw.select(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.when((n_pos > 0) & (n_neg > 0), F.round(auc, round_to)).alias(
+            "auc"
+        ),
+        "z_stat",
+    )

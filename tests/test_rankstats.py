@@ -170,3 +170,37 @@ def test_conformal_alpha_guard(spark):
     df = spark.createDataFrame([(1.0, True)], "s double, is_calib boolean")
     with pytest.raises(ValueError, match="alpha"):
         conformal_threshold(df, "s", alpha=0.0)
+
+
+def test_score_auc_matches_sklearn_free_brute(spark):
+    from assignment_etl_spark.ext.rankstats import score_auc
+
+    rng = np.random.RandomState(23)
+    pos = rng.randn(150) + 0.8
+    neg = rng.randn(200)
+    rows = [(True, round(float(v), 2)) for v in pos] + [
+        (False, round(float(v), 2)) for v in neg
+    ]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    row = score_auc(df, "y", "s").collect()[0]
+    # brute AUC with tie credit
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            p2, n2 = round(p, 2), round(n, 2)
+            if p2 > n2:
+                wins += 1
+            elif p2 == n2:
+                ties += 1
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (row.n_pos, row.n_neg) == (150, 200)
+    assert row.auc == pytest.approx(want, abs=1e-9)
+    assert row.z_stat > 3  # clearly separable -> significant
+
+
+def test_score_auc_degenerate_single_class(spark):
+    from assignment_etl_spark.ext.rankstats import score_auc
+
+    df = spark.createDataFrame([(True, 1.0), (True, 2.0)], "y boolean, s double")
+    row = score_auc(df, "y", "s").collect()[0]
+    assert row.n_pos == 2 and row.n_neg == 0 and row.auc is None
