@@ -326,3 +326,60 @@ def kneser_ney_bigram(
             F.round(p_kn, round_to).alias("p_kn"),
         )
     )
+
+
+def good_turing_counts(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Good–Turing frequency re-estimation (Good 1953; the
+    Katz-backoff ingredient beside Kneser–Ney above): from the
+    frequency-of-frequencies table N_r = |{tokens seen exactly r
+    times}|, the adjusted count is r* = (r+1)·N_{r+1}/N_r and the
+    probability mass reserved for UNSEEN tokens is N_1/N. The
+    leave-one-out estimator every count-based smoother starts from.
+
+    Returns one row per observed frequency r:
+    (r, n_r, r_star, p_mass) where p_mass = r·N_r/N is the observed
+    mass at r (so the caller can see where the distribution lives);
+    r_star is NULL at the highest r (no N_{r+1} — standard practice
+    smooths the tail separately, e.g. Simple Good–Turing's log-log
+    fit, out of scope here and documented as such).
+
+    Scale shape: token counts are one hash aggregate over the corpus;
+    N_r is a second aggregate over the VOCABULARY (≤ distinct tokens);
+    the r ↔ r+1 self-join runs on the counts-of-counts table, whose
+    size is O(max frequency) — tiny. Nothing rescans the corpus.
+    Determinism: all counts exact longs; r* and p_mass single
+    closed-form doubles rounded once (products as decimal first —
+    (r+1)·N_{r+1} is bounded by N but r·N_r sums to N, fine in int64;
+    kept decimal anyway for the same overflow policy as rankstats)."""
+    toks = _tokens(docs, id_col=id_col, text_col=text_col)
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("r"))
+    nr = tc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    dec = "decimal(38,0)"
+    r_star = (
+        ((F.col("r") + 1).cast(dec) * F.col("n_r1")).cast("double")
+        / F.col("n_r")
+    )
+    p_mass = (
+        (F.col("r").cast(dec) * F.col("n_r")).cast("double")
+        / F.col("n_total")
+    )
+    return (
+        nr.join(nxt, on="r", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.round(r_star, round_to).alias("r_star"),
+            F.round(p_mass, round_to).alias("p_mass"),
+        )
+    )

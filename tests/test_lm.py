@@ -184,3 +184,28 @@ def test_kneser_ney_discount_guard(corpus):
 
     with pytest.raises(ValueError, match="discount"):
         kneser_ney_bigram(corpus, discount=1.0)
+
+
+def test_good_turing_hand_computed(spark):
+    from assignment_etl_spark.ext.lm import good_turing_counts
+    from collections import Counter
+
+    corpus = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d"), (3, "e")],
+        "doc_id long, text string",
+    )
+    rows = {r.r: r for r in good_turing_counts(corpus).collect()}
+    # counts: a=4 b=3 c=2 d=1 e=1 ; N=11
+    # N_r: 1->2, 2->1, 3->1, 4->1
+    assert {r: rows[r].n_r for r in rows} == {1: 2, 2: 1, 3: 1, 4: 1}
+    assert rows[1].r_star == pytest.approx(2 * 1 / 2)       # (1+1)N2/N1
+    assert rows[2].r_star == pytest.approx(3 * 1 / 1)       # (2+1)N3/N2
+    assert rows[3].r_star == pytest.approx(4 * 1 / 1)
+    assert rows[4].r_star is None                            # no N_5 tail
+    assert rows[1].p_mass == pytest.approx(2 / 11)
+    assert rows[4].p_mass == pytest.approx(4 / 11)
+    # GT total-mass identity: sum over observed r of r*·N_r/N plus the
+    # unseen mass N_1/N equals... the observed masses of shifted counts:
+    # sum(r*·N_r) = sum_{r>=2}(r·N_r) = N - N_1 (exact when no tail cut)
+    s = sum(rows[r].r_star * rows[r].n_r for r in rows if rows[r].r_star is not None)
+    assert s == pytest.approx(11 - 2)
