@@ -722,3 +722,60 @@ def cusum_changepoint(
             F.col("tt").cast("double") / F.col("n_buckets"), round_to
         ).alias("mean"),
     )
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    *,
+    time_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend over a PRE-AGGREGATED series (the
+    cusum_changepoint contract: one row per time bucket, bounded by
+    the time range — so the O(buckets²) pairwise self-join is bounded
+    by calendar size, never data size; ~73k pairs for a year of days).
+
+    slope = median of pairwise slopes (x_j − x_i)/(t_j − t_i), t_i<t_j;
+    intercept = median of (x_i − slope·t_i) — the estimator that
+    shrugs off the outlier days OLS would chase (up to ~29%
+    contamination). Returns ONE row
+    (n_buckets, n_pairs, slope, intercept).
+
+    ``time_col`` must be numeric (the caller converts dates to day
+    numbers — keeps the slope's unit explicit). Exact medians
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, the equivalence the
+    winsorize gate certifies); each slope is one double division of
+    exact inputs, so both engines take the median of identical
+    doubles."""
+    s = series.filter(
+        F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(time_col).cast("double").alias("t"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    a = s.select(F.col("t").alias("t1"), F.col("x").alias("x1"))
+    b = s.select(F.col("t").alias("t2"), F.col("x").alias("x2"))
+    pairs = a.join(b, F.col("t1") < F.col("t2")).select(
+        ((F.col("x2") - F.col("x1")) / (F.col("t2") - F.col("t1"))).alias(
+            "slope"
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile("slope", F.lit(0.5)).alias("m_slope"),
+    )
+    resid = s.crossJoin(F.broadcast(m)).select(
+        "n_pairs", "m_slope",
+        (F.col("x") - F.col("m_slope") * F.col("t")).alias("r"),
+    )
+    out = resid.groupBy("n_pairs", "m_slope").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.percentile("r", F.lit(0.5)).alias("m_intercept"),
+    )
+    return out.select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("m_slope", round_to).alias("slope"),
+        F.round("m_intercept", round_to).alias("intercept"),
+    )

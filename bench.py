@@ -131,6 +131,7 @@ HEADLINE = [
     "kaplan_meier_users",
     "quality_auc_documents",
     "good_turing_documents",
+    "theil_sen_trend_events",
     # knn_graph_nndescent is gate-certified but excluded here: a full
     # 2000-node graph build is ~15s at sf0.1, out of scale with the
     # per-query bench (its cost profile lives in SCALE.md instead);

@@ -97,3 +97,36 @@ def test_cusum_constant_series_and_null_filter(spark):
     assert row.n_buckets == 3
     assert row.s_abs_max == 0.0  # no drift in a constant series
     assert row.cp_time == 1  # tie at 0 everywhere -> earliest bucket
+
+
+def test_theil_sen_matches_brute_and_resists_outliers(spark):
+    from assignment_etl_spark.ext.drift import theil_sen_trend
+
+    rng = np.random.RandomState(9)
+    t = np.arange(50, dtype=float)
+    x = 3.0 * t + 10 + rng.randn(50).round(2)
+    x[[5, 17, 40]] = [500.0, -300.0, 999.0]  # gross outliers
+    rows = [(float(a), float(b)) for a, b in zip(t, x)]
+    df = spark.createDataFrame(rows, "t double, x double")
+    row = theil_sen_trend(df, time_col="t", value_col="x").collect()[0]
+    slopes = sorted(
+        (x[j] - x[i]) / (t[j] - t[i])
+        for i in range(50) for j in range(i + 1, 50)
+    )
+    m = float(np.median(slopes))
+    assert row.n_pairs == 50 * 49 // 2 and row.n_buckets == 50
+    assert row.slope == pytest.approx(m, abs=1e-6)
+    assert row.intercept == pytest.approx(
+        float(np.median(x - m * t)), abs=1e-6
+    )
+    # robustness: three gross outliers barely move the slope
+    assert abs(row.slope - 3.0) < 0.05
+
+
+def test_theil_sen_null_filter(spark):
+    from assignment_etl_spark.ext.drift import theil_sen_trend
+
+    rows = [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (3.0, None), (3.0, 3.0)]
+    df = spark.createDataFrame(rows, "t double, x double")
+    row = theil_sen_trend(df, time_col="t", value_col="x").collect()[0]
+    assert row.n_buckets == 3 and row.slope == pytest.approx(1.0)
