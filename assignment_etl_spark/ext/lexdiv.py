@@ -193,3 +193,91 @@ def zipf_slope(
         y_col="ln_freq",
         round_to=round_to,
     ).select("n", "slope")
+
+
+def heaps_law(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Heaps'-law fit V(N) ≈ k·N^β — how fast the vocabulary grows as
+    the corpus grows (Heaps 1978 — public; β ≈ 0.4–0.6 for natural
+    language). The capacity-planning companion to the Zipf slope: β
+    tells you how big the vocab table, the BPE merge space, and every
+    token-keyed aggregate get at 100 TB BEFORE you scan 100 TB.
+
+    One log-log OLS over per-document growth points: after document d
+    (in id order), N = cumulative tokens, V = cumulative distinct
+    types. Returns ONE row
+    (n_docs, total_tokens, total_types, beta, log10_k) — β the fitted
+    exponent, k = 10^log10_k the fitted constant.
+
+    Scale shape: types-first-seen is one token-keyed aggregate
+    (min doc id per type) re-aggregated per document; both cumulative
+    series ride ONE range exchange over the per-document table
+    (ops/ids.global_cumsum_multi — the document table is
+    sf-proportional, so no ORDER BY window touches it); the OLS is a
+    1-row aggregate of decimal products of per-point rounded logs
+    (exact, order-independent — the repo's log-sum policy). Degenerate
+    fits (fewer than 2 usable points, or zero x-variance) yield NULL
+    β."""
+    from assignment_etl_spark.ext.lm import _tokens
+    from assignment_etl_spark.ops.ids import global_cumsum_multi
+
+    tok = _tokens(docs, id_col=id_col, text_col=text_col)
+    per_doc = tok.groupBy(F.col(id_col).alias("d")).agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    new_types = (
+        tok.groupBy("token")
+        .agg(F.min(id_col).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    base = per_doc.join(new_types, on="d", how="left").select(
+        "d", "n_tok", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    cum = global_cumsum_multi(
+        base,
+        [F.asc("d")],
+        [("n_tok", "cn"), ("n_new", "cv")],
+        num_partitions=num_partitions,
+    ).filter((F.col("cn") > 0) & (F.col("cv") > 0))
+    dx = "decimal(12,6)"
+    x = F.round(F.log10("cn"), 6).cast(dx)
+    y = F.round(F.log10("cv"), 6).cast(dx)
+    pts = cum.select(
+        x.alias("x"), y.alias("y"), F.col("cn").alias("cn"),
+        F.col("cv").alias("cv"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+        F.max("cn").alias("total_tokens"),
+        F.max("cv").alias("total_types"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / den
+    ok = (F.col("n") >= 2) & (den > F.lit(1e-12))
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.coalesce(F.col("total_tokens"), F.lit(0))
+        .cast("long")
+        .alias("total_tokens"),
+        F.coalesce(F.col("total_types"), F.lit(0))
+        .cast("long")
+        .alias("total_types"),
+        F.when(ok, F.round(beta, round_to)).alias("beta"),
+        F.when(ok, F.round((sy - beta * sx) / n, round_to)).alias(
+            "log10_k"
+        ),
+    )

@@ -82,3 +82,37 @@ def test_zipf_slope_degenerate(spark):
     doc = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
     row = zipf_slope(doc).collect()[0]
     assert row.n == 1 and row.slope is None
+
+
+def test_heaps_law_hand_computed(spark):
+    import math
+    from assignment_etl_spark.ext.lexdiv import heaps_law
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d d"), (3, "e a"), (4, "")],
+        "doc_id long, text string",
+    )
+    row = heaps_law(corpus).collect()[0]
+    # cumulative (N, V): doc1 (3,3) doc2 (7,4) doc3 (9,5); doc4 empty
+    assert row.n_docs == 3
+    assert row.total_tokens == 9 and row.total_types == 5
+    pts = [(3, 3), (7, 4), (9, 5)]
+    xs = [round(math.log10(n), 6) for n, _ in pts]
+    ys = [round(math.log10(v), 6) for _, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row.beta == pytest.approx(beta, abs=1e-6)
+    assert row.log10_k == pytest.approx((sy - beta * sx) / n, abs=1e-6)
+    # natural-language-ish growth: 0 < beta < 1
+    assert 0.0 < row.beta < 1.0
+
+
+def test_heaps_law_degenerate_single_point(spark):
+    from assignment_etl_spark.ext.lexdiv import heaps_law
+
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    row = heaps_law(corpus).collect()[0]
+    assert row.n_docs == 1 and row.beta is None and row.log10_k is None
