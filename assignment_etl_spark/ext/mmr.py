@@ -150,3 +150,83 @@ def mmr_topk(
         F.round("relevance", round_to).alias("relevance"),
         F.round("mmr_score", round_to).alias("mmr_score"),
     ).orderBy("rank")
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """k-center coreset by farthest-point sampling (Gonzalez 1985 —
+    public; the 2-approximation to the k-center objective): start from
+    the smallest id, repeatedly add the point FARTHEST from the
+    current coreset. The diversity-only companion to :func:`mmr_topk`
+    (no query, no relevance — pure coverage), the standard picker for
+    diverse exemplar subsets in data curation.
+
+    Returns k rows ``(rank, pid, sel_dist)`` in selection order, where
+    sel_dist is the squared-L2 distance from the picked point to the
+    coreset BEFORE it joined — a decreasing sequence; row i+1's
+    sel_dist IS the coverage radius of the first-i coreset, so the
+    output is the coverage curve itself (NULL for the seed).
+
+    Scale shape: the selected set is ≤ k vectors (driver-side by
+    construction), inlined per round as an array literal whose min-
+    distance is a pure column fold — no join, no shuffle; each round
+    is one narrow scan of the source + orderBy().limit(1)
+    (TakeOrderedAndProject) + a bounded 1-row collect. k scans of the
+    corpus total — the inherent k-center cost (there is no relevance
+    head to prune by; cap k accordingly). NULL vectors are excluded;
+    a wrong-length vector folds to NULL distance and is never picked
+    (zip_with pads with NULL)."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    seed_rows = pts.orderBy("pid").limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], "rank int, pid long, sel_dist double"
+        )
+    picked = [(1, seed_rows[0].pid, None, list(seed_rows[0].v))]
+    v = F.col("v")
+    for rnd in range(2, k + 1):
+        sel_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in p[3]]) for p in picked]
+        )
+        mind = F.aggregate(
+            sel_lit,
+            F.lit(float("inf")),
+            lambda acc, s: F.least(
+                acc,
+                F.aggregate(
+                    F.zip_with(v, s, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda ac, x: ac + x,
+                ),
+            ),
+        )
+        row = (
+            pts.filter(~F.col("pid").isin([p[1] for p in picked]))
+            .withColumn("md", mind)
+            .orderBy(F.desc("md"), F.asc("pid"))
+            .limit(1)
+            .collect()  # bounded: ONE row per round
+        )
+        if not row:
+            break
+        r = row[0]
+        picked.append((rnd, r.pid, float(r.md), list(r.v)))
+    out = spark.createDataFrame(
+        [(p[0], p[1], p[2]) for p in picked],
+        "rank int, pid long, sel_dist double",
+    )
+    return out.select(
+        "rank", "pid", F.round("sel_dist", round_to).alias("sel_dist")
+    ).orderBy("rank")

@@ -133,6 +133,7 @@ HEADLINE = [
     "good_turing_documents",
     "theil_sen_trend_events",
     "heaps_law_documents",
+    "kcenter_coreset_embeddings",
     # knn_graph_nndescent is gate-certified but excluded here: a full
     # 2000-node graph build is ~15s at sf0.1, out of scale with the
     # per-query bench (its cost profile lives in SCALE.md instead);

@@ -88,3 +88,47 @@ def test_param_guards(spark):
         mmr_topk(df, [1.0], k=1, lam=1.5)
     with pytest.raises(ValueError, match="prefilter"):
         mmr_topk(df, [1.0], k=5, prefilter=3)
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    from assignment_etl_spark.ext.mmr import kcenter_coreset
+
+    rng = np.random.RandomState(8)
+    vecs = rng.randn(100, 5).round(4)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kcenter_coreset(df, k=6).collect()
+    # numpy greedy farthest-point from id 0
+    sel = [0]
+    want = [(1, 0, None)]
+    for rnd in range(2, 7):
+        best = None
+        for i in range(100):
+            if i in sel:
+                continue
+            md = min(((vecs[i] - vecs[s]) ** 2).sum() for s in sel)
+            if best is None or md > best[1] or (md == best[1] and i < best[0]):
+                best = (i, md)
+        sel.append(best[0])
+        want.append((rnd, best[0], round(best[1], 6)))
+    assert [(r.rank, r.pid, r.sel_dist) for r in got] == [
+        (a, b, pytest.approx(c) if c is not None else None)
+        for a, b, c in want
+    ]
+    # the coverage curve is non-increasing
+    dists = [r.sel_dist for r in got if r.sel_dist is not None]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_kcenter_small_pool_and_guard(spark):
+    from assignment_etl_spark.ext.mmr import kcenter_coreset
+
+    rows = [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kcenter_coreset(df, k=5).collect()
+    assert [(r.rank, r.pid) for r in got] == [(1, 0), (2, 1)]
+    assert got[1].sel_dist == pytest.approx(25.0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        kcenter_coreset(df, k=0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kcenter_coreset(empty, k=3).count() == 0
