@@ -766,14 +766,18 @@ def theil_sen_trend(
         F.percentile("slope", F.lit(0.5)).alias("m_slope"),
     )
     resid = s.crossJoin(F.broadcast(m)).select(
-        "n_pairs", "m_slope",
         (F.col("x") - F.col("m_slope") * F.col("t")).alias("r"),
     )
-    out = resid.groupBy("n_pairs", "m_slope").agg(
+    # global aggregates (never zero rows): an empty series yields the
+    # drift-family degenerate ONE-row contract (n_buckets=0, n_pairs=0,
+    # NULL slope/intercept) instead of vanishing — ADVICE r6: the old
+    # groupBy over an empty resid returned zero rows, unlike
+    # ks_two_sample/cusum_changepoint/cuped_adjust
+    ic = resid.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.percentile("r", F.lit(0.5)).alias("m_intercept"),
     )
-    return out.select(
+    return m.crossJoin(F.broadcast(ic)).select(
         F.col("n_buckets").cast("long").alias("n_buckets"),
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.round("m_slope", round_to).alias("slope"),

@@ -100,6 +100,11 @@ def scan_search(
     return docs.filter(cond).select(F.col(id_col).alias("doc_id"))
 
 
+_TOPK_DEFAULT = object()  # sentinel: distinguish "caller said nothing"
+# from an explicit topk=1000, so the breaking-change warning fires only
+# on implicit reliance on the r5 default flip (None → 1000)
+
+
 def bm25_search(
     docs: DataFrame,
     terms: list[str],
@@ -108,7 +113,7 @@ def bm25_search(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    topk: int | None = 1000,
+    topk: int | None = _TOPK_DEFAULT,  # type: ignore[assignment]
     round_to: int = 6,
 ) -> DataFrame:
     """Okapi BM25 ranking of the corpus for a bag-of-terms query:
@@ -135,8 +140,26 @@ def bm25_search(
     path funnels the whole match set through one task and is opt-in
     only (VERDICT r5 What's wrong #3).
 
+    BREAKING CHANGE (round 5): the default used to be ``topk=None``
+    (rank every match). Callers relying on the old default now get the
+    top 1000 silently; a one-time ``UserWarning`` flags implicit use of
+    the new default so those call sites surface (ADVICE r6). Passing
+    any explicit ``topk`` (including 1000 or None) is warning-free.
+
     Returns (id, score, rank), matches only (score > 0).
     """
+    if topk is _TOPK_DEFAULT:
+        import warnings
+
+        warnings.warn(
+            "bm25_search: topk now defaults to 1000 (was: rank ALL "
+            "matches before round 5) — results beyond the top 1000 are "
+            "silently dropped. Pass topk explicitly (topk=None restores "
+            "the unbounded ranking, at single-partition-sort cost).",
+            UserWarning,
+            stacklevel=2,
+        )
+        topk = 1000
     uniq = sorted({t.lower() for t in terms})
     if not uniq:
         raise ValueError("bm25_search needs at least one term")

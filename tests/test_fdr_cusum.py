@@ -130,3 +130,22 @@ def test_theil_sen_null_filter(spark):
     df = spark.createDataFrame(rows, "t double, x double")
     row = theil_sen_trend(df, time_col="t", value_col="x").collect()[0]
     assert row.n_buckets == 3 and row.slope == pytest.approx(1.0)
+
+
+def test_theil_sen_empty_input_one_row(spark):
+    """Empty series follows the drift-family degenerate contract: ONE
+    row with n_buckets=0, n_pairs=0, NULL slope/intercept (ADVICE r6:
+    the old groupBy path returned zero rows)."""
+    from assignment_etl_spark.ext.drift import theil_sen_trend
+
+    empty = spark.createDataFrame([], "t double, x double")
+    rows = theil_sen_trend(empty, time_col="t", value_col="x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_buckets, r.n_pairs, r.slope, r.intercept) == (0, 0, None, None)
+    # single bucket: no pairs, NULL slope, intercept = median residual
+    # is NULL too (r = x - NULL*t)
+    one = spark.createDataFrame([(1.0, 5.0)], "t double, x double")
+    r1 = theil_sen_trend(one, time_col="t", value_col="x").collect()
+    assert len(r1) == 1
+    assert (r1[0].n_buckets, r1[0].n_pairs, r1[0].slope) == (1, 0, None)

@@ -121,3 +121,25 @@ def test_phrase_search(spark):
     # three-token phrase
     tri = {r.doc_id: r.n_matches for r in phrase_search(idx, ["big", "data", "pipeline"]).collect()}
     assert tri == {1: 1}
+
+
+def test_bm25_default_topk_warns_once_explicit_silent(spark):
+    """Implicit reliance on the round-5 default flip (None → 1000) emits
+    a UserWarning; any explicit topk (1000, None, other) is silent."""
+    import warnings as _w
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat bird"), (3, "fish")],
+        "doc_id long, text string",
+    )
+    from assignment_etl_spark.ext.invindex import bm25_search
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        bm25_search(docs, ["cat"])
+        assert any("topk now defaults to 1000" in str(x.message) for x in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        bm25_search(docs, ["cat"], topk=1000)
+        bm25_search(docs, ["cat"], topk=None)
+        assert not rec

@@ -132,3 +132,61 @@ def test_kcenter_small_pool_and_guard(spark):
         kcenter_coreset(df, k=0)
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kcenter_coreset(empty, k=3).count() == 0
+
+
+def test_kcenter_batched_equals_batch1(spark):
+    """Batched FPS is EXACT: any batch size reproduces batch=1 bit-for-bit
+    (VERDICT r6 ask #6 — the in-batch re-check + strict admission
+    threshold make batching a pure round-trip optimization)."""
+    from assignment_etl_spark.ext.mmr import kcenter_coreset
+
+    rng = np.random.RandomState(77)
+    vecs = rng.randn(80, 4).round(3)
+    # inject ties: duplicate vectors so equal distances exercise the
+    # strict-threshold tie handling
+    vecs[40] = vecs[7]
+    vecs[41] = vecs[7]
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = [(r.rank, r.pid, r.sel_dist) for r in
+            kcenter_coreset(df, k=10, batch=1).collect()]
+    scans_b1 = kcenter_coreset.last_scan_count
+    assert scans_b1 == 9  # k-1 scans at batch=1
+    for b in (2, 4, 8, 16):
+        got = [(r.rank, r.pid, r.sel_dist) for r in
+               kcenter_coreset(df, k=10, batch=b).collect()]
+        assert got == base, f"batch={b} diverged from batch=1"
+        assert kcenter_coreset.last_scan_count < scans_b1
+    # generous batch cuts round-trips toward ceil((k-1)/b)
+    kcenter_coreset(df, k=10, batch=16)
+    assert kcenter_coreset.last_scan_count <= 4
+
+
+def test_kcenter_and_mmr_string_ids(spark):
+    """pid inherits the input id dtype (ADVICE r6: hardcoded 'pid long'
+    broke string doc ids at createDataFrame)."""
+    from assignment_etl_spark.ext.mmr import kcenter_coreset
+
+    rows = [("a", [0.0, 0.0]), ("b", [3.0, 4.0]), ("c", [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = kcenter_coreset(df, k=2).collect()
+    assert [(r.rank, r.pid) for r in got] == [(1, "a"), (2, "b")]
+    assert dict(got[0].asDict())["pid"] == "a"
+    m = mmr_topk(df.filter("vec_id != 'a'"), [1.0, 0.0], k=2, lam=0.7,
+                 prefilter=8).collect()
+    assert {r.pid for r in m} == {"b", "c"}
+
+
+def test_kcenter_unscorable_vector_never_picked(spark):
+    """A wrong-length vector folds to inf min-distance (least() skips the
+    NULL per-pick terms) — it must be excluded, and the loop must stop
+    when only unscorable candidates remain (ADVICE r6)."""
+    from assignment_etl_spark.ext.mmr import kcenter_coreset
+
+    rows = [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [9.0]), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kcenter_coreset(df, k=4).collect()
+    assert [r.pid for r in got] == [0, 1, 3]  # 2 is unscorable, skipped
+    # only unscorable left: stops early instead of raising
+    got2 = kcenter_coreset(df.filter("vec_id in (0, 2)"), k=3).collect()
+    assert [r.pid for r in got2] == [0]
