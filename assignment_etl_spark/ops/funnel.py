@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from assignment_etl_spark.ops.ids import global_cumsum_multi
+
 
 def funnel(
     events: DataFrame,
@@ -357,11 +359,16 @@ def survival_curve(
 
     Engine-portable product: the running product is exp(Σ ln(1−d/n))
     with each ln term rounded to 6 and decimal-summed (the PageRank/LM
-    policy), so the curve replays exactly. The cumulative window runs
-    over the DISTINCT EVENT TIME table — bounded by the time-grid
-    cardinality, not the subject count (same bounded-window contract as
-    vocab ranking); the subject table itself reduces in one hash
-    aggregate per distinct duration.
+    policy), so the curve replays exactly. Scale shape (round 7 — the
+    ext/survival.kaplan_meier kernel, VERDICT r6 ask #2): the subject
+    table reduces in one hash aggregate per distinct duration, then
+    both cumulative passes ride ops/ids.global_cumsum_multi RANGE
+    exchanges — the risk-set countdown first, the log-term sum +
+    zero-event flag second. A duration column is CONTINUOUS (one row
+    per subject at second granularity), so the old single-partition
+    ``Window.orderBy(t)`` over the per-duration aggregate was exactly
+    the funnel the gwin plan-audit rule hunts; nothing here funnels
+    now.
 
     Returns (t, n_risk, n_events, survival) ordered by t. ``round_to``
     controls only the OUTPUT rounding: the per-step ln terms are pinned
@@ -375,19 +382,20 @@ def survival_curve(
         F.sum(e.cast("long")).alias("n_events"),
     )
     # at-risk at t = subjects with duration >= t: total minus the
-    # exclusive running count of earlier durations (window input is the
-    # per-duration AGGREGATE — #distinct durations rows, not subjects)
-    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    # exclusive running count of earlier durations — inclusive range-
+    # exchange cumsum minus the row's own count, over the per-duration
+    # aggregate (NOT a single-partition window: distinct durations are
+    # subject-count-many for continuous durations)
     total = per_t.agg(F.sum("_n_at_t").alias("_total"))
-    risk = (
-        per_t.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_risk",
-            F.col("_total")
-            - F.coalesce(F.sum("_n_at_t").over(w_prev), F.lit(0)),
-        )
-        .filter(F.col("n_events") > 0)
+    cum1 = global_cumsum_multi(
+        per_t.crossJoin(F.broadcast(total)),
+        [F.asc("t")],
+        [("_n_at_t", "_cum_n")],
     )
+    risk = cum1.withColumn(
+        "n_risk",
+        F.col("_total") - (F.col("_cum_n") - F.col("_n_at_t")),
+    ).filter(F.col("n_events") > 0)
     # d == n would be ln(0) (engine-divergent -inf/NULL): flag it and pin
     # the curve to exactly 0 from that time on instead
     dead = F.col("n_events") == F.col("n_risk")
@@ -397,18 +405,19 @@ def survival_curve(
             F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")), 6
         ),
     ).otherwise(F.lit(0.0)).cast("decimal(18,6)")
-    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    zeroed = F.max(dead.cast("int")).over(w_cum) == 1
-    return (
-        risk.withColumn("_lt", term)
-        .withColumn(
-            "survival",
-            F.when(zeroed, F.lit(0.0)).otherwise(
-                F.round(
-                    F.exp(F.sum("_lt").over(w_cum).cast("double")), round_to
-                )
-            ),
-        )
-        .select("t", "n_risk", "n_events", "survival")
-        .orderBy("t")
+    staged = risk.select(
+        "t",
+        "n_risk",
+        "n_events",
+        term.alias("_lt"),
+        dead.cast("int").alias("_z"),
     )
+    cum2 = global_cumsum_multi(
+        staged, [F.asc("t")], [("_lt", "_cum_lt"), ("_z", "_cum_z")]
+    )
+    survival = F.when(F.col("_cum_z") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("_cum_lt").cast("double")), round_to)
+    )
+    return cum2.select(
+        "t", "n_risk", "n_events", survival.alias("survival")
+    ).orderBy("t")
