@@ -415,3 +415,172 @@ def hll_intersection_estimate(
             ).alias("est_intersection"),
         )
     )
+
+
+# ------------------------------------------------- KLL-class rank sketch
+
+KLL_MAX_LEVEL = 20  # 2^20 ≈ 1M-to-1 top sampling rate; raise for > ~10^12
+# rows per sketch group (the trim search never needs a level whose
+# expected survivor count is below cap)
+
+
+def _kll_level(h: Column, max_level: int) -> Column:
+    """Deterministic compactor level: the largest ℓ ≤ max_level with
+    hash ≡ 0 (mod 2^ℓ) — i.e. the trailing-zero rank of the portable
+    hash, so P(ℓ ≥ h) ≈ 2^-h. Pure integer CASE chain checking the
+    deepest level first (mirrors the SQL replica's CASE order),
+    replayable in any engine (the _rho twin, on the other end of the
+    word)."""
+    out = F.lit(0)
+    for k in range(max_level, 0, -1):
+        out = F.when(F.pmod(h, F.lit(1 << k)) == 0, F.lit(k)).otherwise(out)
+    return out
+
+
+def sql_kll_level(h_expr: str, max_level: int) -> str:
+    """DuckDB replica of :func:`_kll_level` — the same CASE chain."""
+    branches = "".join(
+        f" WHEN (({h_expr}) % {1 << k}) = 0 THEN {k}"
+        for k in range(max_level, 0, -1)
+    )
+    return f"(CASE{branches} ELSE 0 END)"
+
+
+def _kll_trim(items: DataFrame, cap: int, max_level: int) -> DataFrame:
+    """Trim (lvl, value, trim) rows to the lowest complete level whose
+    survivor count fits ``cap``: h* = max(max input trim, min h with
+    |{lvl ≥ h}| ≤ cap). Counts below the max input trim are truncated
+    (those items are gone) and must not be consulted — taking the max
+    restores order-independence (see kll_merge's associativity note)."""
+    agg = items.agg(
+        F.coalesce(F.max("trim"), F.lit(0)).alias("_m"),
+        *[
+            F.sum(F.when(F.col("lvl") >= h, 1).otherwise(0)).alias(f"_s{h}")
+            for h in range(max_level + 1)
+        ],
+    )
+    first_fit = F.lit(max_level)
+    for h in range(max_level, -1, -1):
+        first_fit = F.when(
+            F.coalesce(F.col(f"_s{h}"), F.lit(0)) <= cap, F.lit(h)
+        ).otherwise(first_fit)
+    hstar = agg.select(F.greatest(F.col("_m"), first_fit).alias("_hstar"))
+    return (
+        items.crossJoin(F.broadcast(hstar))
+        .filter(F.col("lvl") >= F.col("_hstar"))
+        .select("lvl", "value", F.col("_hstar").alias("trim"))
+    )
+
+
+def kll_sketch(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    cap: int = 2048,
+    max_level: int = KLL_MAX_LEVEL,
+    salt: int = 0,
+) -> DataFrame:
+    """Mergeable rank/quantile sketch as a DataFrame of
+    ``(lvl, value, trim)`` rows — the KLL-CLASS summary (Karnin, Lang &
+    Liberty 2016) re-derived for order-independent determinism: levels
+    are assigned by the portable hash of ``id_col`` (hierarchical
+    Bernoulli "level sampling", P(lvl ≥ h) ≈ 2^-h) instead of by KLL's
+    sequential compaction, which is inherently order-dependent and so
+    cannot be both deterministic and merge-associative across arbitrary
+    partitionings. The trade, documented honestly: retained-sample rank
+    error is the Bernoulli-sample bound ε ≈ sqrt(ln(2/δ) / (2·m)) for
+    m ≈ cap/2..cap survivors (DKW) — O(1/ε²) space where true KLL pays
+    O((1/ε)·√log(1/δ)) — bought back as: identical sketch from ANY
+    partitioning/merge order (property-tested), DuckDB-replayable
+    (gate-certified), and one-pass buildable per partition.
+
+    The retained rows are the complete level-h* Bernoulli sample of the
+    input (h* = the sketch-wide ``trim``), each representing ~2^h* rows.
+    Hash rides ``id_col`` (a unique-ish row id), NEVER the value —
+    hashing values would retain duplicate values all-or-nothing and
+    correlate the sample with the quantity being estimated.
+
+    Build cost: one aggregate over the data (max_level+1 conditional
+    sums choosing h*) + one filtered scan. NULL values are excluded.
+    At 100 TB: sketch per partition/day with the same (cap, max_level,
+    salt), persist the ≤cap-row outputs, kll_merge them — history is
+    never rescanned (the HLL/CM incremental-maintenance contract)."""
+    if cap < 2:
+        raise ValueError(f"need cap >= 2, got {cap}")
+    if not 1 <= max_level <= 62:
+        raise ValueError(f"need 1 <= max_level <= 62, got {max_level}")
+    h = portable_hash_int(F.col(id_col), salt)
+    items = df.filter(F.col(col).isNotNull()).select(
+        _kll_level(h, max_level).alias("lvl"),
+        F.col(col).alias("value"),
+        F.lit(0).alias("trim"),
+    )
+    return _kll_trim(items, cap, max_level)
+
+
+def kll_merge(
+    a: DataFrame, b: DataFrame, *, cap: int = 2048,
+    max_level: int = KLL_MAX_LEVEL,
+) -> DataFrame:
+    """Merge two sketches built with the same (cap, max_level, salt):
+    union + re-trim. ASSOCIATIVE and COMMUTATIVE (property-tested), by
+    this argument: the merged trim is
+    h* = min h ≥ max(input trims) with |{lvl ≥ h}| ≤ cap, and counts at
+    h ≥ max(input trims) are complete (every input retained everything
+    at or above its own trim); induction over any merge tree gives the
+    same final h* as the flat union — hence the same retained set,
+    since {lvl ≥ h*} survives every intermediate trim ≤ h*."""
+    return _kll_trim(a.unionByName(b), cap, max_level)
+
+
+def kll_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """(q, est) rows from a sketch: est is the q-quantile of the
+    retained sample (continuous interpolation — Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, the certified equivalence), one row per
+    requested q in input order. All survivors carry equal weight
+    (2^trim), so the sample quantile IS the estimator; rank error obeys
+    the DKW bound in :func:`kll_sketch`'s docstring. Empty sketch →
+    NULL estimates. Runs on the ≤cap-row sketch — never the data."""
+    if not qs:
+        raise ValueError("need at least one quantile in qs")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+    agg = sketch.agg(
+        *[
+            F.round(
+                F.percentile(F.col("value"), F.lit(float(q))), round_to
+            ).alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"), F.col(f"_q{i}").alias("est")
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.q").alias("q"), F.col("_p.est").alias("est")
+    )
+
+
+def kll_n_estimate(sketch: DataFrame, *, round_to: int = 3) -> DataFrame:
+    """1-row (n_est): estimated source row count = survivors · 2^trim —
+    the sketch's own scale factor (exact when trim = 0: nothing was
+    sampled away). Mostly a diagnostic; pair the sketch with an exact
+    count column when the true N matters (counts merge by addition)."""
+    return sketch.agg(
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            * F.pow(F.lit(2.0), F.coalesce(F.max("trim"), F.lit(0)).cast("double")),
+            round_to,
+        ).alias("n_est")
+    )

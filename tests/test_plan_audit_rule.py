@@ -124,15 +124,72 @@ def test_window_rule_flags_literal_partition_key(tables):
 
 
 def test_window_rule_flags_entity_aggregate_window_class(tables):
-    # windows over per-entity aggregates are exempt via the Aggregate
-    # collapse (bounded by the key domain) — pin the exemption so the
-    # rule's scope is explicit
+    # r7 TIGHTENING (VERDICT r6 ask #3): a per-entity aggregate's group
+    # key (o_custkey) is sf-PROPORTIONAL — the Aggregate no longer
+    # sanctions a downstream empty-partition window (pre-r7 this was
+    # exempt; survival_curve was the live counterexample)
     per = tables["orders"].groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("v")
     )
     w = Window.orderBy("v", "o_custkey")
     df = per.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == ["global-window-over-orders"]
+
+
+def test_window_rule_flags_continuous_aggregate_window(tables):
+    # the survival_curve-before-fix shape: group-by on a CONTINUOUS
+    # value column, then a global cumulative window — one group per
+    # distinct value, sf-proportional, must flag
+    per_t = tables["orders"].groupBy(
+        F.col("o_totalprice").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    df = per_t.withColumn("c", F.sum("n").over(w))
+    assert audit_global_windows(df) == ["global-window-over-orders"]
+
+
+def test_window_rule_exempts_calendar_bucket_aggregate(tables):
+    # the cusum_changepoint contract: raw events collapse to one row per
+    # DAY (calendar-bounded domain) — a window over that is sanctioned
+    daily = tables["events"].groupBy(
+        F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    df = daily.withColumn("c", F.sum("n").over(w))
     assert audit_global_windows(df) == []
+
+
+def test_window_rule_exempts_enum_key_aggregate(tables):
+    # bounded-domain sanction list: event_type is enum-ish
+    per = tables["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("n", "event_type")
+    df = per.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == []
+
+
+def test_window_rule_exempts_range_exchange_offsets(tables):
+    # ops/ids.global_cumsum_multi's offsets window runs over a
+    # groupBy(spark_partition_id()) aggregate — bounded by the partition
+    # count (the _pid sanction), and the kernel itself must stay clean
+    from assignment_etl_spark.ops.ids import global_cumsum_multi
+
+    df = global_cumsum_multi(
+        tables["orders"].select("o_orderkey", "o_totalprice"),
+        [F.asc("o_orderkey")],
+        [("o_totalprice", "cum_price")],
+    )
+    assert audit_global_windows(df) == []
+
+
+def test_window_rule_flags_continuous_distinct_window(tables):
+    # Deduplicate follows the same rule: distinct() on a continuous
+    # column is one row per value — still sf-proportional
+    vals = tables["orders"].select(F.col("o_totalprice").alias("t")).distinct()
+    w = Window.orderBy("t")
+    df = vals.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == ["global-window-over-orders"]
 
 
 def test_window_rule_exempts_limit_before_window(tables):

@@ -74,7 +74,141 @@ def _is_bounded_key_condition(cond: str) -> bool:
     return bool(_BOUNDED_KEY_FILTER.fullmatch(s))
 
 
-def _walk_big_scan(node, *, limit_collapses: bool = False) -> set[str]:
+# ---- Aggregate-collapse boundedness (VERDICT r6 ask #3) -------------------
+# The window rule used to treat ANY Aggregate as a cardinality collapse.
+# True for calendar buckets and enum keys; FALSE for group-by on a
+# continuous column (durations, raw prices): second-granularity durations
+# give ~one group per subject, so a downstream empty-partition window still
+# funnels sf-proportional rows through one task (live instance:
+# ops/funnel.survival_curve before round 7). An Aggregate now collapses
+# only if its grouping is empty (global — 1 row) or EVERY grouping
+# expression is bounded: a calendar-bucket/fixed-grid function, a modular
+# bucket, or a bare attribute on the bounded-domain sanction list below.
+
+# functions whose output domain is a calendar/fixed grid regardless of
+# input cardinality (matched anywhere in the grouping expression — a cast
+# or alias wrapper keeps the bound)
+_BOUNDED_GROUP_FUNCS = re.compile(
+    r"\b(date_trunc|window|year|month|quarter|weekofyear|dayofweek|"
+    r"dayofmonth|dayofyear|hour|minute|second|to_date|date_format|"
+    r"unix_timestamp|unix_date|pmod|ntile|width_bucket)\s*\(|"
+    r"\bcast\([^()]*\bas date\)",
+    re.IGNORECASE,
+)
+
+# attributes whose DOMAIN is bounded by construction, not by data size:
+# enum-ish dimension columns of the harness tables, plus engine-internal
+# bounded keys. This is the explicit sanction list the gwin rule consults
+# when a grouping expression is a bare column reference.
+_BOUNDED_DOMAIN_ATTRS = {
+    # engine-internal: spark_partition_id() projections feeding the
+    # range-exchange offset aggregates (ops/ids.py) — bounded by the
+    # partition count, never by rows
+    "_pid",
+    # TPC-H enum/dimension keys
+    "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+    "o_orderstatus", "o_orderpriority", "c_mktsegment", "c_nationkey",
+    "s_nationkey", "n_nationkey", "n_name", "n_regionkey", "r_regionkey",
+    "r_name", "p_brand", "p_mfgr", "p_type", "p_container", "p_size",
+    # events/documents enum columns
+    "event_type", "device", "country", "lang", "source", "label",
+}
+
+_BARE_ATTR = re.compile(r"(\w+)#\d+L?")
+
+# the repo's clamp idiom — least(greatest(expr, lo_lit), hi_lit) — pins
+# the expression's DOMAIN between two literals (ext/drift.fixed_width_bin
+# and friends): bounded at any scale factor
+_CLAMPED_EXPR = re.compile(r"\bleast\(greatest\(", re.IGNORECASE)
+
+# "expr AS name#id" — how Project/Aggregate/Window print named outputs
+_ALIAS_DEF = re.compile(r"^(.*) AS (\w+#\d+)L?$", re.DOTALL)
+
+
+def _collect_alias_defs(node, defs: dict[str, str]) -> None:
+    """Map every 'name#id' attribute the subtree defines to the printed
+    expression that defines it — grouping keys often reference a
+    projected alias (withColumn/select + groupBy('name')), and the
+    boundedness of the DEFINING expression is what matters."""
+    name = node.getClass().getSimpleName()
+    try:
+        if name == "Project":
+            pl = node.projectList()
+        elif "Aggregate" in name:
+            pl = node.aggregateExpressions()
+        elif name == "Window":
+            pl = node.windowExpressions()
+        else:
+            pl = None
+        if pl is not None:
+            for i in range(pl.length()):
+                m = _ALIAS_DEF.match(pl.apply(i).toString().strip())
+                if m:
+                    defs.setdefault(m.group(2), m.group(1).strip())
+    except Exception:  # noqa: BLE001 — unreadable node: no defs from it
+        pass
+    kids = node.children()
+    for i in range(kids.length()):
+        _collect_alias_defs(kids.apply(i), defs)
+
+
+def _is_bounded_grouping_expr(s: str, defs: dict[str, str], depth: int = 0) -> bool:
+    s = s.strip()
+    if _BOUNDED_GROUP_FUNCS.search(s) or _CLAMPED_EXPR.search(s):
+        return True
+    m = _ALIAS_DEF.match(s)
+    if m:
+        return _is_bounded_grouping_expr(m.group(1), defs, depth)
+    m = _BARE_ATTR.fullmatch(s)
+    if not m:
+        return False
+    if m.group(1) in _BOUNDED_DOMAIN_ATTRS:
+        return True
+    key = s[:-1] if s.endswith("L") else s  # defs are keyed without the
+    # long-type suffix (the _ALIAS_DEF capture group excludes it)
+    if depth < 4 and key in defs:
+        return _is_bounded_grouping_expr(defs[key], defs, depth + 1)
+    return False
+
+
+def _keys_are_bounded(node, exprs) -> bool:
+    """Shared core: every grouping/dedup key expression must be bounded —
+    a calendar/modular/clamped function (possibly through projected
+    aliases, resolved via the subtree's definitions) or a sanctioned
+    enum attribute. Empty key list = global = one row = bounded."""
+    n = exprs.length()
+    if n == 0:
+        return True
+    defs: dict[str, str] = {}
+    _collect_alias_defs(node, defs)
+    return all(
+        _is_bounded_grouping_expr(exprs.apply(i).toString(), defs)
+        for i in range(n)
+    )
+
+
+def _aggregate_is_bounded(node) -> bool:
+    """True iff this Aggregate's group-key domain is bounded at any scale
+    factor. Unreadable grouping expressions count as UNBOUNDED (fail
+    safe)."""
+    try:
+        return _keys_are_bounded(node, node.groupingExpressions())
+    except Exception:  # noqa: BLE001 — not an Aggregate-shaped node
+        return False
+
+
+def _deduplicate_is_bounded(node) -> bool:
+    """Deduplicate (distinct) collapses under the same rule, applied to
+    its keys: distinct over a continuous column is one row per value."""
+    try:
+        return _keys_are_bounded(node, node.keys())
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _walk_big_scan(
+    node, *, limit_collapses: bool = False, strict_agg: bool = False
+) -> set[str]:
     """Return the sf-proportional tables scanned in this logical subtree,
     treating Aggregate as a cardinality collapse (its subtree is exempt:
     a grouped/global aggregate of a big table is bounded by the group-key
@@ -85,10 +219,24 @@ def _walk_big_scan(node, *, limit_collapses: bool = False) -> set[str]:
     as a collapse too (orderBy().limit(n) → TakeOrderedAndProject is
     the SANCTIONED bounded-rank pattern, so a window over it is ≤ n
     rows); the broadcast rule stays deliberately strict about raw
-    limited scans (tests pin both behaviors)."""
+    limited scans (tests pin both behaviors).
+
+    ``strict_agg`` (the window rule, VERDICT r6 ask #3): an Aggregate/
+    Deduplicate collapses ONLY if its group-key domain is bounded —
+    global, calendar-bucket/modular functions, or sanctioned enum
+    attributes (_aggregate_is_bounded). Grouping on a continuous column
+    (durations, raw prices) keeps the subtree sf-proportional, so a
+    downstream empty-partition window is still flagged. The broadcast
+    rule keeps the legacy any-Aggregate collapse (a broadcast of a
+    grouped aggregate fails at the DRIVER with a clear size error —
+    recoverable — whereas a single-task window silently crawls)."""
     name = node.getClass().getSimpleName()
-    if "Aggregate" in name or "Deduplicate" in name:
-        return set()
+    if "Aggregate" in name:
+        if not strict_agg or _aggregate_is_bounded(node):
+            return set()
+    elif "Deduplicate" in name:
+        if not strict_agg or _deduplicate_is_bounded(node):
+            return set()
     if limit_collapses and "Limit" in name:
         return set()
     if name == "Filter" and _is_bounded_key_condition(
@@ -104,7 +252,11 @@ def _walk_big_scan(node, *, limit_collapses: bool = False) -> set[str]:
                 found.add(table)
     kids = node.children()
     for i in range(kids.length()):
-        found |= _walk_big_scan(kids.apply(i), limit_collapses=limit_collapses)
+        found |= _walk_big_scan(
+            kids.apply(i),
+            limit_collapses=limit_collapses,
+            strict_agg=strict_agg,
+        )
     return found
 
 
@@ -153,7 +305,7 @@ def audit_global_windows(df) -> list[str]:
                 kids = node.children()
                 for i in range(kids.length()):
                     tables |= _walk_big_scan(
-                        kids.apply(i), limit_collapses=True
+                        kids.apply(i), limit_collapses=True, strict_agg=True
                     )
                 if tables:
                     bad.append(
