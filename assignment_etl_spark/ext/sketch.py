@@ -425,25 +425,20 @@ KLL_MAX_LEVEL = 20  # 2^20 ≈ 1M-to-1 top sampling rate; raise for > ~10^12
 
 
 def _kll_level(h: Column, max_level: int) -> Column:
-    """Deterministic compactor level: the largest ℓ ≤ max_level with
-    hash ≡ 0 (mod 2^ℓ) — i.e. the trailing-zero rank of the portable
-    hash, so P(ℓ ≥ h) ≈ 2^-h. Pure integer CASE chain checking the
-    deepest level first (mirrors the SQL replica's CASE order),
-    replayable in any engine (the _rho twin, on the other end of the
-    word)."""
-    out = F.lit(0)
-    for k in range(max_level, 0, -1):
-        out = F.when(F.pmod(h, F.lit(1 << k)) == 0, F.lit(k)).otherwise(out)
-    return out
+    """Deterministic compactor level: the leading-zero rank of the
+    31-bit portable hash (the HLL-certified ``_rho``), minus one and
+    capped — P(ℓ ≥ L) ≈ 2^-L. NOT trailing-zero divisibility: this
+    LCG's LOW bits are lattice-structured on small consecutive-id
+    ranges (measured: ids 0..999 yield no hash divisible by 4), while
+    the leading-zero rank is geometric at every input size tested —
+    the same end of the word HLL sketches from."""
+    return F.least(_rho(h, HASH_BITS) - F.lit(1), F.lit(max_level))
 
 
 def sql_kll_level(h_expr: str, max_level: int) -> str:
-    """DuckDB replica of :func:`_kll_level` — the same CASE chain."""
-    branches = "".join(
-        f" WHEN (({h_expr}) % {1 << k}) = 0 THEN {k}"
-        for k in range(max_level, 0, -1)
-    )
-    return f"(CASE{branches} ELSE 0 END)"
+    """DuckDB replica of :func:`_kll_level` — the same rho CASE chain,
+    minus one, capped."""
+    return f"LEAST({sql_rho(h_expr, HASH_BITS)} - 1, {max_level})"
 
 
 def _kll_trim(items: DataFrame, cap: int, max_level: int) -> DataFrame:

@@ -134,6 +134,8 @@ HEADLINE = [
     "theil_sen_trend_events",
     "heaps_law_documents",
     "kcenter_coreset_embeddings",
+    # -- round 7
+    "kll_quantiles_orders",
     # knn_graph_nndescent is gate-certified but excluded here: a full
     # 2000-node graph build is ~15s at sf0.1, out of scale with the
     # per-query bench (its cost profile lives in SCALE.md instead);
