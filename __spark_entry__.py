@@ -12625,14 +12625,44 @@ WITH toks AS (
   FROM documents),
 tc AS (SELECT token, count(*) AS r FROM toks GROUP BY 1),
 nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1),
-tot AS (SELECT count(*) AS n_total FROM toks)
+tot AS (SELECT count(*) AS n_total FROM toks),
+-- Simple Good-Turing (r7): gap-corrected Z, log-log OLS (the
+-- trend_slope decimal-moment replica incl. both degeneracy guards)
+rn AS (SELECT r, n_r, row_number() OVER (ORDER BY r) AS _rn FROM nr),
+zt AS (
+  SELECT ln(CAST(a.r AS DOUBLE)) AS x,
+         ln(a.n_r / (0.5 * CAST(
+           COALESCE(nx2.r, 2 * a.r - COALESCE(p.r, 0)) - COALESCE(p.r, 0)
+           AS DOUBLE))) AS y
+  FROM rn a
+  LEFT JOIN rn p ON p._rn = a._rn - 1
+  LEFT JOIN rn nx2 ON nx2._rn = a._rn + 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         min(round(x, 6)) AS xmin, max(round(x, 6)) AS xmax,
+         CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+  FROM zt),
+bf AS (
+  SELECT CASE WHEN n >= 2 AND xmin < xmax
+                   AND (n * sxx - sx * sx) > 2.0e-6 * n * abs(sx)
+              THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+         END AS b
+  FROM agg)
 SELECT CAST(nr.r AS BIGINT) AS r, nr.n_r,
        round(CAST(CAST(nr.r + 1 AS DECIMAL(38,0)) * nx.n_r AS DOUBLE)
              / nr.n_r, 9) AS r_star,
+       round(CASE WHEN b IS NOT NULL THEN
+               (CAST(nr.r AS DOUBLE) + 1.0)
+               * power((CAST(nr.r AS DOUBLE) + 1.0) / CAST(nr.r AS DOUBLE), b)
+             END, 9) AS r_star_sgt,
        round(CAST(CAST(nr.r AS DECIMAL(38,0)) * nr.n_r AS DOUBLE)
              / n_total, 9) AS p_mass
 FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
 CROSS JOIN tot
+CROSS JOIN bf
 ORDER BY r LIMIT 30
 """
 

@@ -343,20 +343,34 @@ def good_turing_counts(
     leave-one-out estimator every count-based smoother starts from.
 
     Returns one row per observed frequency r:
-    (r, n_r, r_star, p_mass) where p_mass = r·N_r/N is the observed
-    mass at r (so the caller can see where the distribution lives);
-    r_star is NULL at the highest r (no N_{r+1} — standard practice
-    smooths the tail separately, e.g. Simple Good–Turing's log-log
-    fit, out of scope here and documented as such).
+    (r, n_r, r_star, r_star_sgt, p_mass) where p_mass = r·N_r/N is the
+    observed mass at r (so the caller can see where the distribution
+    lives); r_star (the raw Turing estimate) is NULL at the highest r
+    (no N_{r+1}); r_star_sgt is the SIMPLE GOOD–TURING smoothed
+    estimate (Gale & Sampson 1995 — public): gap-corrected
+    Z_r = N_r / (½(t − q)) with q/t the neighboring observed
+    frequencies (q = 0 before the first, t = 2r − q after the last),
+    one log-log OLS ln Z = a + b·ln r (the ops/timeseries.trend_slope
+    decimal-moment kernel — the zipf/heaps policy), then
+    r*_SGT = (r+1)·((r+1)/r)^b — defined at EVERY r including the
+    un-smoothable tail the raw estimate leaves NULL. NULL only when
+    the fit itself degenerates (<2 distinct frequencies or zero
+    log-variance). Pure LGT (no Turing/LGT switch): simplest variant,
+    documented as such.
 
     Scale shape: token counts are one hash aggregate over the corpus;
     N_r is a second aggregate over the VOCABULARY (≤ distinct tokens);
-    the r ↔ r+1 self-join runs on the counts-of-counts table, whose
-    size is O(max frequency) — tiny. Nothing rescans the corpus.
-    Determinism: all counts exact longs; r* and p_mass single
-    closed-form doubles rounded once (products as decimal first —
-    (r+1)·N_{r+1} is bounded by N but r·N_r sums to N, fine in int64;
-    kept decimal anyway for the same overflow policy as rankstats)."""
+    the r ↔ r+1 self-join, the neighbor ranking (a range-exchange
+    global_row_number — never a single-partition window), and the
+    1-row OLS all run on the counts-of-counts table, whose size is
+    O(√N distinct frequencies) — tiny. Nothing rescans the corpus.
+    Determinism: all counts exact longs; r*, p_mass, and each OLS
+    moment are closed-form doubles rounded once (decimal products /
+    decimal-moment sums — the rankstats overflow policy); b is rounded
+    before the pow so both engines exponentiate the same double."""
+    from assignment_etl_spark.ops.ids import global_row_number
+    from assignment_etl_spark.ops.timeseries import trend_slope
+
     toks = _tokens(docs, id_col=id_col, text_col=text_col)
     tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("r"))
     nr = tc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
@@ -364,10 +378,44 @@ def good_turing_counts(
     nxt = nr.select(
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
     )
+    # SGT: neighbor gaps via integer-rank self-joins on the ranked
+    # counts-of-counts table, then the shared decimal-moment OLS
+    ranked = global_row_number(nr, [F.asc("r")], out_col="_rn")
+    prev = ranked.select(
+        (F.col("_rn") + 1).alias("_rn"), F.col("r").alias("_q")
+    )
+    after = ranked.select(
+        (F.col("_rn") - 1).alias("_rn"), F.col("r").alias("_tn")
+    )
+    zt = (
+        ranked.join(prev, on="_rn", how="left")
+        .join(after, on="_rn", how="left")
+        .withColumn("_q", F.coalesce(F.col("_q"), F.lit(0)))
+        .withColumn(
+            "_t",
+            F.coalesce(F.col("_tn"), F.lit(2) * F.col("r") - F.col("_q")),
+        )
+        .select(
+            F.lit("c").alias("_k"),
+            F.log(F.col("r").cast("double")).alias("_x"),
+            F.log(
+                F.col("n_r")
+                / (F.lit(0.5) * (F.col("_t") - F.col("_q")).cast("double"))
+            ).alias("_y"),
+        )
+    )
+    bfit = trend_slope(zt, key_col="_k", x_col="_x", y_col="_y").select(
+        F.col("slope").alias("_b")
+    )
     dec = "decimal(38,0)"
     r_star = (
         ((F.col("r") + 1).cast(dec) * F.col("n_r1")).cast("double")
         / F.col("n_r")
+    )
+    rd = F.col("r").cast("double")
+    r_star_sgt = F.when(
+        F.col("_b").isNotNull(),
+        (rd + 1.0) * F.pow((rd + 1.0) / rd, F.col("_b")),
     )
     p_mass = (
         (F.col("r").cast(dec) * F.col("n_r")).cast("double")
@@ -376,10 +424,12 @@ def good_turing_counts(
     return (
         nr.join(nxt, on="r", how="left")
         .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bfit))
         .select(
             F.col("r").cast("long").alias("r"),
             F.col("n_r").cast("long").alias("n_r"),
             F.round(r_star, round_to).alias("r_star"),
+            F.round(r_star_sgt, round_to).alias("r_star_sgt"),
             F.round(p_mass, round_to).alias("p_mass"),
         )
     )

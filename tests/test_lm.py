@@ -209,3 +209,47 @@ def test_good_turing_hand_computed(spark):
     # sum(r*·N_r) = sum_{r>=2}(r·N_r) = N - N_1 (exact when no tail cut)
     s = sum(rows[r].r_star * rows[r].n_r for r in rows if rows[r].r_star is not None)
     assert s == pytest.approx(11 - 2)
+
+
+def test_good_turing_sgt_hand_computed(spark):
+    """Simple Good-Turing (r7): gap-corrected Z, LGT log-log fit,
+    r*_SGT = (r+1)((r+1)/r)^b — defined at EVERY r, including the tail
+    where the raw Turing estimate is NULL."""
+    import math
+
+    from assignment_etl_spark.ext.lm import good_turing_counts
+
+    corpus = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d"), (3, "e")],
+        "doc_id long, text string",
+    )
+    rows = {r.r: r for r in good_turing_counts(corpus).collect()}
+    # observed r: 1,2,3,4 with N_r 2,1,1,1; gap-corrected
+    # Z_1 = 2/(0.5*(2-0)) = 2, Z_2 = Z_3 = 1, Z_4 = 1/(0.5*(5-3)) = 1
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(z) for z in (2.0, 1.0, 1.0, 1.0)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    b = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    for r in (1, 2, 3, 4):
+        want = (r + 1.0) * ((r + 1.0) / r) ** b
+        assert rows[r].r_star_sgt == pytest.approx(want, rel=1e-4), r
+    # the tail is smoothed even though the raw estimate is NULL there
+    assert rows[4].r_star is None and rows[4].r_star_sgt is not None
+    # total smoothed mass stays near N (LGT is a fit, not an identity —
+    # generous band, this corpus is tiny)
+    s = sum(rows[r].r_star_sgt * rows[r].n_r for r in rows)
+    assert 0.5 * 11 <= s <= 1.5 * 11
+
+
+def test_good_turing_sgt_degenerate_single_frequency(spark):
+    from assignment_etl_spark.ext.lm import good_turing_counts
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )  # every token seen exactly once: one distinct r, no fit
+    rows = good_turing_counts(corpus).collect()
+    assert len(rows) == 1
+    assert rows[0].r_star_sgt is None and rows[0].r_star is None
