@@ -12936,6 +12936,137 @@ ORDER BY q
 """
 
 
+_UNI_SEED, _UNI_MPL, _UNI_MWL, _UNI_ITERS = 32, 3, 8, 2
+
+
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (ext/unigram_lm.train_unigram_lm —
+    VERDICT r6 ask #5): 2 Viterbi-EM iterations over the document
+    word-frequency table (seed = all single chars + top-32 substrings,
+    pieces ≤ 3 chars, words ≤ 8 chars trained), reporting the top 30
+    pieces of the final model by E-count. Every DP comparison is an
+    exact decimal with total tie-breaks, so the oracle unrolls BOTH
+    iterations — forward DP per position, relational backtrack, M-step
+    renormalization — as chained CTEs to the same digits."""
+    from assignment_etl_spark.ext.unigram_lm import train_unigram_lm
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram_lm(
+        docs,
+        seed_multi=_UNI_SEED,
+        max_piece_len=_UNI_MPL,
+        max_word_len=_UNI_MWL,
+        n_iters=_UNI_ITERS,
+    )
+    return (
+        vocab.select("piece", "cnt", F.col("lp").cast("double").alias("lp"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(30)
+    )
+
+
+def _sql_unigram_lm_vocab() -> str:
+    """Chained-CTE replay of the whole Viterbi-EM train loop (the BPE
+    oracle pattern, one stage CTE per DP position per iteration)."""
+    sm, mpl, mwl, iters = _UNI_SEED, _UNI_MPL, _UNI_MWL, _UNI_ITERS
+    parts = [
+        rf"""
+WITH w AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents) t
+  WHERE word <> '' GROUP BY 1),
+w2 AS (SELECT word, n, length(word) AS len FROM w
+       WHERE length(word) <= {mwl}),
+occ AS MATERIALIZED (
+  SELECT word, n, len, gi.i AS i, gl.l AS l,
+         substr(word, gi.i, gl.l) AS piece
+  FROM w2, generate_series(1, {mwl}) gi(i),
+       generate_series(1, {mpl}) gl(l)
+  WHERE gi.i <= len AND gi.i + gl.l - 1 <= len),
+seed AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+v0c AS (
+  SELECT piece, cnt FROM seed WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM seed WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece LIMIT {sm}) tm),
+v0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round(ln(cnt / (SELECT sum(cnt) FROM v0c)), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM v0c)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+m{it} AS MATERIALIZED (
+  SELECT o.word, o.n, o.len, o.i, o.l, o.piece, v.lp
+  FROM occ o JOIN v{it - 1} v USING (piece)),
+wd{it} AS MATERIALIZED (SELECT DISTINCT word, n, len FROM m{it}),
+b{it}_0 AS (SELECT word, CAST('0.000000' AS DECIMAL(18,6)) AS score
+            FROM wd{it})"""
+        )
+        for j in range(1, mwl + 1):
+            prevs = " UNION ALL ".join(
+                f"SELECT word, {p} AS pos, score FROM b{it}_{p}"
+                for p in range(max(0, j - mpl), j)
+            )
+            parts.append(
+                f""",
+t{it}_{j} AS MATERIALIZED (
+  SELECT word, score, l, piece FROM (
+    SELECT m.word, b.score + m.lp AS score, m.l, m.piece,
+           row_number() OVER (PARTITION BY m.word
+             ORDER BY (b.score + m.lp) DESC, m.l, m.piece) AS rn
+    FROM m{it} m
+    JOIN ({prevs}) b
+      ON b.word = m.word AND b.pos = {j} - m.l
+    WHERE m.i + m.l - 1 = {j}) q
+  WHERE rn = 1),
+b{it}_{j} AS (SELECT word, score FROM t{it}_{j})"""
+            )
+        c_union = " UNION ALL ".join(
+            f"SELECT word, {j} AS j, l, piece FROM t{it}_{j}"
+            for j in range(1, mwl + 1)
+        )
+        parts.append(
+            f""",
+c{it} AS MATERIALIZED ({c_union}),
+k{it}_0 AS (SELECT word, n, len AS pos FROM wd{it})"""
+        )
+        for s in range(1, mwl + 1):
+            parts.append(
+                f""",
+k{it}_{s} AS MATERIALIZED (
+  SELECT k.word, k.n, k.pos - c.l AS pos, c.piece
+  FROM k{it}_{s - 1} k JOIN c{it} c
+    ON c.word = k.word AND c.j = k.pos
+  WHERE k.pos > 0)"""
+            )
+        e_union = " UNION ALL ".join(
+            f"SELECT piece, n FROM k{it}_{s}" for s in range(1, mwl + 1)
+        )
+        parts.append(
+            f""",
+e{it} AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+          FROM ({e_union}) u GROUP BY 1),
+v{it} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round(ln(cnt / (SELECT sum(cnt) FROM e{it})), 6)
+              AS DECIMAL(18,6)) AS lp
+  FROM e{it})"""
+        )
+    parts.append(
+        f"""
+SELECT piece, cnt, CAST(lp AS DOUBLE) AS lp
+FROM v{iters} ORDER BY cnt DESC, piece LIMIT 30
+"""
+    )
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -12964,6 +13095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r_star_sgt column this round). Everything below them retains
         # driver-certified status from the r1–r6 union.
         "kll_quantiles_orders": q_kll_quantiles_orders,
+        "unigram_lm_vocab": q_unigram_lm_vocab,
         # -- round-6 rotation: the 14 round-5 gates never driver-certified
         # (they sat at positions 51-64 of round 5's ordering) came first
         # in round 6 and are on the driver record now.
@@ -13213,6 +13345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "kll_quantiles_orders": _sql_kll_quantiles_orders(),
+        "unigram_lm_vocab": _sql_unigram_lm_vocab(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,

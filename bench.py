@@ -136,6 +136,11 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     # -- round 7
     "kll_quantiles_orders",
+    # unigram_lm_vocab is gate-certified but excluded here: the fixed
+    # ~40-stage Viterbi-EM DP (localCheckpoint per position per
+    # iteration) costs ~13s at ANY sf — scheduler latency, not data;
+    # its cost profile and sf curve live in SCALE.md next to the other
+    # iterative trainers (nndescent/beam-search precedent)
     # knn_graph_nndescent is gate-certified but excluded here: a full
     # 2000-node graph build is ~15s at sf0.1, out of scale with the
     # per-query bench (its cost profile lives in SCALE.md instead);
