@@ -71,6 +71,24 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _py_dot(a: list, b: list) -> float:
+    """Python replica of the Spark _dot fold — same element order, same
+    IEEE ops (acc = 0.0; acc += x*y left to right)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_norm(a: list) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def mmr_topk(
     df: DataFrame,
     query: list[float],
@@ -80,6 +98,7 @@ def mmr_topk(
     k: int = 8,
     lam: float = 0.7,
     prefilter: int = 256,
+    batch: int = 8,
     round_to: int = 6,
 ) -> DataFrame:
     """Greedy MMR selection: returns a k-row DataFrame
@@ -89,13 +108,25 @@ def mmr_topk(
     (cosine is undefined for them). ``prefilter`` bounds the candidate
     pool to the relevance top-C (C ≥ k required): a candidate outside
     the relevance head can only win if λ is small — pick prefilter
-    accordingly, it is the recall/cost knob."""
+    accordingly, it is the recall/cost knob.
+
+    BATCHED greedy (the kcenter_coreset scheme): each scan collects the
+    top batch+1 candidates WITH their current penalty; in-batch picks
+    are accepted while the exactly-re-checked score (the Python folds
+    replay the Spark folds bit-for-bit) stays STRICTLY above the extra
+    row's original score — an upper bound on every uncollected
+    candidate, whose scores only ever decrease as the selected set
+    grows. Output identical to batch=1 (property-tested); scans drop
+    from k toward ⌈k/b⌉. ``mmr_topk.last_scan_count`` records the
+    scans of the most recent call."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"need 0 <= lam <= 1, got {lam}")
     if prefilter < k:
         raise ValueError(f"prefilter {prefilter} < k {k}")
+    if batch < 1:
+        raise ValueError(f"need batch >= 1, got {batch}")
     spark = df.sparkSession
     qlit = F.array(*[F.lit(float(x)) for x in query])
     v = F.col("v")
@@ -119,7 +150,8 @@ def mmr_topk(
         .localCheckpoint(eager=True)
     )
     picked: list = []  # rows of (rank, pid, rel, score, vec)
-    for rnd in range(1, k + 1):
+    mmr_topk.last_scan_count = 0
+    while len(picked) < k:
         cand = scored
         if picked:
             cand = cand.filter(
@@ -140,21 +172,64 @@ def mmr_topk(
                     acc, _dot(v, s) / (F.col("nrm") * _norm(s))
                 ),
             )
-            cand = cand.withColumn(
+            cand = cand.withColumn("msim", msim).withColumn(
                 "score",
-                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * msim,
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("msim"),
             )
         else:
-            cand = cand.withColumn("score", F.lit(lam) * F.col("rel"))
-        row = (
+            cand = cand.withColumn("msim", F.lit(-2.0)).withColumn(
+                "score", F.lit(lam) * F.col("rel")
+            )
+        had_picks = bool(picked)
+        want = min(batch, k - len(picked)) + 1  # extra row = threshold
+        rows = (
             cand.orderBy(F.desc("score"), F.asc("pid"))
-            .limit(1)
-            .collect()  # bounded: ONE row per round, k rounds total
+            .limit(want)
+            .collect()  # bounded: ≤ batch+1 rows per scan
         )
-        if not row:
+        mmr_topk.last_scan_count += 1
+        if not rows:
             break  # fewer than k usable candidates
-        r = row[0]
-        picked.append((rnd, r.pid, r.rel, r.score, list(r.v)))
+        thr = float(rows[-1].score) if len(rows) == want else None
+        if thr is not None and not had_picks:
+            # round 1's collected score is λ·rel with NO penalty term;
+            # once anything is picked, an uncollected candidate's score
+            # becomes λ·rel − (1−λ)·msim, which EXCEEDS λ·rel when its
+            # max-cosine is negative (anti-correlated) — bound it by the
+            # msim ≥ −1 worst case. Rounds ≥ 2 need no inflation: msim
+            # only grows with the selected set, so scores only decrease.
+            thr += 1.0 - lam
+        cands = [
+            {
+                "pid": r.pid, "rel": float(r.rel), "msim": float(r.msim),
+                "score": float(r.score), "v": list(r.v),
+                "nrm": _py_norm(list(r.v)),
+            }
+            for r in rows
+        ]
+        first_in_batch = True
+        while cands and len(picked) < k:
+            best = max(
+                cands, key=lambda c: (c["score"], _PidDesc(c["pid"]))
+            )
+            if not first_in_batch and thr is not None and best["score"] <= thr:
+                break  # an uncollected candidate could now rank higher
+            picked.append(
+                (len(picked) + 1, best["pid"], best["rel"], best["score"],
+                 best["v"])
+            )
+            cands.remove(best)
+            for c in cands:  # exact penalty update vs the fresh pick
+                cos = _py_dot(c["v"], best["v"]) / (
+                    c["nrm"] * _py_norm(best["v"])
+                )
+                if cos > c["msim"]:
+                    c["msim"] = cos
+                    # round 1's Spark score is λ·rel with NO penalty
+                    # term, but every LATER Spark scan scores
+                    # λ·rel − (1−λ)·msim — replicate that exact form
+                c["score"] = lam * c["rel"] - (1.0 - lam) * c["msim"]
+            first_in_batch = False
     out = spark.createDataFrame(
         [(p[0], p[1], p[2], p[3]) for p in picked],
         _out_schema(

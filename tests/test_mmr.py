@@ -190,3 +190,36 @@ def test_kcenter_unscorable_vector_never_picked(spark):
     # only unscorable left: stops early instead of raising
     got2 = kcenter_coreset(df.filter("vec_id in (0, 2)"), k=3).collect()
     assert [r.pid for r in got2] == [0]
+
+
+def test_mmr_batched_equals_batch1(spark):
+    """Batched MMR is EXACT vs batch=1 — including the round-1 threshold
+    inflation (negative cosines can RAISE an uncollected candidate's
+    score above its collected λ·rel form)."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(120, 5).round(3)
+    vecs[60] = vecs[3]  # tie pressure
+    vecs[61] = -vecs[3]  # anti-correlated: exercises negative cosines
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in vecs[10]]
+    for lam in (0.7, 0.3):
+        base = [
+            (r.rank, r.pid, r.relevance, r.mmr_score)
+            for r in mmr_topk(
+                df, q, k=8, lam=lam, prefilter=64, batch=1
+            ).collect()
+        ]
+        scans_b1 = mmr_topk.last_scan_count
+        assert scans_b1 == 8
+        for b in (2, 4, 8):
+            got = [
+                (r.rank, r.pid, r.relevance, r.mmr_score)
+                for r in mmr_topk(
+                    df, q, k=8, lam=lam, prefilter=64, batch=b
+                ).collect()
+            ]
+            assert got == base, (lam, b)
+            assert mmr_topk.last_scan_count <= scans_b1
+        mmr_topk(df, q, k=8, lam=lam, prefilter=64, batch=8)
+        assert mmr_topk.last_scan_count <= 4, lam
