@@ -150,17 +150,14 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def build_queries(spark) -> dict:
+    """The benched callables: the registry, with the minhash GATE entry
+    (portable-hash oracle variant) swapped for the production numpy
+    path — the one a 100 TB corpus would run — exactly as benched in
+    round 1. Shared with tools/rebaseline_bench.py so the baseline and
+    the per-round bench always measure the SAME callables."""
     queries = entry_mod.queries()
 
-    # The minhash GATE entry runs the portable-hash variant (cross-engine
-    # oracle); the bench keeps timing the production numpy path — the one a
-    # 100 TB corpus would run — exactly as benched in round 1.
     def _minhash_production(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -170,21 +167,28 @@ def main() -> None:
         return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
 
     queries["minhash_lsh_pairs"] = _minhash_production
-    # warm-up: JVM, parquet footer caches, and the Python UDF worker pool
-    # (first pandas_udf call forks the daemon) — not billed to any query
+    return queries
+
+
+def warm_up(spark, queries, sf_dir) -> None:
+    """JVM, parquet footer caches, and the Python UDF worker pool (first
+    pandas_udf call forks the daemon) — not billed to any query."""
     queries["event_type_counts"](spark, sf_dir).collect()
     from assignment_etl_spark.ext.dedup import make_minhash_signature_udf
 
     warm_udf = make_minhash_signature_udf(num_hashes=4, shingle_n=3)
     spark.createDataFrame([("warm",)], "t string").select(warm_udf("t")).collect()
 
-    # Three runs per query, report the min: the first run pays one-off
-    # janino codegen compilation (measured: 7s cold vs 1.2s warm for
-    # identical plans), which on a long-lived cluster amortizes to zero —
-    # steady-state is the comparable number — and the in-process min-of-3
-    # absorbs host-contention spikes that made single-shot driver runs
-    # flag phantom regressions two rounds running. cold_total is also
-    # reported for honesty.
+
+def measure_pass(spark, queries, sf_dir, *, quiet: bool = False):
+    """One full pass: three runs per query, min/cold/all-three per name.
+
+    Min-of-3 because the first run pays one-off janino codegen
+    compilation (measured: 7s cold vs 1.2s warm for identical plans),
+    which on a long-lived cluster amortizes to zero — steady-state is
+    the comparable number — and the in-process min absorbs
+    host-contention spikes that made single-shot driver runs flag
+    phantom regressions two rounds running."""
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     runs3: dict[str, list[float]] = {}
@@ -198,7 +202,24 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         runs3[name] = [round(r, 3) for r in runs]
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s (cold {cold[name]:.2f}s)", file=sys.stderr)
+        if not quiet:
+            print(
+                f"# {name}: {n} rows in {timings[name]:.2f}s "
+                f"(cold {cold[name]:.2f}s)",
+                file=sys.stderr,
+            )
+    return timings, cold, runs3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = build_queries(spark)
+    warm_up(spark, queries, sf_dir)
+    timings, cold, runs3 = measure_pass(spark, queries, sf_dir)
 
     # regression check vs the committed baseline (BENCH_BASELINE.json):
     # per-query slowdowns beyond 1.5× AND 0.3s absolute are NAMED on stderr
