@@ -12904,7 +12904,10 @@ def q_kll_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles(sk, _KLL_QS).orderBy("q")
 
 
-def _sql_kll_quantiles_orders() -> str:
+def _sql_kll_body() -> str:
+    """Shared WITH body: portable hash → level → trim search → kept
+    sample — the DuckDB replay of kll_sketch(orders.o_totalprice,
+    o_orderkey, cap=_KLL_CAP)."""
     from assignment_etl_spark.ext.sketch import KLL_MAX_LEVEL, sql_kll_level
     from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
 
@@ -12914,11 +12917,6 @@ def _sql_kll_quantiles_orders() -> str:
     h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
     h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
     lvl = sql_kll_level("h", ml)
-    qsel = "\nUNION ALL ".join(
-        f"SELECT {q!r} AS q, round(quantile_cont(value, {q!r}), 6) AS est "
-        "FROM kept"
-        for q in _KLL_QS
-    )
     return f"""
 WITH hv AS (
   SELECT o_totalprice AS value, {h4} AS h
@@ -12930,10 +12928,42 @@ surv AS (
   FROM generate_series(0, {ml}) AS g(h)),
 hstar AS (
   SELECT COALESCE(min(hh), {ml}) AS t FROM surv WHERE s <= {cap}),
-kept AS (SELECT value FROM lv, hstar WHERE lvl >= hstar.t)
-{qsel}
-ORDER BY q
-"""
+kept AS (SELECT value FROM lv, hstar WHERE lvl >= hstar.t)"""
+
+
+def _sql_kll_quantiles_orders() -> str:
+    qsel = "\nUNION ALL ".join(
+        f"SELECT {q!r} AS q, round(quantile_cont(value, {q!r}), 6) AS est "
+        "FROM kept"
+        for q in _KLL_QS
+    )
+    return f"{_sql_kll_body()}\n{qsel}\nORDER BY q\n"
+
+
+_KLL_RANK_PROBES = [50000.0, 150000.0, 250000.0, 350000.0, 450000.0]
+
+
+def q_kll_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank queries from the SAME mergeable sketch (ext/sketch.kll_rank):
+    estimated |rows ≤ v| = survivors_≤v · 2^trim for five price probes —
+    the inverse of the quantile gate, answered from the ≤1024-row sketch
+    without touching the data. Oracle replays sketch + counting."""
+    from assignment_etl_spark.ext.sketch import kll_rank, kll_sketch
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    sk = kll_sketch(orders, "o_totalprice", "o_orderkey", cap=_KLL_CAP)
+    return kll_rank(sk, _KLL_RANK_PROBES).orderBy("value")
+
+
+def _sql_kll_rank_orders() -> str:
+    rsel = "\nUNION ALL ".join(
+        f"SELECT {v!r} AS value, "
+        f"round(CAST((SELECT count(*) FROM kept WHERE value <= {v!r}) "
+        f"AS DOUBLE) * power(2.0, (SELECT t FROM hstar)), 3) AS rank_est"
+        for v in _KLL_RANK_PROBES
+    )
+    return f"{_sql_kll_body()}\n{rsel}\nORDER BY value\n"
 
 
 _UNI_SEED, _UNI_MPL, _UNI_MWL, _UNI_ITERS = 32, 3, 8, 2
@@ -13096,6 +13126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-certified status from the r1–r6 union.
         "kll_quantiles_orders": q_kll_quantiles_orders,
         "unigram_lm_vocab": q_unigram_lm_vocab,
+        "kll_rank_orders": q_kll_rank_orders,
         # -- round-6 rotation: the 14 round-5 gates never driver-certified
         # (they sat at positions 51-64 of round 5's ordering) came first
         # in round 6 and are on the driver record now.
@@ -13346,6 +13377,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kll_quantiles_orders": _sql_kll_quantiles_orders(),
         "unigram_lm_vocab": _sql_unigram_lm_vocab(),
+        "kll_rank_orders": _sql_kll_rank_orders(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,

@@ -567,6 +567,55 @@ def kll_quantiles(
     )
 
 
+def kll_rank(
+    sketch: DataFrame,
+    values: list[float],
+    *,
+    round_to: int = 3,
+) -> DataFrame:
+    """(value, rank_est) rows: estimated COUNT of source rows ≤ value,
+    one row per probe in input order — the inverse query to
+    :func:`kll_quantiles` (rank ↔ quantile). Each survivor represents
+    2^trim source rows, so rank_est = |{retained ≤ v}| · 2^trim — one
+    aggregate over the ≤cap-row sketch, never the data. Empty sketch →
+    0 estimates.
+
+    Error note: unlike quantiles (self-normalizing — the Bernoulli
+    count fluctuation cancels), the ABSOLUTE rank inherits the
+    sample-count variance on top of the DKW shape error: sd ≈
+    sqrt(N·F(v)·2^trim). For a CDF with the plain DKW bound, divide by
+    :func:`kll_n_estimate` (same survivor set — the common factor
+    cancels); keep an exact mergeable row count alongside the sketch
+    when absolute ranks must be tight."""
+    if not values:
+        raise ValueError("need at least one probe value")
+    agg = sketch.agg(
+        F.coalesce(F.max("trim"), F.lit(0)).alias("_t"),
+        *[
+            F.sum(
+                F.when(F.col("value") <= F.lit(float(v)), 1).otherwise(0)
+            ).alias(f"_c{i}")
+            for i, v in enumerate(values)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.round(
+                    F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("double")
+                    * F.pow(F.lit(2.0), F.col("_t").cast("double")),
+                    round_to,
+                ).alias("rank_est"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.value").alias("value"), F.col("_p.rank_est").alias("rank_est")
+    )
+
+
 def kll_n_estimate(sketch: DataFrame, *, round_to: int = 3) -> DataFrame:
     """1-row (n_est): estimated source row count = survivors · 2^trim —
     the sketch's own scale factor (exact when trim = 0: nothing was

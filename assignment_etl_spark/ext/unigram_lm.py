@@ -225,6 +225,7 @@ def train_unigram_lm(
     max_piece_len: int = 4,
     max_word_len: int = 12,
     n_iters: int = 2,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Train the unigram tokenizer; returns the final piece table
     (piece, cnt, lp) — cnt the last E-step's corpus-weighted count, lp
@@ -234,9 +235,18 @@ def train_unigram_lm(
     (occurrence-weighted, ties piece-asc); each EM iteration Viterbi-
     segments the word table and re-estimates; pieces unused by every
     best path drop out (their previous segmentations keep all words
-    coverable — monotone by construction)."""
+    coverable — monotone by construction).
+
+    ``vocab_size`` prunes AFTER the EM loop, SentencePiece-style: all
+    single characters are kept (the coverage floor — dropping one could
+    orphan a word), multi-character pieces keep the top
+    (vocab_size − #chars) slots by (cnt desc, piece asc), and log-probs
+    re-normalize over the kept set. The single driver-side count it
+    costs is alphabet-bounded."""
     if n_iters < 1:
         raise ValueError(f"need n_iters >= 1, got {n_iters}")
+    if vocab_size is not None and vocab_size < 1:
+        raise ValueError(f"need vocab_size >= 1, got {vocab_size}")
     if max_piece_len < 2:
         raise ValueError(f"need max_piece_len >= 2, got {max_piece_len}")
     if max_word_len < max_piece_len:
@@ -262,6 +272,19 @@ def train_unigram_lm(
             occ=occ,
         )
         vocab = _with_lp(cnts).localCheckpoint(eager=True)
+    if vocab_size is not None:
+        chars = vocab.filter(F.length("piece") == 1)
+        n_chars = chars.count()  # bounded: alphabet-sized
+        kept_multi = (
+            vocab.filter(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(max(0, vocab_size - n_chars))
+        )
+        vocab = _with_lp(
+            chars.select("piece", "cnt").unionByName(
+                kept_multi.select("piece", "cnt")
+            )
+        ).localCheckpoint(eager=True)
     return vocab
 
 

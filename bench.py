@@ -136,6 +136,7 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     # -- round 7
     "kll_quantiles_orders",
+    "kll_rank_orders",
     # unigram_lm_vocab is gate-certified but excluded here: the fixed
     # ~40-stage Viterbi-EM DP (localCheckpoint per position per
     # iteration) costs ~13s at ANY sf — scheduler latency, not data;

@@ -112,3 +112,30 @@ def test_param_guards(spark):
         kll_quantiles(sk, [])
     with pytest.raises(ValueError, match="in \\[0, 1\\]"):
         kll_quantiles(sk, [1.5])
+
+
+def test_rank_estimates_inverse_of_quantiles(spark):
+    from assignment_etl_spark.ext.sketch import kll_rank
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id"), (F.pmod(F.col("id") * 13 + 3, F.lit(n)) / float(n)).alias("x")
+    )
+    sk = kll_sketch(df, "x", "id", cap=1024)
+    got = {r.value: r.rank_est for r in kll_rank(sk, [0.1, 0.5, 0.9]).collect()}
+    n_est = kll_n_estimate(sk).collect()[0].n_est
+    m = sk.count()
+    eps = math.sqrt(math.log(2 / 0.01) / (2 * m))  # DKW at 99%
+    for v in (0.1, 0.5, 0.9):
+        # the NORMALIZED CDF estimate is DKW-bounded (count fluctuation
+        # cancels against kll_n_estimate's identical survivor set)...
+        assert abs(got[v] / n_est - v) <= eps, (v, got[v], n_est)
+        # ...while the absolute rank inherits the Bernoulli count
+        # variance on top (docstring note) — looser band
+        assert abs(got[v] - v * n) <= 0.15 * n, (v, got[v])
+    # exact at trim 0
+    small = kll_sketch(df.filter("id < 100"), "x", "id", cap=1024)
+    got0 = kll_rank(small, [2.0]).collect()[0]
+    assert got0.rank_est == 100.0
+    with pytest.raises(ValueError, match="probe"):
+        kll_rank(sk, [])

@@ -150,3 +150,42 @@ def test_param_guards(spark):
         train_unigram_lm(docs, max_piece_len=1)
     with pytest.raises(ValueError, match="max_word_len"):
         train_unigram_lm(docs, max_word_len=2, max_piece_len=4)
+
+
+def test_vocab_size_pruning(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    full = train_unigram_lm(
+        docs, seed_multi=16, max_piece_len=3, max_word_len=8, n_iters=1
+    ).collect()
+    chars = sorted(r.piece for r in full if len(r.piece) == 1)
+    target = len(chars) + 3
+    pruned = train_unigram_lm(
+        docs, seed_multi=16, max_piece_len=3, max_word_len=8, n_iters=1,
+        vocab_size=target,
+    ).collect()
+    assert len(pruned) == target
+    # the coverage floor survives: every single char kept
+    assert sorted(r.piece for r in pruned if len(r.piece) == 1) == chars
+    # multis kept are the top-3 of the full model by (cnt desc, piece)
+    want_multi = sorted(
+        ((r.cnt, r.piece) for r in full if len(r.piece) > 1),
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    got_multi = sorted(
+        ((r.cnt, r.piece) for r in pruned if len(r.piece) > 1),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert got_multi == want_multi
+    # log-probs renormalized over the KEPT mass
+    from decimal import Decimal
+    import math as _m
+
+    tot = sum(r.cnt for r in pruned)
+    for r in pruned:
+        assert Decimal(str(r.lp)) == Decimal(
+            str(round(_m.log(r.cnt / tot), 6))
+        ), r.piece
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram_lm(docs, vocab_size=0)
