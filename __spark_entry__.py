@@ -13097,6 +13097,73 @@ FROM v{iters} ORDER BY cnt DESC, piece LIMIT 30
     return "".join(parts)
 
 
+def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece training (ext/bpe.train_wordpiece): 10 merges on the
+    document corpus, argmax on the likelihood score cnt/(cl·cr) — one
+    double division of exact longs per pair, bit-identical across IEEE
+    engines, so the oracle unrolls all 10 rounds (pair counts + symbol
+    marginals + scored argmax + literal substitution) with NO rounding
+    in the selection path. Completes the trainable-tokenizer trio
+    (BPE / unigram-LM / WordPiece)."""
+    from assignment_etl_spark.ext.bpe import train_wordpiece
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_wordpiece(docs, n_merges=10)
+    return spark.createDataFrame(
+        [(s, l, r, c) for s, l, r, c, _score in merges],
+        "step int, lft string, rgt string, cnt long",
+    ).orderBy("step")
+
+
+def _sql_wordpiece_train_merges(steps: int = 10) -> str:
+    parts = [
+        r"""
+WITH w AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents) t
+  WHERE word <> '' GROUP BY 1),
+s0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS s, n FROM w)"""
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f""",
+p{k} AS MATERIALIZED (
+  SELECT z[1] AS lft, z[2] AS rgt, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_zip(l, l[2:])) AS z, n
+    FROM (SELECT regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS l, n
+          FROM s{k - 1}) q) zz
+  WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2),
+u{k} AS MATERIALIZED (
+  SELECT t, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS t, n
+        FROM s{k - 1}) q
+  GROUP BY 1),
+b{k} AS MATERIALIZED (
+  SELECT {k} AS step, p.lft, p.rgt, p.cnt
+  FROM p{k} p
+  JOIN u{k} ul ON ul.t = p.lft
+  JOIN u{k} ur ON ur.t = p.rgt
+  ORDER BY CAST(p.cnt AS DOUBLE)
+             / (CAST(ul.cnt AS DOUBLE) * CAST(ur.cnt AS DOUBLE)) DESC,
+           p.lft, p.rgt
+  LIMIT 1),
+s{k} AS MATERIALIZED (
+  SELECT replace(s,
+           '(' || (SELECT lft FROM b{k}) || ')('
+               || (SELECT rgt FROM b{k}) || ')',
+           '(' || (SELECT lft FROM b{k})
+               || (SELECT rgt FROM b{k}) || ')') AS s, n
+  FROM s{k - 1})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(1, steps + 1))
+    parts.append(f"\nSELECT step, lft, rgt, cnt FROM ({union}) u ORDER BY step")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13127,6 +13194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles_orders": q_kll_quantiles_orders,
         "unigram_lm_vocab": q_unigram_lm_vocab,
         "kll_rank_orders": q_kll_rank_orders,
+        "wordpiece_train_merges": q_wordpiece_train_merges,
         # -- round-6 rotation: the 14 round-5 gates never driver-certified
         # (they sat at positions 51-64 of round 5's ordering) came first
         # in round 6 and are on the driver record now.
@@ -13378,6 +13446,7 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles_orders": _sql_kll_quantiles_orders(),
         "unigram_lm_vocab": _sql_unigram_lm_vocab(),
         "kll_rank_orders": _sql_kll_rank_orders(),
+        "wordpiece_train_merges": _sql_wordpiece_train_merges(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,

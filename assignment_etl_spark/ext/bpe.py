@@ -216,3 +216,95 @@ def encode_words(
     for _step, lft, rgt, _cnt in merges:
         s = F.replace(s, F.lit(f"({lft})({rgt})"), F.lit(f"({lft}{rgt})"))
     return df.withColumn(out_col, F.regexp_extract_all(s, F.lit(PAIR_RE), 1))
+
+
+def _symbol_counts(sym: DataFrame) -> DataFrame:
+    """(t, cnt): corpus-weighted count of each CURRENT symbol in the
+    delimited symbol table — the unigram marginals WordPiece's
+    likelihood score needs (one explode + hash aggregate, vocab-bounded
+    output)."""
+    toks = F.regexp_extract_all(F.col("s"), F.lit(PAIR_RE), 1)
+    return (
+        sym.select(F.explode(toks).alias("t"), "n")
+        .groupBy("t")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    *,
+    n_merges: int,
+    text_col: str = "text",
+    stats: dict | None = None,
+) -> list[tuple[int, str, str, int, float]]:
+    """WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    tokenizer — public): identical mechanics to BPE but each round
+    merges the pair maximizing the LIKELIHOOD score
+    count(l,r) / (count(l)·count(r)) instead of the raw pair count —
+    preferring pairs that co-occur beyond what their unigram
+    frequencies predict. Returns [(step, left, right, pair_count,
+    score), ...]; encode by replaying the merges with
+    :func:`encode_words` (drop the score element).
+
+    Scale/determinism shape shared with :func:`train_bpe`: every round
+    runs on the vocab-bounded symbol table (pair counts + symbol
+    marginals, two hash aggregates), never the corpus. The score is ONE
+    double division of exact longs — cnt/(cl·cr) with each operand cast
+    to double — bit-identical in any IEEE engine, so the argmax
+    (score desc, lft asc, rgt asc) replays in SQL with no rounding
+    anywhere in the selection path. Sequential argmax only (the BPE
+    dominance-batching proof does not transfer: a merge changes the
+    unigram marginals of EVERY pair sharing a symbol, so there is no
+    cheap cross-round bound — ``stats`` still records rounds for
+    parity)."""
+    sym = (
+        _word_freq(docs, text_col=text_col)
+        .select(_to_symbols(F.col("word")).alias("s"), "n")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int, float]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        pc = _pair_counts(sym)
+        sc = _symbol_counts(sym)
+        scored = (
+            pc.join(
+                F.broadcast(sc.select(F.col("t").alias("lft"), F.col("cnt").alias("_cl"))),
+                on="lft",
+            )
+            .join(
+                F.broadcast(sc.select(F.col("t").alias("rgt"), F.col("cnt").alias("_cr"))),
+                on="rgt",
+            )
+            .select(
+                "lft", "rgt", "cnt",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("_cl").cast("double") * F.col("_cr").cast("double"))
+                ).alias("score"),
+            )
+        )
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .collect()
+        )
+        rounds += 1
+        if not rows:
+            break
+        r = rows[0]
+        merges.append(
+            (len(merges) + 1, r.lft, r.rgt, int(r.cnt), float(r.score))
+        )
+        sym = sym.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"({r.lft})({r.rgt})"),
+                F.lit(f"({r.lft}{r.rgt})"),
+            ).alias("s"),
+            "n",
+        ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
+    return merges

@@ -137,6 +137,7 @@ HEADLINE = [
     # -- round 7
     "kll_quantiles_orders",
     "kll_rank_orders",
+    "wordpiece_train_merges",
     # unigram_lm_vocab is gate-certified but excluded here: the fixed
     # ~40-stage Viterbi-EM DP (localCheckpoint per position per
     # iteration) costs ~13s at ANY sf — scheduler latency, not data;

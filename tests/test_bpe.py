@@ -182,3 +182,74 @@ def test_safe_batch_preexisting_concat_spelling():
     # post-merge ('lr','lr') can reach 20+20+20+20 = 80 > 70: sequential
     # would pick it next, so the batch must stop after the top-1
     assert [(b.lft, b.rgt) for b in batch] == [("l", "r")]
+
+
+def test_wordpiece_matches_python_replica(spark):
+    """WordPiece picks the LIKELIHOOD argmax cnt/(cl*cr) — verified
+    against a pure-Python replay (same tokenization, same tie-breaks),
+    and distinct from BPE's raw-count pick on a corpus built so the
+    most frequent pair is NOT the most surprising one."""
+    from collections import Counter
+
+    from assignment_etl_spark.ext.bpe import encode_words, train_wordpiece
+
+    texts = [
+        "aa ab aa ab aa",      # 'a' everywhere: (a,a)/(a,b) frequent but expected
+        "zq zq xy",            # rare symbols, perfectly correlated
+        "ab aa zq xy zq",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def py_wordpiece(texts, n_merges):
+        wf = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w:
+                    wf[w] += 1
+        syms = {w: tuple(w) for w in wf}
+        merges = []
+        for step in range(1, n_merges + 1):
+            pc, uc = Counter(), Counter()
+            for w, n in wf.items():
+                s = syms[w]
+                for t in s:
+                    uc[t] += n
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += n
+            if not pc:
+                break
+            best = min(
+                pc.items(),
+                key=lambda kv: (-(kv[1] / (uc[kv[0][0]] * uc[kv[0][1]])),
+                                kv[0][0], kv[0][1]),
+            )
+            (l, r), c = best
+            merges.append((step, l, r, c))
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = tuple(out)
+        return merges
+
+    got = train_wordpiece(docs, n_merges=4)
+    want = py_wordpiece(texts, 4)
+    assert [(s, l, r, c) for s, l, r, c, _ in got] == want
+    # scores are the exact double ratios, descending-ish but NOT the
+    # raw-count order: the first pick must be a rare-correlated pair,
+    # not the frequent (a,a)
+    assert got[0][1] + got[0][2] in ("zq", "xy")
+    # encode replays the merge list (score element dropped)
+    enc = encode_words(
+        spark.createDataFrame([("zq",), ("aa",)], "word string"),
+        [(s, l, r, c) for s, l, r, c, _ in got],
+    ).collect()
+    pieces = {r.word: r.pieces for r in enc}
+    assert pieces["zq"] == ["zq"]
