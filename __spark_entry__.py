@@ -13164,6 +13164,56 @@ s{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+_HH_MIN_COUNT, _HH_W, _HH_D = 15, 512, 4
+
+
+def q_heavy_hitters_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-guided exact heavy hitters (ext/sketch.cm_heavy_hitters):
+    customers with ≥15 orders, found by the standard two-pass — CM
+    sketch (d×w counters, one pass), then exact counting of ONLY the
+    rows whose own CM estimate clears the threshold (a superset: CM
+    never undercounts, so no false negatives; pass-2 aggregate state is
+    bounded by hitters + collision false positives instead of the full
+    distinct-key table). The filter is a pure codegen projection over a
+    broadcast 1-row sketch map (the bloom_prune shape). Oracle replays
+    sketch, filter, and exact counts."""
+    from assignment_etl_spark.ext.sketch import cm_heavy_hitters
+
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    return cm_heavy_hitters(
+        orders, "o_custkey", min_count=_HH_MIN_COUNT, w=_HH_W, d=_HH_D
+    ).orderBy(F.desc("n"), F.asc("value"))
+
+
+def _sql_heavy_hitters_orders() -> str:
+    from assignment_etl_spark.ext.sketch import CM_SALT_STEP
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P, XSHIFT
+
+    mc, w, d = _HH_MIN_COUNT, _HH_W, _HH_D
+    e = f"(o_custkey + r * {CM_SALT_STEP})"
+    h1 = f"((({e}) % {PRIME_P}) + {PRIME_P}) % {PRIME_P}"
+    h2 = f"(({h1}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    h3 = f"xor(({h2}), ({h2}) >> {XSHIFT})"
+    h4 = f"(({h3}) * {MULT_A} + {ADD_B}) % {PRIME_P}"
+    return f"""
+WITH b AS (
+  SELECT o_custkey, r, ({h4}) % {w} AS bucket
+  FROM orders, range(0, {d}) t(r)),
+counts AS (SELECT r, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+est AS (
+  SELECT o_custkey, CAST(min(n) AS BIGINT) AS e
+  FROM (SELECT DISTINCT o_custkey, r, bucket FROM b) i
+  JOIN counts USING (r, bucket) GROUP BY 1)
+SELECT o.o_custkey AS value, CAST(count(*) AS BIGINT) AS n
+FROM orders o JOIN est ON est.o_custkey = o.o_custkey
+WHERE est.e >= {mc}
+GROUP BY 1
+HAVING count(*) >= {mc}
+ORDER BY n DESC, value
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13195,6 +13245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_vocab": q_unigram_lm_vocab,
         "kll_rank_orders": q_kll_rank_orders,
         "wordpiece_train_merges": q_wordpiece_train_merges,
+        "heavy_hitters_orders": q_heavy_hitters_orders,
         # -- round-6 rotation: the 14 round-5 gates never driver-certified
         # (they sat at positions 51-64 of round 5's ordering) came first
         # in round 6 and are on the driver record now.
@@ -13447,6 +13498,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm_vocab": _sql_unigram_lm_vocab(),
         "kll_rank_orders": _sql_kll_rank_orders(),
         "wordpiece_train_merges": _sql_wordpiece_train_merges(),
+        "heavy_hitters_orders": _sql_heavy_hitters_orders(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,

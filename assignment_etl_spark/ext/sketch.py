@@ -628,3 +628,57 @@ def kll_n_estimate(sketch: DataFrame, *, round_to: int = 3) -> DataFrame:
             round_to,
         ).alias("n_est")
     )
+
+
+def cm_heavy_hitters(
+    df: DataFrame, col: str, *, min_count: int, w: int = 512, d: int = 4
+) -> DataFrame:
+    """EXACT heavy hitters (value, n) with n ≥ ``min_count``, found with
+    a Count-Min candidate filter — the standard sketch-guided two-pass
+    at 100 TB: pass 1 sketches every row into d×w counters; pass 2
+    re-scans, keeps only rows whose OWN CM estimate clears the
+    threshold (the estimate never undercounts, so the survivors are a
+    SUPERSET of the true heavy hitters — no false negatives), and
+    exactly counts just that subset, then applies the threshold to the
+    exact counts. The point is pass-2 state: exact-counting everything
+    needs one counter per distinct value; counting only the
+    sketch-approved candidates bounds the aggregate by the heavy-hitter
+    count plus CM's collision false positives (min over d rows of
+    ~Poisson(N/w) overcounts).
+
+    The filter itself is a pure codegen projection: the d×w sketch
+    collapses to a one-row flat map (key r·w+bucket), crossJoin-
+    broadcast like bloom_prune — no explode, no row join, the fact
+    table is never shuffled before the threshold cut. Deterministic and
+    oracle-replayable end to end (portable hashes, exact counts)."""
+    if min_count < 1:
+        raise ValueError(f"need min_count >= 1, got {min_count}")
+    sketch = cm_sketch(df, col, w=w, d=d)
+    one = sketch.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("r").cast("long") * w + F.col("bucket")).alias("k"),
+                    F.col("n").alias("v"),
+                )
+            )
+        ).alias("_cm")
+    )
+    h = _item_hash(df, col)
+    est = None
+    for r in range(d):
+        n_r = F.coalesce(
+            F.element_at(
+                F.col("_cm"),
+                F.lit(r).cast("long") * w + _cm_bucket(h, r, w),
+            ),
+            F.lit(0).cast("long"),
+        )
+        est = n_r if est is None else F.least(est, n_r)
+    return (
+        df.crossJoin(F.broadcast(one))
+        .filter(est >= F.lit(min_count))
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(min_count))
+    )

@@ -138,6 +138,7 @@ HEADLINE = [
     "kll_quantiles_orders",
     "kll_rank_orders",
     "wordpiece_train_merges",
+    "heavy_hitters_orders",
     # unigram_lm_vocab is gate-certified but excluded here: the fixed
     # ~40-stage Viterbi-EM DP (localCheckpoint per position per
     # iteration) costs ~13s at ANY sf — scheduler latency, not data;

@@ -267,3 +267,31 @@ def test_hll_sliding_matches_per_window_sketch(spark):
         want = hll_cardinality(hll_sketch(slice_df, "user"), p=10).first().est
         assert got[end] == want, (end, got[end], want)
     assert len(got) == 10  # one row per populated bucket
+
+
+def test_cm_heavy_hitters_exact_and_superset(spark):
+    """Sketch-guided exact heavy hitters: output equals the brute-force
+    groupBy threshold EXACTLY (the CM filter only prunes, never drops a
+    true hitter), on a skewed corpus and at a tiny width that forces
+    collisions."""
+    from assignment_etl_spark.ext.sketch import cm_heavy_hitters
+
+    rows = []
+    for i in range(40):
+        rows += [(f"u{i}",)] * (40 - i)  # Zipf-ish: u0 x40 ... u39 x1
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    for w in (512, 16):  # w=16 forces heavy collisions: still exact
+        got = {
+            (r.value, r.n)
+            for r in cm_heavy_hitters(df, "k", min_count=20, w=w, d=4).collect()
+        }
+        want = {(f"u{i}", 40 - i) for i in range(40) if 40 - i >= 20}
+        assert got == want, w
+    # integral key path + parameter guard
+    di = spark.createDataFrame([(7,)] * 30 + [(9,)] * 3, "k long")
+    got = cm_heavy_hitters(di, "k", min_count=10).collect()
+    assert [(r.value, r.n) for r in got] == [(7, 30)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_count"):
+        cm_heavy_hitters(di, "k", min_count=0)
