@@ -13214,6 +13214,57 @@ ORDER BY n DESC, value
 """
 
 
+_PACK_BUDGET = 512
+
+
+def q_sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (ext/packing.py): the corpus token
+    stream (documents in doc_id order) cut into 512-token training
+    sequences — per-sequence (seq_id, n_docs, n_tokens), first 100
+    sequences. Every sequence except the last is exactly 512 tokens by
+    construction (documents split at boundaries, GPT-style chunking).
+    Offsets ride ONE range-exchange cumsum; the manifest is a bounded
+    explode + hash aggregate; all arithmetic exact integers — the
+    oracle replays the layout bit-for-bit."""
+    from assignment_etl_spark.ext.packing import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=_PACK_BUDGET)
+    return (
+        sequence_manifest(packed, budget=_PACK_BUDGET)
+        .orderBy("seq_id")
+        .limit(100)
+    )
+
+
+SQL_SEQUENCE_PACKING_DOCUMENTS = rf"""
+WITH t AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              w -> length(w) > 0)) AS BIGINT) AS n
+  FROM documents),
+t2 AS (SELECT id, n FROM t WHERE n > 0),
+c AS (SELECT id, n, sum(n) OVER (ORDER BY id) AS cum FROM t2),
+p AS (
+  SELECT id, n, CAST(cum - n AS BIGINT) AS start,
+         CAST((cum - n) // {_PACK_BUDGET} AS BIGINT) AS seq_first,
+         CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS seq_last
+  FROM c),
+spans AS (
+  SELECT start, n, unnest(generate_series(seq_first, seq_last)) AS seq_id
+  FROM p)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(LEAST(start + n, (seq_id + 1) * {_PACK_BUDGET})
+                - GREATEST(start, seq_id * {_PACK_BUDGET})) AS BIGINT)
+         AS n_tokens
+FROM spans GROUP BY 1 ORDER BY seq_id LIMIT 100
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the TPC-H-Q1-shaped pricing summary."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13246,6 +13297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_orders": q_kll_rank_orders,
         "wordpiece_train_merges": q_wordpiece_train_merges,
         "heavy_hitters_orders": q_heavy_hitters_orders,
+        "sequence_packing_documents": q_sequence_packing_documents,
         # -- round-6 rotation: the 14 round-5 gates never driver-certified
         # (they sat at positions 51-64 of round 5's ordering) came first
         # in round 6 and are on the driver record now.
@@ -13499,6 +13551,7 @@ def oracle_sql() -> dict[str, str]:
         "kll_rank_orders": _sql_kll_rank_orders(),
         "wordpiece_train_merges": _sql_wordpiece_train_merges(),
         "heavy_hitters_orders": _sql_heavy_hitters_orders(),
+        "sequence_packing_documents": SQL_SEQUENCE_PACKING_DOCUMENTS,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
         "revenue_by_region": SQL_REVENUE_BY_REGION,

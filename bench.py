@@ -139,6 +139,7 @@ HEADLINE = [
     "kll_rank_orders",
     "wordpiece_train_merges",
     "heavy_hitters_orders",
+    "sequence_packing_documents",
     # unigram_lm_vocab is gate-certified but excluded here: the fixed
     # ~40-stage Viterbi-EM DP (localCheckpoint per position per
     # iteration) costs ~13s at ANY sf — scheduler latency, not data;
