@@ -13227,13 +13227,13 @@ def q_sequence_packing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + hash aggregate; all arithmetic exact integers — the
     oracle replays the layout bit-for-bit."""
     from assignment_etl_spark.ext.packing import (
-        pack_sequences,
+        pack_stream,
         sequence_manifest,
     )
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
-    packed = pack_sequences(docs, budget=_PACK_BUDGET)
+    packed = pack_stream(docs, budget=_PACK_BUDGET)
     return (
         sequence_manifest(packed, budget=_PACK_BUDGET)
         .orderBy("seq_id")
