@@ -100,9 +100,15 @@ def scan_search(
     return docs.filter(cond).select(F.col(id_col).alias("doc_id"))
 
 
-_TOPK_DEFAULT = object()  # sentinel: distinguish "caller said nothing"
-# from an explicit topk=1000, so the breaking-change warning fires only
-# on implicit reliance on the r5 default flip (None → 1000)
+class _Unset:
+    """Sentinel type: distinguish "caller said nothing" from an explicit
+    topk=1000, so the breaking-change warning fires only on implicit
+    reliance on the r5 default flip (None → 1000). A dedicated class (not
+    a bare object()) keeps ``topk``'s annotation honest for signature
+    introspection and IDE hints."""
+
+
+_TOPK_DEFAULT = _Unset()
 
 
 def bm25_search(
@@ -113,7 +119,7 @@ def bm25_search(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
-    topk: int | None = _TOPK_DEFAULT,  # type: ignore[assignment]
+    topk: "int | None | _Unset" = _TOPK_DEFAULT,
     round_to: int = 6,
 ) -> DataFrame:
     """Okapi BM25 ranking of the corpus for a bag-of-terms query:

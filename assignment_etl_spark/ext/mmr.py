@@ -164,12 +164,23 @@ def mmr_topk(
                 ]
             )
             # diversity penalty: a FOLD over the ≤k-entry selected-set
-            # literal — cos(v, s) per entry, max via greatest
+            # literal — cos(v, s) per entry, max via greatest. Each
+            # cosine is clamped to [-1, 1]: float dot/(norm·norm) can
+            # overshoot ±1 by ulps, and the round-1 threshold inflation
+            # below is only a valid bound when msim ≥ −1 EXACTLY. The
+            # Python-side replay clamps identically.
             msim = F.aggregate(
                 sel_lit,
                 F.lit(-2.0),
                 lambda acc, s: F.greatest(
-                    acc, _dot(v, s) / (F.col("nrm") * _norm(s))
+                    acc,
+                    F.greatest(
+                        F.lit(-1.0),
+                        F.least(
+                            F.lit(1.0),
+                            _dot(v, s) / (F.col("nrm") * _norm(s)),
+                        ),
+                    ),
                 ),
             )
             cand = cand.withColumn("msim", msim).withColumn(
@@ -223,6 +234,8 @@ def mmr_topk(
                 cos = _py_dot(c["v"], best["v"]) / (
                     c["nrm"] * _py_norm(best["v"])
                 )
+                # same [-1, 1] clamp as the Spark-side msim fold
+                cos = min(1.0, max(-1.0, cos))
                 if cos > c["msim"]:
                     c["msim"] = cos
                     # round 1's Spark score is λ·rel with NO penalty

@@ -240,3 +240,40 @@ def test_flags_negated_and_disjunctive_key_filters(spark):
     assert audit_broadcast_hints(
         emb.crossJoin(F.broadcast(disj.select("vec_id")))
     ) == ["broadcast-hint-over-embeddings"]
+
+
+def test_window_rule_flags_composite_key_mixing_unbounded_leaf(tables):
+    # r8 TIGHTENING (ADVICE r7): a composite grouping key that mixes an
+    # UNBOUNDED column with a calendar function — concat(c_name,
+    # year(ts)) / struct(o_custkey, to_date(ts)) — must NOT be sanctioned
+    # by the calendar function buried inside it (pre-r8 `search` matched
+    # anywhere: audit fail-open)
+    per = tables["orders"].groupBy(
+        F.concat(
+            F.col("o_custkey").cast("string"), F.year("o_orderdate")
+        ).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "k")
+    df = per.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == ["global-window-over-orders"]
+
+    per2 = tables["orders"].groupBy(
+        F.struct(F.col("o_custkey"), F.to_date("o_orderdate")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    df2 = per2.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n"))
+    )
+    assert audit_global_windows(df2) == ["global-window-over-orders"]
+
+
+def test_window_rule_exempts_composite_of_bounded_leaves(tables):
+    # ...but a composite whose EVERY leaf is bounded (enum attr +
+    # calendar bucket + literal separator) stays sanctioned
+    per = tables["orders"].groupBy(
+        F.concat_ws(
+            "-", F.col("o_orderstatus"), F.year("o_orderdate")
+        ).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "k")
+    df = per.withColumn("rn", F.row_number().over(w))
+    assert audit_global_windows(df) == []

@@ -86,13 +86,27 @@ def _is_bounded_key_condition(cond: str) -> bool:
 # bucket, or a bare attribute on the bounded-domain sanction list below.
 
 # functions whose output domain is a calendar/fixed grid regardless of
-# input cardinality (matched anywhere in the grouping expression — a cast
-# or alias wrapper keeps the bound)
+# input cardinality. Matched ONLY as the OUTERMOST call of the grouping
+# expression (after alias/cast stripping and composite recursion) — a
+# `search` anywhere would classify concat(c_name, year(ts)) as bounded
+# even though the c_name leaf is data-proportional (audit fail-open).
 _BOUNDED_GROUP_FUNCS = re.compile(
-    r"\b(date_trunc|window|year|month|quarter|weekofyear|dayofweek|"
+    r"^(date_trunc|window|year|month|quarter|weekofyear|dayofweek|"
     r"dayofmonth|dayofyear|hour|minute|second|to_date|date_format|"
-    r"unix_timestamp|unix_date|pmod|ntile|width_bucket)\s*\(|"
-    r"\bcast\([^()]*\bas date\)",
+    r"unix_timestamp|unix_date|pmod|ntile|width_bucket)\s*\(",
+    re.IGNORECASE,
+)
+
+# cast-to-date bounds the domain whatever the input (one value per
+# calendar day); any OTHER cast is transparent — boundedness is the
+# inner expression's
+_CAST_TO_DATE = re.compile(r"^cast\(.* as date\)$", re.IGNORECASE | re.DOTALL)
+_CAST_WRAP = re.compile(r"^cast\((.*) as \w+\)$", re.IGNORECASE | re.DOTALL)
+
+# n-ary combiners whose output domain is bounded iff EVERY argument's
+# domain is bounded — recursed into, each top-level argument checked
+_COMPOSITE_HEAD = re.compile(
+    r"^(concat_ws|concat|struct|named_struct|coalesce|if|nvl|lpad|rpad)\(",
     re.IGNORECASE,
 )
 
@@ -118,8 +132,10 @@ _BARE_ATTR = re.compile(r"(\w+)#\d+L?")
 
 # the repo's clamp idiom — least(greatest(expr, lo_lit), hi_lit) — pins
 # the expression's DOMAIN between two literals (ext/drift.fixed_width_bin
-# and friends): bounded at any scale factor
-_CLAMPED_EXPR = re.compile(r"\bleast\(greatest\(", re.IGNORECASE)
+# and friends): bounded at any scale factor. Anchored at the head like
+# _BOUNDED_GROUP_FUNCS — a clamp buried inside an unbounded composite
+# must not sanction the whole key.
+_CLAMPED_EXPR = re.compile(r"^least\(greatest\(", re.IGNORECASE)
 
 # "expr AS name#id" — how Project/Aggregate/Window print named outputs
 _ALIAS_DEF = re.compile(r"^(.*) AS (\w+#\d+)L?$", re.DOTALL)
@@ -152,13 +168,49 @@ def _collect_alias_defs(node, defs: dict[str, str]) -> None:
         _collect_alias_defs(kids.apply(i), defs)
 
 
+def _split_top_args(s: str) -> list[str]:
+    """Split a printed argument list on TOP-LEVEL commas (paren-aware)."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [a.strip() for a in out if a.strip()]
+
+
 def _is_bounded_grouping_expr(s: str, defs: dict[str, str], depth: int = 0) -> bool:
     s = s.strip()
-    if _BOUNDED_GROUP_FUNCS.search(s) or _CLAMPED_EXPR.search(s):
-        return True
     m = _ALIAS_DEF.match(s)
     if m:
         return _is_bounded_grouping_expr(m.group(1), defs, depth)
+    if not _BARE_ATTR.search(s):
+        return True  # references no attribute: constant-foldable literal
+    # bounded head: calendar/grid function or the clamp idiom, OUTERMOST
+    if _BOUNDED_GROUP_FUNCS.match(s) or _CLAMPED_EXPR.match(s):
+        return True
+    if _CAST_TO_DATE.fullmatch(s):
+        return True
+    if depth >= 8:
+        return False  # fail safe on pathological nesting
+    m = _CAST_WRAP.fullmatch(s)
+    if m:  # non-date cast is transparent: boundedness is the inner expr's
+        return _is_bounded_grouping_expr(m.group(1), defs, depth + 1)
+    m = _COMPOSITE_HEAD.match(s)
+    if m and s.endswith(")"):
+        # composite combiner: bounded iff EVERY top-level argument is
+        args = _split_top_args(s[m.end():-1])
+        return bool(args) and all(
+            _is_bounded_grouping_expr(a, defs, depth + 1) for a in args
+        )
     m = _BARE_ATTR.fullmatch(s)
     if not m:
         return False

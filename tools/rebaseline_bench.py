@@ -59,15 +59,15 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    med = {
+    envelope = {
         name: round(max(p[name] for p in passes[:3]), 3)
         for name in HEADLINE
     }
     check = passes[3]
     flags = {
-        name: {"baseline": med[name], "now": check[name]}
+        name: {"baseline": envelope[name], "now": check[name]}
         for name in HEADLINE
-        if check[name] > med[name] * 1.5 and check[name] - med[name] > 0.3
+        if check[name] > envelope[name] * 1.5 and check[name] - envelope[name] > 0.3
     }
     if flags and "--force" not in sys.argv:
         print(f"# SELF-CHECK FAILED (host not idle?): {flags}", file=sys.stderr)
@@ -75,7 +75,7 @@ def main() -> int:
 
     out = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(med.values()), 3),
+        "value": round(sum(envelope.values()), 3),
         "unit": "sec",
         "sf": sf,
         "protocol": (
@@ -94,7 +94,7 @@ def main() -> int:
             "that caused rotating host-variance false flags. Regenerate "
             "ONLY with tools/rebaseline_bench.py on an idle host."
         ),
-        "queries": med,
+        "queries": envelope,
         "self_check_pass4": {k: round(v, 3) for k, v in check.items()},
         "wall_total_sec": round(time.time() - t_start, 1),
     }
@@ -102,7 +102,7 @@ def main() -> int:
     with open(path, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
-    print(f"# wrote {path}: {out['value']}s over {len(med)} queries", file=sys.stderr)
+    print(f"# wrote {path}: {out['value']}s over {len(envelope)} queries", file=sys.stderr)
     return 0
 
 
