@@ -153,6 +153,204 @@ HEADLINE = [
     # live in SCALE.md's beam-sweep table)
 ]
 
+# ---------------------------------------------------------------------------
+# The deliberately-not-benched registry queries, AS DATA (VERDICT r7 ask
+# #4): HEADLINE ∪ EXCLUDED must exactly partition __spark_entry__.queries().
+# check_registry_partition() enforces it on every bench run, and
+# tests/test_entry_contract.py pins it, so a new gate cannot silently land
+# in neither list and a headline rename cannot orphan an exclusion.
+# Cross-linked from COVERAGE.md ("Bench protocol").
+
+_R_IO = (
+    "fixture/store roundtrip gate: times temp-dir write+read of a "
+    "synthesized store, not query throughput; the io path is benched "
+    "end-to-end by tools/pipeline_bench.py"
+)
+_R_STREAM = (
+    "micro-batch streaming gate: availableNow trigger startup dominates "
+    "at bench SFs; the streaming family's data-proportional cost is "
+    "benched via streaming_hourly_events + session_windows"
+)
+_R_ITER = (
+    "fixed-iteration trainer with ~sf-invariant scheduler latency "
+    "(localCheckpoint/collect per round); benching it times the "
+    "scheduler, not the data — cost profile + sf curves live in SCALE.md "
+    "(nndescent precedent, SCALE.md beam-sweep/unigram tables)"
+)
+_R_GRAPH = (
+    "fixed-iteration Pregel-in-joins loop; the graph family's "
+    "data-proportional cost is benched via pagerank_event_graph + "
+    "hits_event_graph, and per-operator sf curves live in SCALE.md"
+)
+_R_VARIANT = (
+    "same scan/shuffle/plan-shape family as a benched headline "
+    "representative; adding it re-times an already-measured plan and "
+    "inflates bench wall without new signal (headline targets ~2 min "
+    "per round at sf0.1)"
+)
+
+EXCLUDED: dict[str, str] = {
+    **{n: _R_IO for n in (
+        "jsonl_roundtrip",
+        "messy_csv_roundtrip",
+        "optimize_table_roundtrip",
+        "orc_roundtrip",
+        "quality_logs_roundtrip",
+        "schema_evolution_roundtrip",
+        "targeted_delete_roundtrip",
+        "time_travel_diff",
+        "time_travel_read",
+        "xml_shred_roundtrip",
+    )},
+    **{n: _R_STREAM for n in (
+        "streaming_cm_counts",
+        "streaming_cusum_events",
+        "streaming_hll_users",
+        "streaming_join_pairs",
+        "streaming_psi_drift",
+        "streaming_stateful_totals",
+        "streaming_upsert_latest",
+    )},
+    **{n: _R_ITER for n in (
+        "knn_graph_beam_search",
+        "knn_graph_nndescent",
+        "unigram_lm_vocab",
+    )},
+    **{n: _R_GRAPH for n in (
+        "cc_label_propagation",
+        "khop_reachable_graph",
+        "triangle_count_graph",
+    )},
+    **{n: _R_VARIANT for n in (
+        "ab_conversion_events",
+        "ab_test_events",
+        "audio_decode_stats",
+        "audio_downsample_stats",
+        "augment_word_dropout",
+        "backoff_sppl_top_docs",
+        "benford_orders",
+        "bpe_encode_documents",
+        "bucketed_join_revenue",
+        "cm_join_size_orders",
+        "concentration_orders",
+        "contract_orders",
+        "cube_lineitem",
+        "curriculum_order_documents",
+        "customers_with_orders_semi",
+        "customers_without_orders",
+        "dedup_window_events",
+        "distinct_customers",
+        "dsir_top_docs",
+        "embedding_near_dup",
+        "entropy_orders",
+        "event_sequence_counts",
+        "event_transitions",
+        "event_type_counts",
+        "exact_stratified_sample",
+        "except_all_lineitem",
+        "fd_repair_events",
+        "fingerprint_cluster_customers",
+        "fk_graph_audit",
+        "funnel_view_purchase",
+        "golden_record_customers",
+        "gopher_quality_flags",
+        "grouping_sets_orders",
+        "hard_negatives_topk",
+        "hash_split_documents",
+        "histogram_orders_time",
+        "histogram_quantiles_orders",
+        "idle_customer_balance",
+        "image_decode_stats",
+        "image_resize_stats",
+        "impute_median_orders",
+        "incremental_agg_orders",
+        "incremental_dedup_documents",
+        "incremental_join_view",
+        "iqr_outliers_orders",
+        "kfold_split_documents",
+        "kmeans_embeddings",
+        "lang_detect_agreement",
+        "large_volume_customers",
+        "late_dim_reconcile",
+        "late_shipment_priority",
+        "lorenz_curve_orders",
+        "lsh_similarity_topk",
+        "mixture_sample_documents",
+        "model_score_histogram",
+        "multimodal_features",
+        "mutual_info_orders",
+        "negative_sample_parts",
+        "ngram_jaccard_adjacent",
+        "normalize_price_zscore",
+        "novelty_scores_documents",
+        "order_gaps",
+        "pack_sequences",
+        "part_supplier_counts",
+        "percent_rank_orders",
+        "phrase_search_documents",
+        "pii_scrub_stats",
+        "pivot_revenue",
+        "priority_count_by_status",
+        "priority_customer_except",
+        "priority_customer_intersect",
+        "priority_distinct_customers",
+        "product_profit",
+        "profile_orders",
+        "promo_revenue",
+        "quality_score_distribution",
+        "quantile_bin_orders",
+        "quantize_embeddings",
+        "readability_documents",
+        "repetition_profile",
+        "rfm_segments",
+        "ri_orphan_orders",
+        "robust_outliers",
+        "rolling_corr_events",
+        "rolling_user_value",
+        "running_revenue",
+        "scatter_sample_orders",
+        "scd2_customer_priority",
+        "scd2_point_in_time",
+        "sex_code_mapping",
+        "shuffle_head",
+        "simhash_buckets",
+        "sliding_distinct_users",
+        "small_quantity_revenue",
+        "span_corruption_documents",
+        "stratified_sample_documents",
+        "substring_dedup_profile",
+        "survival_users",
+        "table_diff_orders",
+        "temperature_mixture_sample",
+        "top_revenue_supplier",
+        "top_users_by_events",
+        "trend_slope_users",
+        "unpivot_lineitem_metrics",
+        "url_domain_curation",
+        "user_stickiness",
+        "video_decode_stats",
+        "vocab_head",
+        "winsorize_prices",
+        "zorder_keys_events",
+    )},
+}
+
+
+def check_registry_partition(queries: dict) -> None:
+    """HEADLINE ∪ EXCLUDED == registry, disjointly — every gate is either
+    benched or excluded WITH a reason; fails naming the offending gates."""
+    reg, head, excl = set(queries), set(HEADLINE), set(EXCLUDED)
+    unaccounted = sorted(reg - head - excl)
+    both = sorted(head & excl)
+    stale = sorted((head | excl) - reg)
+    if unaccounted or both or stale:
+        raise AssertionError(
+            "bench registry partition broken — "
+            f"in registry but neither benched nor excluded: {unaccounted}; "
+            f"both benched and excluded: {both}; "
+            f"benched/excluded but not in registry: {stale}"
+        )
+
 
 def build_queries(spark) -> dict:
     """The benched callables: the registry, with the minhash GATE entry
@@ -222,6 +420,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = build_queries(spark)
+    check_registry_partition(queries)
     warm_up(spark, queries, sf_dir)
     timings, cold, runs3 = measure_pass(spark, queries, sf_dir)
 
