@@ -134,6 +134,8 @@ HEADLINE = [
     "theil_sen_trend_events",
     "heaps_law_documents",
     "kcenter_coreset_embeddings",
+    # -- round 8
+    "incremental_minhash_documents",
     # -- round 7
     "kll_quantiles_orders",
     "kll_rank_orders",
@@ -369,6 +371,41 @@ def build_queries(spark) -> dict:
         return minhash_lsh_pairs(docs, jaccard_threshold=0.4)
 
     queries["minhash_lsh_pairs"] = _minhash_production
+
+    def _incremental_minhash_production(spark, sf_dir):
+        # same swap as minhash_lsh_pairs: the benched callable runs the
+        # numpy signature path a 100 TB ingest would run, same dataflow
+        # and output shape as the portable-hash gate
+        from pyspark.sql import functions as F
+
+        from assignment_etl_spark.ext.dedup import (
+            build_band_store,
+            incremental_minhash_dedup,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        hist = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        store = build_band_store(hist)
+        _surv, delta, dropped = incremental_minhash_dedup(
+            batch, store, history_texts=hist, jaccard_threshold=0.4
+        )
+        delta_counts = delta.groupBy(F.col("keeper_id").alias("doc_id")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return (
+            batch.select("doc_id")
+            .join(dropped, on="doc_id", how="left")
+            .join(delta_counts, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("reason"), F.lit("kept")).alias("verdict"),
+                F.coalesce(F.col("keeper"), F.lit(-1)).cast("long").alias("keeper"),
+                F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_delta_bands"),
+            )
+        )
+
+    queries["incremental_minhash_documents"] = _incremental_minhash_production
     return queries
 
 
