@@ -7057,6 +7057,89 @@ LIMIT 20
     )
 
 
+def q_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style byte fallback at the vocab boundary
+    (ext/bpe.py byte_pieces + apply_byte_fallback — VERDICT r7 ask #5):
+    BPE-encode the word-frequency table with the 10 trained merges, keep
+    only the top-30 pieces by weighted count as the vocab, and decompose
+    every out-of-vocab piece into its ``<0xXX>`` UTF-8 byte tokens IN
+    PLACE — unseen pieces degrade to bytes instead of becoming UNK
+    drops. Output: the 20 most frequent words with their full
+    byte-fallback encoding as an order-preserving string, so the oracle
+    pins piece ORDER, not just counts. The non-ASCII path (where the
+    fallback actually earns its keep) is certified by Python-replica
+    property tests in tests/test_byte_fallback.py — the testdata corpus
+    is ASCII-only (docs/ROUND_NOTES.md DuckDB BLOB limitation)."""
+    from assignment_etl_spark.ext.bpe import (
+        apply_byte_fallback,
+        encode_words,
+        train_bpe,
+        word_freq,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=10)
+    freq = word_freq(docs, text_col="text")
+    pieces = encode_words(freq, merges, word_col="word", out_col="pieces")
+    vocab = (
+        pieces.select(F.explode("pieces").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("n_total"))
+        .orderBy(F.desc("n_total"), F.asc("piece"))
+        .limit(30)
+        .select("piece")
+    )
+    fb = apply_byte_fallback(pieces, vocab, key_cols=("word",))
+    return (
+        fb.select(
+            "word",
+            F.col("n").alias("n_word"),
+            F.concat_ws(" ", F.col("pieces")).alias("encoded"),
+        )
+        .orderBy(F.desc("n_word"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def _sql_byte_fallback_encode(steps: int = 10, vocab_k: int = 30) -> str:
+    # reuse the training CTE chain (s{steps} = final symbol strings +
+    # word freq); vocab = top-k weighted pieces; out-of-vocab pieces
+    # expand to '<0xXX>' byte tokens in place via the same hex chunking
+    # as ext/bpe.byte_pieces
+    train = _sql_bpe_train_merges(steps)
+    chain = train[: train.rindex("\nSELECT step,")]
+    return (
+        chain
+        + f""",
+enc AS (
+  SELECT s AS word_s, n,
+         regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS ps
+  FROM s{steps}),
+vocab AS (
+  SELECT piece FROM (
+    SELECT unnest(ps) AS piece, n FROM enc) u
+  GROUP BY piece
+  ORDER BY CAST(sum(n) AS BIGINT) DESC, piece
+  LIMIT {vocab_k}),
+vl AS (SELECT list(piece) AS vp FROM vocab),
+fb AS (
+  SELECT array_to_string(ps, '') AS word, n,
+         flatten(list_transform(ps, p -> CASE
+           WHEN list_contains(vl.vp, p) THEN [p]
+           ELSE list_transform(
+             regexp_extract_all(upper(hex(encode(p))), '(..)', 1),
+             h -> '<0x' || h || '>')
+           END)) AS pieces
+  FROM enc, vl)
+SELECT word, CAST(n AS BIGINT) AS n_word, array_to_string(pieces, ' ') AS encoded
+FROM fb
+ORDER BY n_word DESC, word
+LIMIT 20
+"""
+    )
+
+
 def q_video_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode (ext/videocodec.py): 24 Y4M clips are
     synthesized from a closed-form plane formula seeded by doc_id (four
@@ -13413,6 +13496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-8 rotation: the r1–r7 union certifies the whole round-7
         # registry, so only gates NEW in round 8 need the prefix.
         "incremental_minhash_documents": q_incremental_minhash_documents,
+        "byte_fallback_encode": q_byte_fallback_encode,
         # -- round-7 rotation: the certification gap is ZERO after round 6
         # (driver union covers 236/236), so only NEW or SEMANTICALLY
         # UPDATED round-7 gates need the prefix: the KLL sketch, the
@@ -13674,6 +13758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "incremental_minhash_documents": _sql_incremental_minhash(),
+        "byte_fallback_encode": _sql_byte_fallback_encode(),
         "kll_quantiles_orders": _sql_kll_quantiles_orders(),
         "unigram_lm_vocab": _sql_unigram_lm_vocab(),
         "kll_rank_orders": _sql_kll_rank_orders(),

@@ -218,6 +218,60 @@ def encode_words(
     return df.withColumn(out_col, F.regexp_extract_all(s, F.lit(PAIR_RE), 1))
 
 
+def byte_pieces(col: F.Column) -> F.Column:
+    """SentencePiece-style byte tokens for a string: the UTF-8 bytes of
+    the value as ``<0xXX>`` pieces, in order — ``é`` → ``[<0xC3>,
+    <0xA9>]``. Pure native exprs (encode → hex → 2-char chunks), so the
+    fallback path replays in any SQL engine with hex()."""
+    hx = F.upper(F.hex(F.encode(col, "UTF-8")))
+    return F.transform(
+        F.regexp_extract_all(hx, F.lit("(..)"), 1),
+        lambda h: F.concat(F.lit("<0x"), h, F.lit(">")),
+    )
+
+
+def apply_byte_fallback(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    pieces_col: str = "pieces",
+    piece_col: str = "piece",
+    key_cols: tuple[str, ...] = ("word",),
+) -> DataFrame:
+    """Decompose every piece NOT present in ``vocab`` into ``<0xXX>``
+    byte tokens (SentencePiece byte fallback), preserving piece order —
+    unseen characters degrade to bytes instead of becoming downstream
+    UNK drops. Runs on the distinct-word table: posexplode → left join
+    the vocab (equi-join on the piece string, vocab-bounded) → regroup
+    by position. Rows whose ``pieces_col`` is NULL (e.g. a
+    viterbi_encode exclusion) stay NULL — use viterbi_encode's own
+    ``byte_fallback`` flag for whole-word fallback."""
+    keys = list(key_cols)
+    ex = df.select(
+        *keys, F.posexplode(pieces_col).alias("_pos", "_piece")
+    )
+    known = vocab.select(
+        F.col(piece_col).alias("_piece"), F.lit(True).alias("_known")
+    ).distinct()
+    frag = F.when(
+        F.col("_known"), F.array(F.col("_piece"))
+    ).otherwise(byte_pieces(F.col("_piece")))
+    out = (
+        ex.join(known, on="_piece", how="left")
+        .withColumn("_frag", frag)
+        .groupBy(*keys)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_frag"))),
+                    lambda s: s["_frag"],
+                )
+            ).alias(pieces_col)
+        )
+    )
+    return df.drop(pieces_col).join(out, on=keys, how="left")
+
+
 def _symbol_counts(sym: DataFrame) -> DataFrame:
     """(t, cnt): corpus-weighted count of each CURRENT symbol in the
     delimited symbol table — the unigram marginals WordPiece's

@@ -296,6 +296,7 @@ def viterbi_encode(
     out_col: str = "pieces",
     max_piece_len: int = 4,
     max_word_len: int = 12,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Append ``out_col``: the word's best segmentation under the
     trained (piece, lp) table, as an array in word order. Runs the same
@@ -303,7 +304,10 @@ def viterbi_encode(
     the result back to a corpus rather than re-encoding occurrences.
     Words longer than ``max_word_len`` or with no surviving path get a
     NULL segmentation (the training-side exclusion, surfaced instead of
-    hidden)."""
+    hidden) — unless ``byte_fallback`` (SentencePiece-style): then any
+    un-segmentable word degrades to its ``<0xXX>`` UTF-8 byte pieces
+    (ext/bpe.byte_pieces) instead of dropping, so a multilingual corpus
+    never loses characters the trainer did not see."""
     wf = words.select(F.col(word_col).alias("word")).distinct().withColumn(
         "n", F.lit(1)
     )
@@ -339,8 +343,16 @@ def viterbi_encode(
         arr = wl.select("word").limit(0).withColumn(
             out_col, F.array(F.lit("")).cast("array<string>")
         )
-    return words.join(
+    out = words.join(
         arr.withColumnRenamed("word", "_w"),
         F.col(word_col) == F.col("_w"),
         "left",
     ).drop("_w")
+    if byte_fallback:
+        from assignment_etl_spark.ext.bpe import byte_pieces
+
+        out = out.withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), byte_pieces(F.col(word_col))),
+        )
+    return out

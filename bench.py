@@ -233,6 +233,7 @@ EXCLUDED: dict[str, str] = {
         "benford_orders",
         "bpe_encode_documents",
         "bucketed_join_revenue",
+        "byte_fallback_encode",
         "cm_join_size_orders",
         "concentration_orders",
         "contract_orders",
