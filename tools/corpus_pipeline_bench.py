@@ -1,0 +1,82 @@
+"""E2E training-data pipeline throughput (VERDICT r7 ask #7, stretch):
+compose the curation funnel (quality filter → language filter → exact
+dedup → split) with GPT-style fixed-budget stream packing over the
+survivors, and report the number a training-data team would quote:
+TOKENS PER SECOND through the whole pipeline, wall-clock, cold cache.
+
+Run:  python tools/corpus_pipeline_bench.py [sf_dir ...]
+Default sf dirs: /root/testdata/sf0.1 /tmp/sf1_synth /tmp/sf10_synth
+Prints one markdown row per sf dir (paste into SCALE.md).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+BUDGET = 2048  # tokens per packed training sequence
+
+
+def run_once(spark, sf_dir: str) -> dict:
+    from assignment_etl_spark.ext.curation import curate_corpus
+    from assignment_etl_spark.ext.packing import pack_stream, sequence_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t0 = time.perf_counter()
+    curated = curate_corpus(docs, min_quality=0.5, langs=("en",))
+    # survivors carry their SPLIT label as status (train/valid/test);
+    # every drop reason is one of the four named buckets
+    drops = ("unscored", "low_quality", "wrong_lang", "duplicate")
+    kept = curated.filter(~F.col("status").isin(*drops)).select("doc_id")
+    survivors = docs.join(kept, on="doc_id", how="left_semi")
+    layout = pack_stream(survivors, budget=BUDGET)
+    manifest = sequence_manifest(layout, budget=BUDGET)
+    agg = manifest.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    n_docs = docs.count()
+    return {
+        "sf_dir": sf_dir,
+        "docs": n_docs,
+        "sequences": int(agg.n_seqs),
+        "tokens": int(agg.n_tokens),
+        "wall_s": wall,
+        "tok_per_s": int(agg.n_tokens / wall),
+    }
+
+
+def main() -> int:
+    from assignment_etl_spark.session import get_spark
+
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        "/tmp/sf1_synth",
+        "/tmp/sf10_synth",
+    ]
+    spark = get_spark("corpus-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(
+        "| sf dir | docs | packed seqs (2048 tok) | tokens | wall s "
+        "| tokens/s |"
+    )
+    print("|---|---|---|---|---|---|")
+    for d in dirs:
+        r = run_once(spark, d)
+        print(
+            f"| `{r['sf_dir']}` | {r['docs']} | {r['sequences']} "
+            f"| {r['tokens']} | {r['wall_s']:.1f} | {r['tok_per_s']} |",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

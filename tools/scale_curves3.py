@@ -51,7 +51,12 @@ TARGETS = [
 ]
 
 
-def run(fn, spark, sf_dir, repeats=2):
+import os
+
+REPEATS = int(os.environ.get("SCALE3_REPEATS", "2"))
+
+
+def run(fn, spark, sf_dir, repeats=REPEATS):
     best, rows = None, 0
     for _ in range(repeats):
         t0 = time.perf_counter()
