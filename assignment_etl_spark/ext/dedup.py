@@ -640,6 +640,15 @@ def incremental_minhash_dedup(
         to the store to make the next batch incremental;
       - ``dropped``: (``id_col``, reason ∈ {dup_batch, dup_history},
         keeper) — the audit side-channel.
+
+    Pipeline staging note: run :func:`incremental_dedup` (the exact
+    8-byte-fingerprint pass) on the batch FIRST — byte-identical batch
+    docs then never reach the LSH self-join, which is what keeps stage 1
+    linear on template-heavy ingest (the |group|² clique effect measured
+    at sf10; the batch operators here deliberately do NOT collapse
+    internally because the gate-pinned ``keeper`` of a dropped doc is
+    its minimum VERIFIED partner, which an internal collapse would
+    coarsen to the group representative).
     """
     sig = _sig_frame(
         batch,
