@@ -9,6 +9,16 @@ visible: between sf1 and sf10 data grows 10×, so a linear operator's
 RATIO2 (sf10/sf1) must approach ~10× once out of the latency floor, and
 anything well beyond ~12× (or ~20× for sort-bound) is a plan bug.
 
+Callables come from bench.build_queries — the PRODUCTION variants a real
+cluster would run (numpy minhash, not the interpreted-HOF portable
+oracle flavor, whose per-element expression eval is a measurement
+artifact at 100× data: jstack showed ArrayTransform.eval grinding 4G+
+interpreted ops in the portable signature projection).
+
+Env knobs: SCALE3_REPEATS (default 2), SCALE3_SF10_BUDGET seconds
+(default 120 — if the sf1 run already exceeds it, the sf10 point is
+skipped and the row says 'timeboxed', which is itself evidence).
+
 Usage:
   python tools/make_scale_data.py 10  /tmp/sf1_synth
   python tools/make_scale_data.py 100 /tmp/sf10_synth
@@ -18,42 +28,41 @@ Prints a markdown table to paste into SCALE.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-# the 15 slowest committed-baseline headline queries + the fixed-latency
-# family the sf1 table could not adjudicate (SCALE.md:933,937)
+REPEATS = int(os.environ.get("SCALE3_REPEATS", "2"))
+SF10_BUDGET = float(os.environ.get("SCALE3_SF10_BUDGET", "120"))
+
+# cheap/lineitem family first so partial output is still a table; the 15
+# slowest committed-baseline headline queries + the fixed-latency family
+# the sf1 table could not adjudicate (SCALE.md:933,937)
 TARGETS = [
-    "dedup_keep_best_quality",
-    "ivfpq_search_topk",
-    "curation_pipeline_funnel",
+    "streaming_hourly_events",
+    "dedup_lines_corpus",
+    "hits_event_graph",
+    "bpe_train_merges",
     "decontaminate_documents",
+    "curation_pipeline_funnel",
+    "incremental_minhash_documents",
+    "dedup_keep_best_quality",
+    "semantic_dedup_embeddings",
+    "kcenter_coreset_embeddings",
     "label_noise_suspects",
     "nb_score_calibration",
+    "pq_codebook_embeddings",
     "pq_adc_topk",
     "ivf_similarity_topk",
-    "kcenter_coreset_embeddings",
-    "pq_codebook_embeddings",
-    "hits_event_graph",
-    "streaming_hourly_events",
-    "semantic_dedup_embeddings",
-    "dedup_lines_corpus",
-    "bpe_train_merges",
+    "ivfpq_search_topk",
     # fixed-latency family
     "unigram_lm_vocab",
     "wordpiece_train_merges",
     "knn_graph_beam_search",
     "rank_agreement_quality_length",
-    # round-8 ingest operator
-    "incremental_minhash_documents",
 ]
-
-
-import os
-
-REPEATS = int(os.environ.get("SCALE3_REPEATS", "2"))
 
 
 def run(fn, spark, sf_dir, repeats=REPEATS):
@@ -71,12 +80,35 @@ def main() -> int:
     sf10_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10_synth"
     names = sys.argv[3:] or TARGETS
 
-    import __spark_entry__ as entry
+    import bench
     from assignment_etl_spark.session import get_spark
 
     spark = get_spark("scale-curves3")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry.queries()
+    qs = bench.build_queries(spark)
+
+    def _keep_best_production(spark, sf_dir):
+        # same swap rationale as bench's minhash override: the gate runs
+        # portable=True for the oracle; a cluster runs the numpy path
+        from pyspark.sql import functions as F
+
+        from assignment_etl_spark.ext.dedup import minhash_dedup_keep_best
+        from assignment_etl_spark.ext.text import quality_score
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = minhash_dedup_keep_best(
+            docs, quality_score(F.col("text")), jaccard_threshold=0.4, rounds=4
+        )
+        return (
+            out.groupBy("keep")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("id_sum"),
+                F.countDistinct("cluster").alias("n_clusters"),
+            )
+        )
+
+    qs["dedup_keep_best_quality"] = _keep_best_production
 
     print(
         "| query | sf0.1 s | sf1 s | sf10 s | r1 (sf1/sf0.1) "
@@ -87,8 +119,19 @@ def main() -> int:
         fn = qs[name]
         try:
             r01, t01 = run(fn, spark, "/root/testdata/sf0.1")
+            print(f"# {name} sf0.1 {t01:.2f}s", file=sys.stderr, flush=True)
             r1, t1 = run(fn, spark, sf1_dir)
+            print(f"# {name} sf1   {t1:.2f}s", file=sys.stderr, flush=True)
+            if t1 > SF10_BUDGET:
+                print(
+                    f"| `{name}` | {t01:.2f} | {t1:.2f} | — | "
+                    f"{t1 / t01 if t01 else float('inf'):.1f}× | — "
+                    f"| {r01}→{r1}→— | timeboxed (sf1 > {SF10_BUDGET:.0f}s) |",
+                    flush=True,
+                )
+                continue
             r10, t10 = run(fn, spark, sf10_dir)
+            print(f"# {name} sf10  {t10:.2f}s", file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001 — report and keep sweeping
             print(f"| `{name}` | ERROR: {type(exc).__name__}: {str(exc)[:80]} |")
             continue
