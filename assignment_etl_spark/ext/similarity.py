@@ -62,11 +62,18 @@ def brute_force_topk(
     """
     if broadcast_side not in (None, "queries", "candidates"):
         raise ValueError(f"broadcast_side: {broadcast_side!r}")
+    # norms are hoisted to per-SIDE columns (computed once per input row
+    # before the join); only the O(dim) dot fold runs per pair — the
+    # inline cosine() would evaluate 3 interpreted folds per pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     if broadcast_side == "candidates":
         c = F.broadcast(c)
@@ -77,7 +84,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -122,11 +129,13 @@ def cell_probe_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
     )
     scored = (
@@ -135,7 +144,8 @@ def cell_probe_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            # per-side hoisted norms: one O(dim) fold per PAIR, not three
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -177,6 +187,7 @@ def cell_multiprobe_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         signbit_cell(F.col(vec_col), n_bits).alias("_home"),
     )
     masks = [0] + [1 << i for i in range(n_bits)] if hamming == 1 else [0]
@@ -184,6 +195,7 @@ def cell_multiprobe_topk(
     q = q.select(
         "query_id",
         "_qv",
+        "_qn",
         F.explode(
             F.transform(probe, lambda m: F.col("_home").bitwiseXOR(m))
         ).alias("_cell"),
@@ -191,6 +203,7 @@ def cell_multiprobe_topk(
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
     )
     scored = (
@@ -199,7 +212,7 @@ def cell_multiprobe_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -276,6 +289,7 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(
             lsh_buckets(F.col(vec_col), dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
         ).alias("_b"),
@@ -283,6 +297,7 @@ def lsh_topk(
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         F.explode(
             lsh_buckets(F.col(vec_col), dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
         ).alias("_b"),
@@ -294,7 +309,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
@@ -330,12 +345,22 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    normed = candidates.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    ).withColumn(
-        "_v",
-        F.transform("_v", lambda x: x / F.nullif(l2_norm(F.col("_v")), F.lit(0.0))),
+    # HOIST the norm out of the per-element lambda: higher-order
+    # functions evaluate INTERPRETED, and a lambda whose body contains
+    # the full l2_norm aggregate re-runs that O(dim) fold PER ELEMENT —
+    # O(dim²) per row, and worse, Catalyst inlines this projection into
+    # every downstream consumer (the probed-cell cosine join evaluated
+    # it per (query, candidate) PAIR: jstack showed ~3 ms/row at sf10).
+    # As a named column the norm is computed once per row; the division
+    # values are bit-identical.
+    normed = (
+        candidates.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_nrm", F.nullif(l2_norm(F.col("_v")), F.lit(0.0)))
+        .withColumn("_v", F.transform("_v", lambda x: x / F.col("_nrm")))
+        .drop("_nrm")
     )
     feats = normed.withColumn("features", array_to_vector("_v"))
     train = feats.sample(fraction=sample_fraction, seed=seed) if sample_fraction else feats
@@ -392,18 +417,25 @@ def ivf_topk(
             }
             yield pd.DataFrame(out)
 
-    q = queries.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
-    ).mapInPandas(probe, schema=probe_schema)
+    q = (
+        queries.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
+        )
+        .mapInPandas(probe, schema=probe_schema)
+        # norm hoisted to a per-probe-row column (expression l2_norm, NOT
+        # numpy, so the value is the exact left-fold the oracle replays)
+        .withColumn("_qn", l2_norm(F.col("_qv")))
+    )
+    cand = assigned_candidates.withColumn("_vn", l2_norm(F.col("_v")))
 
     scored = (
-        q.join(assigned_candidates, on="_cell")
+        q.join(cand, on="_cell")
         .filter(F.col("query_id") != F.col("_id"))
         .select(
             "query_id",
             F.col("_id").alias("neighbor_id"),
-            cosine(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+            (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
@@ -590,11 +622,13 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     if broadcast_side == "candidates":
         c = F.broadcast(c)
@@ -609,7 +643,10 @@ def hard_negatives(
         "query_label",
         "neighbor_id",
         "neighbor_label",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), round_to).alias("cos_sim"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            round_to,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")

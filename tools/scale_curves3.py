@@ -117,6 +117,12 @@ def main() -> int:
     print("|---|---|---|---|---|---|---|---|")
     for name in names:
         fn = qs[name]
+        # drop the previous query's persisted frames: the dedup/LSH
+        # family persists signature caches sized by the LAST sf dir
+        # (sf10), and carrying them into the next query evicts its
+        # working set mid-stage — measured: ivf_similarity_topk ran 8s
+        # isolated but 20+ min after the sf10 dedup queries' caches
+        spark.catalog.clearCache()
         try:
             r01, t01 = run(fn, spark, "/root/testdata/sf0.1")
             print(f"# {name} sf0.1 {t01:.2f}s", file=sys.stderr, flush=True)
