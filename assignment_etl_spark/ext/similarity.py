@@ -368,9 +368,22 @@ def build_ivf_index(
     # Lloyd iterations is the right train-cost/recall trade (and full-probe
     # correctness is centroid-independent)
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
+    # MATERIALIZE the index (persist here; write bucketed-by-cell at a
+    # real deployment — the docstring's contract): without a barrier,
+    # Catalyst inlines the whole normalize-and-assign lineage into every
+    # downstream probed-cell join, re-evaluating the interpreted O(dim)
+    # transforms per (query, candidate) PAIR instead of once per vector.
+    # The norm column rides along so ivf_topk's cosine needs only the
+    # O(dim) dot fold per pair.
     assigned = (
         model.transform(feats)
-        .select("_id", "_v", F.col("prediction").alias("_cell"))
+        .select(
+            "_id",
+            "_v",
+            l2_norm(F.col("_v")).alias("_vn"),
+            F.col("prediction").alias("_cell"),
+        )
+        .persist()
     )
     centroids = np.stack(model.clusterCenters())
     return assigned, centroids
@@ -427,7 +440,13 @@ def ivf_topk(
         # numpy, so the value is the exact left-fold the oracle replays)
         .withColumn("_qn", l2_norm(F.col("_qv")))
     )
-    cand = assigned_candidates.withColumn("_vn", l2_norm(F.col("_v")))
+    # build_ivf_index ships _vn with the materialized index; compute it
+    # here only for hand-built candidate frames (tests, external indexes)
+    cand = (
+        assigned_candidates
+        if "_vn" in assigned_candidates.columns
+        else assigned_candidates.withColumn("_vn", l2_norm(F.col("_v")))
+    )
 
     scored = (
         q.join(cand, on="_cell")

@@ -47,7 +47,14 @@ def _rep(df, factor):
 
 def _rebase(df, cols):
     for c in cols:
-        df = df.withColumn(c, F.col(c) + F.col("_rep") * F.lit(OFF))
+        # widen BEFORE multiplying: _rep (int) × OFF (int literal) wraps
+        # in int32 at rep ≥ 22 with ANSI off — factor-100 amplification
+        # silently produced NEGATIVE ids (caught at sf10: vec_id < 8
+        # matched 84,008 rows and turned the IVF gate into a 16.8B-pair
+        # cross product)
+        df = df.withColumn(
+            c, F.col(c) + F.col("_rep").cast("long") * F.lit(OFF)
+        )
     return df
 
 
