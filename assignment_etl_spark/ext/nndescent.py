@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from assignment_etl_spark.ext.similarity import cell_multiprobe_topk, cosine
+from assignment_etl_spark.ext.similarity import (
+    cell_multiprobe_topk,
+    dot,
+    l2_norm,
+)
 
 
 def _top_k_edges(scored: DataFrame, k: int) -> DataFrame:
@@ -75,7 +79,16 @@ def refine_knn_graph(
     0.53 vs 0.95 on the same seed graph). ``checkpoint=False`` keeps
     the full lineage (plan-inspection/testing; production rounds
     checkpoint so plan depth stays constant)."""
-    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    # norm hoisted per NODE (one O(dim) fold each); the inline cosine()
+    # would re-run three interpreted folds per candidate PAIR, and this
+    # loop proposes ~n*K^2 pairs per round (the similarity-module hoist,
+    # applied here after the sf10 sweep put the graph build in the
+    # watch band)
+    vecs = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
+    )
     undirected = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -90,9 +103,12 @@ def refine_knn_graph(
     scored = (
         cand.join(vecs.withColumnRenamed("_vid", "src"), on="src")
         .withColumnRenamed("_v", "_sv")
+        .withColumnRenamed("_vn", "_svn")
         .join(vecs.withColumnRenamed("_vid", "dst"), on="dst")
         .select(
-            "src", "dst", cosine(F.col("_sv"), F.col("_v")).alias("cos_sim")
+            "src",
+            "dst",
+            (dot(F.col("_sv"), F.col("_v")) / (F.col("_svn") * F.col("_vn"))).alias("cos_sim"),
         )
     )
     out = _top_k_edges(scored, k)
@@ -215,9 +231,15 @@ def beam_search_scored(
         raise ValueError(f"need hops >= 0, got {hops}")
     if beam < 1:
         raise ValueError(f"need beam >= 1, got {beam}")
-    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    vecs = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
+    )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     # (query_id, cand, cos_sim): the quantizer seed, already exactly
     # scored within its probed cells
@@ -250,7 +272,7 @@ def beam_search_scored(
             .select(
                 "query_id",
                 "cand",
-                cosine(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+                (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))).alias("cos_sim"),
             )
         )
         scored = scored.unionByName(fresh_scored)
@@ -291,9 +313,15 @@ def knn_graph_expand_search(
         .unionByName(hop)
         .distinct()
     )
-    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    vecs = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_vn"),
+    )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     scored = (
         cand.filter(F.col("query_id") != F.col("cand"))
@@ -302,7 +330,7 @@ def knn_graph_expand_search(
         .select(
             "query_id",
             F.col("cand").alias("neighbor_id"),
-            cosine(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+            (dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_vn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
