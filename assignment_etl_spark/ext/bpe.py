@@ -245,7 +245,11 @@ def apply_byte_fallback(
     the vocab (equi-join on the piece string, vocab-bounded) → regroup
     by position. Rows whose ``pieces_col`` is NULL (e.g. a
     viterbi_encode exclusion) stay NULL — use viterbi_encode's own
-    ``byte_fallback`` flag for whole-word fallback."""
+    ``byte_fallback`` flag for whole-word fallback. Rows whose
+    ``pieces_col`` is EMPTY stay empty: posexplode emits no rows for
+    [], so the regrouped frame misses those keys and an unguarded left
+    join would rewrite [] to NULL — conflating "empty segmentation"
+    with the NULL exclusion sentinel."""
     keys = list(key_cols)
     ex = df.select(
         *keys, F.posexplode(pieces_col).alias("_pos", "_piece")
@@ -269,7 +273,19 @@ def apply_byte_fallback(
             ).alias(pieces_col)
         )
     )
-    return df.drop(pieces_col).join(out, on=keys, how="left")
+    had = df.withColumn("_had", F.col(pieces_col).isNotNull())
+    return (
+        had.drop(pieces_col)
+        .join(out, on=keys, how="left")
+        .withColumn(
+            pieces_col,
+            F.coalesce(
+                F.col(pieces_col),
+                F.when(F.col("_had"), F.array().cast("array<string>")),
+            ),
+        )
+        .drop("_had")
+    )
 
 
 def _symbol_counts(sym: DataFrame) -> DataFrame:

@@ -13,6 +13,7 @@ candidate pairs emitted by banding.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -86,13 +87,64 @@ def incremental_dedup(
 
 
 def shingles(col: Column, n: int = 5) -> Column:
-    """Character n-gram shingle hashes over normalized text (distinct)."""
+    """Character n-gram shingle hashes over normalized text (distinct).
+    NULL text ⇒ NULL grams: greatest(NULL, 1) would silently yield 1 and
+    xxhash64(substring(NULL)) its seed — giving every NULL-text doc the
+    identical shingle set {42} and exact Jaccard 1.0 against every other
+    NULL-text doc (r9 ADVICE regression). length(s)*0+1 keeps the short-
+    string floor while propagating NULL."""
     s = F.lower(F.regexp_replace(col, r"\s+", " "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.length(s) - (n - 1), F.length(s) * 0 + 1)
+    )
     grams = F.transform(idx, lambda i: F.xxhash64(F.substring(s, i, n)))
     return F.array_distinct(grams)
 
 
+@functools.lru_cache(maxsize=None)
+def make_gram_set_udf(n: int = 5):
+    """Arrow-batched distinct character-n-gram hash sets — the
+    exact-verify hot path. Normalized text (lower + whitespace collapse,
+    exactly :func:`shingles`' normalization) → uint32 codepoints →
+    rolling polynomial hash per n-window → unique. CHARACTER windows
+    (not bytes), so gram-set Jaccard matches a substr()-based oracle on
+    any Unicode text; hashing only relabels grams, which leaves Jaccard
+    unchanged (injective modulo ~2^-64 collisions). Replaces the
+    Column-expression path in pair verification: per-position
+    substring() seeks from the string start each call — O(len²) per row
+    in interpreted mode (measured: the sf0.1 ingest gate's history
+    verify stage dropped 12s → ~2s). Strings shorter than n hash as one
+    truncated window (mirroring substr()'s unpadded tail behavior);
+    NULL text ⇒ NULL grams (NULL-text docs never verify as pairs)."""
+    powers = np.uint64(1099511628211) ** np.arange(n, dtype=np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def gram_set(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            norm = " ".join(str(t).lower().split())
+            cps = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32)
+            with np.errstate(over="ignore"):
+                if cps.size < n:
+                    if cps.size == 0:
+                        cps = np.array([32], dtype=np.uint32)
+                    h = np.array(
+                        [(cps.astype(np.uint64) * powers[: cps.size]).sum()],
+                        dtype=np.uint64,
+                    )
+                else:
+                    w = np.lib.stride_tricks.sliding_window_view(cps, n)
+                    h = np.unique((w.astype(np.uint64) * powers).sum(axis=1))
+            out.append(h.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return gram_set
+
+
+@functools.lru_cache(maxsize=None)
 def make_minhash_signature_udf(
     num_hashes: int = 32, shingle_n: int = 5, seed: int = 7
 ):
@@ -114,10 +166,13 @@ def make_minhash_signature_udf(
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
         out = []
-        empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
         for t in texts:
             if t is None:
-                out.append(empty_sig.tolist())
+                # NULL text ⇒ NULL signature: a shared "empty" sentinel
+                # signature would band-collide every NULL-text doc with
+                # est-agreement 1.0 (r9 ADVICE regression); NULL sigs
+                # fail the est cut instead, so NULL docs never pair
+                out.append(None)
                 continue
             norm = " ".join(str(t).lower().split())
             data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
@@ -251,6 +306,7 @@ def _sig_frame(
     use_numpy: bool,
     portable: bool,
     seed: int,
+    fan_out: bool = True,
 ) -> DataFrame:
     """Persisted ("_id", "_sig") minhash signatures — the shared first
     stage of minhash_lsh_pairs / build_band_store /
@@ -266,9 +322,15 @@ def _sig_frame(
     # fan out first — one round-robin exchange of the batch text,
     # skipped whenever the input is already parallel (any real cluster
     # layout, where the guard sees thousands of input splits).
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # ``fan_out=False`` skips the guard: the .rdd partition probe
+    # finalizes the physical plan, which under AQE EXECUTES the upstream
+    # query stages — paid per call, and pointless when the input is a
+    # join/shuffle output already at shuffle parallelism (e.g. the
+    # verified-keeper fetch in incremental_minhash_dedup).
+    if fan_out:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     if portable:
         # Two persist barriers: (1) codepoint arrays — element_at in the
         # gram fold must read a STORED column or its child is re-evaluated
@@ -483,10 +545,13 @@ def _verify_edges(
 ) -> DataFrame:
     """Exact n-gram Jaccard over an edge list, gram arrays computed ONCE
     per participating doc: semi-join each text side down to the ids that
-    actually appear in edges, shingle those once, then join the (small)
-    gram frames onto the edges. A doc in k edges would otherwise shingle
+    actually appear in edges, gram-hash those once (Arrow batch —
+    :func:`make_gram_set_udf`; the expression path's per-position
+    substring is O(len²)/row interpreted), then join the (small) gram
+    frames onto the edges. A doc in k edges would otherwise shingle
     k times — measured 23s → 4s at sf0.1 on 2.9k edges over 2.5k docs.
     Keeps every pre-existing edge column and adds ``jaccard``."""
+    gram = make_gram_set_udf(shingle_n)
     ga = (
         left_texts.join(
             pairs.select(F.col(left_key).alias(id_col)).distinct(),
@@ -495,7 +560,7 @@ def _verify_edges(
         )
         .select(
             F.col(id_col).alias(left_key),
-            shingles(F.col(text_col), shingle_n).alias("_ga"),
+            gram(F.col(text_col)).alias("_ga"),
         )
     )
     gb = (
@@ -506,7 +571,7 @@ def _verify_edges(
         )
         .select(
             F.col(id_col).alias(right_key),
-            shingles(F.col(text_col), shingle_n).alias("_gb"),
+            gram(F.col(text_col)).alias("_gb"),
         )
     )
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("double")
@@ -611,6 +676,7 @@ def incremental_minhash_dedup(
     use_numpy: bool = True,
     portable: bool = False,
     seed: int = 7,
+    eager: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Near-dup-check a NEW ingest batch against the whole corpus history
     WITHOUT re-running LSH over the history — the steady-state 100 TB
@@ -630,9 +696,30 @@ def incremental_minhash_dedup(
          with ``verify`` each candidate (batch_id, keeper_id) is
          re-checked with exact n-gram Jaccard against the keeper's text,
          fetched by id from ``history_texts`` (candidate-bounded join —
-         history text is never scanned wholesale). ``verify=False``
-         treats any shared band as a dup (documented LSH-precision
-         caveat: ~0.6 precision at the banding knee).
+         history text is never scanned wholesale), and the surviving
+         verified edges then pass the SAME est-Jaccard signature cut
+         stage 1 applies (keeper signatures recomputed from the
+         verified-edge keeper-text fetch — the store itself stays 3
+         columns; the conjunction is order-free, and running est last
+         keeps its cost bounded by the batch's dup count). This makes
+         the drop predicate IDENTICAL to the full-corpus
+         :func:`minhash_dedup` (band collision ∧ est ≥ t ∧ exact ≥ t),
+         so incremental-vs-full equivalence is a guarantee, not
+         data-dependent. ``verify=False`` treats any shared band as a
+         dup (documented LSH-precision caveat: ~0.6 precision at the
+         banding knee; no est cut either — signatures for keepers
+         aren't available without text).
+
+    Cache lifecycle (``eager``, default True — the steady-state ingest
+    contract): materialize ``band_delta`` and ``dropped`` NOW, then
+    release every internal cache (signatures, drop lists, keeper
+    signatures) so per-batch ingest does not accumulate executor storage
+    across batches. The caller should unpersist the two returned
+    persisted frames after appending the delta / sinking the audit rows.
+    ``eager=False`` keeps the round-7 lazy behavior (the full dataflow
+    stays visible in the returned frames' plans — what the
+    per-batch-cost plan test inspects) but then the internal persists
+    live until the session drops them.
 
     Returns ``(survivors, band_delta, dropped)``:
       - ``survivors``: batch rows that are new to the corpus;
@@ -718,6 +805,8 @@ def incremental_minhash_dedup(
     )
 
     # stage 2: persisted-store lookup for stage-1 survivors
+    cand_est = None
+    keeper_sig_frame = None
     if band_store is not None:
         cand = (
             surv_banded.join(
@@ -746,6 +835,53 @@ def incremental_minhash_dedup(
                 shingle_n=shingle_n,
                 threshold=jaccard_threshold,
             ).select("_id", "keeper_id")
+            # est-Jaccard parity cut — the drop predicate is a
+            # CONJUNCTION (band collision ∧ est ≥ t ∧ exact ≥ t), so
+            # applying est AFTER exact verify is semantically identical
+            # and touches only the verified edges (bounded by the
+            # batch's dup count) instead of every band collision: keeper
+            # signatures are recomputed from that tiny keeper-text fetch
+            # as a plain projection — no extra barriers. Without this
+            # cut a batch doc with exact Jaccard ≥ t but signature
+            # agreement < t is dropped incrementally yet kept by the
+            # full-corpus run.
+            ver = cand.persist()  # semi-join + est join both consume it
+            cand_est = ver
+            keeper_sig_frame = _sig_frame(
+                history_texts.join(
+                    ver.select(F.col("keeper_id").alias(id_col)).distinct(),
+                    on=id_col,
+                    how="left_semi",
+                ),
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                shingle_n=shingle_n,
+                use_numpy=use_numpy,
+                portable=portable,
+                seed=seed,
+                fan_out=False,  # semi-join output is already parallel
+            )
+            keeper_sig = keeper_sig_frame.select(
+                F.col("_id").alias("keeper_id"), F.col("_sig").alias("_ksig")
+            )
+            est2 = (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_bsig"), F.col("_ksig"), lambda x, y: x == y
+                        ),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            )
+            cand = (
+                ver.join(sig.select("_id", F.col("_sig").alias("_bsig")), "_id")
+                .join(keeper_sig, "keeper_id")
+                .filter(est2 >= F.lit(jaccard_threshold))
+                .select("_id", "keeper_id")
+            )
         dropped_hist = (
             cand.groupBy(F.col("_id").alias(id_col))
             .agg(F.min("keeper_id").alias("keeper"))
@@ -757,17 +893,37 @@ def incremental_minhash_dedup(
             dropped_hist.select(F.col(id_col).alias("_id")), on="_id", how="left_anti"
         )
     else:
+        dropped_hist = None
         dropped = dropped_batch
 
-    survivors = batch.join(
-        dropped.select(id_col), on=id_col, how="left_anti"
-    )
     band_delta = surv_banded.select(
         F.col("_band").alias("band"),
         F.col("_bhash").alias("bhash"),
         F.col("_id").alias("keeper_id"),
     )
-    return survivors, band_delta, dropped.select(id_col, "reason", "keeper")
+    dropped_out = dropped.select(id_col, "reason", "keeper")
+    if eager:
+        # materialize the two data-bearing outputs, then drop every
+        # internal cache — per-batch ingest must not accumulate executor
+        # storage across batches (see docstring; caller unpersists the
+        # returned frames after the band_delta append / audit sink)
+        band_delta = band_delta.persist()
+        dropped_out = dropped_out.persist()
+        band_delta.count()
+        dropped_out.count()
+        sig.unpersist()
+        dropped_batch.unpersist()
+        if dropped_hist is not None:
+            dropped_hist.unpersist()
+        if cand_est is not None:
+            cand_est.unpersist()
+        if keeper_sig_frame is not None:
+            keeper_sig_frame.unpersist()
+        dropped = dropped_out
+    survivors = batch.join(
+        dropped.select(id_col), on=id_col, how="left_anti"
+    )
+    return survivors, band_delta, dropped_out
 
 
 def _collapse_exact(
@@ -790,10 +946,22 @@ def _collapse_exact(
     reaches distant labels one hop later than in the clique graph (it
     routes through its rep), so clusters at exactly the rounds-reach
     boundary may keep one extra per-subtree winner — gate hashes at both
-    certified SFs are unchanged."""
-    norm_fp = F.xxhash64(
-        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    )
+    certified SFs are unchanged.
+
+    NULL-text rows are NEVER collapsed: Spark's xxhash64 returns the seed
+    for NULL input, which would silently merge every NULL-text doc into
+    one group (and drop all but one). NULL shingles can't form verified
+    pairs in the uncollapsed run, so each NULL-text row must stay its own
+    representative — we key those groups by the row's own id."""
+    norm_fp = F.when(
+        F.col(text_col).isNotNull(),
+        F.concat(
+            F.lit("t"),
+            F.xxhash64(
+                F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+            ).cast("string"),
+        ),
+    ).otherwise(F.concat(F.lit("n"), F.col(id_col).cast("string")))
     grp = Window.partitionBy("_nfp")
     tagged = (
         docs.withColumn("_nfp", norm_fp)

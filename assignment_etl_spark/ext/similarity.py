@@ -341,6 +341,12 @@ def build_ivf_index(
     assignment is one JVM-side model.transform pass and the assigned table
     is written bucketed by cell id — every later query touches only its
     probed cells' buckets.
+
+    Lifecycle: the returned frame IS the index and is persisted (the
+    materialization barrier the plan depends on) — the CALLER owns it
+    and releases it with ``assigned.unpersist()`` once done querying
+    (or after writing it out as the bucketed table). Rebuilding the
+    index in a loop without unpersisting accumulates executor storage.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array

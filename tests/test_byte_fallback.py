@@ -134,6 +134,25 @@ def test_bpe_apply_byte_fallback_preserves_order_and_roundtrips(spark):
     assert got["ßcd"][0].startswith("<0x")
 
 
+def test_apply_byte_fallback_keeps_empty_and_null_distinct(spark):
+    """Regression (r9 ADVICE): posexplode emits no rows for [], so an
+    unguarded regroup-join rewrote empty piece arrays to NULL —
+    conflating "empty segmentation" with the documented NULL exclusion
+    sentinel. [] must stay [], NULL must stay NULL."""
+    rows = spark.createDataFrame(
+        [("empty", []), ("excluded", None), ("plain", ["ab", "ß"])],
+        "word string, pieces array<string>",
+    )
+    vocab = spark.createDataFrame([("ab",)], "piece string")
+    got = {
+        r.word: (None if r.pieces is None else list(r.pieces))
+        for r in apply_byte_fallback(rows, vocab).collect()
+    }
+    assert got["empty"] == []
+    assert got["excluded"] is None
+    assert got["plain"] == ["ab", "<0xC3>", "<0x9F>"]
+
+
 def test_bpe_symbols_handle_unicode_codepoints(spark):
     """The (c)-delimited symbol representation splits on CODE POINTS (Java
     regex '.'), so BMP and astral characters survive encode_words as

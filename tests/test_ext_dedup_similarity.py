@@ -185,6 +185,44 @@ def test_minhash_dedup_keep_best(spark):
     assert out[3].keep                       # singleton survives
 
 
+def test_null_text_docs_never_collapse(spark):
+    """Regression (r9 ADVICE): Spark's xxhash64 returns the seed for NULL
+    input, so an unguarded exact-collapse fingerprints every NULL-text
+    doc identically and silently drops all but one — drops the
+    uncollapsed run never makes (NULL shingles can't form verified
+    pairs). Each NULL-text doc must stay its own representative and
+    survive every dedup flavor."""
+    from assignment_etl_spark.ext.dedup import (
+        _collapse_exact,
+        minhash_dedup_cc,
+        minhash_dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, None), (3, None), (4, OTHER), (5, None)],
+        "doc_id long, text string",
+    )
+    reps, edges = _collapse_exact(docs, text_col="text", id_col="doc_id")
+    assert sorted(r.doc_id for r in reps.collect()) == [0, 2, 3, 4, 5]
+    assert [(r.id_a, r.id_b) for r in edges.collect()] == [(0, 1)]
+
+    kept = sorted(
+        r.doc_id for r in minhash_dedup(docs, jaccard_threshold=0.3).collect()
+    )
+    assert kept == [0, 2, 3, 4, 5]
+
+    cc = minhash_dedup_cc(docs, jaccard_threshold=0.3)
+    assert sorted(r.doc_id for r in cc.collect()) == [0, 2, 3, 4, 5]
+
+    kb = {
+        r.doc_id: r.keep
+        for r in minhash_dedup_keep_best(
+            docs, F.lit(0.5), jaccard_threshold=0.3, rounds=2
+        ).collect()
+    }
+    assert kb[2] and kb[3] and kb[5]  # every NULL-text doc survives
+
+
 def test_hard_negatives_label_exclusion(spark):
     from assignment_etl_spark.ext.similarity import hard_negatives
 

@@ -109,7 +109,8 @@ def test_per_batch_cost_store_equijoined_once(spark, corpus, tmp_path):
     store = spark.read.parquet(p)
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     _surv, _delta, dropped = incremental_minhash_dedup(
-        batch, store, jaccard_threshold=0.4, portable=True, verify=False
+        batch, store, jaccard_threshold=0.4, portable=True, verify=False,
+        eager=False,  # keep the full dataflow visible in the plan
     )
     plan = dropped._sc._jvm.PythonSQLUtils.explainString(
         dropped._jdf.queryExecution(), "formatted"
@@ -133,10 +134,13 @@ def test_per_batch_cost_store_equijoined_once(spark, corpus, tmp_path):
 
 
 def test_consistent_with_full_corpus_dedup(spark, sf_dir):
-    """When history ids precede batch ids, incremental dedup against the
-    history's band index drops exactly the batch docs that a full-corpus
-    minhash_dedup over history ∪ batch would drop (same verified-edge
-    greedy semantics, factored through the store)."""
+    """When history ids precede batch ids (and history is internally
+    deduped), incremental dedup against the history's band index drops
+    exactly the batch docs that a full-corpus minhash_dedup over
+    history ∪ batch would drop — a semantic GUARANTEE since round 9:
+    stage 2 applies the same est-Jaccard signature cut as stage 1 and
+    the full run, so the drop predicate (band collision ∧ est ≥ t ∧
+    exact ≥ t) is identical in both paths."""
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
