@@ -2015,24 +2015,33 @@ WHERE rank <= 5 ORDER BY src, rank
 
 
 def q_knn_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-hop beam search over the k-NN graph
+    """Multi-hop beam search over a PERSISTED k-NN graph
     (ext/nndescent.knn_graph_beam_search) — HNSW's search loop as a
     fixed unrolled dataflow: quantizer-seeded beam (top-3 multiprobe),
-    two expand-score-reselect hops along the seed graph, exact top-5
-    answer. Every stage is a join or a query-partitioned window; the
-    DuckDB oracle UNROLLS the whole search (graph build, seed beam,
-    both hops' anti-join + rescore + beam reselection, final ranking)
-    and hash-matches every answer row."""
+    two expand-score-reselect hops along the graph, exact top-5 answer.
+    Since round 9 the gate consumes the graph THROUGH the
+    materialize_knn_graph parquet artifact (graph dir is temp — build
+    once, search from the scan), splitting build cost from search cost:
+    the search's work is bounded by beam + hops·beam·k exact distances
+    per query, graph-size-independent (SCALE.md three-point search-only
+    rows). Every stage is a join or a query-partitioned window; the
+    DuckDB oracle UNROLLS build + search (seed beam, both hops'
+    anti-join + rescore + beam reselection, final ranking) and
+    hash-matches every answer row — identical edges either side of the
+    parquet round-trip."""
+    import tempfile
+
     from assignment_etl_spark.ext.nndescent import (
-        build_knn_graph,
         knn_graph_beam_search,
+        materialize_knn_graph,
     )
 
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    graph = build_knn_graph(emb, k=5, rounds=0, init_bits=4)
+    d = tempfile.mkdtemp(prefix="knn_graph_gate_")
+    graph = materialize_knn_graph(emb, f"{d}/graph", k=5, rounds=0, init_bits=4)
     out = knn_graph_beam_search(
         emb.filter(F.col("vec_id") < 8),
         emb,
@@ -5005,17 +5014,18 @@ def q_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _sql_incremental_minhash(
+def _sql_incremental_ctes(
     num_hashes: int = 32, bands: int = 8, shingle_n: int = 5,
     seed: int = 7, threshold: float = 0.4,
 ) -> str:
-    """DuckDB replica of the incremental near-dup flow: shares the
-    portable-minhash preamble, splits banded rows into batch (odd ids) /
-    history (even ids), replays stage 1 (within-batch: est cut + exact
-    unpadded-5-gram Jaccard, greedy min-keeper per id_b) and stage 2
-    (store lookup restricted to stage-1 survivors + est-Jaccard cut +
-    exact verify against keeper text), and reassembles the per-doc
-    verdict rows."""
+    """Shared CTE chain replaying the incremental near-dup flow in
+    DuckDB: portable-minhash preamble, banded rows split into batch
+    (odd ids) / history (even ids), stage-1 drops (within-batch: est
+    cut + exact unpadded-5-gram Jaccard, greedy min-keeper per id_b)
+    as ``drop1``, stage-2 drops (store lookup restricted to stage-1
+    survivors + est-Jaccard cut + exact verify against keeper text) as
+    ``drop2``. Consumed by the incremental_minhash_documents verdict
+    oracle AND the band_store_lifecycle index oracle."""
     n = shingle_n
     jacc = (
         "CASE WHEN (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) > 0 "
@@ -5023,8 +5033,7 @@ def _sql_incremental_minhash(
         "(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) "
         "ELSE 0.0 END"
     )
-    return f"""
-WITH {_sql_minhash_preamble(num_hashes, bands, shingle_n, seed)},
+    return f"""{_sql_minhash_preamble(num_hashes, bands, shingle_n, seed)},
 tg AS (
   SELECT doc_id,
          list_distinct([substr(s, i, {n}) FOR i IN range(1, greatest(length(s) - {n - 1}, 1) + 1)]) AS g
@@ -5065,7 +5074,18 @@ vcand AS (
   JOIN tg a ON a.doc_id = c.doc_id
   JOIN tg b ON b.doc_id = c.keeper_id
   WHERE {jacc} >= {threshold}),
-drop2 AS (SELECT doc_id, min(keeper_id) AS keeper FROM vcand GROUP BY doc_id)
+drop2 AS (SELECT doc_id, min(keeper_id) AS keeper FROM vcand GROUP BY doc_id)"""
+
+
+def _sql_incremental_minhash(
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 5,
+    seed: int = 7, threshold: float = 0.4,
+) -> str:
+    """DuckDB replica of incremental_minhash_dedup's per-doc verdicts —
+    see :func:`_sql_incremental_ctes` for the replayed flow."""
+    ctes = _sql_incremental_ctes(num_hashes, bands, shingle_n, seed, threshold)
+    return f"""
+WITH {ctes}
 SELECT d.doc_id,
        CASE WHEN d1.keeper IS NOT NULL THEN 'dup_batch'
             WHEN d2.keeper IS NOT NULL THEN 'dup_history'
@@ -5077,6 +5097,91 @@ LEFT JOIN drop1 d1 ON d1.doc_id = d.doc_id
 LEFT JOIN drop2 d2 ON d2.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+def _sql_band_store_lifecycle(
+    num_hashes: int = 32, bands: int = 8, shingle_n: int = 5,
+    seed: int = 7, threshold: float = 0.4, tomb_mod: int = 7,
+) -> str:
+    """DuckDB replica of the band-store maintenance pass: the expected
+    POST-compaction index = history bands ∪ surviving batch bands (the
+    incremental drop predicate replayed via _sql_incremental_ctes)
+    minus tombstoned keepers (doc_id % tomb_mod = 0), aggregated per
+    band. Compaction itself must be content-neutral, so hashing the
+    surviving index certifies both the delta append and the
+    tombstone-folding rewrite."""
+    ctes = _sql_incremental_ctes(num_hashes, bands, shingle_n, seed, threshold)
+    return f"""
+WITH {ctes},
+all_rows AS (
+  SELECT band, bh, doc_id AS keeper_id FROM banded WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT band, bh, doc_id FROM banded
+  WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT doc_id FROM drop1)
+    AND doc_id NOT IN (SELECT doc_id FROM drop2)),
+alive AS (SELECT * FROM all_rows WHERE keeper_id % {tomb_mod} != 0)
+SELECT CAST(band AS INTEGER) AS band,
+       count(*) AS n_rows,
+       count(DISTINCT keeper_id) AS n_keepers,
+       sum(keeper_id)::BIGINT AS id_sum,
+       sum(bh % 1000003)::BIGINT AS bh_mod_sum
+FROM alive GROUP BY band ORDER BY band
+"""
+
+
+def q_band_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-index maintenance (ext/dedup.py tombstone_band_store +
+    compact_band_store — VERDICT r8 ask #5): build the history index
+    (even doc_ids), ingest the odd-id batch and blind-append its
+    band_delta, tombstone deleted keepers (doc_id % 7 == 0, hitting
+    both parities), then COMPACT — the atomic clustered rewrite that
+    folds tombstones in. Output hash-certifies the post-compaction
+    index per band (row count, distinct keepers, id sum, bhash
+    checksum); the oracle recomputes the expected index from first
+    principles (history bands ∪ surviving batch bands via the replayed
+    incremental drop predicate, minus tombstoned keepers), so the gate
+    proves the append was blind, the compaction content-neutral, and
+    the tombstones effective."""
+    import tempfile
+
+    from assignment_etl_spark.ext.dedup import (
+        build_band_store,
+        compact_band_store,
+        incremental_minhash_dedup,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    d = tempfile.mkdtemp(prefix="band_store_gate_")
+    path = f"{d}/band_store"
+    build_band_store(hist, portable=True).write.parquet(path)
+    store = spark.read.parquet(path)
+    _surv, delta, _dropped = incremental_minhash_dedup(
+        batch, store, history_texts=hist, jaccard_threshold=0.4,
+        portable=True, eager=False,
+    )
+    # stage the delta, then blind-append it (a committed batch would do
+    # exactly this — the append never reads the store)
+    delta.write.parquet(f"{d}/delta")
+    spark.read.parquet(f"{d}/delta").write.mode("append").parquet(path)
+    tomb = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("keeper_id")
+    )
+    compact_band_store(spark, path, deleted_keys=tomb)
+    out = spark.read.parquet(path)
+    return (
+        out.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("keeper_id").alias("n_keepers"),
+            F.sum("keeper_id").alias("id_sum"),
+            F.sum(F.col("bhash") % 1000003).alias("bh_mod_sum"),
+        )
+        .orderBy("band")
+    )
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13519,6 +13624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-8 rotation: the r1–r7 union certifies the whole round-7
         # registry, so only gates NEW in round 8 need the prefix.
         "incremental_minhash_documents": q_incremental_minhash_documents,
+        "band_store_lifecycle": q_band_store_lifecycle,
         "byte_fallback_encode": q_byte_fallback_encode,
         # -- round-7 rotation: the certification gap is ZERO after round 6
         # (driver union covers 236/236), so only NEW or SEMANTICALLY
@@ -13781,6 +13887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "incremental_minhash_documents": _sql_incremental_minhash(),
+        "band_store_lifecycle": _sql_band_store_lifecycle(),
         "byte_fallback_encode": _sql_byte_fallback_encode(),
         "kll_quantiles_orders": _sql_kll_quantiles_orders(),
         "unigram_lm_vocab": _sql_unigram_lm_vocab(),

@@ -661,6 +661,81 @@ def build_band_store(
     )
 
 
+def tombstone_band_store(
+    band_store: DataFrame, deleted_keys: DataFrame, *, key_col: str = "keeper_id"
+) -> DataFrame:
+    """Filter a band index down to LIVE keepers: one anti-join on
+    keeper_id against the deleted-document key set (the band-store
+    companion of io/store.delete_by_keys). A document erased from the
+    corpus must stop matching new batches immediately — without this, a
+    deleted keeper's bands keep dropping incoming near-dups of a
+    document that no longer exists.
+
+    This is the LOOKUP-TIME contract (cheap: the tombstone set
+    broadcast-joins the store scan); the store files themselves are
+    rewritten lazily by :func:`compact_band_store`, which folds the
+    tombstones in — the 100 TB pattern, since rewriting a ~TB index per
+    delete request is the anti-pattern delete_by_keys exists to avoid."""
+    return band_store.join(
+        deleted_keys.select(F.col(key_col).alias("keeper_id")).distinct(),
+        on="keeper_id",
+        how="left_anti",
+    ).select("band", "bhash", "keeper_id")
+
+
+def compact_band_store(
+    spark,
+    path: str,
+    *,
+    deleted_keys: DataFrame | None = None,
+    key_col: str = "keeper_id",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Maintenance pass for the blind-append band index at ``path``:
+    fold in keeper tombstones (if given) and rewrite the accumulated
+    per-batch delta files into few files CLUSTERED by (band, bhash) —
+    rides io/store.compact_parquet's atomic temp-sibling swap, so a
+    crash at any step leaves either the old or the new index intact.
+    Returns the new file count.
+
+    Why both jobs in one rewrite: every incremental_minhash_dedup batch
+    blind-appends a small band_delta (the contract that keeps ingest
+    read-free), so after many batches the store is thousands of small
+    files with interleaved band ranges — per-file open costs and dead
+    min/max skipping on exactly the (band, bhash) equi-join the lookup
+    prunes on. Compaction restores the clustering; folding tombstones
+    here makes the periodic rewrite also the erasure pass. Lookup
+    results are identical before/after (modulo tombstoned keepers) —
+    gate ``band_store_lifecycle`` hash-certifies the surviving index."""
+    from assignment_etl_spark.io.store import (
+        atomic_overwrite_parquet,
+        compact_parquet,
+    )
+
+    if deleted_keys is None:
+        return compact_parquet(
+            spark, path, target_file_bytes=target_file_bytes,
+            sort_by=["band", "bhash"],
+        )
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        return 0
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, -(-total // target_file_bytes))
+    live = tombstone_band_store(
+        spark.read.parquet(path), deleted_keys, key_col=key_col
+    )
+    atomic_overwrite_parquet(
+        live.repartitionByRange(n, "band", "bhash")
+        .sortWithinPartitions("band", "bhash"),
+        path,
+    )
+    return n
+
+
 def incremental_minhash_dedup(
     batch: DataFrame,
     band_store: DataFrame | None,

@@ -299,3 +299,8 @@ def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
     os.rename(norm, old)
     os.rename(tmp, norm)
     shutil.rmtree(old)
+    # the swap changed the path's contents OUT OF BAND: any cached plan
+    # or file listing over the old scan would silently serve stale rows
+    # (caught by the band-store tombstone test — a pre-rewrite cached
+    # dedup result kept "matching" a deleted keeper)
+    df.sparkSession.catalog.refreshByPath(norm)

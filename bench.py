@@ -193,6 +193,7 @@ _R_VARIANT = (
 
 EXCLUDED: dict[str, str] = {
     **{n: _R_IO for n in (
+        "band_store_lifecycle",
         "jsonl_roundtrip",
         "messy_csv_roundtrip",
         "optimize_table_roundtrip",

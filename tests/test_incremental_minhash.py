@@ -133,6 +133,78 @@ def test_per_batch_cost_store_equijoined_once(spark, corpus, tmp_path):
     assert cols and cols <= {"band", "bhash", "keeper_id"}, plan
 
 
+def test_compaction_preserves_lookup_results(spark, corpus, tmp_path):
+    """compact_band_store is content-neutral: the same batch dedup'd
+    against the store BEFORE and AFTER compaction (no tombstones) drops
+    the same docs with the same keepers, and the compacted dir holds
+    fewer files than the blind-append accumulation."""
+    import glob
+
+    from assignment_etl_spark.ext.dedup import compact_band_store
+
+    hist, batch = corpus
+    p = str(tmp_path / "band_store")
+    # blind-append the store in two halves to accumulate small files
+    build_band_store(hist.filter("doc_id <= 2"), portable=True).write.parquet(p)
+    build_band_store(hist.filter("doc_id > 2"), portable=True).write.mode(
+        "append"
+    ).parquet(p)
+    n_before = len(glob.glob(f"{p}/**/*.parquet", recursive=True))
+
+    def lookup():
+        _s, _d, dropped = incremental_minhash_dedup(
+            batch, spark.read.parquet(p), history_texts=hist,
+            jaccard_threshold=0.4, portable=True,
+        )
+        return sorted((r.doc_id, r.reason, r.keeper) for r in dropped.collect())
+
+    before = lookup()
+    assert compact_band_store(spark, p) >= 1
+    n_after = len(glob.glob(f"{p}/**/*.parquet", recursive=True))
+    assert n_after < n_before
+    assert lookup() == before
+
+
+def test_tombstoned_keeper_stops_matching(spark, corpus, tmp_path):
+    """A keeper deleted from the corpus must stop matching: after
+    tombstoning doc 0 (the BASE keeper) — via the lookup-time anti-join
+    AND via the compaction rewrite — batch doc 11 (a near-dup of 0) is
+    no longer dropped as dup_history."""
+    from assignment_etl_spark.ext.dedup import (
+        compact_band_store,
+        tombstone_band_store,
+    )
+
+    hist, batch = corpus
+    p = str(tmp_path / "band_store")
+    build_band_store(hist, portable=True).write.parquet(p)
+    tomb = spark.createDataFrame([(0,)], "keeper_id long")
+
+    def dropped_with(store):
+        _s, delta, dropped = incremental_minhash_dedup(
+            batch, store, history_texts=hist, jaccard_threshold=0.4,
+            portable=True,
+        )
+        got = {r.doc_id: r.reason for r in dropped.collect()}
+        # the documented caller contract: release the returned persisted
+        # frames once consumed (their plans embed the store scan — left
+        # cached, they'd shadow the post-compaction rewrite)
+        delta.unpersist()
+        dropped.unpersist()
+        return got
+
+    assert dropped_with(spark.read.parquet(p)).get(11) == "dup_history"
+    # lookup-time tombstone: same store files, filtered view
+    live = tombstone_band_store(spark.read.parquet(p), tomb)
+    assert 11 not in dropped_with(live)
+    # durable tombstone: compaction folds the delete into the rewrite
+    compact_band_store(spark, p, deleted_keys=tomb)
+    assert 11 not in dropped_with(spark.read.parquet(p))
+    assert (
+        spark.read.parquet(p).filter("keeper_id = 0").count() == 0
+    )
+
+
 def test_consistent_with_full_corpus_dedup(spark, sf_dir):
     """When history ids precede batch ids (and history is internally
     deduped), incremental dedup against the history's band index drops

