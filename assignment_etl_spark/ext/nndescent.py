@@ -115,6 +115,22 @@ def refine_knn_graph(
     return out.localCheckpoint(eager=True) if checkpoint else out
 
 
+def seed_bits_for(n_rows: int, *, target_cell: int = 1024, max_bits: int = 16) -> int:
+    """Sign-bit count for the seed quantizer, scaled so the EXPECTED
+    cell population stays ~``target_cell`` as the corpus grows. The
+    seed graph's within-cell candidate join is Σ|cell|² — with a FIXED
+    bit count, cell population grows linearly with the corpus and the
+    seed join quadratically (measured: 16 cells over 200k vectors =
+    2.5B seed pairs at the sf10 sweep). Doubling the cells per corpus
+    doubling keeps the join linear; floor 4 preserves small-corpus
+    behavior, cap ``max_bits`` bounds the probe fan-out."""
+    import math
+
+    if n_rows <= target_cell:
+        return 4
+    return max(4, min(max_bits, math.ceil(math.log2(n_rows / target_cell))))
+
+
 def build_knn_graph(
     emb: DataFrame,
     *,
@@ -122,7 +138,7 @@ def build_knn_graph(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    init_bits: int = 4,
+    init_bits: int | None = 4,
     round_to: int = 6,
     checkpoint_rounds: bool = True,
 ) -> DataFrame:
@@ -131,6 +147,9 @@ def build_knn_graph(
     (:func:`refine_knn_graph`) from the sign-bit-cell seed graph.
     ``cos_sim`` is rounded to ``round_to`` AFTER ranking (ties rank by
     unrounded score then dst id, the repo's standard ANN contract).
+    ``init_bits=None`` scales the seed quantizer with the corpus
+    (:func:`seed_bits_for` — the production setting; explicit bits are
+    for oracle-pinned gates and cost one count() less).
     Note the eager per-round checkpoints mean CONSTRUCTING this
     DataFrame runs the build when ``rounds > 0`` and
     ``checkpoint_rounds`` is on — pass ``checkpoint_rounds=False`` for
@@ -139,6 +158,8 @@ def build_knn_graph(
     clean)."""
     if k < 1 or rounds < 0:
         raise ValueError(f"need k >= 1 and rounds >= 0, got k={k} rounds={rounds}")
+    if init_bits is None:
+        init_bits = seed_bits_for(emb.count())
     edges = cell_multiprobe_topk(
         emb, emb, k, id_col=id_col, vec_col=vec_col,
         n_bits=init_bits, hamming=1,
@@ -164,7 +185,7 @@ def materialize_knn_graph(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    init_bits: int = 4,
+    init_bits: int | None = 4,
     round_to: int = 6,
     partitions: int | None = None,
 ) -> DataFrame:

@@ -1,0 +1,143 @@
+"""Non-ASCII certification of the portable text family (VERDICT r8 ask
+#4): the Spark engine is compared ROW FOR ROW against the pure-CPython
+oracle in tools/utf8_oracle.py over the committed UTF-8 fixture corpus
+(CJK, kana, hangul, NFC-vs-NFD combining marks, astral plane, RTL,
+Greek final sigma, Turkish dotted i, ideographic space, ligatures), and
+the oracle's output hashes are pinned by GATES_UTF8.json — the
+GATES.json-style tripwire, so neither side can drift silently."""
+
+import json
+import sys
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+from tools import utf8_oracle as O  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return O.load_fixture()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, docs):
+    return spark.createDataFrame(docs, "doc_id long, text string").persist()
+
+
+def test_fixture_is_genuinely_non_ascii(docs):
+    texts = [t for _i, t in docs]
+    assert any(any(ord(c) > 0xFFFF for c in t) for t in texts)  # astral
+    assert any("́" in t for t in texts)                    # combining
+    assert any("　" in t for t in texts)                    # ideographic ws
+    assert sum(not t.isascii() for t in texts) >= 15
+
+
+def test_exact_dedup_matches_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.dedup import exact_dedup
+
+    got = sorted(r.doc_id for r in exact_dedup(docs_df).collect())
+    assert [(i,) for i in got] == O.exact_dedup_survivors(docs)
+    # NFC and NFD spellings are DIFFERENT documents (no unicode
+    # normalization in the engine) — both survive
+    assert 8 in got and 9 in got
+    # ideographic space is NOT \s: doc 19's tokens stay glued, and the
+    # Java-trim contract keeps it at the edges too
+    assert 19 in got
+
+
+def test_portable_minhash_and_bands_match_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.dedup import (
+        portable_band_hash,
+        portable_minhash_signature,
+    )
+
+    sig = F.col("sig")
+    rows = (
+        docs_df.select(
+            "doc_id",
+            portable_minhash_signature(F.col("text"), 32, 5, 7).alias("sig"),
+        )
+        .select(
+            "doc_id",
+            "sig",
+            F.array(
+                *[portable_band_hash(sig, b * 4 + 1, 4) for b in range(8)]
+            ).alias("bands"),
+        )
+        .collect()
+    )
+    for r in rows:
+        want_sig = O.minhash_sig(dict(docs)[r.doc_id])
+        assert list(r.sig) == want_sig, f"sig mismatch doc {r.doc_id}"
+        assert list(r.bands) == O.band_hashes(want_sig), f"bands doc {r.doc_id}"
+
+
+def test_byte_fallback_matches_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.bpe import apply_byte_fallback, word_freq
+
+    wf = word_freq(docs_df)
+    words = sorted(r.word for r in wf.collect())
+    ascii_vocab = {w for w in words if w.isascii()}
+    rows = spark.createDataFrame(
+        [(w, [w]) for w in words], "word string, pieces array<string>"
+    )
+    vocab = spark.createDataFrame([(w,) for w in sorted(ascii_vocab)], "piece string")
+    got = {
+        r.word: list(r.pieces)
+        for r in apply_byte_fallback(rows, vocab).collect()
+    }
+    for w in words:
+        assert got[w] == O.byte_fallback([w], ascii_vocab), repr(w)
+
+
+def test_bpe_encode_matches_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.bpe import encode_words, train_bpe, word_freq
+
+    merges = train_bpe(docs_df, n_merges=24)
+    pairs = [(lft, rgt) for _s, lft, rgt, _c in merges]
+    wf = word_freq(docs_df).filter(~F.col("word").contains("("))
+    got = {
+        r.word: list(r.pieces) for r in encode_words(wf, merges).collect()
+    }
+    assert len(got) > 50
+    for w, pieces in got.items():
+        assert pieces == O.bpe_encode(w, pairs), repr(w)
+        assert "".join(pieces) == w.lower(), repr(w)  # lossless on any script
+
+
+def test_unigram_train_and_viterbi_match_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.bpe import word_freq
+    from assignment_etl_spark.ext.unigram_lm import (
+        train_unigram_lm,
+        viterbi_encode,
+    )
+
+    vocab_df = train_unigram_lm(
+        docs_df, seed_multi=48, max_piece_len=4, max_word_len=12, n_iters=2
+    )
+    spark_vocab = {r.piece: Decimal(r.lp) for r in vocab_df.collect()}
+    # training replay: the EM loop lands on the identical (piece, lp) table
+    assert spark_vocab == O.unigram_train(docs, seed_multi=48, n_iters=2)
+
+    words = word_freq(docs_df).select("word")
+    got = {
+        r.word: (None if r.pieces is None else list(r.pieces))
+        for r in viterbi_encode(words, vocab_df).collect()
+    }
+    for w, pieces in got.items():
+        assert pieces == O.viterbi_encode(w, spark_vocab), repr(w)
+
+
+def test_manifest_pins_oracle_outputs(docs):
+    committed = json.load(open("/root/repo/GATES_UTF8.json"))
+    got = {
+        name: {"rows": len(rows), "hash": O.canon_hash(rows)}
+        for name, rows in O.checks(docs).items()
+    }
+    assert got == committed["checks"], (
+        "UTF-8 oracle outputs drifted from GATES_UTF8.json — if the "
+        "change is intended, regenerate with: python tools/utf8_oracle.py write"
+    )

@@ -5,12 +5,26 @@ survivors, and report the number a training-data team would quote:
 TOKENS PER SECOND through the whole pipeline, wall-clock, cold cache.
 
 Run:  python tools/corpus_pipeline_bench.py [sf_dir ...]
+      python tools/corpus_pipeline_bench.py --check [sf_dir]
+      python tools/corpus_pipeline_bench.py --rebaseline [sf_dir]
 Default sf dirs: /root/testdata/sf0.1 /tmp/sf1_synth /tmp/sf10_synth
 Prints one markdown row per sf dir (paste into SCALE.md).
+
+``--check`` is the tracked-artifact mode (VERDICT r8 ask #6): run the
+sf0.1 pipeline with the bench protocol (3 runs, best-of for the
+per-round number, first run reported as cold), compare against the
+committed PIPELINE_BASELINE.json, and print ONE JSON line with a
+``regression`` field — the composed-path twin of bench.py's
+regressions_vs_baseline, so a plan change that slows the FUNNEL (not
+any single gate) gets flagged per round too. Flag rule mirrors
+bench.py: worse than 1.5x the baseline wall AND >0.3s absolute.
+``--rebaseline`` rewrites the baseline from a fresh protocol run.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -19,6 +33,10 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 BUDGET = 2048  # tokens per packed training sequence
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "PIPELINE_BASELINE.json"
+)
+RUNS = 3
 
 
 def run_once(spark, sf_dir: str) -> dict:
@@ -64,10 +82,73 @@ def run_once(spark, sf_dir: str) -> dict:
     }
 
 
+def protocol_run(spark, sf_dir: str) -> dict:
+    """Bench protocol for the composed path: RUNS runs, report the first
+    (cold) and the best (the per-round comparable), plus the invariant
+    row counts that pin the pipeline's RESULT alongside its speed."""
+    runs = []
+    for _ in range(RUNS):
+        spark.catalog.clearCache()
+        runs.append(run_once(spark, sf_dir))
+    best = min(runs, key=lambda r: r["wall_s"])
+    return {
+        "sf_dir": sf_dir,
+        "budget": BUDGET,
+        "runs": RUNS,
+        "docs": best["docs"],
+        "corpus_tokens": best["corpus_tokens"],
+        "sequences": best["sequences"],
+        "kept_tokens": best["kept_tokens"],
+        "cold_wall_s": round(runs[0]["wall_s"], 3),
+        "best_wall_s": round(best["wall_s"], 3),
+        "best_tok_per_s": best["tok_per_s"],
+    }
+
+
+def check(spark, sf_dir: str) -> int:
+    res = protocol_run(spark, sf_dir)
+    out = {"metric": "corpus_pipeline_tok_per_s", "value": res["best_tok_per_s"],
+           "unit": "tokens/s", **res}
+    if os.path.exists(BASELINE_PATH):
+        base = json.load(open(BASELINE_PATH))
+        out["baseline_tok_per_s"] = base["best_tok_per_s"]
+        worse = (
+            res["best_wall_s"] > 1.5 * base["best_wall_s"]
+            and res["best_wall_s"] - base["best_wall_s"] > 0.3
+        )
+        out["regression"] = (
+            {"baseline_wall_s": base["best_wall_s"], "now_wall_s": res["best_wall_s"]}
+            if worse else None
+        )
+        # the pipeline's RESULT is pinned too: a funnel that got faster
+        # by dropping different rows is a wrong answer, not a win
+        for k in ("docs", "corpus_tokens", "sequences", "kept_tokens"):
+            if base.get(k) is not None and base[k] != res[k]:
+                out["result_drift"] = {k: {"baseline": base[k], "now": res[k]}}
+                break
+    print(json.dumps(out))
+    return 1 if out.get("regression") or out.get("result_drift") else 0
+
+
 def main() -> int:
     from assignment_etl_spark.session import get_spark
 
-    dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    if args and args[0] in ("--check", "--rebaseline"):
+        mode, rest = args[0], args[1:]
+        sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
+        spark = get_spark("corpus-pipeline-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        if mode == "--rebaseline":
+            res = protocol_run(spark, sf_dir)
+            with open(BASELINE_PATH, "w") as fh:
+                json.dump(res, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            print(f"wrote {os.path.normpath(BASELINE_PATH)}: {res}")
+            return 0
+        return check(spark, sf_dir)
+
+    dirs = args or [
         "/root/testdata/sf0.1",
         "/tmp/sf1_synth",
         "/tmp/sf10_synth",

@@ -62,6 +62,20 @@ TARGETS = [
     "wordpiece_train_merges",
     "knn_graph_beam_search",
     "rank_agreement_quality_length",
+    # r9 net-widening (VERDICT r8 ask #3): families with only sf1
+    # evidence — streaming representatives, funnel/retention/survival,
+    # graph beyond HITS — plus the split knn-graph BUILD (ask #1)
+    "session_windows",
+    "streaming_join_pairs",
+    "streaming_upsert_latest",
+    "cohort_retention_events",
+    "funnel_view_purchase",
+    "survival_users",
+    "pagerank_event_graph",
+    "triangle_count_graph",
+    "cc_label_propagation",
+    # the knn-graph BUILD and SEARCH are measured split, in production
+    # configuration (corpus-scaled seed bits), by tools/knn_split_curves.py
 ]
 
 

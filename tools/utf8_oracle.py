@@ -1,0 +1,319 @@
+"""Pure-Python (CPython stdlib + hashlib only) oracle for the portable
+text family over a UTF-8 fixture corpus — the SECOND oracle path
+(VERDICT r8 ask #4). Every hash-certified text gate runs against DuckDB
+on ASCII-safe fixture tables only, because DuckDB's string functions
+operate on BLOB-unsafe text for some of the portable formulas
+(docs/ROUND_NOTES.md r8). This module closes the "gate-certified only
+on ASCII" caveat: it independently re-derives the portable-hash SPEC
+(documented in assignment_etl_spark/portable.py and ext/dedup.py — the
+constants below are deliberate re-derivations, not imports, so a silent
+divergence in the package cannot leak into its own oracle) and replays,
+over tests/fixtures/utf8_corpus.jsonl (CJK, kana, hangul, combining
+marks NFC vs NFD, astral plane, RTL Arabic/Hebrew, Greek final sigma,
+Turkish dotted/dotless i, ideographic space, ligatures):
+
+  - exact_dedup survivors        (decision-level: min-id per normalized text)
+  - portable minhash signatures  (32 perms over 5-gram codepoint polys)
+  - portable LSH band hashes     (8 bands x polynomial fold)
+  - byte-fallback pieces         (UTF-8 <0xXX> decomposition vs a vocab)
+  - BPE encode                   (merge-list replay over (c) symbol strings)
+  - unigram-LM Viterbi encode    (decimal-scored DP replay)
+
+``python tools/utf8_oracle.py write``  recomputes GATES_UTF8.json;
+tests/test_utf8_oracle.py compares the Spark engine row-for-row against
+these functions AND pins the committed manifest (the GATES.json-style
+tripwire).
+
+Java/CPython semantic notes encoded here (each one is load-bearing on
+this fixture): Spark's regexp \\s is ASCII-only (U+3000 ideographic
+space is NOT whitespace), trim() strips chars <= U+0020 only, split on
+the empty pattern and regex '.' operate on CODE POINTS (astral chars
+stay whole), lower() is Java toLowerCase (final-sigma contextual
+mapping, dotted-I decomposition — CPython str.lower matches on all of
+these for this fixture, verified by the row-for-row engine test).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "fixtures", "utf8_corpus.jsonl"
+)
+MANIFEST = os.path.join(os.path.dirname(__file__), "..", "GATES_UTF8.json")
+
+# --- portable-hash spec, re-derived (see module docstring) -------------
+P31 = (1 << 31) - 1          # portable prime (2^31 - 1)
+M61 = (1 << 61) - 1          # Mersenne prime used by the perm-param LCG
+BAND_MULT = 1000003          # band-hash polynomial multiplier
+LCG_A = 6364136223846793005
+LCG_C = 1442695040888963407
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (no UNICODE class)
+
+
+def perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    params, state = [], seed
+    for _ in range(num_hashes):
+        state = (state * LCG_A + LCG_C) % (1 << 63)
+        a = (state % (M61 - 1)) + 1
+        state = (state * LCG_A + LCG_C) % (1 << 63)
+        b = state % M61
+        params.append((a % (P31 - 1) + 1, b % P31))
+    return params
+
+
+def java_trim(s: str) -> str:
+    """Java String.trim: strip leading/trailing chars <= U+0020 only."""
+    i, j = 0, len(s)
+    while i < j and ord(s[i]) <= 0x20:
+        i += 1
+    while j > i and ord(s[j - 1]) <= 0x20:
+        j -= 1
+    return s[i:j]
+
+
+def norm_text(s: str) -> str:
+    """lower(regexp_replace(text, \\s+, ' ')) — the LSH normalization."""
+    return _ASCII_WS.sub(" ", s).lower()
+
+
+# --- checks ------------------------------------------------------------
+
+def exact_dedup_survivors(docs: list[tuple[int, str]]) -> list[tuple]:
+    """ext/dedup.exact_dedup decisions: keep min doc_id per
+    trim(norm_text) key (the fingerprint hash only relabels the key)."""
+    best: dict[str, int] = {}
+    for i, t in docs:
+        k = java_trim(norm_text(t))
+        if k not in best or i < best[k]:
+            best[k] = i
+    kept = sorted(best.values())
+    return [(i,) for i in kept]
+
+
+def gram_hashes(text: str, n: int = 5) -> set[int]:
+    """Distinct 31-ary codepoint-polynomial n-gram hashes mod P31 —
+    ext/dedup.portable_gram_hashes (right-padded to n with spaces)."""
+    s = norm_text(text)
+    if len(s) < n:
+        s = s.ljust(n, " ")
+    cps = [ord(c) for c in s]
+    out = set()
+    for i in range(len(cps) - n + 1):
+        acc = 0
+        for j in range(n):
+            acc = (acc * 31 + cps[i + j]) % P31
+        out.add(acc)
+    return out
+
+def minhash_sig(text: str, num_hashes: int = 32, n: int = 5, seed: int = 7) -> list[int]:
+    grams = gram_hashes(text, n)
+    return [min((a * h + b) % P31 for h in grams) for a, b in perm_params(num_hashes, seed)]
+
+
+def band_hashes(sig: list[int], bands: int = 8) -> list[int]:
+    rows = len(sig) // bands
+    out = []
+    for b in range(bands):
+        acc = 0
+        for v in sig[b * rows : (b + 1) * rows]:
+            acc = (acc * BAND_MULT + v) % P31
+        out.append(acc)
+    return out
+
+
+def byte_pieces(s: str) -> list[str]:
+    return ["<0x%02X>" % b for b in s.encode("utf-8")]
+
+
+def byte_fallback(pieces: list[str] | None, vocab: set[str]) -> list[str] | None:
+    """ext/bpe.apply_byte_fallback: in-vocab pieces intact, others
+    decompose to UTF-8 byte tokens in place; NULL stays NULL, [] stays []."""
+    if pieces is None:
+        return None
+    out: list[str] = []
+    for p in pieces:
+        out.extend([p] if p in vocab else byte_pieces(p))
+    return out
+
+
+def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """ext/bpe.encode_words replay: '(c)' symbol string per code point,
+    each merge (l, r) applied as a literal left-to-right replace of
+    '(l)(r)' with '(lr)' in training order, then piece extraction."""
+    s = "".join(f"({c})" for c in word.lower())
+    for lft, rgt in merges:
+        s = s.replace(f"({lft})({rgt})", f"({lft}{rgt})")
+    return re.findall(r"\(([^)]*)\)", s)
+
+
+def viterbi_encode(
+    word: str,
+    vocab: dict[str, Decimal],
+    *,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+) -> list[str] | None:
+    """ext/unigram_lm.viterbi_encode replay: decimal(18,6)-scored
+    forward DP, per-position argmax ties broken by (shorter piece,
+    then piece ascending), backtrack from len to 0. Words longer than
+    max_word_len or with no surviving path -> None."""
+    L = len(word)
+    if L > max_word_len or L == 0:
+        return None
+    score: dict[int, Decimal] = {0: Decimal("0.000000")}
+    chosen: dict[int, tuple[int, str]] = {}
+    for j in range(1, L + 1):
+        best = None
+        for length in range(1, min(max_piece_len, j) + 1):
+            prev = j - length
+            if prev not in score:
+                continue
+            piece = word[prev:j]
+            if piece not in vocab:
+                continue
+            cand = (score[prev] + vocab[piece], length, piece)
+            if best is None or (
+                cand[0] > best[0]
+                or (cand[0] == best[0] and (cand[1], cand[2]) < (best[1], best[2]))
+            ):
+                best = cand
+        if best is not None:
+            score[j] = best[0]
+            chosen[j] = (best[1], best[2])
+    if L not in score:
+        return None
+    out, pos = [], L
+    while pos > 0:
+        length, piece = chosen[pos]
+        out.append(piece)
+        pos -= length
+    return list(reversed(out))
+
+
+def word_freq(docs: list[tuple[int, str]]) -> dict[str, int]:
+    """ext/bpe._word_freq replay: lower, split on ASCII \\s, drop empties."""
+    wf: dict[str, int] = {}
+    for _i, t in docs:
+        for w in _ASCII_WS.split(t.lower()):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    return wf
+
+
+def unigram_train(
+    docs: list[tuple[int, str]],
+    *,
+    seed_multi: int = 48,
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    n_iters: int = 2,
+) -> dict[str, Decimal]:
+    """ext/unigram_lm.train_unigram_lm replay (same EM: char seed +
+    top-``seed_multi`` substrings, Viterbi count, renormalize). Used
+    only to cross-check the trained vocab the test feeds both encoders."""
+    wf = word_freq(docs)
+    occ: dict[str, int] = {}
+    for w, n in wf.items():
+        if len(w) > max_word_len:
+            continue
+        for i in range(len(w)):
+            for length in range(1, min(max_piece_len, len(w) - i) + 1):
+                occ[w[i : i + length]] = occ.get(w[i : i + length], 0) + n
+    singles = {p: c for p, c in occ.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in occ.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_multi]
+    counts = dict(singles)
+    counts.update(dict(multi))
+    vocab = _with_lp(counts)
+    for _it in range(n_iters):
+        cnts: dict[str, int] = {}
+        for w, n in wf.items():
+            seg = viterbi_encode(
+                w, vocab, max_piece_len=max_piece_len, max_word_len=max_word_len
+            )
+            if seg:
+                for p in seg:
+                    cnts[p] = cnts.get(p, 0) + n
+        vocab = _with_lp(cnts)
+    return vocab
+
+
+def _with_lp(counts: dict[str, int]) -> dict[str, Decimal]:
+    tot = sum(counts.values())
+    return {
+        p: Decimal(repr(math.log(c / tot))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        for p, c in counts.items()
+    }
+
+
+# --- manifest ----------------------------------------------------------
+
+def load_fixture() -> list[tuple[int, str]]:
+    with open(FIXTURE, encoding="utf-8") as fh:
+        rows = [json.loads(line) for line in fh if line.strip()]
+    return [(r["doc_id"], r["text"]) for r in rows]
+
+
+def canon_hash(rows: list[tuple]) -> str:
+    lines = sorted("|".join(str(v) for v in r) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode("utf-8")).hexdigest()[:16]
+
+
+def checks(docs: list[tuple[int, str]]) -> dict[str, list[tuple]]:
+    wf = word_freq(docs)
+    words = sorted(wf)
+    ascii_vocab = {w for w in words if w.isascii()}
+    out = {
+        "exact_dedup_survivors": exact_dedup_survivors(docs),
+        "portable_minhash_sigs": [
+            (i, json.dumps(minhash_sig(t))) for i, t in docs
+        ],
+        "portable_band_hashes": [
+            (i, json.dumps(band_hashes(minhash_sig(t)))) for i, t in docs
+        ],
+        "byte_fallback_pieces": [
+            (w, json.dumps(byte_fallback([w], ascii_vocab), ensure_ascii=False))
+            for w in words
+        ],
+    }
+    return out
+
+
+def main() -> int:
+    import sys
+
+    docs = load_fixture()
+    manifest = {
+        "_protocol": (
+            "pure-CPython oracle over tests/fixtures/utf8_corpus.jsonl; "
+            "hash = sha256 of sorted |-joined rows, first 16 hex. The "
+            "bpe/unigram encode checks are engine-vs-python only (their "
+            "vocab is trained at test time), so they carry no hash here."
+        ),
+        "checks": {
+            name: {"rows": len(rows), "hash": canon_hash(rows)}
+            for name, rows in checks(docs).items()
+        },
+    }
+    if len(sys.argv) > 1 and sys.argv[1] == "write":
+        with open(MANIFEST, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {os.path.normpath(MANIFEST)}")
+    else:
+        print(json.dumps(manifest, indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
