@@ -48,6 +48,7 @@ from assignment_etl_spark.ext.similarity import (
     cell_multiprobe_topk,
     dot,
     l2_norm,
+    signbit_cell,
 )
 
 
@@ -115,6 +116,79 @@ def refine_knn_graph(
     return out.localCheckpoint(eager=True) if checkpoint else out
 
 
+def _salted_cell_seed(
+    emb: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    cell_cap: int,
+) -> DataFrame:
+    """Skew-proof seed graph: the sign-bit cell join with OVERSIZED
+    cells split into ~``cell_cap``-member salt buckets. Sign-bit cells
+    are data-dependent — real embedding distributions concentrate, and
+    one hot cell's |cell|² pairs dominate the whole seed stage as a
+    straggler task (measured at sf10: one task of 32 carried the
+    build). Each vector lands in ONE deterministic bucket of its cell
+    (xxhash64(id) pmod splits) and each (query, probed-cell) pair
+    scores one bucket of that cell, so per-query candidate work is
+    bounded by probes × cell_cap REGARDLESS of how skewed the cells
+    are. The seed sees a bucket-sample of hot cells instead of all
+    members — exactly the repair NN-descent's refine rounds exist for
+    (same argument as the cell-boundary losses of the unsalted seed).
+
+    Returns (src, dst, cos_sim, rank) like cell_multiprobe_topk."""
+    sized = emb.groupBy(signbit_cell(F.col(vec_col), n_bits).alias("_cell")).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).withColumn(
+        "_splits", F.greatest(F.ceil(F.col("_n") / F.lit(cell_cap)), F.lit(1))
+    ).select("_cell", "_splits")
+    cand = (
+        emb.select(
+            F.col(id_col).alias("_cid"),
+            F.col(vec_col).alias("_cv"),
+            l2_norm(F.col(vec_col)).alias("_cn"),
+            signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
+        )
+        .join(F.broadcast(sized), on="_cell")
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_splits")))
+        .drop("_splits")
+    )
+    masks = [0] + [1 << i for i in range(n_bits)]  # home + hamming-1 probes
+    probe = F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask")
+    probes = (
+        emb.select(
+            F.col(id_col).alias("src"),
+            F.col(vec_col).alias("_qv"),
+            l2_norm(F.col(vec_col)).alias("_qn"),
+            signbit_cell(F.col(vec_col), n_bits).alias("_home"),
+        )
+        .select("src", "_qv", "_qn", "_home", probe)
+        .withColumn("_cell", F.col("_home").bitwiseXOR(F.col("_mask")))
+        .join(F.broadcast(sized), on="_cell")
+        # bucket choice varies with the probed cell so a query does not
+        # always sample the same bucket index across its probes
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("src"), F.col("_cell")), F.col("_splits")),
+        )
+        .select("src", "_qv", "_qn", "_cell", "_salt")
+    )
+    scored = (
+        probes.join(cand, on=["_cell", "_salt"])
+        .filter(F.col("src") != F.col("_cid"))
+        .select(
+            "src",
+            F.col("_cid").alias("dst"),
+            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _top_k_edges(scored, k)
+
+
 def seed_bits_for(n_rows: int, *, target_cell: int = 1024, max_bits: int = 16) -> int:
     """Sign-bit count for the seed quantizer, scaled so the EXPECTED
     cell population stays ~``target_cell`` as the corpus grows. The
@@ -141,15 +215,21 @@ def build_knn_graph(
     init_bits: int | None = 4,
     round_to: int = 6,
     checkpoint_rounds: bool = True,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph: (src, dst, cos_sim, rank), up to k edges
     per node, refined through ``rounds`` NN-descent passes
     (:func:`refine_knn_graph`) from the sign-bit-cell seed graph.
     ``cos_sim`` is rounded to ``round_to`` AFTER ranking (ties rank by
     unrounded score then dst id, the repo's standard ANN contract).
-    ``init_bits=None`` scales the seed quantizer with the corpus
-    (:func:`seed_bits_for` — the production setting; explicit bits are
-    for oracle-pinned gates and cost one count() less).
+    ``init_bits=None`` scales the seed quantizer with the corpus AND
+    caps per-bucket cell population at 4× the target (the production
+    setting — :func:`seed_bits_for` keeps the EXPECTED cell small,
+    :func:`_salted_cell_seed` bounds the worst cell, because sign-bit
+    cells on real embeddings are skewed and one hot cell's |cell|²
+    otherwise carries the build as a straggler task). Explicit
+    ``init_bits``/``cell_cap=None`` keep the oracle-pinned unsalted
+    join for gates.
     Note the eager per-round checkpoints mean CONSTRUCTING this
     DataFrame runs the build when ``rounds > 0`` and
     ``checkpoint_rounds`` is on — pass ``checkpoint_rounds=False`` for
@@ -160,15 +240,23 @@ def build_knn_graph(
         raise ValueError(f"need k >= 1 and rounds >= 0, got k={k} rounds={rounds}")
     if init_bits is None:
         init_bits = seed_bits_for(emb.count())
-    edges = cell_multiprobe_topk(
-        emb, emb, k, id_col=id_col, vec_col=vec_col,
-        n_bits=init_bits, hamming=1,
-    ).select(
-        F.col("query_id").alias("src"),
-        F.col("neighbor_id").alias("dst"),
-        "cos_sim",
-        "rank",
-    )
+        if cell_cap is None:
+            cell_cap = 4096  # 4x the seed_bits_for target cell
+    if cell_cap is not None:
+        edges = _salted_cell_seed(
+            emb, k, id_col=id_col, vec_col=vec_col,
+            n_bits=init_bits, cell_cap=cell_cap,
+        )
+    else:
+        edges = cell_multiprobe_topk(
+            emb, emb, k, id_col=id_col, vec_col=vec_col,
+            n_bits=init_bits, hamming=1,
+        ).select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "cos_sim",
+            "rank",
+        )
     for _ in range(rounds):
         edges = refine_knn_graph(
             edges, emb, k, id_col=id_col, vec_col=vec_col,
@@ -188,6 +276,7 @@ def materialize_knn_graph(
     init_bits: int | None = 4,
     round_to: int = 6,
     partitions: int | None = None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Build the k-NN graph ONCE and write it as a parquet edge table
     (src, dst, cos_sim, rank), returning the read-back frame — the
@@ -207,7 +296,7 @@ def materialize_knn_graph(
     of magnitude smaller than the vectors it indexes."""
     graph = build_knn_graph(
         emb, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col,
-        init_bits=init_bits, round_to=round_to,
+        init_bits=init_bits, round_to=round_to, cell_cap=cell_cap,
     )
     n_parts = partitions or emb.sparkSession.sparkContext.defaultParallelism
     (

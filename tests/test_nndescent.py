@@ -167,6 +167,37 @@ def test_uncheckpointed_build_passes_hint_audit(spark, blobs):
     assert a == b
 
 
+def test_salted_seed_bounds_hot_cells_and_recall_recovers(spark, blobs):
+    """Skew-proof seeding (r9): with a cell_cap smaller than the hot
+    cells, each (query, probed-cell) pair scores at most ~cap
+    candidates, and a refine round recovers the recall the bucket
+    sampling gave up — the graph family's answer to data-dependent
+    sign-bit skew. With a cap larger than every cell, the salted join
+    degenerates to the unsalted one edge-for-edge."""
+    from assignment_etl_spark.ext.nndescent import _salted_cell_seed
+    from assignment_etl_spark.ext.similarity import brute_force_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(blobs, blobs, 4).collect()
+    }
+    # cap >= any cell -> identical to the unsalted multiprobe seed
+    salted_big = _salted_cell_seed(
+        blobs, 4, id_col="vec_id", vec_col="embedding", n_bits=4, cell_cap=10_000
+    ).withColumn("cos_sim", F.round("cos_sim", 6))  # build_knn_graph's rounding
+    unsalted = build_knn_graph(blobs, k=4, rounds=0, init_bits=4)
+    assert sorted(map(tuple, salted_big.collect())) == sorted(
+        map(tuple, unsalted.collect())
+    )
+    # tight cap: seed loses some recall, one refine round recovers it
+    capped = build_knn_graph(blobs, k=4, rounds=0, init_bits=4, cell_cap=8)
+    refined = build_knn_graph(blobs, k=4, rounds=2, init_bits=4, cell_cap=8)
+    r_capped = _graph_recall(capped.select("src", "dst"), exact)
+    r_refined = _graph_recall(refined.select("src", "dst"), exact)
+    assert r_refined > r_capped
+    assert r_refined >= 0.9
+
+
 def test_materialize_knn_graph_roundtrip_and_search(spark, blobs, tmp_path):
     """The persisted-graph artifact (VERDICT r8 ask #1): the parquet
     edge table round-trips the built graph bit-identically, and
