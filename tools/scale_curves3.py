@@ -79,6 +79,32 @@ TARGETS = [
 ]
 
 
+def assert_no_cached_frames(spark, qname):
+    """Structural pin of the sweep's cache discipline (VERDICT r8 ask #7).
+
+    The clearCache-between-queries rule was discovered the hard way
+    (sf10 dedup signature caches evicted the next query's working set —
+    ivf_similarity_topk 8s isolated vs 20+ min behind them). Assert it
+    instead of trusting it: clear, then FAIL if the CacheManager or the
+    persistent-RDD registry still reports live cached blocks, so a
+    future edit can't silently reintroduce cross-query eviction noise.
+    """
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    if not cm.isEmpty():
+        raise AssertionError(
+            f"cacheManager not empty before {qname!r} — a prior query "
+            "leaked a persisted frame past clearCache()"
+        )
+    n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    if n_rdds:
+        raise AssertionError(
+            f"{n_rdds} persistent RDD(s) alive before {qname!r} — "
+            "raw-RDD persists are outside clearCache(); unpersist them "
+            "in the leaking operator"
+        )
+
+
 def run(fn, spark, sf_dir, repeats=REPEATS):
     best, rows = None, 0
     for _ in range(repeats):
@@ -136,7 +162,7 @@ def main() -> int:
         # (sf10), and carrying them into the next query evicts its
         # working set mid-stage — measured: ivf_similarity_topk ran 8s
         # isolated but 20+ min after the sf10 dedup queries' caches
-        spark.catalog.clearCache()
+        assert_no_cached_frames(spark, name)
         try:
             r01, t01 = run(fn, spark, "/root/testdata/sf0.1")
             print(f"# {name} sf0.1 {t01:.2f}s", file=sys.stderr, flush=True)
