@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from assignment_etl_spark.ext.similarity import (
+    bucket_topk_scorer,
     cell_multiprobe_topk,
     dot,
     l2_norm,
@@ -175,16 +176,22 @@ def _salted_cell_seed(
         )
         .select("src", "_qv", "_qn", "_cell", "_salt")
     )
+    # Bucket-local BLAS scoring (cogrouped applyInPandas), NOT the
+    # zip_with expression join: HOFs never codegen, and at sf10 the
+    # pair relation is ~10^9 rows — the interpreted per-pair eval was
+    # the measured straggler wall (jstack: ZipWith.eval/
+    # ArrayAggregate.eval; one sf10 build repeat did not finish in
+    # 55 min). Cogrouping ships each vector across Arrow once per
+    # bucket and never materializes the pairs. This path is
+    # production-only (the oracle-pinned gate runs the unsalted
+    # expression seed), so the fp-order difference is safe. Each
+    # (probe-row, bucket) emits its local top-k; the global window
+    # below merges ≤ probes×k rows per src.
+    schema, score = bucket_topk_scorer(k)
     scored = (
-        probes.join(cand, on=["_cell", "_salt"])
-        .filter(F.col("src") != F.col("_cid"))
-        .select(
-            "src",
-            F.col("_cid").alias("dst"),
-            (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
-                "cos_sim"
-            ),
-        )
+        probes.groupBy("_cell", "_salt")
+        .cogroup(cand.groupBy("_cell", "_salt"))
+        .applyInPandas(score, schema=schema)
     )
     return _top_k_edges(scored, k)
 

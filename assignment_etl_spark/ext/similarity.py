@@ -29,6 +29,87 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def bucket_topk_scorer(k: int, *, chunk: int = 2048, tie_margin: int = 8):
+    """Bucket-local cosine top-k as a cogrouped-``applyInPandas`` scorer
+    (sanctioned crossing, COVERAGE.md §2.10) — the scale-safe way to
+    score a bucketed candidate join.
+
+    Two designs lose at 10^9 pairs: (a) the expression join — Spark's
+    higher-order functions (``zip_with``/``aggregate``) never enter
+    codegen, so every pair is an interpreted tree-walk eval (measured
+    at sf10: the knn-seed straggler task spent its whole wall in
+    ``ZipWith.eval``/``ArrayAggregate.eval``; one build repeat did not
+    finish in 55 min); (b) a per-pair Arrow UDF — it ships BOTH vectors
+    across Arrow for EVERY pair (~TBs at sf10). Cogrouping on the
+    bucket key ships each probe and candidate vector across Arrow
+    exactly ONCE, never materializes the pair relation, and scores each
+    bucket with chunked BLAS matmuls.
+
+    Returns ``(schema, fn)`` for
+    ``probes.groupBy(keys).cogroup(cands.groupBy(keys)).applyInPandas(fn, schema)``.
+    Probe side needs columns ``(src, _qv, _qn)``, candidate side
+    ``(_cid, _cv, _cn)``. Emits per-probe-row top-``k`` ``(src, dst,
+    cos_sim)`` with ties broken by ascending dst (argpartition with a
+    ``tie_margin`` safety rim, then an exact per-row lexsort of the
+    rim), self-pairs excluded — same selection rule as the expression
+    path's window, so downstream global top-k merges are
+    order-compatible."""
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "src": pd.Series(dtype="int64"),
+            "dst": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return empty
+        qids = left["src"].to_numpy()
+        qmat = np.stack(left["_qv"].to_numpy()).astype(np.float64, copy=False)
+        qn = left["_qn"].to_numpy(dtype=np.float64)
+        cids = right["_cid"].to_numpy()
+        cmat = np.stack(right["_cv"].to_numpy()).astype(np.float64, copy=False)
+        cn = right["_cn"].to_numpy(dtype=np.float64)
+        n_cand = len(cids)
+        take = min(k + tie_margin, n_cand)
+        out_src, out_dst, out_cos = [], [], []
+        for lo in range(0, len(qids), chunk):
+            hi = min(lo + chunk, len(qids))
+            sims = (qmat[lo:hi] @ cmat.T) / np.outer(qn[lo:hi], cn)
+            sims[qids[lo:hi, None] == cids[None, :]] = -np.inf
+            if take < n_cand:
+                rim = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            else:
+                rim = np.broadcast_to(np.arange(n_cand), (hi - lo, n_cand))
+            for i in range(hi - lo):
+                cols = rim[i]
+                s = sims[i, cols]
+                keep = s > -np.inf
+                cols, s = cols[keep], s[keep]
+                order = np.lexsort((cids[cols], -s))[:k]
+                sel = cols[order]
+                out_src.extend([qids[lo + i]] * len(sel))
+                out_dst.extend(cids[sel])
+                out_cos.extend(sims[i, sel])
+        return pd.DataFrame(
+            {
+                "src": np.asarray(out_src, dtype="int64"),
+                "dst": np.asarray(out_dst, dtype="int64"),
+                "cos_sim": np.asarray(out_cos, dtype="float64"),
+            }
+        )
+
+    return schema, score
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)

@@ -198,6 +198,38 @@ def test_salted_seed_bounds_hot_cells_and_recall_recovers(spark, blobs):
     assert r_refined >= 0.9
 
 
+def test_salted_seed_cosines_match_expression_cosine(spark, blobs):
+    """The salted seed's bucket-local BLAS scoring (cogrouped
+    applyInPandas) produces the same cosine values the expression path
+    would, to fp noise: recompute exact cosine for every returned edge
+    with the zip_with/aggregate expression and compare. The production
+    and gate paths differ only in evaluation engine, not in math."""
+    from assignment_etl_spark.ext.nndescent import _salted_cell_seed
+    from assignment_etl_spark.ext.similarity import cosine
+
+    seed = _salted_cell_seed(
+        blobs, 4, id_col="vec_id", vec_col="embedding", n_bits=4, cell_cap=16
+    )
+    a = blobs.select(F.col("vec_id").alias("src"), F.col("embedding").alias("_a"))
+    b = blobs.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("_b"))
+    checked = (
+        seed.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            "cos_sim",
+            cosine(F.col("_a"), F.col("_b")).alias("expr_cos"),
+        )
+    )
+    n = checked.count()
+    assert n > 0
+    bad = checked.filter(
+        F.abs(F.col("cos_sim") - F.col("expr_cos")) > F.lit(1e-9)
+    ).count()
+    assert bad == 0
+
+
 def test_materialize_knn_graph_roundtrip_and_search(spark, blobs, tmp_path):
     """The persisted-graph artifact (VERDICT r8 ask #1): the parquet
     edge table round-trips the built graph bit-identically, and
