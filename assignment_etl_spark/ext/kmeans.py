@@ -18,10 +18,16 @@ clustering): every source of nondeterminism is pinned —
 
 Each iteration is: a ×k broadcast nested-loop expansion (k is small and
 fixed — bounded, NOT a cartesian hazard), a per-point window argmin
-(shuffle on point id), and a (k×dim)-row aggregate. O(n·k·dim) work, no
-driver collect anywhere in the loop; the centroid table is
-localCheckpointed per iteration to keep plan depth constant. At 100 TB
-this is exactly MLlib's dataflow, minus the nondeterminism.
+(shuffle on point id), and a (k×dim)-row aggregate. O(n·k·dim) work.
+The centroid state (k rows, bounded by construction) round-trips
+through the driver between iterations — the classic Lloyd's hand-off,
+which keeps plan depth constant WITHOUT persistence. The earlier
+per-iteration localCheckpoint achieved the same plan depth but its
+checkpoint RDDs live outside the CacheManager (clearCache can't free
+them; ContextCleaner reaps only on driver GC), so repeated calls leaked
+storage at steady state — caught by the scale sweep's cache-discipline
+assertion. At 100 TB this is exactly MLlib's dataflow, minus the
+nondeterminism.
 
 Reference parity note: the reference repo has no clustering; this
 serves the training-data curation layer (topic bucketing, dedup-cluster
@@ -57,20 +63,25 @@ def kmeans(
     """Returns (assignments, centroids) after ``iters`` Lloyd steps plus
     a final assignment pass against the final centroids. assignments =
     (pid, cidx, dist); centroids = (cidx, c: array<double>)."""
+    spark = df.sparkSession
     pts = df.select(
         F.col(id_col).alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    # init: k smallest ids in id order (window runs over ≤k rows)
-    cents = (
-        pts.orderBy("pid")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("pid")).alias("cidx"),
-            F.col("v").alias("c"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # Centroid state lives on the DRIVER between iterations (k rows —
+    # bounded by construction), re-shipped as a broadcast-sized literal
+    # table each step. This is the classic Lloyd's hand-off: it severs
+    # lineage without persistence. The previous localCheckpoint design
+    # kept plan depth constant too, but each iteration's checkpoint RDD
+    # lives OUTSIDE the CacheManager (clearCache can't free it,
+    # ContextCleaner only reaps on driver GC) — the scale-sweep's
+    # cache-discipline assertion caught it accumulating across queries.
+    cents_schema = "cidx int, c array<double>"
+    cents_rows = [
+        (i + 1, list(r.v))
+        for i, r in enumerate(pts.orderBy("pid").limit(k).collect())
+    ]
+    cents = spark.createDataFrame(cents_rows, cents_schema)
 
     def assign(cents_df: DataFrame) -> DataFrame:
         d = pts.crossJoin(F.broadcast(cents_df)).select(
@@ -110,12 +121,11 @@ def kmeans(
                 ).alias("c")
             )
         )
-        cents = (
-            cents.select("cidx", F.col("c").alias("_c_old"))
-            .join(newc, on="cidx", how="left")
-            .select(
-                "cidx", F.coalesce(F.col("c"), F.col("_c_old")).alias("c")
-            )
-            .localCheckpoint(eager=True)
-        )
+        # k-row collect (bounded): empty clusters keep their previous
+        # centroid — the coalesce, done as a dict merge on the driver
+        new_map = {r.cidx: list(r.c) for r in newc.collect()}
+        cents_rows = [
+            (cidx, new_map.get(cidx, c_old)) for cidx, c_old in cents_rows
+        ]
+        cents = spark.createDataFrame(cents_rows, cents_schema)
     return assign(cents).select("pid", "cidx", "dist"), cents

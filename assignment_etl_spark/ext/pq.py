@@ -120,15 +120,23 @@ def pq_train(
     seed = df.select(
         F.col(id_col).alias("pid"), F.col(vec_col).alias(vec_col)
     ).orderBy("pid").limit(k)
-    cents = (
-        _sub_pts(seed, "pid", vec_col, m, d_sub)
+    # Centroid state (m×k rows, bounded) round-trips through the driver
+    # between iterations — severs lineage without persistence (the
+    # localCheckpoint it replaces leaked its checkpoint RDDs past
+    # clearCache at steady state; see ext/kmeans.py for the full note).
+    spark = df.sparkSession
+    cents_schema = "sub int, cidx int, c array<double>"
+    cents_rows = [
+        (r.sub, r.cidx, list(r.c))
+        for r in _sub_pts(seed, "pid", vec_col, m, d_sub)
         .withColumn(
             "cidx",
             F.row_number().over(Window.partitionBy("sub").orderBy("pid")),
         )
         .select("sub", "cidx", F.col("v").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+        .collect()
+    ]
+    cents = spark.createDataFrame(cents_rows, cents_schema)
     dec = f"decimal(20,{comp_scale})"
     for _ in range(iters):
         a = _assign(pts, cents)
@@ -160,15 +168,14 @@ def pq_train(
                 ).alias("c")
             )
         )
-        cents = (
-            cents.select("sub", "cidx", F.col("c").alias("_c_old"))
-            .join(newc, on=["sub", "cidx"], how="left")
-            .select(
-                "sub", "cidx",
-                F.coalesce(F.col("c"), F.col("_c_old")).alias("c"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # m×k-row collect (bounded): empty cells keep their previous
+        # centroid — the coalesce, done as a dict merge on the driver
+        new_map = {(r.sub, r.cidx): list(r.c) for r in newc.collect()}
+        cents_rows = [
+            (sub, cidx, new_map.get((sub, cidx), c_old))
+            for sub, cidx, c_old in cents_rows
+        ]
+        cents = spark.createDataFrame(cents_rows, cents_schema)
     codes = _assign(pts, cents).select("pid", "sub", "cidx", "dist")
     return codes, cents
 

@@ -17,6 +17,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# per-batch sinks sever lineage from the table they rewrite; the scoped
+# form releases each batch's checkpoint RDD after the write (a bare
+# localCheckpoint leaks one RDD per BATCH past clearCache — see the
+# helper's docstring)
+from assignment_etl_spark.io.store import released_local_checkpoint
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -327,9 +333,12 @@ def stream_upsert_sink(
                 .filter(F.col("_cur_ord").isNull() | (ordv > F.col("_cur_ord")))
                 .drop("_cur_ord")
             )
-        latest = latest.localCheckpoint(eager=True)  # sever lineage from `path`
-        if not latest.isEmpty():
-            upsert_parquet(spark, path, latest, key, partition_by=partition_by)
+        # sever lineage from `path`, releasing the checkpoint post-write
+        with released_local_checkpoint(latest) as latest_ck:
+            if not latest_ck.isEmpty():
+                upsert_parquet(
+                    spark, path, latest_ck, key, partition_by=partition_by
+                )
         if post_batch_hook is not None:
             post_batch_hook(epoch_id)
 
@@ -369,7 +378,8 @@ def stream_hll_sink(
         regs = hll_sketch(batch_df, col, by=by, p=p)
         if os.path.exists(path):
             regs = hll_merge(spark.read.parquet(path), regs, by=by)
-            atomic_overwrite_parquet(regs.localCheckpoint(eager=True), path)
+            with released_local_checkpoint(regs) as regs_ck:
+                atomic_overwrite_parquet(regs_ck, path)
         else:
             regs.write.parquet(path)
 
@@ -462,11 +472,17 @@ def stream_jdbc_upsert_sink(
             latest.join(cur, on=keys, how="left")
             .filter(F.col("_cur_ord").isNull() | (ordv > F.col("_cur_ord")))
             .drop("_cur_ord")
-            .localCheckpoint(eager=True)  # sever lineage before we mutate
         )
-        upsert_jdbc(
-            latest, url, table, keys, properties=properties, num_partitions=4
-        )
+        # sever lineage before we mutate, releasing the checkpoint after
+        with released_local_checkpoint(latest) as latest_ck:
+            upsert_jdbc(
+                latest_ck,
+                url,
+                table,
+                keys,
+                properties=properties,
+                num_partitions=4,
+            )
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -13,7 +13,37 @@ bucketing metadata lives in the metastore, not in parquet footers.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def released_local_checkpoint(df: DataFrame):
+    """``localCheckpoint(eager=True)`` with deterministic release.
+
+    Rewrite-in-place (upsert / compaction / targeted delete / atomic
+    overwrite) must sever lineage from the files it is about to
+    replace — you cannot overwrite a parquet dir a lazy plan still
+    reads. But a localCheckpoint's RDD lives OUTSIDE the CacheManager:
+    ``spark.catalog.clearCache()`` cannot free it, the ContextCleaner
+    only reaps it on a driver GC, so a steady-state ingest (one upsert
+    per batch) leaks one checkpoint RDD per BATCH — caught by the
+    scale sweep's cache-discipline assertion. Scope the checkpoint:
+    yield the severed frame for the write, then unpersist exactly the
+    RDD ids the checkpoint created. Batches/writes are sequential per
+    sink, so the id diff is race-free within a caller."""
+    spark = df.sparkSession
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    ck = df.localCheckpoint(eager=True)
+    try:
+        yield ck
+    finally:
+        jmap = jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) not in before:
+                jmap.get(k).unpersist(False)
 
 
 def write_partitioned(
@@ -117,43 +147,48 @@ def upsert_parquet(
             .unionByName(stale_parts)
             .distinct()
         )
-        merged = (
+        with released_local_checkpoint(
             current.join(F.broadcast(touched), on=partition_by, how="left_semi")
             .join(update_keys, on=keys, how="left_anti")
             .unionByName(dedup_updates)
-            .localCheckpoint(eager=True)
-        )
-        # Dynamic overwrite only rewrites partitions PRESENT in `merged` —
-        # a partition all of whose keys moved elsewhere has zero merged
-        # rows, so its stale files would survive. Partition values are
-        # few by definition (they're directories), so compare them on the
-        # driver and fall back to a full static rewrite when any touched
-        # partition empties out.
-        touched_vals = {tuple(r) for r in touched.collect()}
-        merged_vals = {
-            tuple(r) for r in merged.select(*partition_by).distinct().collect()
-        }
-        if touched_vals - merged_vals:
-            full = (
-                current.join(update_keys, on=keys, how="left_anti")
-                .unionByName(dedup_updates)
-                .localCheckpoint(eager=True)
+        ) as merged:
+            # Dynamic overwrite only rewrites partitions PRESENT in
+            # `merged` — a partition all of whose keys moved elsewhere has
+            # zero merged rows, so its stale files would survive.
+            # Partition values are few by definition (they're
+            # directories), so compare them on the driver and fall back to
+            # a full static rewrite when any touched partition empties out.
+            touched_vals = {tuple(r) for r in touched.collect()}
+            merged_vals = {
+                tuple(r)
+                for r in merged.select(*partition_by).distinct().collect()
+            }
+            if touched_vals - merged_vals:
+                with released_local_checkpoint(
+                    current.join(update_keys, on=keys, how="left_anti")
+                    .unionByName(dedup_updates)
+                ) as full:
+                    full.write.mode("overwrite").partitionBy(
+                        *partition_by
+                    ).parquet(path)
+                return
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
             )
-            full.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-            return
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                merged.write.mode("overwrite").partitionBy(
+                    *partition_by
+                ).parquet(path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:
-        merged = (
-            current.join(dedup_updates.select(*keys).distinct(), on=keys, how="left_anti")
-            .unionByName(dedup_updates)
-            .localCheckpoint(eager=True)
-        )
-        merged.write.mode("overwrite").parquet(path)
+        with released_local_checkpoint(
+            current.join(
+                dedup_updates.select(*keys).distinct(), on=keys, how="left_anti"
+            ).unionByName(dedup_updates)
+        ) as merged:
+            merged.write.mode("overwrite").parquet(path)
 
 
 def compact_parquet(
@@ -263,10 +298,12 @@ def delete_by_keys(
     for d, fs in by_dir.items():
         df = spark.read.parquet(*fs)
         n_rows_deleted += df.filter(F.col(key_col).isin(keys)).count()
-        keep = df.filter(~F.col(key_col).isin(keys)).localCheckpoint(eager=True)
         tmp = os.path.join(d, ".__delete_tmp__")
         shutil.rmtree(tmp, ignore_errors=True)
-        keep.write.mode("overwrite").parquet(tmp)
+        with released_local_checkpoint(
+            df.filter(~F.col(key_col).isin(keys))
+        ) as keep:
+            keep.write.mode("overwrite").parquet(tmp)
         tag = uuid.uuid4().hex[:8]
         for i, nf in enumerate(
             sorted(glob.glob(os.path.join(tmp, "*.parquet")))

@@ -84,10 +84,20 @@ def assert_no_cached_frames(spark, qname):
 
     The clearCache-between-queries rule was discovered the hard way
     (sf10 dedup signature caches evicted the next query's working set —
-    ivf_similarity_topk 8s isolated vs 20+ min behind them). Assert it
-    instead of trusting it: clear, then FAIL if the CacheManager or the
-    persistent-RDD registry still reports live cached blocks, so a
-    future edit can't silently reintroduce cross-query eviction noise.
+    ivf_similarity_topk 8s isolated vs 20+ min behind them). Enforce it
+    instead of trusting it, in two layers:
+
+    1. ``clearCache`` + assert the CacheManager really is empty (a
+       future edit can't silently drop the clear).
+    2. Force-unpersist any leftover persistent RDDs. These are OUTSIDE
+       the CacheManager — localCheckpoint RDDs. Iterative trainers
+       (bpe/unigram/graph) RETURN localCheckpointed frames by contract
+       (caller owns release, same rule as build_ivf_index), so after
+       the sweep's count() the sweeper IS the owner and releasing is
+       the protocol, not an error. The count is reported on stderr —
+       the first run of this assertion caught kmeans/pq/streaming
+       checkpoints that NO caller could release (fixed at the source:
+       driver-round-trip centroids, scoped per-batch checkpoints).
     """
     spark.catalog.clearCache()
     cm = spark._jsparkSession.sharedState().cacheManager()
@@ -96,12 +106,23 @@ def assert_no_cached_frames(spark, qname):
             f"cacheManager not empty before {qname!r} — a prior query "
             "leaked a persisted frame past clearCache()"
         )
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leftover = list(jmap.keySet().toArray())
+    if leftover:
+        print(
+            f"# releasing {len(leftover)} checkpoint RDD(s) before "
+            f"{qname!r} (caller-owned-release contract)",
+            file=sys.stderr,
+            flush=True,
+        )
+        for k in leftover:
+            jmap.get(k).unpersist(False)
     n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     if n_rdds:
         raise AssertionError(
-            f"{n_rdds} persistent RDD(s) alive before {qname!r} — "
-            "raw-RDD persists are outside clearCache(); unpersist them "
-            "in the leaking operator"
+            f"{n_rdds} persistent RDD(s) still alive before {qname!r} "
+            "after forced release — unpersist is being overridden in "
+            "the leaking operator"
         )
 
 
