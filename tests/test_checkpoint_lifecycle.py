@@ -1,0 +1,109 @@
+"""Checkpoint-RDD lifecycle: discard-after-write paths must not leak.
+
+localCheckpoint RDDs live outside the CacheManager — clearCache cannot
+free them and the ContextCleaner only reaps them on a driver GC — so
+any checkpoint-then-discard site leaks storage at steady state (one
+RDD per upsert batch / per Lloyd iteration). These tests pin the fix:
+the store's rewrite-in-place writers and the portable trainers leave
+ZERO persistent RDDs behind. Operators that RETURN a checkpointed
+frame (temp-dir-pinned gates, bpe/unigram trainers) are exempt by
+contract — the caller owns release — and are not asserted here.
+"""
+
+import pytest
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _release_all(spark):
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in jmap.keySet().toArray():
+        jmap.get(k).unpersist(False)
+
+
+@pytest.fixture(autouse=True)
+def clean_slate(spark):
+    _release_all(spark)
+    yield
+
+
+def test_upsert_parquet_releases_checkpoints(spark, tmp_path):
+    from assignment_etl_spark.io.store import upsert_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "k long, p int, v double"
+    )
+    base.write.partitionBy("p").parquet(path)
+    upd = spark.createDataFrame(
+        [(5, 1, 99.0), (31, 2, 31.0)], "k long, p int, v double"
+    )
+    upsert_parquet(spark, path, upd, ["k"], partition_by=["p"])
+    assert _persistent_rdd_count(spark) == 0
+    # unpartitioned branch too
+    path2 = str(tmp_path / "t2")
+    base.drop("p").write.parquet(path2)
+    upsert_parquet(spark, path2, upd.drop("p"), ["k"])
+    assert _persistent_rdd_count(spark) == 0
+    got = {r.k: r.v for r in spark.read.parquet(path2).collect()}
+    assert got[5] == 99.0 and got[31] == 31.0 and len(got) == 31
+
+
+def test_delete_by_keys_releases_checkpoints(spark, tmp_path):
+    from assignment_etl_spark.io.store import delete_by_keys
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).write.parquet(path)
+    res = delete_by_keys(spark, path, "k", [3, 7])
+    assert res["n_rows_deleted"] == 2
+    assert _persistent_rdd_count(spark) == 0
+    assert spark.read.parquet(path).count() == 18
+
+
+def test_kmeans_and_pq_leave_no_persistent_rdds(spark):
+    from assignment_etl_spark.ext.kmeans import kmeans
+    from assignment_etl_spark.ext.pq import pq_train
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    a, c = kmeans(emb, k=3, iters=2)
+    a.count(), c.count()
+    assert _persistent_rdd_count(spark) == 0
+    codes, cents = pq_train(emb, m=2, k=4, d_sub=4)
+    codes.count(), cents.count()
+    assert _persistent_rdd_count(spark) == 0
+
+
+def test_stream_upsert_sink_releases_per_batch_checkpoints(spark, tmp_path):
+    from assignment_etl_spark.ext.streaming import (
+        read_events_stream,
+        stream_upsert_sink,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i % 5, i, float(i)) for i in range(20)],
+        "user_id long, seq long, value double",
+    ).write.parquet(src)
+    out = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    q = stream_upsert_sink(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        path=out,
+        key=["user_id"],
+        order_cols=["seq"],
+        checkpoint=ck,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 5
+    assert _persistent_rdd_count(spark) == 0
