@@ -148,11 +148,12 @@ HEADLINE = [
     # its cost profile and sf curve live in SCALE.md next to the other
     # iterative trainers (nndescent/beam-search precedent)
     # knn_graph_nndescent is gate-certified but excluded here: a full
-    # 2000-node graph build is ~15s at sf0.1, out of scale with the
-    # per-query bench (its cost profile lives in SCALE.md instead);
+    # corpus graph build is a build-once artifact, out of scale with
+    # the per-query bench (the split build/search three-point table
+    # lives in SCALE.md — production build 20.0s at sf10, search flat);
     # knn_graph_beam_search is excluded for the same reason (its gate
-    # builds the full seed graph before searching — recall/cost curves
-    # live in SCALE.md's beam-sweep table)
+    # materializes the graph artifact before searching so the oracle
+    # can unroll both halves — recall/cost curves live in SCALE.md)
 ]
 
 # ---------------------------------------------------------------------------
