@@ -30,3 +30,41 @@ def test_rebase_output_type_is_long(spark):
     base = spark.range(3).select(F.col("id").cast("long").alias("k"))
     out = _rebase(_rep(base, 30), ["k"])
     assert dict(out.dtypes)["k"] == "bigint"
+
+
+def test_affine_alphabets_distinct_per_rep_and_rot_compatible():
+    """The per-copy substitution must be a DISTINCT bijection for every
+    rep (the rot-only predecessor wrapped at 26 and made 74% of a
+    factor-100 corpus exact cross-copy duplicates — SCALE.md r9), and
+    must reproduce the old pure rotations for rep < 26 so factor <= 26
+    corpora are bit-identical across generator versions."""
+    import string
+
+    from tools.make_scale_data import _AFFINE_UNITS, _affine_alphabet
+
+    az = string.ascii_lowercase
+    n = 26 * len(_AFFINE_UNITS)  # 312 supported reps
+    alphabets = [_affine_alphabet(r) for r in range(n)]
+    assert len(set(alphabets)) == n, "substitution repeats within range"
+    for a in alphabets:
+        assert sorted(a) == sorted(az), "not a bijection"
+    for k in range(26):  # old generator compatibility
+        assert alphabets[k] == az[k:] + az[:k]
+
+
+def test_sub_text_factor_100_produces_distinct_cross_copy_text(spark):
+    """End-to-end: amplify one document to 100 copies and require all
+    100 texts distinct (the wrap regression made rotation classes of
+    ~4 copies share text verbatim)."""
+    from tools.make_scale_data import _rep, _sub_text
+
+    base = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = (
+        _rep(base, 100)
+        .withColumn("text", _sub_text(F.col("text"), F.col("_rep"), 100))
+        .select("text")
+    )
+    n_distinct = out.distinct().count()
+    assert n_distinct == 100

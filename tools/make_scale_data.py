@@ -10,7 +10,9 @@ selectivity. Content transforms keep per-copy distributions identical
 while preventing cross-copy artifacts that plain duplication would cause:
 
 - documents.text goes through a per-copy BIJECTIVE letter substitution
-  (rot-by-rep over [a-z], rep 0 = identity): within a copy, duplicate /
+  (an affine cipher x → a·x + k mod 26 keyed by rep; rep 0 = identity,
+  rep < 26 = the pure rotations of the original generator, distinct
+  map per rep up to factor 312): within a copy, duplicate /
   near-duplicate structure is preserved exactly (dedup workloads see the
   realistic rate), but across copies shingles share nothing — a 10×
   corpus of DISTINCT documents, not ten clones of the same corpus, which
@@ -58,13 +60,41 @@ def _rebase(df, cols):
     return df
 
 
-def _rot_text(col, rep_col):
-    """Bijective per-copy letter rotation: translate(text, a..z, rot_k)."""
+# the 12 units of Z/26 — multipliers of the affine letter cipher below
+_AFFINE_UNITS = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def _affine_alphabet(rep: int) -> str:
+    """Target alphabet of the per-copy substitution: the affine map
+    x -> a·x + k (mod 26) with k = rep % 26 and a = UNITS[rep // 26].
+    Affine maps over Z/26 are bijections, and distinct (a, k) pairs are
+    distinct maps, so every rep < 26·12 = 312 gets its OWN substitution.
+    rep < 26 keeps a = 1 (pure rotation) — bit-identical corpora to the
+    old rot-only generator for factor ≤ 26."""
     az = string.ascii_lowercase
-    expr = F.translate(col, az, az)  # identity fallback
-    for k in range(1, 26):
-        rot = az[k:] + az[:k]
-        expr = F.when(rep_col % 26 == k, F.translate(col, az, rot)).otherwise(expr)
+    k, a = rep % 26, _AFFINE_UNITS[(rep // 26) % len(_AFFINE_UNITS)]
+    return "".join(az[(a * x + k) % 26] for x in range(26))
+
+
+def _sub_text(col, rep_col, factor):
+    """Per-copy BIJECTIVE letter substitution (one translate per rep).
+
+    The predecessor rotated by rep % 26, which WRAPS at factor > 26:
+    at factor 100 every rotation class had ~4 member copies whose texts
+    were EXACT cross-copy duplicates — 74.0% duplicate surplus at sf10
+    vs the designed 0.2% (SCALE.md round-9 supplementary sweep), i.e.
+    the generator violated its own "across copies shingles share
+    nothing" contract. Affine maps keep that contract for any factor
+    up to 312 (asserted; extend the unit list past that)."""
+    assert factor <= 26 * len(_AFFINE_UNITS), (
+        f"affine substitution supports factor <= {26 * len(_AFFINE_UNITS)}"
+    )
+    az = string.ascii_lowercase
+    expr = F.translate(col, az, _affine_alphabet(0))  # identity
+    for r in range(1, factor):
+        expr = F.when(
+            rep_col == r, F.translate(col, az, _affine_alphabet(r))
+        ).otherwise(expr)
     return expr
 
 
@@ -112,7 +142,9 @@ def main() -> int:
     )
 
     docs = _rebase(_rep(t("documents"), factor), ["doc_id"])
-    docs = docs.withColumn("text", _rot_text(F.col("text"), F.col("_rep")))
+    docs = docs.withColumn(
+        "text", _sub_text(F.col("text"), F.col("_rep"), factor)
+    )
     w(docs.drop("_rep"), "documents")
 
     emb = _rebase(_rep(t("embeddings"), factor), ["vec_id"])
