@@ -29,6 +29,51 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _topk_tie_exact(
+    sims: np.ndarray, ids: np.ndarray, k: int, *, tie_margin: int = 8
+) -> list[np.ndarray]:
+    """Shared exact top-k kernel over a scored (nq, nc) matrix: for each
+    row, the column indices of the ``k`` best scores, ordered by
+    (score desc, id asc) — the module's standard ANN tie rule. Masked
+    entries (``-inf``, e.g. self-pairs) are excluded.
+
+    Selection is argpartition with a ``tie_margin`` rim then an exact
+    per-row lexsort of the rim — O(nc + take log take) per row instead
+    of a full O(nc log nc) sort. The rim alone is NOT exact under mass
+    ties: argpartition places *some* take-sized superset of the top-k in
+    the rim, but when more than ``tie_margin`` candidates tie exactly at
+    the k-th score, which tied members land in the rim follows numpy's
+    internal ordering of the (shuffle-order-dependent) input — the
+    ascending-id rule would then pick among an arbitrary subset and seed
+    edges could vary run to run. Exact-score ties are realistic (exact
+    duplicate vectors before dedup ⇒ cos_sim == 1.0 classes), so
+    whenever the rim's boundary score also occurs OUTSIDE the rim the
+    row widens to the full tie class (every candidate scoring >= the
+    boundary) before the lexsort — the result is then provably identical
+    to a full sort, independent of input order."""
+    nq, nc = sims.shape
+    take = min(k + tie_margin, nc)
+    if take < nc:
+        rim = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+    else:
+        rim = np.broadcast_to(np.arange(nc), (nq, nc))
+    out: list[np.ndarray] = []
+    for i in range(nq):
+        cols = rim[i]
+        s = sims[i, cols]
+        keep = s > -np.inf
+        cols, s = cols[keep], s[keep]
+        if take < nc and len(cols):
+            boundary = s.min()
+            row = sims[i]
+            if np.count_nonzero(row == boundary) > np.count_nonzero(s == boundary):
+                cols = np.flatnonzero(row >= boundary)
+                s = row[cols]
+        order = np.lexsort((ids[cols], -s))[:k]
+        out.append(cols[order])
+    return out
+
+
 def bucket_topk_scorer(k: int, *, chunk: int = 2048, tie_margin: int = 8):
     """Bucket-local cosine top-k as a cogrouped-``applyInPandas`` scorer
     (sanctioned crossing, COVERAGE.md §2.10) — the scale-safe way to
@@ -50,10 +95,11 @@ def bucket_topk_scorer(k: int, *, chunk: int = 2048, tie_margin: int = 8):
     Probe side needs columns ``(src, _qv, _qn)``, candidate side
     ``(_cid, _cv, _cn)``. Emits per-probe-row top-``k`` ``(src, dst,
     cos_sim)`` with ties broken by ascending dst (argpartition with a
-    ``tie_margin`` safety rim, then an exact per-row lexsort of the
-    rim), self-pairs excluded — same selection rule as the expression
-    path's window, so downstream global top-k merges are
-    order-compatible."""
+    ``tie_margin`` safety rim with exact full-tie-class widening at the
+    boundary — :func:`_topk_tie_exact` — then a per-row lexsort), self-
+    pairs excluded — same selection rule as the expression path's
+    window even under >tie_margin-way exact-score ties, so downstream
+    global top-k merges are order-compatible and run-deterministic."""
     schema = T.StructType(
         [
             T.StructField("src", T.LongType()),
@@ -78,24 +124,13 @@ def bucket_topk_scorer(k: int, *, chunk: int = 2048, tie_margin: int = 8):
         cids = right["_cid"].to_numpy()
         cmat = np.stack(right["_cv"].to_numpy()).astype(np.float64, copy=False)
         cn = right["_cn"].to_numpy(dtype=np.float64)
-        n_cand = len(cids)
-        take = min(k + tie_margin, n_cand)
         out_src, out_dst, out_cos = [], [], []
         for lo in range(0, len(qids), chunk):
             hi = min(lo + chunk, len(qids))
             sims = (qmat[lo:hi] @ cmat.T) / np.outer(qn[lo:hi], cn)
             sims[qids[lo:hi, None] == cids[None, :]] = -np.inf
-            if take < n_cand:
-                rim = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            else:
-                rim = np.broadcast_to(np.arange(n_cand), (hi - lo, n_cand))
-            for i in range(hi - lo):
-                cols = rim[i]
-                s = sims[i, cols]
-                keep = s > -np.inf
-                cols, s = cols[keep], s[keep]
-                order = np.lexsort((cids[cols], -s))[:k]
-                sel = cols[order]
+            picks = _topk_tie_exact(sims, cids, k, tie_margin=tie_margin)
+            for i, sel in enumerate(picks):
                 out_src.extend([qids[lo + i]] * len(sel))
                 out_dst.extend(cids[sel])
                 out_cos.extend(sims[i, sel])
@@ -597,6 +632,10 @@ def brute_force_topk_pandas(
     )
 
     def score(batches):
+        # same argpartition + tie-exact kernel as bucket_topk_scorer
+        # (shared _topk_tie_exact) — the old per-row Python sorted() over
+        # all candidates was O(nc log nc) interpreted per query row and
+        # degraded on wide buckets; identical tie rule (score desc, id asc)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -604,17 +643,13 @@ def brute_force_topk_pandas(
             qmat = np.stack(pdf[vec_col].to_numpy())
             qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
             sims = qmat @ cmat.T  # (nq, nc)
+            sims[qids[:, None] == cand_ids[None, :]] = -np.inf
+            picks = _topk_tie_exact(sims, cand_ids, k)
             out = []
-            for row_i in range(sims.shape[0]):
-                s = sims[row_i]
-                mask = cand_ids != qids[row_i]
-                order = sorted(
-                    (j for j in range(len(s)) if mask[j]),
-                    key=lambda j: (-s[j], cand_ids[j]),
-                )[:k]
-                for rank, j in enumerate(order, 1):
+            for i, sel in enumerate(picks):
+                for rank, j in enumerate(sel, 1):
                     out.append(
-                        (int(qids[row_i]), int(cand_ids[j]), float(s[j]), rank)
+                        (int(qids[i]), int(cand_ids[j]), float(sims[i, j]), rank)
                     )
             yield pd.DataFrame(
                 out, columns=["query_id", "neighbor_id", "cos_sim", "rank"]
