@@ -30,20 +30,36 @@ def released_local_checkpoint(df: DataFrame):
     only reaps it on a driver GC, so a steady-state ingest (one upsert
     per batch) leaks one checkpoint RDD per BATCH — caught by the
     scale sweep's cache-discipline assertion. Scope the checkpoint:
-    yield the severed frame for the write, then unpersist exactly the
-    RDD ids the checkpoint created. Batches/writes are sequential per
-    sink, so the id diff is race-free within a caller."""
+    yield the severed frame for the write, then unpersist EXACTLY the
+    RDD backing it. The checkpointed Dataset's analyzed plan is a
+    ``LogicalRDD`` wrapping the localCheckpointed (persisted) RDD, so
+    its id is capturable directly — a global persistent-RDD id diff
+    (the pre-r10 implementation) is NOT thread-safe: two concurrent
+    callers in one session (e.g. two Structured Streaming foreachBatch
+    sinks, which run on separate micro-batch threads) would race, and
+    caller A's release could unpersist caller B's in-flight checkpoint —
+    unrecoverable, since localCheckpoint severs lineage. The tight
+    pre/post id diff remains only as a fallback for plan shapes where
+    the LogicalRDD capture is unavailable."""
     spark = df.sparkSession
     jsc = spark.sparkContext._jsc
     before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     ck = df.localCheckpoint(eager=True)
+    jrdd = None
+    try:
+        jrdd = ck._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # noqa: BLE001 — fall back to the (tight) id diff
+        pass
     try:
         yield ck
     finally:
-        jmap = jsc.getPersistentRDDs()
-        for k in jmap.keySet().toArray():
-            if int(k) not in before:
-                jmap.get(k).unpersist(False)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+        else:
+            jmap = jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                if int(k) not in before:
+                    jmap.get(k).unpersist(False)
 
 
 def write_partitioned(

@@ -107,3 +107,40 @@ def test_stream_upsert_sink_releases_per_batch_checkpoints(spark, tmp_path):
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 5
     assert _persistent_rdd_count(spark) == 0
+
+
+def test_released_local_checkpoint_is_caller_exact(spark):
+    """ADVICE r9 (medium): release must unpersist ONLY the caller's own
+    checkpoint RDD. An overlapping caller's in-flight checkpoint — here
+    simulated by persisting/checkpointing other frames INSIDE the
+    with-block, as a concurrent foreachBatch sink would — must survive
+    caller A's exit and stay readable (localCheckpoint severs lineage,
+    so a wrongful unpersist is unrecoverable)."""
+    from assignment_etl_spark.io.store import released_local_checkpoint
+
+    a = spark.range(50).selectExpr("id", "id * 2 as v")
+    with released_local_checkpoint(a) as ck_a:
+        # "caller B" checkpoints while A's block is open
+        b = spark.range(30).selectExpr("id", "id + 1 as w").localCheckpoint(True)
+        assert ck_a.count() == 50
+    # A's exit must not have touched B's checkpoint
+    assert b.count() == 30
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    levels = [
+        jmap.get(k).getStorageLevel().useMemory()
+        or jmap.get(k).getStorageLevel().useDisk()
+        for k in jmap.keySet().toArray()
+    ]
+    assert any(levels), "caller B's checkpoint RDD was released by caller A"
+    _release_all(spark)
+    assert _persistent_rdd_count(spark) == 0
+
+
+def test_released_local_checkpoint_releases_own(spark):
+    from assignment_etl_spark.io.store import released_local_checkpoint
+
+    df = spark.range(40).selectExpr("id", "id * 3 as v")
+    with released_local_checkpoint(df) as ck:
+        assert ck.count() == 40
+        assert _persistent_rdd_count(spark) >= 1
+    assert _persistent_rdd_count(spark) == 0
