@@ -218,6 +218,7 @@ EXCLUDED: dict[str, str] = {
     **{n: _R_ITER for n in (
         "knn_graph_beam_search",
         "knn_graph_nndescent",
+        "knn_graph_salted_seed",
         "unigram_lm_vocab",
     )},
     **{n: _R_GRAPH for n in (
@@ -420,6 +421,14 @@ def warm_up(spark, queries, sf_dir) -> None:
 
     warm_udf = make_minhash_signature_udf(num_hashes=4, shingle_n=3)
     spark.createDataFrame([("warm",)], "t string").select(warm_udf("t")).collect()
+    # List-head warm (VERDICT r9 ask #6): the first HEADLINE query used to
+    # absorb the session's remaining one-off codegen/JIT cost that the
+    # generic warm-up above doesn't reach (whole-stage-codegen compiler
+    # classes, HashAggregate JIT tiers), which made fresh driver runs
+    # recurrently flag `pricing_summary` as a phantom regression (r9:
+    # 1.73× driver vs 1.26× idle rerun; the baseline protocol documents
+    # the mode). One unbilled execution retires that cost before timing.
+    queries[HEADLINE[0]](spark, sf_dir).count()
 
 
 def measure_pass(spark, queries, sf_dir, *, quiet: bool = False):
