@@ -2014,6 +2014,69 @@ WHERE rank <= 5 ORDER BY src, rank
 """
 
 
+def q_knn_graph_salted_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION knn-build dataflow, hash-certified (VERDICT r9 ask
+    #1): the skew-proof salted seed (ext/nndescent._salted_cell_seed) —
+    sign-bit cells sized per cell, oversized cells split into
+    ~cell_cap-member salt buckets, each (query, probed-cell) scoring ONE
+    bucket — scored by the bucket-local BLAS kernel
+    (ext/similarity.bucket_topk_scorer, cogrouped applyInPandas). This
+    is the exact join + scorer a 100 TB build runs; only the salt hash
+    differs (salt_portable=True swaps xxhash64 for the PORTABLE_P
+    polynomial family, the minhash_lsh_pairs gate precedent) so the
+    DuckDB oracle replays the bucketing bit-for-bit. Config pins real
+    salting: n_bits=5, cell_cap=8 → multiple salt buckets per hot cell
+    at 500 vectors. Complements gate ``knn_graph_nndescent`` (unsalted
+    expression seed + refine round)."""
+    from assignment_etl_spark.ext.nndescent import build_knn_graph
+
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return build_knn_graph(
+        emb, k=5, rounds=0, init_bits=5, cell_cap=8, salt_portable=True
+    ).orderBy("src", "rank")
+
+
+SQL_KNN_GRAPH_SALTED_SEED = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+          + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+          + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+          + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) AS cell
+  FROM embeddings),
+sized AS (
+  SELECT cell, greatest(CAST(ceil(count(*) / 8.0) AS BIGINT), 1) AS splits
+  FROM e GROUP BY cell),
+cand AS (
+  SELECT e.vec_id, e.emb, e.cell,
+         ((((e.vec_id % 2147483647) * 1103515245 + 12345) % 2147483647)
+          % s.splits) AS salt
+  FROM e JOIN sized s USING (cell)),
+probes AS (
+  SELECT q.vec_id, q.emb, xor(q.cell, m.mask) AS cell
+  FROM e q CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16)) m(mask)),
+p2 AS (
+  SELECT p.vec_id, p.emb, p.cell,
+         ((((p.vec_id % 2147483647) * 1103515245 + 12345 + p.cell)
+           % 2147483647) % s.splits) AS salt
+  FROM probes p JOIN sized s USING (cell)),
+scored AS (
+  SELECT p.vec_id AS src, c.vec_id AS dst,
+         list_cosine_similarity(p.emb, c.emb) AS cos_sim
+  FROM p2 p JOIN cand c
+    ON p.cell = c.cell AND p.salt = c.salt AND p.vec_id != c.vec_id)
+SELECT src, dst, round(cos_sim, 6) AS cos_sim, CAST(rank AS INTEGER) AS rank
+FROM (SELECT src, dst, cos_sim,
+        row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rank
+      FROM scored)
+WHERE rank <= 5 ORDER BY src, rank
+"""
+
+
 def q_knn_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-hop beam search over a PERSISTED k-NN graph
     (ext/nndescent.knn_graph_beam_search) — HNSW's search loop as a
@@ -13645,6 +13708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_events": q_cuped_events,
         "cuped_ab_test_events": q_cuped_ab_test,
         "knn_graph_nndescent": q_knn_graph_nndescent,
+        "knn_graph_salted_seed": q_knn_graph_salted_seed,
         "label_noise_suspects": q_label_noise_suspects,
         "nb_score_calibration": q_nb_score_calibration,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -14007,6 +14071,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped_events": SQL_CUPED_EVENTS,
         "cuped_ab_test_events": _sql_cuped_ab_test(),
         "knn_graph_nndescent": SQL_KNN_GRAPH_NNDESCENT,
+        "knn_graph_salted_seed": SQL_KNN_GRAPH_SALTED_SEED,
         "label_noise_suspects": _sql_label_noise_suspects(),
         "nb_score_calibration": _sql_nb_score_calibration(),
         "source_overlap_matrix": SQL_SOURCE_OVERLAP_MATRIX,

@@ -125,6 +125,7 @@ def _salted_cell_seed(
     vec_col: str,
     n_bits: int,
     cell_cap: int,
+    salt_portable: bool = False,
 ) -> DataFrame:
     """Skew-proof seed graph: the sign-bit cell join with OVERSIZED
     cells split into ~``cell_cap``-member salt buckets. Sign-bit cells
@@ -139,7 +140,38 @@ def _salted_cell_seed(
     members — exactly the repair NN-descent's refine rounds exist for
     (same argument as the cell-boundary losses of the unsalted seed).
 
+    ``salt_portable=True`` swaps the xxhash64 salt for the repo's
+    PORTABLE_P polynomial family (assignment_etl_spark/portable.py) so
+    a DuckDB oracle replays the bucketing bit-for-bit — the SAME
+    salted-join + bucket-BLAS-scorer dataflow, only the salt hash
+    differs (the minhash_lsh_pairs gate precedent). Production keeps
+    xxhash64: adversarial/clustered ids call for a real mixer.
+
     Returns (src, dst, cos_sim, rank) like cell_multiprobe_topk."""
+    from assignment_etl_spark.portable import ADD_B, MULT_A, PRIME_P
+
+    if salt_portable:
+        # ((x mod P) * A + B [+ cell]) mod P, all inside int64 — the
+        # cross-engine-replayable family; cell folds in so a query's
+        # bucket choice still varies across its probes
+        def cand_salt():
+            h = ((F.col("_cid") % F.lit(PRIME_P)) * F.lit(MULT_A) + F.lit(ADD_B)) % F.lit(PRIME_P)
+            return F.pmod(h, F.col("_splits"))
+
+        def probe_salt():
+            h = (
+                (F.col("src") % F.lit(PRIME_P)) * F.lit(MULT_A)
+                + F.lit(ADD_B)
+                + F.col("_cell")
+            ) % F.lit(PRIME_P)
+            return F.pmod(h, F.col("_splits"))
+    else:
+        def cand_salt():
+            return F.pmod(F.xxhash64(F.col("_cid")), F.col("_splits"))
+
+        def probe_salt():
+            return F.pmod(F.xxhash64(F.col("src"), F.col("_cell")), F.col("_splits"))
+
     sized = emb.groupBy(signbit_cell(F.col(vec_col), n_bits).alias("_cell")).agg(
         F.count(F.lit(1)).alias("_n")
     ).withColumn(
@@ -153,7 +185,7 @@ def _salted_cell_seed(
             signbit_cell(F.col(vec_col), n_bits).alias("_cell"),
         )
         .join(F.broadcast(sized), on="_cell")
-        .withColumn("_salt", F.pmod(F.xxhash64(F.col("_cid")), F.col("_splits")))
+        .withColumn("_salt", cand_salt())
         .drop("_splits")
     )
     masks = [0] + [1 << i for i in range(n_bits)]  # home + hamming-1 probes
@@ -170,10 +202,7 @@ def _salted_cell_seed(
         .join(F.broadcast(sized), on="_cell")
         # bucket choice varies with the probed cell so a query does not
         # always sample the same bucket index across its probes
-        .withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(F.col("src"), F.col("_cell")), F.col("_splits")),
-        )
+        .withColumn("_salt", probe_salt())
         .select("src", "_qv", "_qn", "_cell", "_salt")
     )
     # Bucket-local BLAS scoring (cogrouped applyInPandas), NOT the
@@ -182,9 +211,10 @@ def _salted_cell_seed(
     # the measured straggler wall (jstack: ZipWith.eval/
     # ArrayAggregate.eval; one sf10 build repeat did not finish in
     # 55 min). Cogrouping ships each vector across Arrow once per
-    # bucket and never materializes the pairs. This path is
-    # production-only (the oracle-pinned gate runs the unsalted
-    # expression seed), so the fp-order difference is safe. Each
+    # bucket and never materializes the pairs. Gate
+    # knn_graph_salted_seed pins this exact dataflow (portable salt
+    # flavor); fp summation order differs from the expression path
+    # only below the gate's round-6 certification. Each
     # (probe-row, bucket) emits its local top-k; the global window
     # below merges ≤ probes×k rows per src.
     schema, score = bucket_topk_scorer(k)
@@ -223,6 +253,7 @@ def build_knn_graph(
     round_to: int = 6,
     checkpoint_rounds: bool = True,
     cell_cap: int | None = None,
+    salt_portable: bool = False,
 ) -> DataFrame:
     """Approximate k-NN graph: (src, dst, cos_sim, rank), up to k edges
     per node, refined through ``rounds`` NN-descent passes
@@ -235,8 +266,11 @@ def build_knn_graph(
     :func:`_salted_cell_seed` bounds the worst cell, because sign-bit
     cells on real embeddings are skewed and one hot cell's |cell|²
     otherwise carries the build as a straggler task). Explicit
-    ``init_bits``/``cell_cap=None`` keep the oracle-pinned unsalted
-    join for gates.
+    ``init_bits``/``cell_cap=None`` keep the unsalted join; with a
+    ``cell_cap``, ``salt_portable=True`` runs the salted seed on the
+    DuckDB-replayable polynomial salt so the production dataflow
+    (salted buckets + BLAS scorer) is itself oracle-gated
+    (``knn_graph_salted_seed``).
     Note the eager per-round checkpoints mean CONSTRUCTING this
     DataFrame runs the build when ``rounds > 0`` and
     ``checkpoint_rounds`` is on — pass ``checkpoint_rounds=False`` for
@@ -253,6 +287,7 @@ def build_knn_graph(
         edges = _salted_cell_seed(
             emb, k, id_col=id_col, vec_col=vec_col,
             n_bits=init_bits, cell_cap=cell_cap,
+            salt_portable=salt_portable,
         )
     else:
         edges = cell_multiprobe_topk(

@@ -256,3 +256,33 @@ def test_materialize_knn_graph_roundtrip_and_search(spark, blobs, tmp_path):
     assert sorted(map(tuple, via_store.collect())) == sorted(
         map(tuple, via_direct.collect())
     )
+
+
+def test_salt_portable_same_dataflow_degenerates_identically(spark, blobs):
+    """The gate flavor (salt_portable=True, VERDICT r9 ask #1) changes
+    ONLY the salt hash: with cell_cap >= every cell (splits == 1
+    everywhere, salt identically 0 under either hash) it is
+    edge-for-edge the unsalted seed; with a tight cap it still yields
+    up to k well-formed edges per src with the standard tie rule."""
+    from assignment_etl_spark.ext.nndescent import _salted_cell_seed
+
+    a = _salted_cell_seed(
+        blobs, 4, id_col="vec_id", vec_col="embedding",
+        n_bits=4, cell_cap=10_000, salt_portable=True,
+    )
+    b = _salted_cell_seed(
+        blobs, 4, id_col="vec_id", vec_col="embedding",
+        n_bits=4, cell_cap=10_000, salt_portable=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    tight = build_knn_graph(
+        blobs, k=4, rounds=0, init_bits=4, cell_cap=8, salt_portable=True
+    ).collect()
+    assert tight
+    per_src = {}
+    for r in tight:
+        per_src.setdefault(r.src, []).append((r.rank, r.dst))
+    for src, edges in per_src.items():
+        ranks = sorted(rk for rk, _ in edges)
+        assert ranks == list(range(1, len(edges) + 1))
+        assert len(edges) <= 4
