@@ -55,16 +55,68 @@ def test_affine_alphabets_distinct_per_rep_and_rot_compatible():
 def test_sub_text_factor_100_produces_distinct_cross_copy_text(spark):
     """End-to-end: amplify one document to 100 copies and require all
     100 texts distinct (the wrap regression made rotation classes of
-    ~4 copies share text verbatim)."""
-    from tools.make_scale_data import _rep, _sub_text
+    ~4 copies share text verbatim). Also pins the r10 two-stage
+    (rotation∘multiplication) form against the single-stage affine map
+    character for character."""
+    from tools.make_scale_data import _affine_alphabet, _rep, _sub_text
 
+    base_text = "the quick brown fox jumps over the lazy dog"
+    base = spark.createDataFrame([(base_text,)], "text string")
+    rows = (
+        _sub_text(_rep(base, 100), "text", F.col("_rep"), 100)
+        .select("_rep", "text")
+        .collect()
+    )
+    assert len({r.text for r in rows}) == 100
+    import string
+
+    az = string.ascii_lowercase
+    for r in rows:
+        table = str.maketrans(az, _affine_alphabet(r._rep))
+        assert r.text == base_text.translate(table), r._rep
+
+
+def test_emb_perturb_distinct_per_rep_and_stable_below_13(spark):
+    """The embedding amplifier twin of the affine-cipher test (ADVICE
+    r9): the per-copy offset vector must be DISTINCT for every rep to
+    312 (the old rep % 13 coefficient gave ~8 exact duplicate copies
+    per vector at factor 100), and reps < 13 must reproduce the old
+    formula's values exactly."""
+    from tools.make_scale_data import _emb_perturb, _rep
+
+    dim = 64
     base = spark.createDataFrame(
-        [("the quick brown fox jumps over the lazy dog",)], "text string"
+        [([0.0] * dim,)], "embedding array<float>"
     )
-    out = (
-        _rep(base, 100)
-        .withColumn("text", _sub_text(F.col("text"), F.col("_rep"), 100))
-        .select("text")
+    rows = (
+        _rep(base, 312)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding", lambda x, i: _emb_perturb(F.col("_rep"), x, i)
+            ),
+        )
+        .select("_rep", "embedding")
+        .collect()
     )
-    n_distinct = out.distinct().count()
-    assert n_distinct == 100
+    vecs = {r._rep: tuple(r.embedding) for r in rows}
+    assert len(set(vecs.values())) == 312, "perturbation repeats within range"
+    # reps < 13: bit-identical to the OLD formula (evaluated here as the
+    # pre-r10 expression) — the affine-cipher compatibility contract
+    old_rows = (
+        _rep(base, 13)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + (F.col("_rep") % 13).cast("float")
+                * F.lit(0.003)
+                * ((i % 7) - 3).cast("float"),
+            ),
+        )
+        .select("_rep", "embedding")
+        .collect()
+    )
+    for r in old_rows:
+        assert vecs[r._rep] == tuple(r.embedding), r._rep

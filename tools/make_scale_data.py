@@ -76,26 +76,62 @@ def _affine_alphabet(rep: int) -> str:
     return "".join(az[(a * x + k) % 26] for x in range(26))
 
 
-def _sub_text(col, rep_col, factor):
-    """Per-copy BIJECTIVE letter substitution (one translate per rep).
+def _sub_text(df, text_col, rep_col, factor):
+    """Per-copy BIJECTIVE letter substitution, applied in TWO translate
+    stages so the plan stays O(1) in ``factor`` (ADVICE r9: the previous
+    factor-deep CASE WHEN chain made every row walk an O(factor)
+    conditional and the expression tree grew with the factor — 311
+    translate branches at the max). The affine map a·x + k factors as
+    rotation∘multiplication, so stage 1 picks the multiplier alphabet
+    (≤ 12 branches, keyed by rep // 26) into a temp column and stage 2
+    rotates it (≤ 26 branches, keyed by rep % 26): ≤ 38 translate nodes
+    total, per-row work bounded by 38 condition tests, output strings
+    IDENTICAL to the single-stage form.
 
-    The predecessor rotated by rep % 26, which WRAPS at factor > 26:
-    at factor 100 every rotation class had ~4 member copies whose texts
-    were EXACT cross-copy duplicates — 74.0% duplicate surplus at sf10
-    vs the designed 0.2% (SCALE.md round-9 supplementary sweep), i.e.
-    the generator violated its own "across copies shingles share
-    nothing" contract. Affine maps keep that contract for any factor
-    up to 312 (asserted; extend the unit list past that)."""
+    History: the original rotated by rep % 26, which WRAPS at
+    factor > 26 — at factor 100 every rotation class had ~4 member
+    copies whose texts were EXACT cross-copy duplicates (74.0% dup
+    surplus at sf10, SCALE.md round-9). Affine maps keep the
+    "across copies shingles share nothing" contract to factor 312."""
     assert factor <= 26 * len(_AFFINE_UNITS), (
         f"affine substitution supports factor <= {26 * len(_AFFINE_UNITS)}"
     )
     az = string.ascii_lowercase
-    expr = F.translate(col, az, _affine_alphabet(0))  # identity
-    for r in range(1, factor):
-        expr = F.when(
-            rep_col == r, F.translate(col, az, _affine_alphabet(r))
-        ).otherwise(expr)
-    return expr
+    n_units = min(len(_AFFINE_UNITS), -(-factor // 26))
+    mult = F.translate(F.col(text_col), az, _affine_alphabet(0))  # a=1
+    for ui in range(1, n_units):
+        mult = F.when(
+            F.floor(rep_col / F.lit(26)).cast("int") == ui,
+            F.translate(F.col(text_col), az, _affine_alphabet(26 * ui)),
+        ).otherwise(mult)
+    rot = F.col("_t1")  # k=0 identity
+    for k in range(1, min(26, factor)):
+        rot = F.when(
+            rep_col % 26 == k,
+            F.translate(F.col("_t1"), az, _affine_alphabet(k)),
+        ).otherwise(rot)
+    return df.withColumn("_t1", mult).withColumn(text_col, rot).drop("_t1")
+
+
+def _emb_perturb(rep_col, x, i):
+    """Per-copy embedding perturbation, keyed by the FULL rep (ADVICE
+    r9: the previous ``rep % 13`` coefficient wrapped at factor > 13 —
+    ~8 exact duplicate copies per vector at factor 100, the embedding
+    twin of the text cipher wrap). Two independent basis patterns
+    ((i%7)-3 and (i%5)-2, linearly independent over dim ≥ 8) keyed by
+    (rep % 13, rep // 13) make the map rep → offset vector injective
+    across the full 312-rep range while the magnitude stays inside the
+    old envelope; reps < 13 add an exact 0.0 second term, so factor
+    ≤ 13 corpora are value-identical to the old generator."""
+    return (
+        x
+        + (rep_col % 13).cast("float")
+        * F.lit(0.003)
+        * ((i % 7) - 3).cast("float")
+        + F.floor(rep_col / F.lit(13)).cast("float")
+        * F.lit(0.0004)
+        * ((i % 5) - 2).cast("float")
+    )
 
 
 def main() -> int:
@@ -142,20 +178,14 @@ def main() -> int:
     )
 
     docs = _rebase(_rep(t("documents"), factor), ["doc_id"])
-    docs = docs.withColumn(
-        "text", _sub_text(F.col("text"), F.col("_rep"), factor)
-    )
+    docs = _sub_text(docs, "text", F.col("_rep"), factor)
     w(docs.drop("_rep"), "documents")
 
     emb = _rebase(_rep(t("embeddings"), factor), ["vec_id"])
     emb = emb.withColumn(
         "embedding",
         F.transform(
-            "embedding",
-            lambda x, i: x
-            + (F.col("_rep") % 13).cast("float")
-            * F.lit(0.003)
-            * ((i % 7) - 3).cast("float"),
+            "embedding", lambda x, i: _emb_perturb(F.col("_rep"), x, i)
         ),
     )
     w(emb.drop("_rep"), "embeddings")
