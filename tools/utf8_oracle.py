@@ -196,6 +196,238 @@ def viterbi_encode(
     return list(reversed(out))
 
 
+def jround(x: float, places: int = 6) -> float:
+    """Spark F.round on doubles: scala BigDecimal(double) goes through
+    Double.toString (shortest decimal repr — same as CPython repr), then
+    HALF_UP at ``places``. Python round() is banker's; this is not."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-places), rounding=ROUND_HALF_UP)
+    )
+
+
+def bpe_train(
+    docs: list[tuple[int, str]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """ext/bpe.train_bpe replay (sequential argmax — _safe_batch proves
+    batch_k>1 bit-identical to this): word-freq table, '(c)' delimited
+    symbol strings, adjacent-pair counts weighted by word frequency,
+    argmax by (count desc, lft asc, rgt asc — code-point order, which
+    equals Spark's UTF-8 binary order), literal left-to-right
+    '(l)(r)'→'(lr)' replace per merge."""
+    items = [["".join(f"({c})" for c in w), n] for w, n in word_freq(docs).items()]
+    merges: list[tuple[int, str, str, int]] = []
+    pair_re = re.compile(r"\(([^)]*)\)")
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for s, n in items:
+            toks = pair_re.findall(s)
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (lft, rgt), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((len(merges) + 1, lft, rgt, cnt))
+        pat, rep = f"({lft})({rgt})", f"({lft}{rgt})"
+        for it in items:
+            it[0] = it[0].replace(pat, rep)
+    return merges
+
+
+def wordpiece_train(
+    docs: list[tuple[int, str]], n_merges: int
+) -> list[tuple[int, str, str, int, float]]:
+    """ext/bpe.train_wordpiece replay: same mechanics, argmax on the
+    likelihood score cnt/(cnt_l·cnt_r) — ONE IEEE double division of
+    exact longs each cast to double, so Python float reproduces Spark's
+    value bit-for-bit — ties by (lft, rgt) ascending."""
+    items = [["".join(f"({c})" for c in w), n] for w, n in word_freq(docs).items()]
+    merges: list[tuple[int, str, str, int, float]] = []
+    pair_re = re.compile(r"\(([^)]*)\)")
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        sym: dict[str, int] = {}
+        for s, n in items:
+            toks = pair_re.findall(s)
+            for t in toks:
+                sym[t] = sym.get(t, 0) + n
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        scored = {
+            pr: (c, float(c) / (float(sym[pr[0]]) * float(sym[pr[1]])))
+            for pr, c in counts.items()
+        }
+        (lft, rgt), (cnt, score) = min(
+            scored.items(), key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1])
+        )
+        merges.append((len(merges) + 1, lft, rgt, cnt, score))
+        pat, rep = f"({lft})({rgt})", f"({lft}{rgt})"
+        for it in items:
+            it[0] = it[0].replace(pat, rep)
+    return merges
+
+
+def c4_flags(
+    docs: list[tuple[int, str]], *, min_words: int = 3, min_lines: int = 3
+) -> list[tuple]:
+    """ext/text.c4_line_filter replay: line survives iff trimmed line
+    ends in [.!?\"], has >= min_words ASCII-\\s-separated fields (Spark
+    split keeps empties — so does re.split), and the RAW line lowercased
+    lacks 'javascript'; page drops on '{' / 'lorem ipsum' /
+    < min_lines survivors, first-match reason."""
+    out = []
+    for i, t in docs:
+        lines = t.split("\n")
+
+        def ok(ln: str) -> bool:
+            tt = java_trim(ln)
+            return (
+                re.search(r'[.!?"]$', tt) is not None
+                and len(_ASCII_WS.split(tt)) >= min_words
+                and "javascript" not in ln.lower()
+            )
+
+        kept = [ln for ln in lines if ok(ln)]
+        has_brace = "{" in t
+        has_lorem = "lorem ipsum" in t.lower()
+        n_kept = len(kept)
+        page = (not has_brace) and (not has_lorem) and n_kept >= min_lines
+        reason = (
+            "brace"
+            if has_brace
+            else "lorem_ipsum"
+            if has_lorem
+            else "too_few_lines"
+            if n_kept < min_lines
+            else None
+        )
+        out.append(
+            (
+                i,
+                "\n".join(kept) if page else "",
+                len(lines),
+                n_kept if page else 0,
+                page,
+                reason,
+            )
+        )
+    return out
+
+
+def gopher_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """ext/text.gopher_flags replay (Java-semantics notes: trim is
+    <=U+0020, \\s is ASCII, length() counts code points — astral = 1 in
+    both engines). ``passes`` tests the UNROUNDED values, as the struct
+    does; displayed fractions are Spark-round (HALF_UP) at 6."""
+    out = []
+    for i, t0 in docs:
+        t = java_trim(t0)
+        words = [w for w in _ASCII_WS.split(t) if w]
+        n_words = len(words)
+        mean_wl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+        symbols = len(re.findall(r"#|\.\.\.", t))
+        symbol_ratio = (symbols / n_words) if n_words else 0.0
+        lines = [ln for ln in re.split(r"\n", t) if len(java_trim(ln)) > 0]
+        n_lines = len(lines)
+        bullet = (
+            sum(1 for ln in lines if re.search(r"^[-*•]", java_trim(ln))) / n_lines
+            if n_lines
+            else 0.0
+        )
+        ellipsis = (
+            sum(1 for ln in lines if re.search(r"\.\.\.$", java_trim(ln))) / n_lines
+            if n_lines
+            else 0.0
+        )
+        dup = (
+            (n_lines - len({java_trim(ln) for ln in lines})) / n_lines
+            if n_lines
+            else 0.0
+        )
+        passes = (
+            50 <= n_words <= 100_000
+            and 3.0 <= mean_wl <= 10.0
+            and symbol_ratio < 0.1
+            and bullet < 0.9
+            and ellipsis < 0.3
+            and dup < 0.3
+        )
+        out.append(
+            (
+                i,
+                n_words,
+                jround(mean_wl),
+                jround(symbol_ratio),
+                jround(bullet),
+                jround(ellipsis),
+                jround(dup),
+                passes,
+            )
+        )
+    return out
+
+
+REP_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_rows(
+    docs: list[tuple[int, str]],
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> list[tuple]:
+    """ext/repetition.repetition_signals replay: top-n-gram char mass =
+    max over distinct grams of len(gram)·count (occurrences NOT
+    de-overlapped); dup-n-gram char mass = union of covered word spans
+    (gaps-and-islands: per island, word lengths + internal spaces);
+    fractions over len(' '.join(words)); ``repetitive`` ORs the ROUNDED
+    fractions against the published Gopher bounds."""
+    out = []
+    for i, t in docs:
+        words = [w for w in _ASCII_WS.split(java_trim(t)) if w]
+        total = len(" ".join(words))
+        row: list = [i]
+        flags = []
+        for n in list(top_ns) + list(dup_ns):
+            is_top = len(row) - 1 < len(top_ns)
+            grams = (
+                [(" ".join(words[p : p + n]), p) for p in range(len(words) - n + 1)]
+                if len(words) >= n
+                else []
+            )
+            cnt: dict[str, int] = {}
+            for g, _p in grams:
+                cnt[g] = cnt.get(g, 0) + 1
+            if is_top:
+                chars = max((len(g) * c for g, c in cnt.items()), default=0)
+            else:
+                covered: set[int] = set()
+                for g, p in grams:
+                    if cnt[g] > 1:
+                        covered.update(range(p, p + n))
+                chars = 0
+                if covered:
+                    idxs = sorted(covered)
+                    island = [idxs[0]]
+                    for j in idxs[1:]:
+                        if j - island[-1] > 1:
+                            chars += sum(len(words[x]) for x in island) + len(island) - 1
+                            island = [j]
+                        else:
+                            island.append(j)
+                    chars += sum(len(words[x]) for x in island) + len(island) - 1
+            frac = jround(chars / total) if total > 0 else 0.0
+            bound = REP_TOP_THRESHOLDS[n] if is_top else REP_DUP_THRESHOLDS[n]
+            row.append(frac)
+            flags.append(frac > bound)
+        row.append(any(flags))
+        out.append(tuple(row))
+    return out
+
+
 def word_freq(docs: list[tuple[int, str]]) -> dict[str, int]:
     """ext/bpe._word_freq replay: lower, split on ASCII \\s, drop empties."""
     wf: dict[str, int] = {}
@@ -285,6 +517,16 @@ def checks(docs: list[tuple[int, str]]) -> dict[str, list[tuple]]:
             (w, json.dumps(byte_fallback([w], ascii_vocab), ensure_ascii=False))
             for w in words
         ],
+        # --- round-10 extensions (VERDICT r9 ask #2): tokenizer TRAINING
+        # and the text-quality filter family, hash-carrying on UTF-8
+        "bpe_train_merges": [tuple(m) for m in bpe_train(docs, 24)],
+        "wordpiece_train_merges": [tuple(m) for m in wordpiece_train(docs, 16)],
+        "unigram_vocab": sorted(
+            (p, str(lp)) for p, lp in unigram_train(docs, seed_multi=48, n_iters=2).items()
+        ),
+        "c4_flags": c4_flags(docs),
+        "gopher_flags": gopher_rows(docs),
+        "repetition_flags": repetition_rows(docs),
     }
     return out
 
