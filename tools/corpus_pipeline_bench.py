@@ -5,20 +5,30 @@ survivors, and report the number a training-data team would quote:
 TOKENS PER SECOND through the whole pipeline, wall-clock, cold cache.
 
 Run:  python tools/corpus_pipeline_bench.py [sf_dir ...]
-      python tools/corpus_pipeline_bench.py --check [sf_dir]
-      python tools/corpus_pipeline_bench.py --rebaseline [sf_dir]
+      python tools/corpus_pipeline_bench.py --check [sf_dir ...]
+      python tools/corpus_pipeline_bench.py --rebaseline [sf_dir ...]
 Default sf dirs: /root/testdata/sf0.1 /tmp/sf1_synth /tmp/sf10_synth
 Prints one markdown row per sf dir (paste into SCALE.md).
 
 ``--check`` is the tracked-artifact mode (VERDICT r8 ask #6): run the
-sf0.1 pipeline with the bench protocol (3 runs, best-of for the
-per-round number, first run reported as cold), compare against the
-committed PIPELINE_BASELINE.json, and print ONE JSON line with a
-``regression`` field — the composed-path twin of bench.py's
+pipeline with the bench protocol (3 runs, best-of for the per-round
+number, first run reported as cold), compare against the committed
+PIPELINE_BASELINE.json, and print ONE JSON line per tracked point with
+a ``regression`` field — the composed-path twin of bench.py's
 regressions_vs_baseline, so a plan change that slows the FUNNEL (not
 any single gate) gets flagged per round too. Flag rule mirrors
 bench.py: worse than 1.5x the baseline wall AND >0.3s absolute.
 ``--rebaseline`` rewrites the baseline from a fresh protocol run.
+
+Since round 10 (VERDICT r9 ask #8) the baseline tracks TWO points —
+sf0.1 (/root/testdata) and sf1 (/tmp/sf1_synth, regenerate with
+``python tools/make_scale_data.py 10 /tmp/sf1_synth`` first): the
+sf1 point is where shuffle-sizing and packing-cumsum regressions
+actually show; sf0.1 alone sits in the scheduler-latency floor. The
+sf1 result invariants are generator-stable (factor 10 < 13 keeps the
+amplifier value-identical across generator versions). ``--check``
+checks every tracked point whose directory exists and exits nonzero
+on any flag; a missing sf1 dir prints a skip line, not a failure.
 """
 
 from __future__ import annotations
@@ -105,12 +115,22 @@ def protocol_run(spark, sf_dir: str) -> dict:
     }
 
 
-def check(spark, sf_dir: str) -> int:
+def _load_baseline() -> dict:
+    """Tracked points keyed by sf_dir. Reads both the round-10 format
+    ({"points": {...}}) and the legacy single-point file."""
+    if not os.path.exists(BASELINE_PATH):
+        return {}
+    base = json.load(open(BASELINE_PATH))
+    if "points" in base:
+        return base["points"]
+    return {base["sf_dir"]: base}
+
+
+def check_point(spark, sf_dir: str, base: dict | None) -> tuple[int, dict]:
     res = protocol_run(spark, sf_dir)
     out = {"metric": "corpus_pipeline_tok_per_s", "value": res["best_tok_per_s"],
            "unit": "tokens/s", **res}
-    if os.path.exists(BASELINE_PATH):
-        base = json.load(open(BASELINE_PATH))
+    if base is not None:
         out["baseline_tok_per_s"] = base["best_tok_per_s"]
         worse = (
             res["best_wall_s"] > 1.5 * base["best_wall_s"]
@@ -126,8 +146,21 @@ def check(spark, sf_dir: str) -> int:
             if base.get(k) is not None and base[k] != res[k]:
                 out["result_drift"] = {k: {"baseline": base[k], "now": res[k]}}
                 break
-    print(json.dumps(out))
-    return 1 if out.get("regression") or out.get("result_drift") else 0
+    rc = 1 if out.get("regression") or out.get("result_drift") else 0
+    return rc, out
+
+
+def check(spark, sf_dirs: list[str]) -> int:
+    points = _load_baseline()
+    rc = 0
+    for sf_dir in sf_dirs:
+        if not os.path.isdir(sf_dir):
+            print(json.dumps({"sf_dir": sf_dir, "skipped": "dir missing"}))
+            continue
+        prc, out = check_point(spark, sf_dir, points.get(sf_dir))
+        print(json.dumps(out))
+        rc = rc or prc
+    return rc
 
 
 def main() -> int:
@@ -136,17 +169,22 @@ def main() -> int:
     args = sys.argv[1:]
     if args and args[0] in ("--check", "--rebaseline"):
         mode, rest = args[0], args[1:]
-        sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
+        sf_dirs = rest or ["/root/testdata/sf0.1", "/tmp/sf1_synth"]
         spark = get_spark("corpus-pipeline-bench")
         spark.sparkContext.setLogLevel("ERROR")
         if mode == "--rebaseline":
-            res = protocol_run(spark, sf_dir)
+            points = {}
+            for sf_dir in sf_dirs:
+                if not os.path.isdir(sf_dir):
+                    print(f"skip (dir missing): {sf_dir}")
+                    continue
+                points[sf_dir] = protocol_run(spark, sf_dir)
             with open(BASELINE_PATH, "w") as fh:
-                json.dump(res, fh, indent=1, sort_keys=True)
+                json.dump({"points": points}, fh, indent=1, sort_keys=True)
                 fh.write("\n")
-            print(f"wrote {os.path.normpath(BASELINE_PATH)}: {res}")
+            print(f"wrote {os.path.normpath(BASELINE_PATH)}: {sorted(points)}")
             return 0
-        return check(spark, sf_dir)
+        return check(spark, sf_dirs)
 
     dirs = args or [
         "/root/testdata/sf0.1",
