@@ -5395,7 +5395,9 @@ FROM f GROUP BY 1
 """
 
 
-def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_image_decode_stats(
+    spark: SparkSession, sf_dir: str, *, n_media: int = 24
+) -> DataFrame:
     """REAL image decode (ext/imagecodec.py): 24 images are synthesized
     from a closed-form pixel formula seeded by doc_id (even ids → PNG with
     cycling scanline filters, odd → 24-bit BMP with row padding), encoded
@@ -5416,7 +5418,7 @@ def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = (
         docs.select("doc_id")
         .orderBy("doc_id")
-        .limit(24)
+        .limit(n_media)
         .select(
             F.col("doc_id").alias("media_id"),
             F.lit("image").alias("kind"),
@@ -11485,7 +11487,9 @@ FROM dims d JOIN chan c USING (mime) ORDER BY d.mime
 """
 
 
-def q_audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_audio_downsample_stats(
+    spark: SparkSession, sf_dir: str, *, n_media: int = 24
+) -> DataFrame:
     """Audio decimation (ext/multimodal.downsample_audio): the same 24
     real WAV clips as audio_decode_stats, decoded and decimated by 3
     (keep frames t ≡ 0 mod 3) — the audio analog of the image resize
@@ -11503,7 +11507,7 @@ def q_audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = (
         docs.select("doc_id")
         .orderBy("doc_id")
-        .limit(24)
+        .limit(n_media)
         .select(
             F.col("doc_id").alias("media_id"),
             F.lit("audio").alias("kind"),

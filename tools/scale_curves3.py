@@ -76,6 +76,20 @@ TARGETS = [
     "cc_label_propagation",
     # the knn-graph BUILD and SEARCH are measured split, in production
     # configuration (corpus-scaled seed bits), by tools/knn_split_curves.py
+    # r10 (VERDICT r9 ask #3): the last two families with no sf10 point.
+    # Multimodal: payload count scaled with the corpus (n_media override
+    # below for the limit-24 gates; frame_sample/multimodal_features are
+    # corpus-proportional already). Drift/stats: registry callables as-is.
+    "image_decode_stats",
+    "audio_downsample_stats",
+    "frame_sample_stats",
+    "multimodal_features",
+    "psi_order_drift",
+    "ks_test_prices",
+    "benford_orders",
+    "chi_square_orders",
+    "mannwhitney_quantity",
+    "theil_sen_trend_events",
 ]
 
 
@@ -170,6 +184,22 @@ def main() -> int:
         )
 
     qs["dedup_keep_best_quality"] = _keep_best_production
+
+    import __spark_entry__ as entry
+
+    def _scaled_media(gate):
+        # the gate pins 24 payloads for the oracle; the sweep scales the
+        # payload count with the corpus (1 media row per 25 documents)
+        # so the three-point ratio measures the codec dataflow, not a
+        # fixed 24-row floor
+        def fn(spark, sf_dir):
+            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+            return gate(spark, sf_dir, n_media=max(24, n_docs // 25))
+
+        return fn
+
+    qs["image_decode_stats"] = _scaled_media(entry.q_image_decode_stats)
+    qs["audio_downsample_stats"] = _scaled_media(entry.q_audio_downsample_stats)
 
     print(
         "| query | sf0.1 s | sf1 s | sf10 s | r1 (sf1/sf0.1) "
