@@ -7,7 +7,8 @@ e.g. localCheckpointed iterations), and greps the executed plan for:
 - hard violations: CartesianProduct (unbounded pair blowup) and
   BatchEvalPython (row-at-a-time Python UDF in the pipeline);
 - reported shape: Exchange count (shuffles), WholeStageCodegen spans,
-  Arrow crossings (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas),
+  Arrow crossings (ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas / FlatMapCoGroupsInPandas),
   BroadcastHashJoin vs SortMergeJoin mix, BroadcastNestedLoopJoin
   occurrences (legit only for 1-row broadcast sides, e.g. the LM vocab
   scalar), and parquet scans with non-empty PushedFilters.
@@ -380,6 +381,7 @@ SOFT = (
     "ArrowEvalPython",
     "MapInPandas",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
 )
 
 
@@ -444,7 +446,7 @@ def main() -> int:
             f"{name}: xchg={c['Exchange']} codegen={c['WholeStageCodegen']} "
             f"bhj={c['BroadcastHashJoin']} smj={c['SortMergeJoin']} "
             f"bnlj={c['BroadcastNestedLoopJoin']} "
-            f"arrow={c['ArrowEvalPython'] + c['MapInPandas'] + c['FlatMapGroupsInPandas']} "
+            f"arrow={c['ArrowEvalPython'] + c['MapInPandas'] + c['FlatMapGroupsInPandas'] + c['FlatMapCoGroupsInPandas']} "
             f"pushdown={c['scans_with_pushdown']}/{c['scans']} "
             f"gwin={c['global_windows']}"
             + (" !!HARD!!" if any(c[k] for k in HARD) or win_bad else "")
@@ -480,7 +482,10 @@ def write_report(rows, violations, sf_dir) -> None:
         if err:
             lines.append(f"| `{name}` | — | — | — | — | — | — | — | {err} |")
             continue
-        arrow = c["ArrowEvalPython"] + c["MapInPandas"] + c["FlatMapGroupsInPandas"]
+        arrow = (
+            c["ArrowEvalPython"] + c["MapInPandas"]
+            + c["FlatMapGroupsInPandas"] + c["FlatMapCoGroupsInPandas"]
+        )
         lines.append(
             f"| `{name}` | {c['Exchange']} | {c['WholeStageCodegen']} "
             f"| {c['BroadcastHashJoin']} | {c['SortMergeJoin']} "
