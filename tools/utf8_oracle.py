@@ -528,6 +528,18 @@ def checks(docs: list[tuple[int, str]]) -> dict[str, list[tuple]]:
         "gopher_flags": gopher_rows(docs),
         "repetition_flags": repetition_rows(docs),
     }
+    # encode checks are hash-carrying since round 10: the merges/vocab
+    # they apply are themselves oracle-trained and hash-pinned above, so
+    # the whole train→encode chain is deterministic from the fixture
+    pairs = [(l, r) for _s, l, r, _c in bpe_train(docs, 24)]
+    out["bpe_encode_pieces"] = [
+        (w, json.dumps(bpe_encode(w, pairs), ensure_ascii=False)) for w in words
+    ]
+    uvocab = unigram_train(docs, seed_multi=48, n_iters=2)
+    out["unigram_viterbi_pieces"] = [
+        (w, json.dumps(viterbi_encode(w, uvocab), ensure_ascii=False))
+        for w in words
+    ]
     return out
 
 
@@ -538,9 +550,11 @@ def main() -> int:
     manifest = {
         "_protocol": (
             "pure-CPython oracle over tests/fixtures/utf8_corpus.jsonl; "
-            "hash = sha256 of sorted |-joined rows, first 16 hex. The "
-            "bpe/unigram encode checks are engine-vs-python only (their "
-            "vocab is trained at test time), so they carry no hash here."
+            "hash = sha256 of sorted |-joined rows, first 16 hex. Since "
+            "round 10 every check carries a hash — the encode checks "
+            "apply ORACLE-trained merges/vocab (themselves pinned by the "
+            "*_train_merges / unigram_vocab rows), so train->encode is "
+            "deterministic from the fixture."
         ),
         "checks": {
             name: {"rows": len(rows), "hash": canon_hash(rows)}
