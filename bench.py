@@ -153,7 +153,10 @@ HEADLINE = [
     # lives in SCALE.md — production build 20.0s at sf10, search flat);
     # knn_graph_beam_search is excluded for the same reason (its gate
     # materializes the graph artifact before searching so the oracle
-    # can unroll both halves — recall/cost curves live in SCALE.md)
+    # can unroll both halves — recall/cost curves live in SCALE.md);
+    # knn_graph_salted_seed (r10) is the same build-once family — it
+    # exists to hash-certify the production salted dataflow, and its
+    # build cost is already measured split in SCALE.md's knn table
 ]
 
 # ---------------------------------------------------------------------------
