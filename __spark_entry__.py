@@ -12606,7 +12606,7 @@ def q_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; unprobed cells are never rescanned. The oracle chains the
     coarse-kmeans CTE block, a residual CTE, the namespaced PQ Lloyd
     block, and the probed-cell ADC replay."""
-    from assignment_etl_spark.ext.kmeans import kmeans
+    from assignment_etl_spark.ext.kmeans import kmeans, stats_unroll
     from assignment_etl_spark.ext.pq import ivfpq_search, pq_train
 
     _prep(spark)
@@ -12633,6 +12633,9 @@ def q_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, pq_cents = pq_train(
         res, id_col="pid", vec_col="res",
         m=_PQ_M, d_sub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS,
+        # res carries a join-product-inflated size estimate (no CBO
+        # stats): pass the base table's verdict for the codegen unroll
+        unroll=stats_unroll(emb),
     )
     codes_cell = codes.join(res.select("pid", "cell"), on="pid").select(
         "pid", "cell", "sub", "cidx"

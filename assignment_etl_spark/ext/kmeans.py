@@ -40,9 +40,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Input size (Catalyst plan stats, no job) above which the Lloyd assign
+# unrolls its distance into codegen. The unrolled form executes ~3.3×
+# faster but costs ~0.5s of driver plan/codegen work PER assign stage
+# (measured: plan-only 0.69s vs 0.13s at dim 64), so on small inputs —
+# exactly the bench's sf0.1 regime — the fold is net faster, while at
+# sf10 (86 MB stats) the executor win dominates by tens of seconds.
+UNROLL_MIN_BYTES = 32 * 1024 * 1024
 
-def squared_l2(v: Column, c: Column) -> Column:
-    """Left-fold Σ(v_i − c_i)² — engine-portable double reduction."""
+
+def _stats_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df`` — driver-side only,
+    never launches a job (safe at any scale); 0 when unavailable OR
+    when the estimate is the ~2^63 defaultSizeInBytes "unknown"
+    sentinel some plan shapes report — treating unknown as big would
+    unroll regardless of the input's real size, so callers fall back
+    to the portable fold instead. (Join outputs without CBO stats
+    carry PRODUCT-inflated estimates below the sentinel; composed
+    dataflows should gate on their base table via stats_unroll.)"""
+    try:
+        n = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return 0 if n >= (1 << 60) else n
+    except Exception:  # noqa: BLE001
+        return 0
+
+
+def stats_unroll(df: DataFrame) -> bool:
+    """Public helper for composed dataflows: True when ``df`` is large
+    enough (by plan stats) that downstream Lloyd assigns should unroll
+    their distance into codegen. Pass the PRE-checkpoint frame — a
+    localCheckpoint's stats are the unknown sentinel."""
+    return _stats_bytes(df) >= UNROLL_MIN_BYTES
+
+
+def squared_l2(v: Column, c: Column, *, dim: int | None = None) -> Column:
+    """Σ(v_i − c_i)² as a left-associated double reduction.
+
+    With ``dim`` the sum is emitted as an UNROLLED expression —
+    (v[0]−c[0])² + (v[1]−c[1])² + … — which stays inside whole-stage
+    codegen; the default emits the ``aggregate``/``zip_with`` fold,
+    which is engine-portable (the oracle replays it) but INTERPRETED:
+    Spark's higher-order functions never enter codegen (the round-9
+    knn finding), and this distance runs once per (point, centroid)
+    pair in every Lloyd assign — measured 3.3× slower than the
+    unrolled form on a 200k×4×64 assign, with BIT-IDENTICAL sums
+    (same left-assoc addition order; each term is a square so no
+    −0.0 can differ either). Callers that know the dimension (the
+    kmeans driver loop after collecting seeds, PQ's fixed d_sub)
+    pass it; oracle SQL is unaffected because the VALUES are equal."""
+    if dim is not None:
+        out: Column | None = None
+        for i in range(dim):
+            t = (v[i] - c[i]) * (v[i] - c[i])
+            out = t if out is None else out + t
+        return out if out is not None else F.lit(0.0)
     return F.aggregate(
         F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -82,10 +133,19 @@ def kmeans(
         for i, r in enumerate(pts.orderBy("pid").limit(k).collect())
     ]
     cents = spark.createDataFrame(cents_rows, cents_schema)
+    # the seed collect already paid for the dimension — unroll the
+    # distance into codegen for LARGE inputs (bit-identical values);
+    # small inputs keep the fold, whose plans build ~0.5s/stage faster
+    dim = (
+        len(cents_rows[0][1])
+        if cents_rows and _stats_bytes(pts) >= UNROLL_MIN_BYTES
+        else None
+    )
 
     def assign(cents_df: DataFrame) -> DataFrame:
         d = pts.crossJoin(F.broadcast(cents_df)).select(
-            "pid", "v", "cidx", squared_l2(F.col("v"), F.col("c")).alias("dist")
+            "pid", "v", "cidx",
+            squared_l2(F.col("v"), F.col("c"), dim=dim).alias("dist"),
         )
         wa = Window.partitionBy("pid").orderBy("dist", "cidx")
         return (

@@ -48,7 +48,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from assignment_etl_spark.ext.kmeans import squared_l2
+from assignment_etl_spark.ext.kmeans import (
+    UNROLL_MIN_BYTES,
+    _stats_bytes,
+    squared_l2,
+)
 
 
 def _sub_pts(
@@ -78,14 +82,18 @@ def _sub_pts(
     ).select("pid", (F.col("_s0") + 1).alias("sub"), "v")
 
 
-def _assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(
+    pts: DataFrame, cents: DataFrame, *, d_sub: int | None = None
+) -> DataFrame:
     """Per-(pid, sub) argmin over that subspace's k centroids: the
     broadcast join fans each subvector out ×k (bounded — k is a model
     constant), the window keys on (pid, sub) so no partition exceeds k
-    rows. Ties break on cidx, the portable-kmeans rule."""
+    rows. Ties break on cidx, the portable-kmeans rule. ``d_sub``
+    unrolls the distance into codegen (bit-identical values — see
+    squared_l2)."""
     d = pts.join(F.broadcast(cents), on="sub").select(
         "pid", "sub", "v", "cidx",
-        squared_l2(F.col("v"), F.col("c")).alias("dist"),
+        squared_l2(F.col("v"), F.col("c"), dim=d_sub).alias("dist"),
     )
     w = Window.partitionBy("pid", "sub").orderBy("dist", "cidx")
     return (
@@ -105,6 +113,7 @@ def pq_train(
     k: int = 16,
     iters: int = 2,
     comp_scale: int = 7,
+    unroll: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train m subspace codebooks of k centroids each with ``iters``
     Lloyd steps, then encode. Returns ``(codes, cents)``:
@@ -114,6 +123,14 @@ def pq_train(
     if m < 1 or k < 1 or d_sub < 1:
         raise ValueError(f"need m, k, d_sub >= 1, got {m}, {k}, {d_sub}")
     pts = _sub_pts(df, id_col, vec_col, m, d_sub)
+    # same size-gated codegen unroll as ext/kmeans (values identical);
+    # explicit ``unroll`` overrides the stats heuristic — composed
+    # dataflows whose input carries an inflated estimate (join-product
+    # sizeInBytes without CBO stats, or an unknown-stats LogicalRDD)
+    # pass the base table's verdict (kmeans.stats_unroll) instead
+    if unroll is None:
+        unroll = _stats_bytes(df) >= UNROLL_MIN_BYTES
+    unroll_dim = d_sub if unroll else None
     # init: the k smallest ids' subvectors, every subspace — ONE
     # TakeOrderedAndProject over the source table (bounded k rows),
     # exploded after, so no per-subspace window touches the data
@@ -139,7 +156,7 @@ def pq_train(
     cents = spark.createDataFrame(cents_rows, cents_schema)
     dec = f"decimal(20,{comp_scale})"
     for _ in range(iters):
-        a = _assign(pts, cents)
+        a = _assign(pts, cents, d_sub=unroll_dim)
         dims = (
             a.select("sub", "cidx", F.posexplode("v").alias("pos", "x"))
             .groupBy("sub", "cidx", "pos")
@@ -176,7 +193,7 @@ def pq_train(
             for sub, cidx, c_old in cents_rows
         ]
         cents = spark.createDataFrame(cents_rows, cents_schema)
-    codes = _assign(pts, cents).select("pid", "sub", "cidx", "dist")
+    codes = _assign(pts, cents, d_sub=unroll_dim).select("pid", "sub", "cidx", "dist")
     return codes, cents
 
 

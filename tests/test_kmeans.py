@@ -62,3 +62,58 @@ def test_assignment_distances_are_squared_l2(spark):
     assign, _ = kmeans(df, k=2, iters=1)
     d = {r.pid: r.dist for r in assign.collect()}
     assert d[1] == 0.0 and d[2] == 0.0  # both are their own centroids
+
+
+def test_squared_l2_unrolled_bit_identical_to_fold(spark):
+    """r10: the size-gated codegen unroll must produce BIT-identical
+    doubles to the portable fold (same left-assoc addition order) —
+    the oracle replays the fold, so any divergence is a wrong answer."""
+    import assignment_etl_spark.ext.kmeans as KM
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 7) % 97) / 9.7 - 5.0 for j in range(16)],
+             [((i * 13 + j * 3) % 89) / 8.9 - 5.0 for j in range(16)])
+            for i in range(200)
+        ],
+        "id long, v array<double>, c array<double>",
+    )
+    a = df.select("id", KM.squared_l2(F.col("v"), F.col("c")).alias("d")).collect()
+    b = df.select(
+        "id", KM.squared_l2(F.col("v"), F.col("c"), dim=16).alias("d")
+    ).collect()
+    assert {r.id: r.d for r in a} == {r.id: r.d for r in b}
+
+
+def test_stats_unroll_heuristic(spark, tmp_path):
+    """Small inputs keep the fold — including checkpointed frames
+    (Spark 4 LogicalRDD preserves the source stats; if an engine
+    version reports the 2^63 unknown sentinel instead, _stats_bytes
+    maps it to 0, which also keeps the fold)."""
+    import assignment_etl_spark.ext.kmeans as KM
+
+    small = spark.range(100).selectExpr("id", "array(1.0d, 2.0d) as v")
+    small.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    pq = spark.read.parquet(str(tmp_path / "t"))
+    assert KM.stats_unroll(pq) is False
+    ck = pq.localCheckpoint(True)
+    assert KM._stats_bytes(ck) < (1 << 60)
+    assert KM.stats_unroll(ck) is False
+
+
+def test_kmeans_result_independent_of_unroll(spark, monkeypatch):
+    """Forcing the unroll on a tiny input yields the exact assignments
+    and centroids of the default (fold) path."""
+    import assignment_etl_spark.ext.kmeans as KM
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a1, c1 = KM.kmeans(emb, k=3, iters=2)
+    r1 = (sorted(map(tuple, a1.collect())), sorted(map(tuple, c1.collect())))
+    monkeypatch.setattr(KM, "UNROLL_MIN_BYTES", 0)
+    a2, c2 = KM.kmeans(emb, k=3, iters=2)
+    r2 = (sorted(map(tuple, a2.collect())), sorted(map(tuple, c2.collect())))
+    assert r1 == r2
