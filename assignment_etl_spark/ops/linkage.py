@@ -54,13 +54,45 @@ def fuzzy_join(
     right_block: Column,
     max_dist: int = 1,
     dist_col: str = "dist",
+    max_block: int | None = None,
 ) -> DataFrame:
     """Equi-join on the block key, then keep pairs within ``max_dist``
     edits. Returns left columns + right columns + ``dist_col``. Column
     names must not collide (rename before calling). The join shuffles on
-    the block key only; levenshtein runs post-join inside codegen."""
+    the block key only; levenshtein runs post-join inside codegen.
+
+    ``max_block`` is the HOT-BLOCK guard (the record-linkage standard
+    "block cap"): blocks where EITHER side holds more than ``max_block``
+    rows are excluded from the join entirely. A block key is only a
+    scale strategy while it is selective — one degenerate key value
+    (an empty-string name, a placeholder, a mass-duplicated entity)
+    silently turns the equi-join into |block|² levenshteins and a
+    straggler task carries the stage (measured: a 100-way-duplicated
+    name column made the sf10 sweep 54× super-linear). Capped blocks
+    are a RECALL trade, not a correctness fix — records in skipped
+    blocks simply produce no candidates; run ``block_profile`` first
+    and pick a better key if hot blocks are entities you must link.
+    The size audit is two block-cardinality-bounded hash aggregates
+    joined back on the block key — no extra shuffle of the data rows
+    beyond the join's own."""
     l = left.withColumn(BLOCK_COL, left_block)
     r = right.withColumn(BLOCK_COL, right_block)
+    if max_block is not None:
+        l_hot = (
+            l.groupBy(BLOCK_COL)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select(BLOCK_COL)
+        )
+        r_hot = (
+            r.groupBy(BLOCK_COL)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select(BLOCK_COL)
+        )
+        hot = l_hot.unionByName(r_hot).distinct()
+        l = l.join(F.broadcast(hot), on=BLOCK_COL, how="left_anti")
+        r = r.join(F.broadcast(hot), on=BLOCK_COL, how="left_anti")
     return (
         l.join(r, on=BLOCK_COL)
         .withColumn(dist_col, F.levenshtein(F.col(left_col), F.col(right_col)))

@@ -112,3 +112,39 @@ def test_fingerprint_clusters(spark):
            for r in fingerprint_clusters(df, "name").collect()}
     assert got["acme corp"] == (3, 2)  # two spellings, one cluster
     assert got["inc widget"] == (1, 1)
+
+
+def test_fuzzy_join_max_block_guard(spark):
+    """r10 hot-block guard: a degenerate block (mass-duplicated value)
+    is excluded from the join under max_block; selective blocks link
+    exactly as before."""
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ops.linkage import block_suffix, fuzzy_join
+
+    clean_rows = [(i, f"Entity#{i:06d}") for i in range(20)]
+    clean_rows += [(100 + j, "Entity#dupdup") for j in range(50)]  # hot block
+    dirty_rows = [(i, f"Entity#{i:06d}".replace("#", "-")) for i in range(20)]
+    dirty_rows += [(100 + j, "Entity-dupdup") for j in range(50)]
+    clean = spark.createDataFrame(clean_rows, "c_key long, c_nm string")
+    dirty = spark.createDataFrame(dirty_rows, "d_key long, d_nm string")
+    kw = dict(
+        left_block=block_suffix("d_nm", 6),
+        right_block=block_suffix("c_nm", 6),
+        max_dist=1,
+    )
+    uncapped = fuzzy_join(dirty, clean, "d_nm", "c_nm", **kw)
+    capped = fuzzy_join(dirty, clean, "d_nm", "c_nm", max_block=10, **kw)
+    # hot block: 50x50 pairs uncapped, zero capped
+    assert uncapped.filter(F.col("c_nm") == "Entity#dupdup").count() == 2500
+    assert capped.filter(F.col("c_nm") == "Entity#dupdup").count() == 0
+    # selective blocks identical
+    sel_u = sorted(
+        (r.d_key, r.c_key)
+        for r in uncapped.filter(F.col("c_nm") != "Entity#dupdup").collect()
+    )
+    sel_c = sorted(
+        (r.d_key, r.c_key)
+        for r in capped.filter(F.col("c_nm") != "Entity#dupdup").collect()
+    )
+    assert sel_u == sel_c == [(i, i) for i in range(20)]

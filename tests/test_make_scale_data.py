@@ -120,3 +120,34 @@ def test_emb_perturb_distinct_per_rep_and_stable_below_13(spark):
     )
     for r in old_rows:
         assert vecs[r._rep] == tuple(r.embedding), r._rep
+
+
+def test_customer_names_distinct_per_rep(spark):
+    """The fuzzy-linkage wrap (r10): amplified customer names must be
+    distinct per copy (derived from the rebased key), with rep 0
+    bit-identical to the source."""
+    from tools.make_scale_data import OFF, _rebase, _rep
+    import tools.make_scale_data as M
+
+    base = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(5)],
+        "c_custkey long, c_name string",
+    )
+    cust = _rebase(_rep(base, 40), ["c_custkey"])
+    cust = cust.withColumn(
+        "c_name",
+        F.when(F.col("_rep") == 0, F.col("c_name")).otherwise(
+            F.concat(
+                F.lit("Customer#"),
+                F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+            )
+        ),
+    )
+    rows = cust.collect()
+    names = [r.c_name for r in rows]
+    assert len(set(names)) == len(names) == 200
+    for r in rows:
+        if r._rep == 0:
+            assert r.c_name == f"Customer#{r.c_custkey:09d}"
+        else:
+            assert r.c_name.endswith(str(r.c_custkey))

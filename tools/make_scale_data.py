@@ -156,7 +156,26 @@ def main() -> int:
     for name in ("region", "nation"):
         w(t(name), name, parts=1)
 
-    w(_rebase(_rep(t("customer"), factor), ["c_custkey"]).drop("_rep"), "customer")
+    cust = _rebase(_rep(t("customer"), factor), ["c_custkey"])
+    # names must track the rebased key: the source carries
+    # 'Customer#<9-digit key>' and copies previously kept the ORIGINAL
+    # name, so a factor-F corpus held F exact copies of every name —
+    # turning any name-keyed blocking into F x F hot blocks (the
+    # fuzzy-linkage sweep measured 54x super-linear at factor 100; the
+    # same wrap class as the rot cipher and the rep % 13 embedding
+    # coefficient). rep 0 keeps the original name bit-identical; copies
+    # derive theirs from the rebased key (12-digit pad: rebased keys
+    # exceed 9 digits, and lpad TRUNCATES over-width inputs).
+    cust = cust.withColumn(
+        "c_name",
+        F.when(F.col("_rep") == 0, F.col("c_name")).otherwise(
+            F.concat(
+                F.lit("Customer#"),
+                F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+            )
+        ),
+    )
+    w(cust.drop("_rep"), "customer")
     w(_rebase(_rep(t("supplier"), factor), ["s_suppkey"]).drop("_rep"), "supplier")
     w(_rebase(_rep(t("part"), factor), ["p_partkey"]).drop("_rep"), "part")
     w(
