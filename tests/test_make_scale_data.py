@@ -151,3 +151,21 @@ def test_customer_names_distinct_per_rep(spark):
             assert r.c_name == f"Customer#{r.c_custkey:09d}"
         else:
             assert r.c_name.endswith(str(r.c_custkey))
+
+
+def test_offset_coprime_to_small_powers_of_ten():
+    """The r10 offset-divisibility wrap: OFF must not be ≡ 0 modulo the
+    small power-of-ten moduli sweep workloads key on (suffix-6 blocks,
+    mod-1000 lattices), or every copy lands on its original's slice."""
+    from math import gcd
+
+    from tools.make_scale_data import OFF
+
+    for m in (10, 100, 1000, 10_000, 100_000, 1_000_000):
+        assert OFF % m != 0, m
+    assert gcd(OFF, 10**6) == 1
+    # the low-order residue must STRIDE the slice space, not nudge it:
+    # rep-shifts of a ~15k-value base key space must spread across the
+    # 10^6 suffix slice within a few reps (the 100000007 regression:
+    # OFF % 1e6 == 7 left blocks ~factor deep)
+    assert OFF % 1_000_000 >= 100_000

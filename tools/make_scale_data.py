@@ -38,7 +38,21 @@ from pyspark.sql import functions as F
 from assignment_etl_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
-OFF = 100_000_000  # per-copy key offset, beyond any fixture id arithmetic
+# Per-copy key offset, beyond any fixture id arithmetic. NOT a round
+# power of ten: 10^8 is ≡ 0 modulo every small power-of-ten modulus, so
+# any workload that keys on a low-order slice of the id (the last-6-
+# digit name suffix fuzzy linkage blocks on, the key % 1000 geo
+# lattice) saw all `factor` copies of a row land on the SAME key slice
+# — the fourth instance of the copy-wrap bug class (rot cipher,
+# rep % 13 embeddings, verbatim names, and now offset divisibility).
+# Coprimality alone is not enough either: with OFF ≡ 7 (mod 10^6) the
+# copies of a base key (which spans only ~15k values) shifted by just
+# 7·rep — the suffix space stayed ~15k values deep and blocks still
+# held ~factor rows (measured: fuzzy linkage still 48× super-linear).
+# The offset's LOW-ORDER residue must itself be large and coprime so
+# rep-shifts stride across the whole slice space: 100123457 ≡ 123457
+# (mod 10^6), odd, not divisible by 5.
+OFF = 100_123_457
 
 
 def _rep(df, factor):
