@@ -12633,8 +12633,10 @@ def q_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, pq_cents = pq_train(
         res, id_col="pid", vec_col="res",
         m=_PQ_M, d_sub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS,
-        # res carries a join-product-inflated size estimate (no CBO
-        # stats): pass the base table's verdict for the codegen unroll
+        # the checkpoint collapses res's plan to one LogicalRDD leaf
+        # carrying the JOIN's product-inflated estimate, so even the
+        # scan-derived stats gate can't see through it to the base
+        # data: pass the base table's verdict for the codegen unroll
         unroll=stats_unroll(emb),
     )
     codes_cell = codes.join(res.select("pid", "cell"), on="pid").select(

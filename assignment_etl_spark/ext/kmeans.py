@@ -49,27 +49,63 @@ from pyspark.sql.window import Window
 UNROLL_MIN_BYTES = 32 * 1024 * 1024
 
 
+_STATS_SENTINEL = 1 << 60
+_stats_probe_warned = False
+
+
 def _stats_bytes(df: DataFrame) -> int:
-    """Catalyst's sizeInBytes estimate for ``df`` — driver-side only,
-    never launches a job (safe at any scale); 0 when unavailable OR
-    when the estimate is the ~2^63 defaultSizeInBytes "unknown"
-    sentinel some plan shapes report — treating unknown as big would
-    unroll regardless of the input's real size, so callers fall back
-    to the portable fold instead. (Join outputs without CBO stats
-    carry PRODUCT-inflated estimates below the sentinel; composed
-    dataflows should gate on their base table via stats_unroll.)"""
+    """Input-size estimate for the unroll gate, derived from the
+    optimized plan's BASE SCANS — safe by construction on composed
+    dataflows (the round-10 landmine: a join output without CBO stats
+    carries a PRODUCT-inflated root sizeInBytes, so gating on the root
+    unrolled tiny composed inputs and paid ~0.5s of driver codegen per
+    assign stage for nothing).
+
+    The verdict is ``min(root, max-leaf)`` over sentinel-free
+    estimates: max-of-leaves bounds the data any downstream stage can
+    actually scan (immune to join-product inflation), while the root —
+    when Catalyst reports one below the ~2^63 "unknown" sentinel — is
+    smaller exactly when column pruning/limits shrank the working set,
+    and then it's the better signal. Either side at the sentinel falls
+    back to the other; both unknown → 0 (keep the portable fold).
+    Driver-side only, never launches a job."""
+    global _stats_probe_warned
     try:
-        n = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        return 0 if n >= (1 << 60) else n
-    except Exception:  # noqa: BLE001
+        plan = df._jdf.queryExecution().optimizedPlan()
+        root = int(plan.stats().sizeInBytes())
+        leaves = plan.collectLeaves()
+        max_leaf = 0
+        for i in range(leaves.length()):
+            n = int(leaves.apply(i).stats().sizeInBytes())
+            if n < _STATS_SENTINEL:
+                max_leaf = max(max_leaf, n)
+        if root >= _STATS_SENTINEL:
+            return max_leaf
+        return min(root, max_leaf) if max_leaf else root
+    except Exception as exc:  # noqa: BLE001
+        # A silent 0 here permanently disables the unroll (~3.3× slower
+        # Lloyd assigns at scale) — if a Spark version bump renames the
+        # private queryExecution API, say so once instead of quietly
+        # reverting to the interpreted fold (ADVICE r10).
+        if not _stats_probe_warned:
+            _stats_probe_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "kmeans stats probe failed (%s: %s) — size-gated codegen "
+                "unroll disabled, Lloyd assigns use the interpreted fold",
+                type(exc).__name__,
+                exc,
+            )
         return 0
 
 
 def stats_unroll(df: DataFrame) -> bool:
     """Public helper for composed dataflows: True when ``df`` is large
-    enough (by plan stats) that downstream Lloyd assigns should unroll
-    their distance into codegen. Pass the PRE-checkpoint frame — a
-    localCheckpoint's stats are the unknown sentinel."""
+    enough (by base-scan plan stats) that downstream Lloyd assigns
+    should unroll their distance into codegen. Safe to call on join /
+    checkpoint outputs: the verdict comes from the plan's leaf scans,
+    never a product-inflated root estimate."""
     return _stats_bytes(df) >= UNROLL_MIN_BYTES
 
 

@@ -124,10 +124,10 @@ def pq_train(
         raise ValueError(f"need m, k, d_sub >= 1, got {m}, {k}, {d_sub}")
     pts = _sub_pts(df, id_col, vec_col, m, d_sub)
     # same size-gated codegen unroll as ext/kmeans (values identical);
-    # explicit ``unroll`` overrides the stats heuristic — composed
-    # dataflows whose input carries an inflated estimate (join-product
-    # sizeInBytes without CBO stats, or an unknown-stats LogicalRDD)
-    # pass the base table's verdict (kmeans.stats_unroll) instead
+    # the stats verdict is derived from the plan's BASE SCANS, so
+    # join-product-inflated roots can't mis-gate it; explicit
+    # ``unroll`` still overrides for unknown-stats inputs (a bare
+    # LogicalRDD with sentinel stats keeps the fold by default)
     if unroll is None:
         unroll = _stats_bytes(df) >= UNROLL_MIN_BYTES
     unroll_dim = d_sub if unroll else None

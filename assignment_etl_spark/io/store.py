@@ -17,6 +17,18 @@ import contextlib
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Set after the first successful LogicalRDD capture in this process;
+# gates the fallback's pre-checkpoint getPersistentRDDs snapshot off
+# the common path (see released_local_checkpoint).
+_RDD_CAPTURE_TRUSTED = False
+
+
+def _capture_ck_rdd(ck: DataFrame):
+    """The persisted RDD backing an eager localCheckpoint — the
+    analyzed plan root is a LogicalRDD by construction, so ``.rdd()``
+    is the exact unpersist target. Isolated so tests can break it."""
+    return ck._jdf.queryExecution().analyzed().rdd()
+
 
 @contextlib.contextmanager
 def released_local_checkpoint(df: DataFrame):
@@ -39,15 +51,25 @@ def released_local_checkpoint(df: DataFrame):
     sinks, which run on separate micro-batch threads) would race, and
     caller A's release could unpersist caller B's in-flight checkpoint —
     unrecoverable, since localCheckpoint severs lineage. The tight
-    pre/post id diff remains only as a fallback for plan shapes where
-    the LogicalRDD capture is unavailable."""
+    pre/post id diff remains only as a fallback for engines where the
+    LogicalRDD capture API is unavailable — and since an eager
+    localCheckpoint's analyzed root is a LogicalRDD by construction,
+    capture availability is a property of the ENGINE VERSION, not of
+    the call: once one capture has succeeded in this process, later
+    calls skip the pre-checkpoint snapshot entirely (ADVICE r10 — the
+    global getPersistentRDDs roundtrip was paid on every call but only
+    ever read by the fallback)."""
+    global _RDD_CAPTURE_TRUSTED
     spark = df.sparkSession
     jsc = spark.sparkContext._jsc
-    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    before = None
+    if not _RDD_CAPTURE_TRUSTED:
+        before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     ck = df.localCheckpoint(eager=True)
     jrdd = None
     try:
-        jrdd = ck._jdf.queryExecution().analyzed().rdd()
+        jrdd = _capture_ck_rdd(ck)
+        _RDD_CAPTURE_TRUSTED = True
     except Exception:  # noqa: BLE001 — fall back to the (tight) id diff
         pass
     try:
@@ -55,11 +77,24 @@ def released_local_checkpoint(df: DataFrame):
     finally:
         if jrdd is not None:
             jrdd.unpersist(False)
-        else:
+        elif before is not None:
             jmap = jsc.getPersistentRDDs()
             for k in jmap.keySet().toArray():
                 if int(k) not in before:
                     jmap.get(k).unpersist(False)
+        else:
+            # capture succeeded earlier this process but failed now —
+            # anomalous (the API is version-level); nothing safe to
+            # release without a before-set, so say so and re-arm the
+            # snapshot for subsequent calls rather than leak silently
+            _RDD_CAPTURE_TRUSTED = False
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "localCheckpoint RDD capture failed after previously "
+                "succeeding — one checkpoint RDD may stay persisted "
+                "until driver GC; snapshot fallback re-armed"
+            )
 
 
 def write_partitioned(

@@ -72,25 +72,29 @@ def fuzzy_join(
     are a RECALL trade, not a correctness fix — records in skipped
     blocks simply produce no candidates; run ``block_profile`` first
     and pick a better key if hot blocks are entities you must link.
-    The size audit is two block-cardinality-bounded hash aggregates
-    joined back on the block key — no extra shuffle of the data rows
-    beyond the join's own."""
+    Prefer ``fuzzy_join_audited`` in production: it reports every
+    excluded block as audit-log rows, so the recall trade lands in
+    data instead of a docstring.
+
+    COST of the guard: the size audit itself is two block-cardinality-
+    bounded hash aggregates plus a broadcast anti-join — no extra
+    shuffle of the data ROWS beyond the join's own — but it does
+    re-evaluate each side's LINEAGE up to three times (size aggregate,
+    anti-join probe, the join itself). Trivial on a parquet scan; for
+    an expensive upstream plan, persist/localCheckpoint the inputs
+    before calling with ``max_block`` set.
+
+    ``max_block`` default: None (guard OFF). A default cap was
+    considered (ADVICE r10) and rejected for the bare join: silently
+    dropping candidate pairs from an operator documented as an
+    equi-join + distance filter is a correctness surprise, while the
+    straggler a degenerate block causes is loud. Production runs that
+    want the cap on should use ``fuzzy_join_audited``, where the cap
+    is REQUIRED and every skipped block is reported."""
     l = left.withColumn(BLOCK_COL, left_block)
     r = right.withColumn(BLOCK_COL, right_block)
     if max_block is not None:
-        l_hot = (
-            l.groupBy(BLOCK_COL)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_block)
-            .select(BLOCK_COL)
-        )
-        r_hot = (
-            r.groupBy(BLOCK_COL)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_block)
-            .select(BLOCK_COL)
-        )
-        hot = l_hot.unionByName(r_hot).distinct()
+        hot = _hot_blocks(l, r, max_block).select(BLOCK_COL)
         l = l.join(F.broadcast(hot), on=BLOCK_COL, how="left_anti")
         r = r.join(F.broadcast(hot), on=BLOCK_COL, how="left_anti")
     return (
@@ -99,6 +103,77 @@ def fuzzy_join(
         .filter(F.col(dist_col) <= max_dist)
         .drop(BLOCK_COL)
     )
+
+
+def _hot_blocks(l: DataFrame, r: DataFrame, max_block: int) -> DataFrame:
+    """Per-block sizes for blocks where EITHER side exceeds the cap:
+    (BLOCK_COL, n_left, n_right). Two hash aggregates (block-cardinality
+    bounded) full-outer-joined on the key — sizes survive for the audit
+    even when only one side holds the block."""
+    ln = l.groupBy(BLOCK_COL).agg(F.count(F.lit(1)).alias("n_left"))
+    rn = r.groupBy(BLOCK_COL).agg(F.count(F.lit(1)).alias("n_right"))
+    return (
+        ln.join(rn, on=BLOCK_COL, how="full_outer")
+        .withColumn("n_left", F.coalesce("n_left", F.lit(0)))
+        .withColumn("n_right", F.coalesce("n_right", F.lit(0)))
+        .filter(
+            (F.col("n_left") > max_block) | (F.col("n_right") > max_block)
+        )
+    )
+
+
+def fuzzy_join_audited(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    left_block: Column,
+    right_block: Column,
+    max_block: int,
+    max_dist: int = 1,
+    dist_col: str = "dist",
+    filename: str = "fuzzy_join",
+) -> tuple[DataFrame, DataFrame]:
+    """``fuzzy_join`` with the hot-block cap REQUIRED and the recall
+    trade reported through the engine's dual-output (clean, log)
+    contract (SURVEY §2.9): returns ``(pairs, logs)`` where ``logs`` is
+    a LOG_SCHEMA frame with one row per excluded block —
+    ``original_value`` = the block key, ``column_name`` = the left
+    match column, ``reason`` = ``hot_block_excluded n_left=<n>
+    n_right=<n>`` — so a capped run carries evidence of what it
+    skipped instead of silently under-linking (VERDICT r10 ask #3).
+
+    Same lineage-cost caveat as ``fuzzy_join`` with the guard on, plus
+    the log branch's own evaluation of the size aggregates: persist
+    expensive upstream plans before calling."""
+    from assignment_etl_spark.ops.quality import log_frame
+
+    l = left.withColumn(BLOCK_COL, left_block)
+    r = right.withColumn(BLOCK_COL, right_block)
+    logs = log_frame(
+        _hot_blocks(l, r, max_block),
+        filename=F.lit(filename),
+        column_name=F.lit(left_col),
+        original_value=F.col(BLOCK_COL),
+        reason=F.format_string(
+            "hot_block_excluded n_left=%d n_right=%d",
+            F.col("n_left"),
+            F.col("n_right"),
+        ),
+    )
+    pairs = fuzzy_join(
+        left,
+        right,
+        left_col,
+        right_col,
+        left_block=left_block,
+        right_block=right_block,
+        max_dist=max_dist,
+        dist_col=dist_col,
+        max_block=max_block,
+    )
+    return pairs, logs
 
 
 def block_profile(df: DataFrame, block: Column) -> DataFrame:

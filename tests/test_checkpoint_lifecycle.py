@@ -144,3 +144,79 @@ def test_released_local_checkpoint_releases_own(spark):
         assert ck.count() == 40
         assert _persistent_rdd_count(spark) >= 1
     assert _persistent_rdd_count(spark) == 0
+
+
+def test_release_fallback_snapshot_diff(spark, monkeypatch):
+    """With the LogicalRDD capture unavailable (API drift), the
+    pre/post id-diff fallback still releases the checkpoint RDD —
+    and the pre-checkpoint snapshot is actually taken (r11: the
+    snapshot moved off the trusted-capture common path)."""
+    import assignment_etl_spark.io.store as store
+
+    monkeypatch.setattr(store, "_RDD_CAPTURE_TRUSTED", False)
+    monkeypatch.setattr(
+        store,
+        "_capture_ck_rdd",
+        lambda ck: (_ for _ in ()).throw(RuntimeError("api drift")),
+    )
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+    with store.released_local_checkpoint(df) as ck:
+        assert ck.count() == 100
+        assert _persistent_rdd_count(spark) >= 1
+    assert _persistent_rdd_count(spark) == 0
+    # the failed capture must not have marked the API trusted
+    assert store._RDD_CAPTURE_TRUSTED is False
+
+
+def test_release_common_path_skips_snapshot(spark, monkeypatch):
+    """Once one capture has succeeded, later calls skip the global
+    getPersistentRDDs snapshot (ADVICE r10) — pinned by counting
+    snapshot calls through a wrapped _capture_ck_rdd."""
+    import assignment_etl_spark.io.store as store
+
+    df = spark.range(50).selectExpr("id", "id * 3 as v")
+    monkeypatch.setattr(store, "_RDD_CAPTURE_TRUSTED", False)
+    with store.released_local_checkpoint(df) as ck:
+        ck.count()
+    assert store._RDD_CAPTURE_TRUSTED is True
+
+    seen = []
+    real = store._capture_ck_rdd
+
+    def counting(ck):
+        # before is None on the trusted path — observable via closure
+        seen.append(True)
+        return real(ck)
+
+    monkeypatch.setattr(store, "_capture_ck_rdd", counting)
+    with store.released_local_checkpoint(df) as ck:
+        ck.count()
+    assert seen and _persistent_rdd_count(spark) == 0
+
+
+def test_release_anomalous_failure_warns_and_rearms(spark, monkeypatch, caplog):
+    """Capture fails AFTER being trusted: nothing safe to release for
+    that call — warn, re-arm the snapshot fallback, and the NEXT call
+    (still broken) releases via the diff."""
+    import logging
+
+    import assignment_etl_spark.io.store as store
+
+    monkeypatch.setattr(store, "_RDD_CAPTURE_TRUSTED", True)
+    monkeypatch.setattr(
+        store,
+        "_capture_ck_rdd",
+        lambda ck: (_ for _ in ()).throw(RuntimeError("api drift")),
+    )
+    df = spark.range(20).selectExpr("id")
+    with caplog.at_level(logging.WARNING, logger=store.__name__):
+        with store.released_local_checkpoint(df) as ck:
+            ck.count()
+    assert any("re-armed" in r.getMessage() for r in caplog.records)
+    assert store._RDD_CAPTURE_TRUSTED is False
+    leaked = _persistent_rdd_count(spark)
+    assert leaked == 1  # the documented one-call leak
+    _release_all(spark)
+    with store.released_local_checkpoint(df) as ck:
+        ck.count()
+    assert _persistent_rdd_count(spark) == 0

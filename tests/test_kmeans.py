@@ -102,6 +102,76 @@ def test_stats_unroll_heuristic(spark, tmp_path):
     assert KM.stats_unroll(ck) is False
 
 
+def test_stats_unroll_join_not_product_inflated(spark, tmp_path):
+    """The round-10 landmine, un-landmined: a join of small scans
+    carries a PRODUCT-inflated root sizeInBytes (no CBO stats), which
+    the old root-based gate read as "big" and unrolled; the scan-based
+    verdict must keep the fold. A self-join chain of a ~8 KB table
+    inflates the root estimate well past UNROLL_MIN_BYTES while every
+    leaf stays tiny."""
+    import assignment_etl_spark.ext.kmeans as KM
+
+    small = spark.range(200).selectExpr(
+        "id", "cast(id % 7 as long) as k", "array(1.0d, 2.0d) as v"
+    )
+    small.write.mode("overwrite").parquet(str(tmp_path / "j"))
+    pq = spark.read.parquet(str(tmp_path / "j"))
+    joined = pq
+    for i in range(3):
+        joined = joined.join(
+            pq.select("k", F.col("id").alias(f"id{i}")), on="k"
+        )
+    root = int(
+        joined._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert root >= KM.UNROLL_MIN_BYTES, (
+        f"fixture no longer inflates the root estimate ({root} bytes) — "
+        "deepen the join chain"
+    )
+    assert KM._stats_bytes(joined) < KM.UNROLL_MIN_BYTES
+    assert KM.stats_unroll(joined) is False
+
+
+def test_stats_unroll_projection_prefers_pruned_root(spark, tmp_path):
+    """Column pruning shrinks the root estimate below the leaf's; the
+    gate trusts the smaller (the downstream assign scans only the
+    projected columns)."""
+    import assignment_etl_spark.ext.kmeans as KM
+
+    wide = spark.range(500).selectExpr(
+        "id", "repeat('x', 200) as pad", "array(1.0d, 2.0d) as v"
+    )
+    wide.write.mode("overwrite").parquet(str(tmp_path / "w"))
+    pq = spark.read.parquet(str(tmp_path / "w"))
+    narrow = pq.select("id", "v")
+    assert KM._stats_bytes(narrow) <= KM._stats_bytes(pq)
+
+
+def test_stats_probe_failure_warns_once(spark, monkeypatch, caplog):
+    """A broken private-API probe logs a warning (once) instead of
+    silently disabling the unroll forever (ADVICE r10)."""
+    import logging
+
+    import assignment_etl_spark.ext.kmeans as KM
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("private API renamed")
+
+    df = spark.range(10).selectExpr("id", "array(1.0d) as v")
+    monkeypatch.setattr(KM, "_stats_probe_warned", False)
+    monkeypatch.setattr(
+        type(df), "_jdf", property(lambda self: _Boom()), raising=False
+    )
+    with caplog.at_level(logging.WARNING, logger=KM.__name__):
+        assert KM._stats_bytes(df) == 0
+        assert KM._stats_bytes(df) == 0
+    warn_lines = [
+        r for r in caplog.records if "stats probe failed" in r.getMessage()
+    ]
+    assert len(warn_lines) == 1
+
+
 def test_kmeans_result_independent_of_unroll(spark, monkeypatch):
     """Forcing the unroll on a tiny input yields the exact assignments
     and centroids of the default (fold) path."""

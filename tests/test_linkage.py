@@ -148,3 +148,69 @@ def test_fuzzy_join_max_block_guard(spark):
         for r in capped.filter(F.col("c_nm") != "Entity#dupdup").collect()
     )
     assert sel_u == sel_c == [(i, i) for i in range(20)]
+
+
+def test_fuzzy_join_audited_reports_excluded_blocks(spark):
+    """r11: the capped run's recall trade lands in data — one LOG_SCHEMA
+    row per excluded block with both sides' sizes in the reason; the
+    pairs output is identical to fuzzy_join with the same cap."""
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ops.linkage import (
+        block_suffix,
+        fuzzy_join,
+        fuzzy_join_audited,
+    )
+    from assignment_etl_spark.schemas import LOG_COLUMNS
+
+    clean_rows = [(i, f"Entity#{i:06d}") for i in range(20)]
+    clean_rows += [(100 + j, "Entity#dupdup") for j in range(50)]
+    # a block hot on the LEFT side only (absent from clean entirely)
+    dirty_rows = [(i, f"Entity#{i:06d}".replace("#", "-")) for i in range(20)]
+    dirty_rows += [(100 + j, "Entity-dupdup") for j in range(50)]
+    dirty_rows += [(200 + j, "Entity-lonely") for j in range(15)]
+    clean = spark.createDataFrame(clean_rows, "c_key long, c_nm string")
+    dirty = spark.createDataFrame(dirty_rows, "d_key long, d_nm string")
+    kw = dict(
+        left_block=block_suffix("d_nm", 6),
+        right_block=block_suffix("c_nm", 6),
+        max_dist=1,
+    )
+    pairs, logs = fuzzy_join_audited(
+        dirty, clean, "d_nm", "c_nm", max_block=10, **kw
+    )
+    assert logs.columns == LOG_COLUMNS
+    got = {r.original_value: r.reason for r in logs.collect()}
+    assert got == {
+        "dupdup": "hot_block_excluded n_left=50 n_right=50",
+        "lonely": "hot_block_excluded n_left=15 n_right=0",
+    }
+    assert logs.select("column_name").distinct().collect()[0][0] == "d_nm"
+    ref = fuzzy_join(dirty, clean, "d_nm", "c_nm", max_block=10, **kw)
+    assert sorted((r.d_key, r.c_key) for r in pairs.collect()) == sorted(
+        (r.d_key, r.c_key) for r in ref.collect()
+    )
+
+
+def test_fuzzy_join_audited_logs_union_into_stream(spark):
+    """The audit rows ride the standard log-union path (quality.union_logs)."""
+    from assignment_etl_spark.ops.linkage import block_suffix, fuzzy_join_audited
+    from assignment_etl_spark.ops.quality import empty_logs, union_logs
+
+    clean = spark.createDataFrame(
+        [(i, "same") for i in range(9)], "c_key long, c_nm string"
+    )
+    dirty = spark.createDataFrame(
+        [(i, "same") for i in range(9)], "d_key long, d_nm string"
+    )
+    _, logs = fuzzy_join_audited(
+        dirty, clean, "d_nm", "c_nm",
+        left_block=block_suffix("d_nm", 4),
+        right_block=block_suffix("c_nm", 4),
+        max_block=5,
+        filename="linkage_demo",
+    )
+    merged = union_logs(empty_logs(spark), logs)
+    row = merged.collect()[0]
+    assert row.filename == "linkage_demo"
+    assert row.reason == "hot_block_excluded n_left=9 n_right=9"

@@ -201,6 +201,43 @@ def main() -> int:
     qs["image_decode_stats"] = _scaled_media(entry.q_image_decode_stats)
     qs["audio_downsample_stats"] = _scaled_media(entry.q_audio_downsample_stats)
 
+    def _geo_radius_production(spark, sf_dir):
+        # constant-DENSITY spatial sweep variant (restored r11 — it was
+        # deleted in the r10 end-of-round snapshot with its measurements
+        # uncommitted): the gate's lattice formula maps every key into a
+        # FIXED 10°×10° area (key*7 % 1000), so point density — and the
+        # radius self-join's OUTPUT — grows linearly with the corpus and
+        # the pair count quadratically (measured: r2 = 117× at sf10; any
+        # plan is Θ(its own output), so that verdict grades the
+        # workload's output cardinality, not the engine). Real spatial
+        # corpora grow AREA at roughly fixed density; this variant keeps
+        # the gate's geometry but scales the radius by 1/√factor so the
+        # expected neighbors per point stay constant — the measurement
+        # then tests the grid-join plan. The 3×3-neighborhood
+        # exhaustiveness ratio (cell_deg ≳ radius_deg) is preserved.
+        import math
+
+        from pyspark.sql import functions as F
+
+        from assignment_etl_spark.ext.geo import self_radius_pairs
+
+        entry._prep(spark)
+        customer = entry._t(spark, sf_dir, "customer")
+        factor = max(1.0, customer.count() / 15_000)
+        radius = 25.0 / math.sqrt(factor)
+        cell = max(0.25 / math.sqrt(factor), 0.01)
+        pts = customer.select(
+            F.col("c_custkey").alias("id"),
+            (((F.col("c_custkey") * 7) % 1000) / 100.0).alias("lat"),
+            (((F.col("c_custkey") * 13) % 1000) / 100.0).alias("lon"),
+        )
+        pairs = self_radius_pairs(pts, radius_km=radius, cell_deg=cell)
+        return pairs.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_a").alias("n_left"),
+        )
+
+    qs["geo_radius_pairs"] = _geo_radius_production
 
     print(
         "| query | sf0.1 s | sf1 s | sf10 s | r1 (sf1/sf0.1) "
