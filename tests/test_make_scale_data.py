@@ -169,3 +169,65 @@ def test_offset_coprime_to_small_powers_of_ten():
     # 10^6 suffix slice within a few reps (the 100000007 regression:
     # OFF % 1e6 == 7 left blocks ~factor deep)
     assert OFF % 1_000_000 >= 100_000
+
+
+def test_amplified_output_distributional_invariants(spark, tmp_path):
+    """ONE generic invariant over the generated output itself (VERDICT
+    r10 ask #4) — the property all four historical amplifier bugs
+    violated, asserted per table at a factor in the wrap regime (> 26):
+
+    1. every rebased key column holds exactly factor × base distinct
+       values (copies are disjoint — catches verbatim copies and any
+       arithmetic wrap that collides them);
+    2. the distinct values of every rebased key STRIDE the low-order
+       slice space: no 10^6-residue class holds more than a birthday-
+       bound handful of distinct key values (catches OFF ≡ 0 mod 10^k —
+       all copies on the original's slice — AND the OFF ≡ 7 nudge,
+       where copies stayed inside the base key span and suffix blocks
+       ran ~factor deep);
+    3. every amplified content column is per-copy distinct: distinct
+       count ≥ 0.999 × factor × base distinct (catches the rot-cipher
+       wrap's 74%-duplicate corpus, the rep % 13 embedding wrap, and
+       verbatim names).
+    """
+    from pyspark.sql import functions as F
+
+    from tools.make_scale_data import CONTENT_COLS, REBASED_KEYS, amplify
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path / "amp")
+    factor = 30
+    amplify(spark, factor, out, src=src)
+
+    for table, keys in REBASED_KEYS.items():
+        base = spark.read.parquet(f"{src}/{table}.parquet")
+        amp = spark.read.parquet(f"{out}/{table}.parquet")
+        for k in keys:
+            nd_base = base.select(k).distinct().count()
+            vals = amp.select(k).distinct()
+            nd = vals.count()
+            assert nd == factor * nd_base, (table, k, nd, nd_base)
+            assert amp.agg(F.min(k)).collect()[0][0] >= 0, (table, k)
+            hot = (
+                vals.groupBy((F.col(k) % 1_000_000).alias("slice"))
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            # expected max residue-class load for nd values over 10^6
+            # slices is a birthday handful; any wrap stacks ~factor
+            # distinct values per slice
+            bound = max(6, 6 * -(-nd // 1_000_000))
+            assert hot <= bound, (
+                f"{table}.{k}: {hot} distinct key values share one "
+                f"mod-10^6 slice (bound {bound}) — copy-wrap regression"
+            )
+
+    for table, cols in CONTENT_COLS.items():
+        base = spark.read.parquet(f"{src}/{table}.parquet")
+        amp = spark.read.parquet(f"{out}/{table}.parquet")
+        for c in cols:
+            nd_base = base.select(c).distinct().count()
+            nd = amp.select(c).distinct().count()
+            assert nd >= 0.999 * factor * nd_base, (table, c, nd, nd_base)
+            assert nd <= factor * nd_base, (table, c, nd, nd_base)

@@ -54,6 +54,30 @@ SRC = "/root/testdata/sf0.1"
 # (mod 10^6), odd, not divisible by 5.
 OFF = 100_123_457
 
+# Declarative amplification map, shared by ``amplify`` and the generic
+# distributional property test (tests/test_make_scale_data.py): every
+# key column that gets rebased, and every content column that must be
+# per-copy DISTINCT. Four amplifier bugs (rot-cipher wrap, rep % 13
+# embedding wrap, verbatim names, OFF ≡ 0/≈0 mod 10^k) were each found
+# by a different downstream operator's anomalous scale curve; the test
+# asserts the one invariant behind all four over the generated output
+# itself, so a reintroduction fails in CI instead of in a sweep.
+REBASED_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+CONTENT_COLS = {
+    "customer": ["c_name"],
+    "documents": ["text"],
+    "embeddings": ["embedding"],
+}
+
 
 def _rep(df, factor):
     return df.withColumn(
@@ -148,15 +172,13 @@ def _emb_perturb(rep_col, x, i):
     )
 
 
-def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
-    spark = get_spark("make-scale-data")
-    spark.sparkContext.setLogLevel("ERROR")
+def amplify(spark, factor: int, out: str, src: str = SRC) -> None:
+    """Write the factor-amplified copy of every table in ``src`` to
+    ``out`` (the body of the CLI, callable from tests on a small SF)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def t(name):
-        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        df = spark.read.parquet(f"{src}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
@@ -170,7 +192,7 @@ def main() -> int:
     for name in ("region", "nation"):
         w(t(name), name, parts=1)
 
-    cust = _rebase(_rep(t("customer"), factor), ["c_custkey"])
+    cust = _rebase(_rep(t("customer"), factor), REBASED_KEYS["customer"])
     # names must track the rebased key: the source carries
     # 'Customer#<9-digit key>' and copies previously kept the ORIGINAL
     # name, so a factor-F corpus held F exact copies of every name —
@@ -190,31 +212,20 @@ def main() -> int:
         ),
     )
     w(cust.drop("_rep"), "customer")
-    w(_rebase(_rep(t("supplier"), factor), ["s_suppkey"]).drop("_rep"), "supplier")
-    w(_rebase(_rep(t("part"), factor), ["p_partkey"]).drop("_rep"), "part")
-    w(
-        _rebase(_rep(t("orders"), factor), ["o_orderkey", "o_custkey"]).drop("_rep"),
-        "orders",
-    )
-    w(
-        _rebase(
-            _rep(t("lineitem"), factor),
-            ["l_orderkey", "l_partkey", "l_suppkey"],
-        ).drop("_rep"),
-        "lineitem",
-        parts=16,
-    )
-    w(
-        _rebase(_rep(t("events"), factor), ["event_id", "user_id"]).drop("_rep"),
-        "events",
-        parts=16,
-    )
+    for name in ("supplier", "part", "orders"):
+        w(_rebase(_rep(t(name), factor), REBASED_KEYS[name]).drop("_rep"), name)
+    for name in ("lineitem", "events"):
+        w(
+            _rebase(_rep(t(name), factor), REBASED_KEYS[name]).drop("_rep"),
+            name,
+            parts=16,
+        )
 
-    docs = _rebase(_rep(t("documents"), factor), ["doc_id"])
+    docs = _rebase(_rep(t("documents"), factor), REBASED_KEYS["documents"])
     docs = _sub_text(docs, "text", F.col("_rep"), factor)
     w(docs.drop("_rep"), "documents")
 
-    emb = _rebase(_rep(t("embeddings"), factor), ["vec_id"])
+    emb = _rebase(_rep(t("embeddings"), factor), REBASED_KEYS["embeddings"])
     emb = emb.withColumn(
         "embedding",
         F.transform(
@@ -223,6 +234,14 @@ def main() -> int:
     )
     w(emb.drop("_rep"), "embeddings")
     print(f"done: {out} at factor {factor}")
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
+    spark = get_spark("make-scale-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    amplify(spark, factor, out)
     return 0
 
 
