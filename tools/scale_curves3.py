@@ -221,6 +221,18 @@ def main() -> int:
 
         from assignment_etl_spark.ext.geo import self_radius_pairs
 
+        # COPRIME moduli (1000 / 1009), not the gate's (1000 / 1000):
+        # with both coordinates reduced mod 1000, lat AND lon are
+        # functions of key mod 1000, so every corpus collapses onto
+        # ≤ 1000 distinct SITES — at sf10 that is ~1,500 co-located
+        # points per site, and the distance-0 same-site pairs alone are
+        # Θ(N²/1000) regardless of radius (measured r11: 53.8× r2 even
+        # with the 1/√factor radius, after r10's 117× on the raw gate
+        # geometry). Coprime moduli give ~10⁶ distinct sites (key mod
+        # lcm), so site multiplicity stays O(1) as N grows and the
+        # 1/√factor radius keeps expected neighbors per point constant
+        # — the sweep then measures the grid-join plan, not the
+        # workload's output cardinality.
         entry._prep(spark)
         customer = entry._t(spark, sf_dir, "customer")
         factor = max(1.0, customer.count() / 15_000)
@@ -229,7 +241,7 @@ def main() -> int:
         pts = customer.select(
             F.col("c_custkey").alias("id"),
             (((F.col("c_custkey") * 7) % 1000) / 100.0).alias("lat"),
-            (((F.col("c_custkey") * 13) % 1000) / 100.0).alias("lon"),
+            (((F.col("c_custkey") * 13) % 1009) / 100.9).alias("lon"),
         )
         pairs = self_radius_pairs(pts, radius_km=radius, cell_deg=cell)
         return pairs.agg(

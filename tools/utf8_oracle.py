@@ -488,6 +488,101 @@ def _with_lp(counts: dict[str, int]) -> dict[str, Decimal]:
     }
 
 
+# --- round-11 extensions (VERDICT r10 ask #5): PII / langid / lexdiv ---
+#
+# These three families are exactly where Java-vs-CPython Unicode regex
+# semantics diverge, so every pattern below compiles with re.ASCII to
+# replicate Java's defaults: Java \d, \w, \s and the \b boundary are
+# ASCII-only (CPython's default \d matches Arabic-Indic ١٩٢, its \b
+# treats é as a word char — both would silently flip matches on the
+# fixtures), and Java (?i) folds ASCII only. Constants re-derived from
+# the documented specs (ext/text.py PII_PATTERNS / LANG_MARKERS,
+# ext/lexdiv.py TOKEN_SPLIT), not imported — same one-way rule as the
+# portable-hash constants above.
+
+PII_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "fixtures", "utf8_pii.jsonl"
+)
+
+PII_RE = {
+    "email": re.compile(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", re.ASCII
+    ),
+    "ipv4": re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", re.ASCII),
+}
+
+LANG_MARKER_RE = {
+    lang: re.compile(
+        r"\b(" + "|".join(words) + r")\b", re.ASCII | re.IGNORECASE
+    )
+    for lang, words in {
+        "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+        "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
+        "es": ["el", "los", "las", "es", "que", "una", "por", "con"],
+        "it": ["il", "di", "che", "non", "per", "sono", "della", "gli"],
+        "pt": ["o", "de", "que", "uma", "para", "com", "mais", "os"],
+        "nl": ["de", "het", "een", "van", "niet", "dat", "zijn", "voor"],
+    }.items()
+}
+CJK_RE = re.compile(r"[一-鿿]")
+CJK_MIN_HITS = 4
+_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)  # Java \s: U+3000 is NOT ws
+
+
+def pii_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, email_count, ipv4_count, scrubbed) — detection counts
+    plus the chained-replace scrub (email first, same order contract as
+    the engine's scrub_pii)."""
+    out = []
+    for i, t in docs:
+        scrubbed = t
+        counts = []
+        for name in ("email", "ipv4"):
+            counts.append(len(PII_RE[name].findall(t)))
+            scrubbed = PII_RE[name].sub("[PII]", scrubbed)
+        out.append((i, counts[0], counts[1], scrubbed))
+    return out
+
+
+def langid_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, evidence-json, lang): per-language ASCII-folded marker
+    hits in LANG_MARKERS order, then the engine's decision rule — Han
+    hits ≥ 4 → zh, else first language with the max hit count when
+    any evidence exists, else 'und'."""
+    out = []
+    for i, t in docs:
+        hits = [(lang, len(rx.findall(t))) for lang, rx in LANG_MARKER_RE.items()]
+        best = max(h for _l, h in hits)
+        if len(CJK_RE.findall(t)) >= CJK_MIN_HITS:
+            lang = "zh"
+        elif best > 0:
+            lang = next(l for l, h in hits if h == best)
+        else:
+            lang = "und"
+        out.append((i, json.dumps(hits), lang))
+    return out
+
+
+def lexdiv_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """(doc_id, n_tokens, n_types, ttr) over the lowercased ASCII-\\s
+    token stream; ttr = HALF_UP round-6 of n_types / n_tokens (the
+    engine's F.round on a double)."""
+    out = []
+    for i, t in docs:
+        toks = [w for w in _TOKEN_SPLIT.split(t.lower()) if w]
+        n, ty = len(toks), len(set(toks))
+        ttr = jround(ty / n) if n else None
+        out.append((i, n, ty, ttr))
+    return out
+
+
+def load_pii_fixture() -> list[tuple[int, str]]:
+    with open(PII_FIXTURE, encoding="utf-8") as fh:
+        rows = [json.loads(line) for line in fh if line.strip()]
+    return [(r["doc_id"], r["text"]) for r in rows]
+
+
 # --- manifest ----------------------------------------------------------
 
 def load_fixture() -> list[tuple[int, str]]:
@@ -540,6 +635,13 @@ def checks(docs: list[tuple[int, str]]) -> dict[str, list[tuple]]:
         (w, json.dumps(viterbi_encode(w, uvocab), ensure_ascii=False))
         for w in words
     ]
+    # --- round-11 extensions (VERDICT r10 ask #5): the Java-vs-CPython
+    # regex families. PII runs over its own fixture (utf8_pii.jsonl —
+    # emails/IPs embedded in RTL/CJK contexts with Arabic-Indic digit
+    # and non-ASCII \b traps); langid/lexdiv over the main corpus.
+    out["pii_scrub"] = pii_rows(load_pii_fixture())
+    out["langid_decisions"] = langid_rows(docs)
+    out["lexdiv_profile"] = lexdiv_rows(docs)
     return out
 
 
@@ -549,12 +651,16 @@ def main() -> int:
     docs = load_fixture()
     manifest = {
         "_protocol": (
-            "pure-CPython oracle over tests/fixtures/utf8_corpus.jsonl; "
-            "hash = sha256 of sorted |-joined rows, first 16 hex. Since "
-            "round 10 every check carries a hash — the encode checks "
-            "apply ORACLE-trained merges/vocab (themselves pinned by the "
+            "pure-CPython oracle over tests/fixtures/utf8_corpus.jsonl "
+            "(pii_scrub: over tests/fixtures/utf8_pii.jsonl); hash = "
+            "sha256 of sorted |-joined rows, first 16 hex. Since round "
+            "10 every check carries a hash — the encode checks apply "
+            "ORACLE-trained merges/vocab (themselves pinned by the "
             "*_train_merges / unigram_vocab rows), so train->encode is "
-            "deterministic from the fixture."
+            "deterministic from the fixture. Round 11 adds the "
+            "Java-vs-CPython regex families (PII / langid / lexdiv), "
+            "replayed under re.ASCII to match Java's ASCII-only \\d \\w "
+            "\\s \\b and (?i)."
         ),
         "checks": {
             name: {"rows": len(rows), "hash": canon_hash(rows)}
