@@ -61,26 +61,48 @@ def jl_sign_matrix(d_in: int, d_out: int, salt: int = 0) -> list[list[int]]:
 
 
 def project_vector(
-    vec: Column, signs: list[list[int]], *, decimal_scale: int = 9, round_to: int = 6
+    vec: Column,
+    signs: list[list[int]],
+    *,
+    decimal_scale: int = 9,
+    round_to: int = 6,
+    unroll: bool = False,
 ) -> Column:
     """array<double> of len(signs) projected coordinates: for each
     output dim, Σ_i vec[i]·sign_ji (per-term rounded, decimal-summed —
     order-exact) scaled by 1/√d_out — the JL scaling that makes the
     projection an expected isometry (E‖Px‖² = ‖x‖²), rounded to
-    ``round_to``."""
+    ``round_to``.
+
+    ``unroll=True`` emits the sum as an explicit term chain instead of
+    the ``aggregate``/``zip_with`` fold — the Lloyd-unroll treatment
+    (ext/kmeans.squared_l2) applied to this module's fold site after
+    an sf10 A/B (SCALE.md r11): 10.34s → 7.60s on 200k×64→8 (the win
+    is smaller than Lloyd's 3.3× because decimal arithmetic dominates
+    either way). Values are EXACTLY equal: the chain replicates the
+    fold's (acc + term).cast(dec) sequence and decimal addition is
+    exact, so the oracle replay is unaffected. The same A/B measured
+    the mmr relevance stage and the kcenter min-distance fold SLOWER
+    unrolled (0.61→0.74s, 1.70→2.65s) — those keep their folds."""
     dec = f"decimal(28,{decimal_scale})"
     scale = math.sqrt(len(signs))
     dims = []
     for row in signs:
-        acc = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(s) for s in row]),
-                lambda x, s: F.round(x * s, decimal_scale).cast(dec),
-            ),
-            F.lit(0).cast(dec),
-            lambda a, x: (a + x).cast(dec),
-        )
+        if unroll:
+            acc: Column = F.lit(0).cast(dec)
+            for i, s in enumerate(row):
+                term = F.round(vec[i] * F.lit(s), decimal_scale).cast(dec)
+                acc = (acc + term).cast(dec)
+        else:
+            acc = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(s) for s in row]),
+                    lambda x, s: F.round(x * s, decimal_scale).cast(dec),
+                ),
+                F.lit(0).cast(dec),
+                lambda a, x: (a + x).cast(dec),
+            )
         dims.append(F.round(acc.cast("double") / F.lit(scale), round_to))
     return F.array(*dims)
 
@@ -94,17 +116,28 @@ def project_embeddings(
     out_col: str = "projected",
     salt: int = 0,
     round_to: int = 6,
+    unroll: bool | None = None,
 ) -> DataFrame:
     """Add ``out_col``: the d_out-dim JL projection of ``vec_col``.
     ``d_in`` is explicit (no driver peek at the data); rows whose
     vector is NULL get a NULL projection, and a vector whose actual
     length differs from ``d_in`` raises at execution time — zip_with
     would otherwise NULL-pad the mismatch and silently poison every
-    coordinate of the fold."""
+    coordinate of the fold.
+
+    ``unroll=None`` (default) applies the size-gated Lloyd-unroll
+    decision (ext/kmeans): large inputs by base-scan plan stats emit
+    the codegen term chain (sf10 A/B: 1.36× — SCALE.md r11), small
+    inputs keep the fold, whose plans build faster. Values identical
+    either way (decimal arithmetic is exact)."""
     if d_out < 1 or d_in < 1:
         raise ValueError(f"need d_in, d_out >= 1, got {d_in}, {d_out}")
     if d_out > d_in:
         raise ValueError(f"d_out {d_out} > d_in {d_in}: not a reduction")
+    if unroll is None:
+        from assignment_etl_spark.ext.kmeans import UNROLL_MIN_BYTES, _stats_bytes
+
+        unroll = _stats_bytes(df) >= UNROLL_MIN_BYTES
     signs = jl_sign_matrix(d_in, d_out, salt)
     # the length guard wraps the INPUT array, not the projected output:
     # branching on the full d_in·d_out projection expression was
@@ -127,6 +160,7 @@ def project_embeddings(
     return df.withColumn(
         out_col,
         F.when(
-            src.isNotNull(), project_vector(checked, signs, round_to=round_to)
+            src.isNotNull(),
+            project_vector(checked, signs, round_to=round_to, unroll=unroll),
         ),
     )

@@ -55,20 +55,31 @@ def _topk_tie_exact(
     take = min(k + tie_margin, nc)
     if take < nc:
         rim = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        # Widening decision vectorized across rows (ADVICE r10): the
+        # boundary-occurs-outside-the-rim check is two matrix compares,
+        # so on adversarial inputs where every row ties at the boundary
+        # (all-duplicate buckets) the per-row Python loop does no O(nc)
+        # counting — only genuinely widened rows pay their flatnonzero.
+        rim_s = np.take_along_axis(sims, rim, axis=1)
+        boundary = np.where(rim_s > -np.inf, rim_s, np.inf).min(axis=1)
+        b = boundary[:, None]
+        widen = np.count_nonzero(sims == b, axis=1) > np.count_nonzero(
+            rim_s == b, axis=1
+        )
     else:
         rim = np.broadcast_to(np.arange(nc), (nq, nc))
+        boundary = np.full(nq, -np.inf)
+        widen = np.zeros(nq, dtype=bool)
     out: list[np.ndarray] = []
     for i in range(nq):
-        cols = rim[i]
-        s = sims[i, cols]
-        keep = s > -np.inf
-        cols, s = cols[keep], s[keep]
-        if take < nc and len(cols):
-            boundary = s.min()
-            row = sims[i]
-            if np.count_nonzero(row == boundary) > np.count_nonzero(s == boundary):
-                cols = np.flatnonzero(row >= boundary)
-                s = row[cols]
+        if widen[i]:
+            cols = np.flatnonzero(sims[i] >= boundary[i])
+            s = sims[i, cols]
+        else:
+            cols = rim[i]
+            s = sims[i, cols]
+            keep = s > -np.inf
+            cols, s = cols[keep], s[keep]
         order = np.lexsort((ids[cols], -s))[:k]
         out.append(cols[order])
     return out

@@ -73,3 +73,25 @@ def test_length_mismatch_raises(spark):
     out = project_embeddings(df, d_in=32, d_out=4)
     with pytest.raises(Exception, match="d_in=32"):
         out.collect()
+
+
+def test_unroll_exactly_equals_fold(spark):
+    """r11 Lloyd-unroll applied to the JL fold (sf10 A/B win): the
+    term chain replicates the fold's decimal cast sequence, so
+    projected coordinates are EXACTLY equal — forced both ways on the
+    same rows."""
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ext.projection import project_embeddings
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) / 3.0 for j in range(16)]) for i in range(80)]
+        + [(99, None)],
+        "vec_id long, embedding array<double>",
+    )
+    a = project_embeddings(emb, d_in=16, d_out=4, salt=3, unroll=False)
+    b = project_embeddings(emb, d_in=16, d_out=4, salt=3, unroll=True)
+    ra = {r.vec_id: r.projected for r in a.collect()}
+    rb = {r.vec_id: r.projected for r in b.collect()}
+    assert ra == rb
+    assert ra[99] is None
