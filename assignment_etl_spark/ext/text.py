@@ -229,7 +229,15 @@ def hash_split(
 
 
 # PII patterns chosen for cross-engine regex parity (Java regex and RE2
-# agree on these constructs — no backreferences, no lookaround):
+# agree on these constructs — no backreferences, no lookaround).
+# Unicode caveat, hash-certified by the r11 UTF-8 oracle (GATES_UTF8
+# pii_scrub; semantics probed and documented in tools/utf8_oracle.py):
+# Java's \d here is ASCII-only (Arabic-Indic ١٩٢ is NOT an IP), but
+# Java's \b is UNICODE-aware — é or an Arabic letter glued to a digit
+# run BLOCKS the boundary, and a non-spacing mark with a base character
+# counts as word-internal. A CPython consumer replaying these patterns
+# matches Java under neither default nor re.ASCII flags; see the
+# oracle's hand-rolled scanners.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",

@@ -247,10 +247,12 @@ def pii_df(spark, pii_docs):
 def test_pii_detect_and_scrub_match_python(spark, pii_docs, pii_df):
     """Round-11 (VERDICT r10 ask #5): PII regexes certified on UTF-8.
     The fixture embeds the Java-vs-CPython traps: Arabic-Indic digits
-    (Java \\d is ASCII-only — doc 3 is NOT an IP), non-ASCII chars at
-    \\b boundaries (é/ Arabic letters are non-word in Java — doc 2's
-    IP matches), and the chained-scrub order dependence (doc 8's IP
-    only becomes matchable AFTER the email is replaced)."""
+    (Java \\d is ASCII-only — doc 3 is NOT an IP), non-ASCII letters at
+    \\b seams (Java's \\b is UNICODE-aware even though its \\w is
+    ASCII — é and Arabic letters are word chars, so doc 2's glued IP
+    does NOT match; CPython's re.ASCII \\b would say it does), and the
+    chained-scrub order dependence (doc 8's IP only becomes matchable
+    AFTER the email is replaced)."""
     from assignment_etl_spark.ext.text import pii_counts, scrub_pii
 
     got = {
@@ -264,8 +266,9 @@ def test_pii_detect_and_scrub_match_python(spark, pii_docs, pii_df):
     for row in O.pii_rows(pii_docs):
         assert got[row[0]] == row, f"pii mismatch doc {row[0]}"
     # the traps actually fired
-    assert got[3][2] == 0              # Arabic-Indic digits: not an IP
-    assert got[2][2] == 1              # é/Arabic boundaries: IS an IP
+    assert got[3][2] == 0              # Arabic-Indic digits: not \d
+    assert got[2][2] == 0              # é is a word char to Java's \b
+    assert got[9][2] == 1              # U+3000 IS a boundary
     assert got[8][2] == 0 and got[8][3].count("[PII]") == 2
 
 

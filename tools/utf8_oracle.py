@@ -491,68 +491,174 @@ def _with_lp(counts: dict[str, int]) -> dict[str, Decimal]:
 # --- round-11 extensions (VERDICT r10 ask #5): PII / langid / lexdiv ---
 #
 # These three families are exactly where Java-vs-CPython Unicode regex
-# semantics diverge, so every pattern below compiles with re.ASCII to
-# replicate Java's defaults: Java \d, \w, \s and the \b boundary are
-# ASCII-only (CPython's default \d matches Arabic-Indic ١٩٢, its \b
-# treats é as a word char — both would silently flip matches on the
-# fixtures), and Java (?i) folds ASCII only. Constants re-derived from
-# the documented specs (ext/text.py PII_PATTERNS / LANG_MARKERS,
-# ext/lexdiv.py TOKEN_SPLIT), not imported — same one-way rule as the
-# portable-hash constants above.
+# semantics diverge. Java's defaults are INTERNALLY inconsistent, and
+# the empirical probe (Spark regexp_count, recorded in the r11 round
+# notes) pinned the split: \d and \w are ASCII-only (Arabic-Indic ١٩٢
+# is NOT \d), BUT \b is Unicode-aware — it uses Character
+# .isLetterOrDigit (all scripts) plus a special case treating a
+# NON_SPACING_MARK with a base character as word-internal (so NFD
+# jalapeño does NOT end in a standalone 'o', while the ENCLOSING
+# MARK U+20DD does break words). Neither CPython's default \b (Mn is
+# non-word) nor re.ASCII \b (é is non-word) reproduces that, so the
+# \b-bearing matchers below are hand-rolled scans; pure-ASCII-class
+# patterns (the email regex, \s+ tokenization) still use re.ASCII.
+# Constants re-derived from the documented specs (ext/text.py
+# PII_PATTERNS / LANG_MARKERS, ext/lexdiv.py TOKEN_SPLIT), not
+# imported — same one-way rule as the portable-hash constants above.
 
 PII_FIXTURE = os.path.join(
     os.path.dirname(__file__), "..", "tests", "fixtures", "utf8_pii.jsonl"
 )
 
-PII_RE = {
-    "email": re.compile(
-        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", re.ASCII
-    ),
-    "ipv4": re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b", re.ASCII),
-}
+EMAIL_RE = re.compile(
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", re.ASCII
+)
 
-LANG_MARKER_RE = {
-    lang: re.compile(
-        r"\b(" + "|".join(words) + r")\b", re.ASCII | re.IGNORECASE
-    )
-    for lang, words in {
-        "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
-        "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
-        "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
-        "es": ["el", "los", "las", "es", "que", "una", "por", "con"],
-        "it": ["il", "di", "che", "non", "per", "sono", "della", "gli"],
-        "pt": ["o", "de", "que", "uma", "para", "com", "mais", "os"],
-        "nl": ["de", "het", "een", "van", "niet", "dat", "zijn", "voor"],
-    }.items()
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "dans"],
+    "es": ["el", "los", "las", "es", "que", "una", "por", "con"],
+    "it": ["il", "di", "che", "non", "per", "sono", "della", "gli"],
+    "pt": ["o", "de", "que", "uma", "para", "com", "mais", "os"],
+    "nl": ["de", "het", "een", "van", "niet", "dat", "zijn", "voor"],
 }
 CJK_RE = re.compile(r"[一-鿿]")
 CJK_MIN_HITS = 4
 _TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)  # Java \s: U+3000 is NOT ws
 
 
+def _java_letter_or_digit(c: str) -> bool:
+    import unicodedata
+
+    cat = unicodedata.category(c)
+    return cat[0] == "L" or cat == "Nd"
+
+
+def _java_word_for_b(t: str, i: int) -> bool:
+    """Is t[i] word-constituent for Java's \\b? Character
+    .isLetterOrDigit, or '_', or a NON_SPACING_MARK whose backward run
+    of marks reaches a letter/digit base (Pattern.Bound's
+    hasBaseCharacter)."""
+    import unicodedata
+
+    c = t[i]
+    if c == "_" or _java_letter_or_digit(c):
+        return True
+    if unicodedata.category(c) != "Mn":
+        return False
+    for x in range(i - 1, -1, -1):
+        if _java_letter_or_digit(t[x]):
+            return True
+        if unicodedata.category(t[x]) != "Mn":
+            return False
+    return False
+
+
+def _jb(t: str, i: int) -> bool:
+    """Java \\b boundary holds immediately BEFORE/AFTER a word char at
+    the seam index ``i`` (callers pass the index of the char outside
+    the match; -1/len(t) = string edge = boundary)."""
+    return i < 0 or i >= len(t) or not _java_word_for_b(t, i)
+
+
+def _ipv4_spans(t: str) -> list[tuple[int, int]]:
+    """Non-overlapping matches of Java ``\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b``
+    (ASCII \\d, Unicode \\b), left to right. Digit runs are contiguous,
+    so greedy-without-backtracking is exact: a maximal run longer than
+    3 can never satisfy the following '.'/boundary under any shorter
+    take either."""
+    spans, i, n = [], 0, len(t)
+    digits = "0123456789"
+    while i < n:
+        if t[i] not in digits or not _jb(t, i - 1):
+            i += 1
+            continue
+        j, ok = i, True
+        for octet in range(4):
+            k = j
+            while k < j + 3 and k < n and t[k] in digits:
+                k += 1
+            if k == j or (k < n and t[k] in digits):
+                ok = False
+                break
+            if octet < 3:
+                if k < n and t[k] == ".":
+                    j = k + 1
+                else:
+                    ok = False
+                    break
+            else:
+                j = k
+        if ok and _jb(t, j):
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _scrub_spans(t: str, spans: list[tuple[int, int]], repl: str) -> str:
+    out, last = [], 0
+    for a, b in spans:
+        out.append(t[last:a])
+        out.append(repl)
+        last = b
+    out.append(t[last:])
+    return "".join(out)
+
+
 def pii_rows(docs: list[tuple[int, str]]) -> list[tuple]:
     """(doc_id, email_count, ipv4_count, scrubbed) — detection counts
-    plus the chained-replace scrub (email first, same order contract as
-    the engine's scrub_pii)."""
+    on the ORIGINAL text plus the chained-replace scrub (email first,
+    same order contract as the engine's scrub_pii — doc 8's glued IP
+    only becomes matchable AFTER the email is replaced, in both
+    engines)."""
     out = []
     for i, t in docs:
-        scrubbed = t
-        counts = []
-        for name in ("email", "ipv4"):
-            counts.append(len(PII_RE[name].findall(t)))
-            scrubbed = PII_RE[name].sub("[PII]", scrubbed)
-        out.append((i, counts[0], counts[1], scrubbed))
+        n_email = len(EMAIL_RE.findall(t))
+        n_ipv4 = len(_ipv4_spans(t))
+        scrubbed = EMAIL_RE.sub("[PII]", t)
+        scrubbed = _scrub_spans(scrubbed, _ipv4_spans(scrubbed), "[PII]")
+        out.append((i, n_email, n_ipv4, scrubbed))
     return out
 
 
+def _marker_hits(t: str, words: list[str]) -> int:
+    """Java ``(?i)\\b(w1|w2|…)\\b`` match count: left-to-right scan,
+    alternation order, ASCII-only case fold ((?i) without
+    UNICODE_CASE), Java word boundaries."""
+    import string as _string
+
+    i, n, hits = 0, len(t), 0
+    # ASCII-only, length-preserving fold (str.lower() is NOT 1:1 here:
+    # the fixture's Turkish İ lowers to 'i' + combining dot — two chars)
+    lower = t.translate(
+        str.maketrans(_string.ascii_uppercase, _string.ascii_lowercase)
+    )
+    while i < n:
+        if not _jb(t, i - 1):
+            i += 1
+            continue
+        for w in words:
+            j = i + len(w)
+            if lower[i:j] == w and t[i:j].isascii() and _jb(t, j):
+                hits += 1
+                i = j
+                break
+        else:
+            i += 1
+    return hits
+
+
 def langid_rows(docs: list[tuple[int, str]]) -> list[tuple]:
-    """(doc_id, evidence-json, lang): per-language ASCII-folded marker
-    hits in LANG_MARKERS order, then the engine's decision rule — Han
-    hits ≥ 4 → zh, else first language with the max hit count when
-    any evidence exists, else 'und'."""
+    """(doc_id, evidence-json, lang): per-language marker hits in
+    LANG_MARKERS order, then the engine's decision rule — Han hits
+    ≥ 4 → zh, else first language with the max hit count when any
+    evidence exists, else 'und'."""
     out = []
     for i, t in docs:
-        hits = [(lang, len(rx.findall(t))) for lang, rx in LANG_MARKER_RE.items()]
+        hits = [(lang, _marker_hits(t, ws)) for lang, ws in LANG_MARKERS.items()]
         best = max(h for _l, h in hits)
         if len(CJK_RE.findall(t)) >= CJK_MIN_HITS:
             lang = "zh"
