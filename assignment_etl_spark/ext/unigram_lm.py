@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from assignment_etl_spark.ext.bpe import _word_freq
+from assignment_etl_spark.io.store import stats_severed_local_checkpoint as _ck
 
 DEC = "decimal(18,6)"
 
@@ -135,7 +136,7 @@ def _forward_chosen(
             cand.withColumn("rn", F.row_number().over(rank_w))
             .filter(F.col("rn") == 1)
             .select("word", "score", "l", "piece")
-            .localCheckpoint(eager=True)
+            .transform(_ck)
         )
         frontier[j] = top.select("word", "score")
         chosen.append(top.select("word", F.lit(j).alias("j"), "l", "piece"))
@@ -144,7 +145,7 @@ def _forward_chosen(
     c_all = chosen[0]
     for extra in chosen[1:]:
         c_all = c_all.unionByName(extra)
-    return c_all.localCheckpoint(eager=True)
+    return c_all.transform(_ck)
 
 
 def _backtrack(
@@ -199,7 +200,7 @@ def _viterbi_counts(
     matches = (
         occ.join(F.broadcast(vocab.select("piece", "lp")), on="piece")
         .select("word", "n", "len", "i", "l", "piece", "lp")
-        .localCheckpoint(eager=True)
+        .transform(_ck)
     )
     words = matches.select("word", "n", "len").distinct()
     c_all = _forward_chosen(
@@ -251,10 +252,10 @@ def train_unigram_lm(
         raise ValueError(f"need max_piece_len >= 2, got {max_piece_len}")
     if max_word_len < max_piece_len:
         raise ValueError("need max_word_len >= max_piece_len")
-    wf = _word_freq(docs, text_col=text_col).localCheckpoint(eager=True)
+    wf = _word_freq(docs, text_col=text_col).transform(_ck)
     occ = _occurrences(
         wf, max_piece_len=max_piece_len, max_word_len=max_word_len
-    ).localCheckpoint(eager=True)
+    ).transform(_ck)
     seed = occ.groupBy("piece").agg(F.sum("n").alias("cnt"))
     singles = seed.filter(F.length("piece") == 1)
     multi = (
@@ -262,7 +263,7 @@ def train_unigram_lm(
         .orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(seed_multi)
     )
-    vocab = _with_lp(singles.unionByName(multi)).localCheckpoint(eager=True)
+    vocab = _with_lp(singles.unionByName(multi)).transform(_ck)
     for _it in range(n_iters):
         cnts = _viterbi_counts(
             wf,
@@ -271,7 +272,7 @@ def train_unigram_lm(
             max_word_len=max_word_len,
             occ=occ,
         )
-        vocab = _with_lp(cnts).localCheckpoint(eager=True)
+        vocab = _with_lp(cnts).transform(_ck)
     if vocab_size is not None:
         chars = vocab.filter(F.length("piece") == 1)
         n_chars = chars.count()  # bounded: alphabet-sized
@@ -284,7 +285,7 @@ def train_unigram_lm(
             chars.select("piece", "cnt").unionByName(
                 kept_multi.select("piece", "cnt")
             )
-        ).localCheckpoint(eager=True)
+        ).transform(_ck)
     return vocab
 
 
@@ -317,7 +318,7 @@ def viterbi_encode(
     matches = (
         occ.join(F.broadcast(vocab.select("piece", "lp")), on="piece")
         .select("word", "len", "i", "l", "piece", "lp")
-        .localCheckpoint(eager=True)
+        .transform(_ck)
     )
     wl = matches.select("word", "len").distinct()
     c_all = _forward_chosen(

@@ -30,6 +30,52 @@ def _capture_ck_rdd(ck: DataFrame):
     return ck._jdf.queryExecution().analyzed().rdd()
 
 
+def stats_severed_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that severs the PRESERVED plan
+    statistics along with the lineage — the checkpoint primitive for
+    ITERATIVE dataflows whose stages chain checkpoints of joins.
+
+    Spark 4's LogicalRDD keeps the source plan's sizeInBytes estimate.
+    Useful for one checkpoint of a scan; catastrophic when stages
+    chain: a join's default estimate is the PRODUCT of its children's,
+    so each stage's preserved number inherits the previous stages'
+    products and the DIGITS of sizeInBytes grow multiplicatively with
+    stage count. Every planning-time stats consumer —
+    ``JoinSelection.canBroadcastBySize``, ``InjectRuntimeFilter`` —
+    then does arbitrary-precision BigInteger arithmetic on the driver:
+    measured (r11, jstack-profiled): ``viterbi_encode`` over a
+    150-word table spent ~19 MINUTES of single-threaded driver CPU in
+    ``BigInteger.multiplyToomCook3`` before launching a single task,
+    and the cost is data-independent — a cluster pays it too.
+
+    Rebuilding the frame over the SAME materialized checkpoint RDD via
+    ``internalCreateDataFrame`` drops the origin stats to the unknown
+    sentinel (Long.MaxValue), which resets digit growth at every stage
+    — "unknown" is strictly better than "astronomically wrong" here:
+    these post-checkpoint frames are never auto-broadcast candidates
+    (the trainers broadcast their small sides explicitly) and AQE
+    re-plans from ACTUAL runtime sizes regardless. Falls back to the
+    plain checkpoint if the private constructor API is unavailable."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        njdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(njdf, df.sparkSession)
+    except Exception as exc:  # noqa: BLE001 — degrade to preserved stats
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stats-severed checkpoint unavailable (%s: %s) — falling "
+            "back to plain localCheckpoint; iterative trainers will pay "
+            "BigInteger stats-estimation cost at planning time",
+            type(exc).__name__,
+            exc,
+        )
+        return ck
+
+
 @contextlib.contextmanager
 def released_local_checkpoint(df: DataFrame):
     """``localCheckpoint(eager=True)`` with deterministic release.

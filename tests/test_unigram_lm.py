@@ -189,3 +189,31 @@ def test_vocab_size_pruning(spark):
         ), r.piece
     with pytest.raises(ValueError, match="vocab_size"):
         train_unigram_lm(docs, vocab_size=0)
+
+
+def test_trained_plan_stats_stay_bounded(spark):
+    """r11 driver-side planning explosion, pinned: chained
+    localCheckpoints PRESERVE join-product sizeInBytes estimates, and
+    across the DP's stages the preserved numbers compound until every
+    stats consumer (JoinSelection.canBroadcastBySize,
+    InjectRuntimeFilter) grinds arbitrary-precision BigInteger products
+    at PLANNING time — measured 19 minutes of single-threaded driver
+    CPU to encode a 150-word table. The stats-severed checkpoint
+    (io/store.stats_severed_local_checkpoint) resets every stage to the
+    unknown sentinel, so the final plan's estimate stays within a few
+    machine words. This asserts the structural property, not a timing."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    vocab = train_unigram_lm(
+        docs, seed_multi=16, max_piece_len=3, max_word_len=8, n_iters=2
+    )
+    words = docs.selectExpr("explode(split(lower(text), ' ')) as word").distinct()
+    out = viterbi_encode(
+        words, vocab, max_piece_len=3, max_word_len=8
+    )
+    n = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert n.bit_length() < 512, (
+        f"plan sizeInBytes is {n.bit_length()} bits — checkpoint stats "
+        "compounding is back"
+    )
