@@ -7665,6 +7665,77 @@ def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_audit_log_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-block audit rows of a capped fuzzy join
+    (ops/linkage.fuzzy_join_audited, r11): a degenerate block key — a
+    mass-duplicated placeholder name injected on keys ≡ 7 (mod 10),
+    the empty-string/placeholder hazard the r10 sf10 sweep measured at
+    54× — is EXCLUDED from the join by max_block=10, and the exclusion
+    is reported through the engine's dual-output log contract
+    (SURVEY §2.9): one LOG_SCHEMA row per excluded block carrying the
+    block key and BOTH sides' row counts. The gate returns the log
+    rows; the pairs output's equivalence with fuzzy_join(max_block) is
+    pinned by tests/test_linkage.py. Oracle replays the two
+    block-cardinality aggregates, the full-outer size merge, the cap
+    filter, and the printf-formatted reason."""
+    from assignment_etl_spark.ops.linkage import block_suffix, fuzzy_join_audited
+
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    placeholder = F.when(
+        F.col("c_custkey") % 10 == 7, F.lit("Customer#unknown")
+    )
+    clean = customer.select(
+        F.col("c_custkey").alias("c_key"),
+        placeholder.otherwise(F.col("c_name")).alias("c_nm"),
+    )
+    dirty = customer.select(
+        F.col("c_custkey").alias("d_key"),
+        placeholder.otherwise(F.translate("c_name", "#", "-")).alias("d_nm"),
+    )
+    _pairs, logs = fuzzy_join_audited(
+        dirty,
+        clean,
+        "d_nm",
+        "c_nm",
+        left_block=block_suffix("d_nm", 6),
+        right_block=block_suffix("c_nm", 6),
+        max_block=10,
+        max_dist=1,
+        filename="fuzzy_audit_log_customers",
+    )
+    return logs.select("original_value", "column_name", "reason").orderBy(
+        "original_value"
+    )
+
+
+SQL_FUZZY_AUDIT_LOG_CUSTOMERS = """
+WITH clean AS (
+  SELECT CASE WHEN c_custkey % 10 = 7 THEN 'Customer#unknown'
+              ELSE c_name END AS c_nm
+  FROM customer),
+dirty AS (
+  SELECT CASE WHEN c_custkey % 10 = 7 THEN 'Customer#unknown'
+              ELSE replace(c_name, '#', '-') END AS d_nm
+  FROM customer),
+ln AS (SELECT substr(d_nm, -6, 6) AS blk, count(*) AS n_left
+       FROM dirty GROUP BY 1),
+rn AS (SELECT substr(c_nm, -6, 6) AS blk, count(*) AS n_right
+       FROM clean GROUP BY 1),
+hot AS (
+  SELECT coalesce(ln.blk, rn.blk) AS blk,
+         coalesce(n_left, 0) AS n_left,
+         coalesce(n_right, 0) AS n_right
+  FROM ln FULL OUTER JOIN rn ON ln.blk = rn.blk
+  WHERE coalesce(n_left, 0) > 10 OR coalesce(n_right, 0) > 10)
+SELECT blk AS original_value,
+       'd_nm' AS column_name,
+       printf('hot_block_excluded n_left=%d n_right=%d', n_left, n_right)
+         AS reason
+FROM hot ORDER BY 1
+"""
+
+
 SQL_FUZZY_MATCH_CUSTOMERS = """
 WITH dirty AS (
   SELECT c_custkey AS d_key,
@@ -13813,6 +13884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": q_k_anonymity_audit,
         "keyword_search_index": q_keyword_search_index,
         "fuzzy_match_customers": q_fuzzy_match_customers,
+        "fuzzy_audit_log_customers": q_fuzzy_audit_log_customers,
         "pagerank_event_graph": q_pagerank_event_graph,
         "psi_order_drift": q_psi_order_drift,
         "video_decode_stats": q_video_decode_stats,
@@ -14035,6 +14107,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
         "keyword_search_index": SQL_KEYWORD_SEARCH_INDEX,
         "fuzzy_match_customers": SQL_FUZZY_MATCH_CUSTOMERS,
+        "fuzzy_audit_log_customers": SQL_FUZZY_AUDIT_LOG_CUSTOMERS,
         "pagerank_event_graph": _sql_pagerank_event_graph(),
         "psi_order_drift": SQL_PSI_ORDER_DRIFT,
         "video_decode_stats": SQL_VIDEO_DECODE_STATS,
