@@ -4,8 +4,15 @@ small SF, EXECUTES it (AQE only settles re-plans in the executed final
 plan; a handful of gates also materialize eagerly at construction time,
 e.g. localCheckpointed iterations), and greps the executed plan for:
 
-- hard violations: CartesianProduct (unbounded pair blowup) and
-  BatchEvalPython (row-at-a-time Python UDF in the pipeline);
+- hard violations: CartesianProduct (unbounded pair blowup),
+  BatchEvalPython (row-at-a-time Python UDF in the pipeline), and a
+  root sizeInBytes estimate wider than STATS_BITS_MAX bits — the r11
+  checkpoint-stats-compounding class, where chained checkpoints of
+  joins inherit product-inflated estimates until every stats consumer
+  (JoinSelection, InjectRuntimeFilter) grinds ~10^5-digit BigInteger
+  products on the driver at planning time (measured: 19 min to plan a
+  150-word encode; normal plans stay under ~2k bits, the pathology was
+  ~3×10^5);
 - reported shape: Exchange count (shuffles), WholeStageCodegen spans,
   Arrow crossings (ArrowEvalPython / MapInPandas /
   FlatMapGroupsInPandas / FlatMapCoGroupsInPandas),
@@ -24,6 +31,11 @@ import re
 import sys
 
 HARD = ("CartesianProduct", "BatchEvalPython")
+
+# Widest tolerable root sizeInBytes estimate, in BITS. Sentinel-stats
+# leaves (2^63) through a ~20-join tree legitimately reach ~1-2k bits;
+# the compounding pathology is two orders of magnitude past this line.
+STATS_BITS_MAX = 16384
 
 # sf-proportional tables: an explicit broadcast() hint whose subtree scans one
 # of these without an intervening Aggregate overrides Catalyst's size check
@@ -434,6 +446,17 @@ def main() -> int:
             continue
         c = audit_plan(plan)
         c["global_windows"] = len(win_bad)
+        try:
+            c["stats_bits"] = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            ).bit_length()
+        except Exception:  # noqa: BLE001 — stats probe is advisory
+            c["stats_bits"] = -1
+        if c["stats_bits"] > STATS_BITS_MAX:
+            violations.append(
+                f"{name}: stats_bits {c['stats_bits']} > {STATS_BITS_MAX} "
+                "(checkpoint stats compounding)"
+            )
         for k in HARD:
             if c[k]:
                 violations.append(f"{name}: {k} x{c[k]}")
@@ -448,8 +471,14 @@ def main() -> int:
             f"bnlj={c['BroadcastNestedLoopJoin']} "
             f"arrow={c['ArrowEvalPython'] + c['MapInPandas'] + c['FlatMapGroupsInPandas'] + c['FlatMapCoGroupsInPandas']} "
             f"pushdown={c['scans_with_pushdown']}/{c['scans']} "
-            f"gwin={c['global_windows']}"
-            + (" !!HARD!!" if any(c[k] for k in HARD) or win_bad else "")
+            f"gwin={c['global_windows']} sbits={c['stats_bits']}"
+            + (
+                " !!HARD!!"
+                if any(c[k] for k in HARD)
+                or win_bad
+                or c["stats_bits"] > STATS_BITS_MAX
+                else ""
+            )
         )
 
     if not only:
@@ -463,24 +492,32 @@ def write_report(rows, violations, sf_dir) -> None:
         "# PLANAUDIT — physical-plan audit of every registered query",
         "",
         f"Generated by `tools/plan_audit.py {sf_dir}`. Hard violations "
-        "(CartesianProduct, row-at-a-time BatchEvalPython): "
+        "(CartesianProduct, row-at-a-time BatchEvalPython, stats_bits > "
+        f"{STATS_BITS_MAX}): "
         f"**{violations or 'none'}**.",
         "",
         "Columns: shuffles (Exchange), WholeStageCodegen spans, broadcast vs",
         "sort-merge joins, BroadcastNestedLoopJoin (only sanctioned use is a",
         "1-row broadcast side, e.g. the LM vocab scalar or decontam's empty",
         "gram-set degenerate path), Arrow crossings (sanctioned pandas",
-        "batches), parquet scans carrying non-empty PushedFilters, and gwin —",
+        "batches), parquet scans carrying non-empty PushedFilters, gwin —",
         "empty-partition Window nodes whose input scans an sf-proportional",
         "table with no Aggregate/Limit/bounded-filter collapse (the",
-        "single-partition corpus-window funnel; hard violation, must be 0).",
+        "single-partition corpus-window funnel; hard violation, must be 0) —",
+        "and sbits, the bit width of the optimized plan's root sizeInBytes",
+        "estimate (the r11 checkpoint-stats-compounding tripwire: chained",
+        "checkpoints of joins compound product-inflated estimates until",
+        "planning itself grinds huge-BigInteger products; hard violation",
+        f"past {STATS_BITS_MAX} bits, healthy plans stay under ~2k).",
         "",
-        "| query | shuffles | codegen | BHJ | SMJ | BNLJ | arrow | pushdown | gwin |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | codegen | BHJ | SMJ | BNLJ | arrow | pushdown | gwin | sbits |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, c, err in rows:
         if err:
-            lines.append(f"| `{name}` | — | — | — | — | — | — | — | {err} |")
+            lines.append(
+                f"| `{name}` | — | — | — | — | — | — | — | — | {err} |"
+            )
             continue
         arrow = (
             c["ArrowEvalPython"] + c["MapInPandas"]
@@ -491,7 +528,7 @@ def write_report(rows, violations, sf_dir) -> None:
             f"| {c['BroadcastHashJoin']} | {c['SortMergeJoin']} "
             f"| {c['BroadcastNestedLoopJoin']} | {arrow} "
             f"| {c['scans_with_pushdown']}/{c['scans']} "
-            f"| {c['global_windows']} |"
+            f"| {c['global_windows']} | {c['stats_bits']} |"
         )
     with open("/root/repo/PLANAUDIT.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
