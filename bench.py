@@ -258,6 +258,7 @@ EXCLUDED: dict[str, str] = {
         "exact_stratified_sample",
         "except_all_lineitem",
         "fd_repair_events",
+        "fuzzy_audit_log_customers",
         "fingerprint_cluster_customers",
         "fk_graph_audit",
         "funnel_view_purchase",
