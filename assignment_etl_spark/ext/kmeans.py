@@ -40,6 +40,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from assignment_etl_spark import internals
+
 # Input size (Catalyst plan stats, no job) above which the Lloyd assign
 # unrolls its distance into codegen. The unrolled form executes ~3.3×
 # faster but costs ~0.5s of driver plan/codegen work PER assign stage
@@ -68,17 +70,33 @@ def _stats_bytes(df: DataFrame) -> int:
     smaller exactly when column pruning/limits shrank the working set,
     and then it's the better signal. Either side at the sentinel falls
     back to the other; both unknown → 0 (keep the portable fold).
+
+    LogicalRDD leaves are treated as UNKNOWN regardless of the number
+    they report (ADVICE r11): a plain (non-severed) localCheckpoint of
+    a join is a LogicalRDD leaf PRESERVING the source plan's
+    product-inflated sizeInBytes — an estimate that can sit below the
+    sentinel (86 MB² ≈ 7e15 < 2^60) while being astronomically wrong,
+    so a leaf-based verdict over it would unroll tiny composed inputs.
+    Only leaves with honest file/relation metadata count; a dataflow
+    whose ONLY leaves are checkpoints keeps the portable fold (safe,
+    slower) unless the caller passes an explicit unroll override.
     Driver-side only, never launches a job."""
     global _stats_probe_warned
     try:
-        plan = df._jdf.queryExecution().optimizedPlan()
-        root = int(plan.stats().sizeInBytes())
-        leaves = plan.collectLeaves()
-        max_leaf = 0
-        for i in range(leaves.length()):
-            n = int(leaves.apply(i).stats().sizeInBytes())
+        plan = internals.optimized_plan(df)
+        root = internals.plan_size_bytes(plan)
+        max_leaf, honest_leaf = 0, False
+        for leaf in internals.plan_leaves(plan):
+            if internals.plan_node_class(leaf) == "LogicalRDD":
+                continue  # preserved (possibly product-inflated) stats
+            honest_leaf = True
+            n = internals.plan_size_bytes(leaf)
             if n < _STATS_SENTINEL:
                 max_leaf = max(max_leaf, n)
+        if not honest_leaf:
+            # every leaf is a checkpoint: the ROOT estimate is derived
+            # from preserved stats too, so nothing here is trustworthy
+            return 0
         if root >= _STATS_SENTINEL:
             return max_leaf
         return min(root, max_leaf) if max_leaf else root
@@ -103,9 +121,15 @@ def _stats_bytes(df: DataFrame) -> int:
 def stats_unroll(df: DataFrame) -> bool:
     """Public helper for composed dataflows: True when ``df`` is large
     enough (by base-scan plan stats) that downstream Lloyd assigns
-    should unroll their distance into codegen. Safe to call on join /
-    checkpoint outputs: the verdict comes from the plan's leaf scans,
-    never a product-inflated root estimate."""
+    should unroll their distance into codegen. Safe on join outputs
+    (the verdict comes from leaf scans, never a product-inflated root
+    estimate) and on checkpoint outputs in the conservative direction:
+    LogicalRDD leaves — plain localCheckpoints preserve their source
+    plan's possibly-inflated estimate — are treated as UNKNOWN, so a
+    frame whose only leaves are checkpoints answers False (portable
+    fold; safe, slower). Callers that checkpoint a large dataflow and
+    still want the unroll should gate on the PRE-checkpoint frame or
+    the base table (the q_ivfpq_search_topk pattern)."""
     return _stats_bytes(df) >= UNROLL_MIN_BYTES
 
 

@@ -271,12 +271,16 @@ def repartition_for_media(
             # Note sizeInBytes estimates FULL row width (all columns), not
             # just the media payload — an over-estimate that errs toward
             # more, smaller decode tasks, which is the safe direction.
-            # The probe goes through private JVM internals (_jdf), absent
-            # under Spark Connect — fall back to the unknown-sentinel path
-            # (keep existing partitioning) when unavailable.
+            # The probe goes through private JVM internals (the probed
+            # facade in internals.py), absent under Spark Connect — fall
+            # back to the unknown-sentinel path (keep existing
+            # partitioning) when unavailable.
             try:
-                stats = media._jdf.queryExecution().optimizedPlan().stats()
-                total_payload_bytes = int(str(stats.sizeInBytes()))
+                from assignment_etl_spark import internals
+
+                total_payload_bytes = internals.plan_size_bytes(
+                    internals.optimized_plan(media)
+                )
             except Exception:
                 return media
             if total_payload_bytes >= (1 << 62):

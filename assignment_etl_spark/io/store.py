@@ -14,20 +14,34 @@ bucketing metadata lives in the metastore, not in parquet footers.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
+from assignment_etl_spark import internals
+
 # Set after the first successful LogicalRDD capture in this process;
 # gates the fallback's pre-checkpoint getPersistentRDDs snapshot off
-# the common path (see released_local_checkpoint).
+# the common path (see released_local_checkpoint). Process-global, not
+# per-SparkSession, BY DESIGN: capture availability is a property of
+# the engine version on the classpath, not of a session. Guarded by a
+# lock (ADVICE r11): concurrent callers (two streaming foreachBatch
+# sinks run on separate micro-batch threads) must not interleave the
+# read-flag / take-snapshot / set-flag sequence, or simultaneous
+# trusted-path capture failures would EACH skip the snapshot and each
+# leak a checkpoint RDD — the lock bounds the anomalous-failure leak
+# to one RDD per failure event, same as the single-threaded analysis.
 _RDD_CAPTURE_TRUSTED = False
+_RDD_CAPTURE_LOCK = threading.Lock()
 
 
 def _capture_ck_rdd(ck: DataFrame):
     """The persisted RDD backing an eager localCheckpoint — the
     analyzed plan root is a LogicalRDD by construction, so ``.rdd()``
-    is the exact unpersist target. Isolated so tests can break it."""
-    return ck._jdf.queryExecution().analyzed().rdd()
+    is the exact unpersist target. Thin wrapper over
+    `internals.checkpoint_rdd` (the probed private-API facade),
+    isolated here so tests can break it."""
+    return internals.checkpoint_rdd(ck)
 
 
 def stats_severed_local_checkpoint(df: DataFrame) -> DataFrame:
@@ -54,15 +68,13 @@ def stats_severed_local_checkpoint(df: DataFrame) -> DataFrame:
     — "unknown" is strictly better than "astronomically wrong" here:
     these post-checkpoint frames are never auto-broadcast candidates
     (the trainers broadcast their small sides explicitly) and AQE
-    re-plans from ACTUAL runtime sizes regardless. Falls back to the
-    plain checkpoint if the private constructor API is unavailable."""
+    re-plans from ACTUAL runtime sizes regardless. The private-API
+    crossing lives in `internals.severed_from_checkpoint` (probed by
+    tests/test_internals.py); falls back to the plain checkpoint if
+    the private constructor API is unavailable."""
     ck = df.localCheckpoint(eager=True)
     try:
-        jdf = ck._jdf
-        njdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(njdf, df.sparkSession)
+        return internals.severed_from_checkpoint(ck)
     except Exception as exc:  # noqa: BLE001 — degrade to preserved stats
         import logging
 
@@ -109,13 +121,16 @@ def released_local_checkpoint(df: DataFrame):
     spark = df.sparkSession
     jsc = spark.sparkContext._jsc
     before = None
-    if not _RDD_CAPTURE_TRUSTED:
+    with _RDD_CAPTURE_LOCK:
+        trusted = _RDD_CAPTURE_TRUSTED
+    if not trusted:
         before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     ck = df.localCheckpoint(eager=True)
     jrdd = None
     try:
         jrdd = _capture_ck_rdd(ck)
-        _RDD_CAPTURE_TRUSTED = True
+        with _RDD_CAPTURE_LOCK:
+            _RDD_CAPTURE_TRUSTED = True
     except Exception:  # noqa: BLE001 — fall back to the (tight) id diff
         pass
     try:
@@ -132,8 +147,13 @@ def released_local_checkpoint(df: DataFrame):
             # capture succeeded earlier this process but failed now —
             # anomalous (the API is version-level); nothing safe to
             # release without a before-set, so say so and re-arm the
-            # snapshot for subsequent calls rather than leak silently
-            _RDD_CAPTURE_TRUSTED = False
+            # snapshot for subsequent calls rather than leak silently.
+            # Leak bound: one checkpoint RDD PER FAILING CALL — with N
+            # concurrent trusted-path callers all failing, N RDDs stay
+            # persisted until driver GC (the flag lock makes the re-arm
+            # itself race-free, it cannot retroactively snapshot).
+            with _RDD_CAPTURE_LOCK:
+                _RDD_CAPTURE_TRUSTED = False
             import logging
 
             logging.getLogger(__name__).warning(

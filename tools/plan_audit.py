@@ -30,6 +30,10 @@ from __future__ import annotations
 import re
 import sys
 
+sys.path.insert(0, "/root/repo")
+
+from assignment_etl_spark import internals
+
 HARD = ("CartesianProduct", "BatchEvalPython")
 
 # Widest tolerable root sizeInBytes estimate, in BITS. Sentinel-stats
@@ -340,7 +344,7 @@ def audit_broadcast_hints(df) -> list[str]:
         for i in range(kids.length()):
             walk(kids.apply(i))
 
-    walk(df._jdf.queryExecution().analyzed())
+    walk(internals.analyzed_plan(df))
     return bad
 
 
@@ -380,7 +384,7 @@ def audit_global_windows(df) -> list[str]:
         for i in range(kids.length()):
             walk(kids.apply(i))
 
-    walk(df._jdf.queryExecution().analyzed())
+    walk(internals.analyzed_plan(df))
     return bad
 
 
@@ -439,7 +443,7 @@ def main() -> int:
             # count-aggregated plan): AQE only inserts WholeStageCodegen
             # stages and settles re-plans in the executed final plan
             df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = internals.executed_plan_string(df)
         except Exception as e:  # noqa: BLE001
             rows.append((name, None, f"PLAN ERROR {type(e).__name__}: {str(e)[:120]}"))
             violations.append(name)
@@ -447,8 +451,8 @@ def main() -> int:
         c = audit_plan(plan)
         c["global_windows"] = len(win_bad)
         try:
-            c["stats_bits"] = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            c["stats_bits"] = internals.plan_size_bytes(
+                internals.optimized_plan(df)
             ).bit_length()
         except Exception:  # noqa: BLE001 — stats probe is advisory
             c["stats_bits"] = -1
