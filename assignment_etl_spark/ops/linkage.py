@@ -93,10 +93,38 @@ def fuzzy_join(
     is REQUIRED and every skipped block is reported."""
     l = left.withColumn(BLOCK_COL, left_block)
     r = right.withColumn(BLOCK_COL, right_block)
-    if max_block is not None:
-        hot = _hot_blocks(l, r, max_block).select(BLOCK_COL)
-        l = l.join(F.broadcast(hot), on=BLOCK_COL, how="left_anti")
-        r = r.join(F.broadcast(hot), on=BLOCK_COL, how="left_anti")
+    hot = (
+        _hot_blocks(l, r, max_block).select(BLOCK_COL)
+        if max_block is not None
+        else None
+    )
+    return _join_within_blocks(
+        l, r, left_col, right_col, hot=hot, max_dist=max_dist, dist_col=dist_col
+    )
+
+
+def _join_within_blocks(
+    l: DataFrame,
+    r: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    hot: DataFrame | None,
+    max_dist: int,
+    dist_col: str,
+) -> DataFrame:
+    """The shared join core: anti-join away ``hot`` block keys (when
+    given), equi-join on the block, levenshtein-filter inside codegen.
+    The hot exclusion is NULL-SAFE (``<=>``): a null block key (null
+    match column) that trips the cap is excluded like any other —
+    though null-key rows can never produce pairs anyway, since the
+    inner equi-join drops null keys (Catalyst infers IsNotNull on join
+    keys, pruning them at the scan)."""
+    if hot is not None:
+        hx = F.broadcast(hot.withColumnRenamed(BLOCK_COL, "_hot_blk"))
+        cond = F.col(BLOCK_COL).eqNullSafe(F.col("_hot_blk"))
+        l = l.join(hx, cond, "left_anti")
+        r = r.join(hx, cond, "left_anti")
     return (
         l.join(r, on=BLOCK_COL)
         .withColumn(dist_col, F.levenshtein(F.col(left_col), F.col(right_col)))
@@ -108,12 +136,19 @@ def fuzzy_join(
 def _hot_blocks(l: DataFrame, r: DataFrame, max_block: int) -> DataFrame:
     """Per-block sizes for blocks where EITHER side exceeds the cap:
     (BLOCK_COL, n_left, n_right). Two hash aggregates (block-cardinality
-    bounded) full-outer-joined on the key — sizes survive for the audit
-    even when only one side holds the block."""
+    bounded) joined NULL-SAFELY (``eqNullSafe``) on the key — sizes
+    survive for the audit even when only one side holds the block, and
+    a null block key hot on BOTH sides merges into one audit row
+    instead of two misleading half-rows (ADVICE r11: a plain-equality
+    full outer never matches null to null)."""
     ln = l.groupBy(BLOCK_COL).agg(F.count(F.lit(1)).alias("n_left"))
-    rn = r.groupBy(BLOCK_COL).agg(F.count(F.lit(1)).alias("n_right"))
+    rn = r.groupBy(F.col(BLOCK_COL).alias("_rblk")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
     return (
-        ln.join(rn, on=BLOCK_COL, how="full_outer")
+        ln.join(rn, F.col(BLOCK_COL).eqNullSafe(F.col("_rblk")), "full_outer")
+        .withColumn(BLOCK_COL, F.coalesce(BLOCK_COL, "_rblk"))
+        .drop("_rblk")
         .withColumn("n_left", F.coalesce("n_left", F.lit(0)))
         .withColumn("n_right", F.coalesce("n_right", F.lit(0)))
         .filter(
@@ -144,15 +179,21 @@ def fuzzy_join_audited(
     n_right=<n>`` — so a capped run carries evidence of what it
     skipped instead of silently under-linking (VERDICT r10 ask #3).
 
-    Same lineage-cost caveat as ``fuzzy_join`` with the guard on, plus
-    the log branch's own evaluation of the size aggregates: persist
-    expensive upstream plans before calling."""
+    The hot-block aggregates are computed ONCE (r11 ADVICE closure):
+    one ``_hot_blocks`` frame, persisted (CacheManager — freed by
+    ``unpersist``/``clearCache``; bounded by hot-block cardinality,
+    which the broadcast anti-join already requires to be small), feeds
+    BOTH the log branch and the join's exclusion set, so each input's
+    lineage is evaluated once by the size audit instead of twice. The
+    inputs themselves are still read by the audit AND the join —
+    persist expensive upstream plans before calling."""
     from assignment_etl_spark.ops.quality import log_frame
 
     l = left.withColumn(BLOCK_COL, left_block)
     r = right.withColumn(BLOCK_COL, right_block)
+    hot = _hot_blocks(l, r, max_block).persist()
     logs = log_frame(
-        _hot_blocks(l, r, max_block),
+        hot,
         filename=F.lit(filename),
         column_name=F.lit(left_col),
         original_value=F.col(BLOCK_COL),
@@ -162,16 +203,14 @@ def fuzzy_join_audited(
             F.col("n_right"),
         ),
     )
-    pairs = fuzzy_join(
-        left,
-        right,
+    pairs = _join_within_blocks(
+        l,
+        r,
         left_col,
         right_col,
-        left_block=left_block,
-        right_block=right_block,
+        hot=hot.select(BLOCK_COL),
         max_dist=max_dist,
         dist_col=dist_col,
-        max_block=max_block,
     )
     return pairs, logs
 

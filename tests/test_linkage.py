@@ -214,3 +214,74 @@ def test_fuzzy_join_audited_logs_union_into_stream(spark):
     row = merged.collect()[0]
     assert row.filename == "linkage_demo"
     assert row.reason == "hot_block_excluded n_left=9 n_right=9"
+
+
+def test_hot_blocks_null_key_merges_into_one_row(spark):
+    """ADVICE r11: a NULL block key (null match column) hot on BOTH
+    sides must produce ONE merged audit row, not two misleading
+    half-rows (n_left=N/n_right=0 and the mirror) — the full outer
+    join is null-safe now."""
+    from pyspark.sql import functions as F
+
+    from assignment_etl_spark.ops.linkage import (
+        _hot_blocks,
+        BLOCK_COL,
+        fuzzy_join_audited,
+    )
+
+    clean_rows = [(i, f"Entity#{i:06d}") for i in range(10)]
+    clean_rows += [(100 + j, None) for j in range(20)]
+    dirty_rows = [(i, f"Entity-{i:06d}") for i in range(10)]
+    dirty_rows += [(200 + j, None) for j in range(30)]
+    clean = spark.createDataFrame(clean_rows, "c_key long, c_nm string")
+    dirty = spark.createDataFrame(dirty_rows, "d_key long, d_nm string")
+    lb = F.substring(F.col("d_nm"), -6, 6)
+    rb = F.substring(F.col("c_nm"), -6, 6)
+    hot = _hot_blocks(
+        dirty.withColumn(BLOCK_COL, lb), clean.withColumn(BLOCK_COL, rb), 5
+    ).collect()
+    assert len(hot) == 1
+    row = hot[0]
+    assert row[BLOCK_COL] is None
+    assert (row.n_left, row.n_right) == (30, 20)
+    # and through the audited join: one log row, selective pairs intact
+    pairs, logs = fuzzy_join_audited(
+        dirty, clean, "d_nm", "c_nm",
+        left_block=lb, right_block=rb, max_block=5, max_dist=1,
+    )
+    lrows = logs.collect()
+    assert len(lrows) == 1
+    assert lrows[0].reason == "hot_block_excluded n_left=30 n_right=20"
+    assert sorted((r.d_key, r.c_key) for r in pairs.collect()) == [
+        (i, i) for i in range(10)
+    ]
+
+
+def test_fuzzy_join_audited_evaluates_hot_blocks_once(spark, monkeypatch):
+    """VERDICT r11 ask #5: the audited join computes the hot-block
+    aggregates ONCE — one _hot_blocks frame feeds both the log branch
+    and the exclusion set (previously each branch built its own)."""
+    from assignment_etl_spark.ops import linkage
+
+    calls = []
+    real = linkage._hot_blocks
+
+    def counting(l, r, max_block):
+        calls.append(max_block)
+        return real(l, r, max_block)
+
+    monkeypatch.setattr(linkage, "_hot_blocks", counting)
+    clean = spark.createDataFrame(
+        [(i, f"Entity#{i:06d}") for i in range(10)], "c_key long, c_nm string"
+    )
+    dirty = spark.createDataFrame(
+        [(i, f"Entity-{i:06d}") for i in range(10)], "d_key long, d_nm string"
+    )
+    pairs, logs = linkage.fuzzy_join_audited(
+        dirty, clean, "d_nm", "c_nm",
+        left_block=linkage.block_suffix("d_nm", 6),
+        right_block=linkage.block_suffix("c_nm", 6),
+        max_block=5,
+    )
+    assert pairs.count() == 10 and logs.count() == 0
+    assert calls == [5]
