@@ -497,25 +497,35 @@ def main() -> None:
                     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                # `queries` IS min-of-3 already; `runs3` holds all three
-                # wall-clocks so a flagged slowdown can be checked against
-                # in-run variance before it's treated as a plan regression
-                # (driver flags in r2-r4 were all host contention, never
-                # reproducible)
-                "queries": timings,
-                "runs3": runs3,
-                "sf": sf,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "regressions_vs_baseline": regressions,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        # `queries` IS min-of-3 already; `runs3` holds all three
+        # wall-clocks so a flagged slowdown can be checked against
+        # in-run variance before it's treated as a plan regression
+        # (driver flags in r2-r4 were all host contention, never
+        # reproducible)
+        "queries": timings,
+        "runs3": runs3,
+        "sf": sf,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "regressions_vs_baseline": regressions,
+    }
+    # The driver's BENCH_r{N}.json records only a 2000-char tail of this
+    # process's output (`parsed: None` every round so far), losing the
+    # per-query map. Persist the full result in-repo so cross-round
+    # per-query comparisons survive without regexing truncated tails.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:  # read-only checkout must not fail the bench
+        print(f"# BENCH_FULL.json not written: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -171,10 +171,17 @@ def test_offset_coprime_to_small_powers_of_ten():
     assert OFF % 1_000_000 >= 100_000
 
 
-def test_amplified_output_distributional_invariants(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("factor", [30, 1000])
+def test_amplified_output_distributional_invariants(spark, tmp_path, factor):
     """ONE generic invariant over the generated output itself (VERDICT
     r10 ask #4) — the property all four historical amplifier bugs
-    violated, asserted per table at a factor in the wrap regime (> 26):
+    violated, asserted per table at a factor in the wrap regime (> 26;
+    the 1000 case is VERDICT r11 ask #2's pre-flight for the sf100
+    sweep — the amplifier's first outing beyond the affine group's 312
+    maps, exercising the σ-scrambler stage):
 
     1. every rebased key column holds exactly factor × base distinct
        values (copies are disjoint — catches verbatim copies and any
@@ -196,7 +203,6 @@ def test_amplified_output_distributional_invariants(spark, tmp_path):
 
     src = "/root/testdata/sf0.001"
     out = str(tmp_path / "amp")
-    factor = 30
     amplify(spark, factor, out, src=src)
 
     for table, keys in REBASED_KEYS.items():
@@ -231,3 +237,52 @@ def test_amplified_output_distributional_invariants(spark, tmp_path):
             nd = amp.select(c).distinct().count()
             assert nd >= 0.999 * factor * nd_base, (table, c, nd, nd_base)
             assert nd <= factor * nd_base, (table, c, nd, nd_base)
+
+
+def test_composed_alphabets_distinct_to_factor_4056():
+    """r12 σ-scrambler stage: the composed map σ^(rep//312) ∘ affine
+    must be a DISTINCT bijection for every rep the pipeline claims to
+    support (312·13 = 4056), with reps < 312 bit-identical to the
+    affine-only generator (σ^0 = identity) so every existing sf1/sf10
+    directory stays reproducible. σ itself must not be affine, or the
+    "distinct cosets" composition argument collapses."""
+    import string
+
+    from tools.make_scale_data import (
+        _affine_alphabet,
+        _composed_alphabet,
+        _SIGMA,
+    )
+
+    az = string.ascii_lowercase
+    n = 312 * 13
+    alphabets = [_composed_alphabet(r) for r in range(n)]
+    assert len(set(alphabets)) == n, "composed substitution wraps"
+    for a in alphabets[:312] + alphabets[::97]:
+        assert sorted(a) == sorted(az), "not a bijection"
+    for r in range(312):
+        assert alphabets[r] == _affine_alphabet(r), r
+    affine_maps = {_affine_alphabet(r) for r in range(312)}
+    assert _SIGMA not in affine_maps, "σ must lie outside the affine group"
+
+
+def test_sub_text_factor_1000_matches_composed_alphabet(spark):
+    """End-to-end three-stage pipeline at factor 1000: every copy's
+    text must equal the single-table `_composed_alphabet` substitution
+    (the ground truth), and all 1000 texts must be distinct."""
+    from tools.make_scale_data import _composed_alphabet, _rep, _sub_text
+
+    base_text = "the quick brown fox jumps over the lazy dog"
+    base = spark.createDataFrame([(base_text,)], "text string")
+    rows = (
+        _sub_text(_rep(base, 1000), "text", F.col("_rep"), 1000)
+        .select("_rep", "text")
+        .collect()
+    )
+    assert len({r.text for r in rows}) == 1000
+    import string
+
+    az = string.ascii_lowercase
+    for r in rows:
+        table = str.maketrans(az, _composed_alphabet(r._rep))
+        assert r.text == base_text.translate(table), r._rep

@@ -7,6 +7,7 @@ the oracle's output hashes are pinned by GATES_UTF8.json — the
 GATES.json-style tripwire, so neither side can drift silently."""
 
 import json
+import re
 import sys
 from decimal import Decimal
 
@@ -304,6 +305,94 @@ def test_lexdiv_matches_python(spark, docs, docs_df):
     }
     for row in O.lexdiv_rows(docs):
         assert got[row[0]] == row, f"lexdiv mismatch doc {row[0]}"
-    # the ideographic-space doc tokenizes as ONE glued token
-    ideo = [i for i, t in docs if "　" in t and "　" in t.strip("　")]
-    assert any(got[i][1] < len(t.split()) + 2 for i, t in docs if i in ideo) or ideo
+    # the ideographic-space docs keep U+3000-joined words GLUED: the
+    # engine's ASCII-\s token count equals a pure-ASCII whitespace
+    # split and is strictly below Python's Unicode-whitespace split
+    # (which treats U+3000 as a separator)
+    by_id = dict(docs)
+    ideo = [i for i, t in docs if "　" in t.strip("　")]
+    assert ideo, "fixture lost its interior-ideographic-space doc"
+    for i in ideo:
+        t = by_id[i]
+        ascii_tokens = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t) if w]
+        assert got[i][1] == len(ascii_tokens), f"doc {i} not glued"
+        assert got[i][1] < len(t.split()), f"doc {i}: U+3000 split tokens"
+
+
+def test_streaming_quality_replay_matches_python(spark, docs, tmp_path):
+    """r12 streaming slice (VERDICT r11 ask #6): replay the UTF-8
+    corpus through stream_clean_with_quality in >= 5 micro-batches
+    (one jsonl file per trigger) and require the dual-output quality
+    record — c4 page verdicts + gopher flags — row-identical to the
+    batch-derived CPython oracle. The filters are stateless per doc,
+    so any batch-boundary leakage (state bleed, re-tokenization drift,
+    lost/duplicated docs across foreachBatch epochs) breaks the match."""
+    import json as _json
+
+    from assignment_etl_spark.ext.streaming import stream_clean_with_quality
+    from assignment_etl_spark.ext.text import c4_line_filter, gopher_flags
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    n_files = 5
+    for part in range(n_files):
+        with open(src / f"part{part}.jsonl", "w", encoding="utf-8") as fh:
+            for i, t in docs[part::n_files]:
+                fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def clean_fn(batch_df):
+        c4 = c4_line_filter(batch_df)
+        g = batch_df.select(
+            "doc_id", gopher_flags(F.col("text")).alias("q")
+        )
+        logs = c4.join(g, "doc_id").select(
+            "doc_id",
+            "page_kept",
+            "drop_reason",
+            F.col("q.passes").alias("gopher_passes"),
+            F.col("q.n_words").alias("n_words"),
+        )
+        clean = c4.filter("page_kept").select("doc_id", "text")
+        return clean, logs
+
+    q = stream_clean_with_quality(
+        stream,
+        clean_fn,
+        clean_path=str(tmp_path / "clean"),
+        logs_path=str(tmp_path / "logs"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= n_files, "replay must be multi-batch"
+
+    got = {
+        r.doc_id: (
+            r.doc_id,
+            r.page_kept,
+            r.drop_reason,
+            r.gopher_passes,
+            r.n_words,
+        )
+        for r in spark.read.parquet(str(tmp_path / "logs")).collect()
+    }
+    exp = O.streaming_quality_rows(docs)
+    assert len(got) == len(exp) == len(docs)
+    for row in exp:
+        assert got[row[0]] == row, f"streaming quality mismatch doc {row[0]}"
+    # the committed manifest hash pins this check end-to-end
+    committed = json.load(open("/root/repo/GATES_UTF8.json"))
+    assert (
+        O.canon_hash(sorted(got.values())) ==
+        committed["checks"]["streaming_quality_replay"]["hash"]
+    )
+    # the clean sink holds exactly the c4-kept pages
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    )
+    assert kept == sorted(i for i, _pk, *_rest in exp if _pk)

@@ -3,16 +3,39 @@ __spark_entry__ query against its DuckDB oracle at a given sf and compare
 row count, schema shape, and an order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --new-since <git-rev> [sf_dir]
+
+--new-since runs only gates present in the working-tree GATES.json but
+absent from <git-rev>'s GATES.json — the round-close insurance sweep for
+gates the driver's 50-query sample hasn't drawn yet (VERDICT r11 ask #8:
+fuzzy_audit_log_customers waited a full round for a driver sample).
+Exits 0 with a note when the round added no gates.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import subprocess
 import sys
 import time
 
 import duckdb
 import pandas as pd
+
+
+def gates_new_since(rev: str) -> list[str]:
+    """Gate names in the working-tree GATES.json but not in ``rev``'s."""
+    with open("/root/repo/GATES.json") as f:
+        now = set(json.load(f)["gates"])
+    out = subprocess.run(
+        ["git", "-C", "/root/repo", "show", f"{rev}:GATES.json"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    then = set(json.loads(out.stdout)["gates"])
+    return sorted(now - then)
 
 
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
@@ -34,8 +57,22 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    new_since = None
+    if argv and argv[0] == "--new-since":
+        if len(argv) < 2:
+            print("--new-since requires a git rev")
+            return 1
+        new_since, argv = argv[1], argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if new_since is not None:
+        new = gates_new_since(new_since)
+        if not new:
+            print(f"no gates added since {new_since} — nothing to sweep")
+            return 0
+        print(f"gates added since {new_since}: {new}")
+        only = set(new)
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry

@@ -10,9 +10,10 @@ selectivity. Content transforms keep per-copy distributions identical
 while preventing cross-copy artifacts that plain duplication would cause:
 
 - documents.text goes through a per-copy BIJECTIVE letter substitution
-  (an affine cipher x → a·x + k mod 26 keyed by rep; rep 0 = identity,
-  rep < 26 = the pure rotations of the original generator, distinct
-  map per rep up to factor 312): within a copy, duplicate /
+  (an affine cipher x → a·x + k mod 26 keyed by rep, composed with a
+  σ^(rep//312) scrambler beyond the affine group's 312 maps; rep 0 =
+  identity, rep < 26 = the pure rotations of the original generator,
+  distinct map per rep to factor 4056 — asserted by enumeration): within a copy, duplicate /
   near-duplicate structure is preserved exactly (dedup workloads see the
   realistic rate), but across copies shingles share nothing — a 10×
   corpus of DISTINCT documents, not ten clones of the same corpus, which
@@ -101,6 +102,31 @@ def _rebase(df, cols):
 # the 12 units of Z/26 — multipliers of the affine letter cipher below
 _AFFINE_UNITS = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
+# Stage-3 scrambler for factor > 312: the affine group over Z/26 has
+# only 312 elements, so reps beyond 312 would WRAP onto earlier cipher
+# maps (the fifth instance of the copy-wrap bug class). σ is a fixed
+# non-affine permutation (qwerty order — an affine map has ≤ 2 fixed
+# points unless it is the identity, σ visibly is neither); copies get
+# σ^(rep // 312) composed on their affine map. Distinct powers of σ
+# lie in distinct affine cosets, which `_sub_text` verifies by DIRECT
+# ENUMERATION of every composed alphabet rather than by group theory.
+_SIGMA = "qwertyuiopasdfghjklzxcvbnm"
+
+
+def _sigma_pow(j: int) -> str:
+    """Alphabet string of σ^j (σ = qwerty permutation), σ^0 = a..z."""
+    out = string.ascii_lowercase
+    for _ in range(j):
+        out = "".join(_SIGMA[ord(c) - 97] for c in out)
+    return out
+
+
+def _composed_alphabet(rep: int) -> str:
+    """Full per-copy substitution alphabet: σ^(rep//312) ∘ affine(rep).
+    The ground truth the staged translate pipeline must reproduce."""
+    s = _sigma_pow(rep // 312)
+    return "".join(s[ord(c) - 97] for c in _affine_alphabet(rep))
+
 
 def _affine_alphabet(rep: int) -> str:
     """Target alphabet of the per-copy substitution: the affine map
@@ -130,16 +156,28 @@ def _sub_text(df, text_col, rep_col, factor):
     factor > 26 — at factor 100 every rotation class had ~4 member
     copies whose texts were EXACT cross-copy duplicates (74.0% dup
     surplus at sf10, SCALE.md round-9). Affine maps keep the
-    "across copies shingles share nothing" contract to factor 312."""
-    assert factor <= 26 * len(_AFFINE_UNITS), (
-        f"affine substitution supports factor <= {26 * len(_AFFINE_UNITS)}"
+    "across copies shingles share nothing" contract to factor 312.
+
+    Factor > 312 (r12, the sf100 sweep needs factor 1000): a THIRD
+    translate stage composes σ^(rep // 312) on the affine output
+    (≤ ceil(factor/312) branches, keyed modularly like the others);
+    reps < 312 hit the identity branch, so every factor ≤ 312 corpus
+    is bit-identical to the two-stage generator. Distinctness of ALL
+    ``factor`` composed maps is asserted by enumerating the alphabets
+    (no wrap regression can slip through a group-theory argument)."""
+    n_sigma = -(-factor // 312)
+    assert factor <= 312 * 13, (
+        f"substitution pipeline supports factor <= {312 * 13}"
     )
+    assert (
+        len({_composed_alphabet(r) for r in range(factor)}) == factor
+    ), "composed substitution alphabets wrap before `factor`"
     az = string.ascii_lowercase
     n_units = min(len(_AFFINE_UNITS), -(-factor // 26))
     mult = F.translate(F.col(text_col), az, _affine_alphabet(0))  # a=1
     for ui in range(1, n_units):
         mult = F.when(
-            F.floor(rep_col / F.lit(26)).cast("int") == ui,
+            (F.floor(rep_col / F.lit(26)) % 12).cast("int") == ui,
             F.translate(F.col(text_col), az, _affine_alphabet(26 * ui)),
         ).otherwise(mult)
     rot = F.col("_t1")  # k=0 identity
@@ -148,7 +186,20 @@ def _sub_text(df, text_col, rep_col, factor):
             rep_col % 26 == k,
             F.translate(F.col("_t1"), az, _affine_alphabet(k)),
         ).otherwise(rot)
-    return df.withColumn("_t1", mult).withColumn(text_col, rot).drop("_t1")
+    if n_sigma == 1:
+        return df.withColumn("_t1", mult).withColumn(text_col, rot).drop("_t1")
+    scr = F.col("_t2")  # rep // 312 == 0: identity
+    for j in range(1, n_sigma):
+        scr = F.when(
+            F.floor(rep_col / F.lit(312)).cast("int") == j,
+            F.translate(F.col("_t2"), az, _sigma_pow(j)),
+        ).otherwise(scr)
+    return (
+        df.withColumn("_t1", mult)
+        .withColumn("_t2", rot)
+        .withColumn(text_col, scr)
+        .drop("_t1", "_t2")
+    )
 
 
 def _emb_perturb(rep_col, x, i):
@@ -158,8 +209,10 @@ def _emb_perturb(rep_col, x, i):
     twin of the text cipher wrap). Two independent basis patterns
     ((i%7)-3 and (i%5)-2, linearly independent over dim ≥ 8) keyed by
     (rep % 13, rep // 13) make the map rep → offset vector injective
-    across the full 312-rep range while the magnitude stays inside the
-    old envelope; reps < 13 add an exact 0.0 second term, so factor
+    for EVERY rep (the pair (rep % 13, rep // 13) is unique per rep,
+    no 312 cap here — verified to factor 1000 by the r12 property run)
+    while the magnitude stays inside the old envelope (0.03/component
+    at rep 999); reps < 13 add an exact 0.0 second term, so factor
     ≤ 13 corpora are value-identical to the old generator."""
     return (
         x
@@ -184,6 +237,10 @@ def amplify(spark, factor: int, out: str, src: str = SRC) -> None:
         return df
 
     def w(df, name, parts=8):
+        # scale file count with the amplification so sf100 tables land
+        # near the ~128 MB/file sweet spot instead of 16 multi-GB files
+        # (factor <= 16 keeps the historical layout byte-comparable)
+        parts = min(256, parts * max(1, factor // 16))
         df.repartition(parts).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )

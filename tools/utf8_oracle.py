@@ -689,6 +689,21 @@ def load_pii_fixture() -> list[tuple[int, str]]:
     return [(r["doc_id"], r["text"]) for r in rows]
 
 
+def streaming_quality_rows(docs: list[tuple[int, str]]) -> list[tuple]:
+    """Per-doc dual-output record of the streaming quality replay
+    (ext/streaming.stream_clean_with_quality over a multi-file
+    readStream of the corpus): (doc_id, c4 page_kept, c4 drop_reason,
+    gopher passes, gopher n_words). Derived from the batch oracles —
+    the filters are per-doc stateless, so the streamed result must be
+    IDENTICAL however the corpus is split into micro-batches; the
+    engine test replays in >= 5 batches to make that non-vacuous."""
+    c4 = {r[0]: r for r in c4_flags(docs)}
+    gop = {r[0]: r for r in gopher_rows(docs)}
+    return [
+        (i, c4[i][4], c4[i][5], gop[i][7], gop[i][1]) for i, _t in docs
+    ]
+
+
 # --- manifest ----------------------------------------------------------
 
 def load_fixture() -> list[tuple[int, str]]:
@@ -748,6 +763,12 @@ def checks(docs: list[tuple[int, str]]) -> dict[str, list[tuple]]:
     out["pii_scrub"] = pii_rows(load_pii_fixture())
     out["langid_decisions"] = langid_rows(docs)
     out["lexdiv_profile"] = lexdiv_rows(docs)
+    # --- round-12 extension (VERDICT r11 ask #6): the STREAMING quality
+    # path. Rows are per-doc and batch-size independent (the filters are
+    # stateless), so this oracle pins what a foreachBatch replay of the
+    # corpus through stream_clean_with_quality must reproduce regardless
+    # of micro-batch boundaries.
+    out["streaming_quality_replay"] = streaming_quality_rows(docs)
     return out
 
 
@@ -766,7 +787,10 @@ def main() -> int:
             "deterministic from the fixture. Round 11 adds the "
             "Java-vs-CPython regex families (PII / langid / lexdiv), "
             "replayed under re.ASCII to match Java's ASCII-only \\d \\w "
-            "\\s \\b and (?i)."
+            "\\s \\b and (?i). Round 12 adds streaming_quality_replay — "
+            "the per-doc c4+gopher record a multi-batch foreachBatch "
+            "replay of the corpus must reproduce batch-boundary-"
+            "independently."
         ),
         "checks": {
             name: {"rows": len(rows), "hash": canon_hash(rows)}
