@@ -199,7 +199,12 @@ def test_amplified_output_distributional_invariants(spark, tmp_path, factor):
     """
     from pyspark.sql import functions as F
 
-    from tools.make_scale_data import CONTENT_COLS, REBASED_KEYS, amplify
+    from tools.make_scale_data import (
+        CONTENT_COLS,
+        REBASED_KEYS,
+        amplify,
+        stride_cluster_allowance,
+    )
 
     src = "/root/testdata/sf0.001"
     out = str(tmp_path / "amp")
@@ -213,6 +218,7 @@ def test_amplified_output_distributional_invariants(spark, tmp_path, factor):
             vals = amp.select(k).distinct()
             nd = vals.count()
             assert nd == factor * nd_base, (table, k, nd, nd_base)
+            lo, hi = base.agg(F.min(k), F.max(k)).collect()[0]
             assert amp.agg(F.min(k)).collect()[0][0] >= 0, (table, k)
             hot = (
                 vals.groupBy((F.col(k) % 1_000_000).alias("slice"))
@@ -220,10 +226,24 @@ def test_amplified_output_distributional_invariants(spark, tmp_path, factor):
                 .agg(F.max("count"))
                 .collect()[0][0]
             )
-            # expected max residue-class load for nd values over 10^6
-            # slices is a birthday handful; any wrap stacks ~factor
-            # distinct values per slice
-            bound = max(6, 6 * -(-nd // 1_000_000))
+            # expected max residue-class load = birthday handful PLUS
+            # the exact arithmetic-progression clustering the stride
+            # implies for this table's base key span (three-distance:
+            # OFF·81 ≡ 17 mod 10^6, so a span-W base admits ~W/17
+            # lag-81k stacks — at factor 1000 over sf0.001 customers
+            # that is 1+8 = 9, measured AND predicted). A wrapped OFF
+            # drives the allowance toward `factor`; the cap rejects it.
+            allowance = stride_cluster_allowance(factor, int(hi - lo))
+            assert allowance <= max(6, factor // 10), (
+                f"{table}.{k}: stride clustering {allowance} approaches "
+                f"factor {factor} — OFF no longer strides this span"
+            )
+            bound = max(6, 6 * -(-nd // 1_000_000)) + allowance
+            # hot ≤ bound also bounds downstream suffix-block depth
+            # everywhere (occupied slices ≥ nd / hot), so no separate
+            # occupancy check is needed; the OFF ≡ 7 'nudge' class is
+            # rejected by test_offset_coprime_to_small_powers_of_ten
+            # and by the allowance cap above
             assert hot <= bound, (
                 f"{table}.{k}: {hot} distinct key values share one "
                 f"mod-10^6 slice (bound {bound}) — copy-wrap regression"

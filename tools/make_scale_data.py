@@ -80,6 +80,29 @@ CONTENT_COLS = {
 }
 
 
+def stride_cluster_allowance(
+    factor: int, span: int, mod: int = 1_000_000
+) -> int:
+    """Exact arithmetic-progression clustering the rebase stride implies
+    for a base key range of width ``span``: the number of rep lags
+    d < factor whose slice shift min(d·OFF mod m, m − d·OFF mod m) fits
+    inside the span — each such lag can stack one more distinct key on a
+    mod-m slice (three-distance clustering; OFF·81 ≡ 17 (mod 10^6), so
+    lags 81k land 17k apart and a span-W base admits ~W/17 of them,
+    capped by factor/81). The distributional property test adds this to
+    its birthday bound: without it, factor 1000 over sf0.001's ~150-wide
+    customer keys flags a healthy 9-deep slice (1 + 8 lags — measured
+    and predicted EXACTLY) as a wrap. A wrapped/nudged OFF pushes this
+    number toward ``factor`` itself, which the test's occupancy check
+    and the factor/10 cap both reject."""
+    out = 0
+    for d in range(1, factor):
+        s = (d * OFF) % mod
+        if min(s, mod - s) <= span:
+            out += 1
+    return out
+
+
 def _rep(df, factor):
     return df.withColumn(
         "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
