@@ -257,6 +257,14 @@ def amplify(spark, factor: int, out: str, src: str = SRC) -> None:
         df = spark.read.parquet(f"{src}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # the sf0.1 source tables are single parquet files, so without
+        # this the factor-F explode runs in ONE task (measured at
+        # factor 1000: lineitem = 600M rows through a single shuffle
+        # writer — the whole generation serialized on it). Spreading
+        # the small source first makes the explode embarrassingly
+        # parallel; content is unaffected.
+        if factor > 16:
+            df = df.repartition(32)
         return df
 
     def w(df, name, parts=8):
