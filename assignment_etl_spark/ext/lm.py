@@ -17,9 +17,16 @@ DuckDB oracle replays it bit-for-bit.
 Scale notes (100 TB corpus): tokenization is one explode (no shuffle); the
 lag window shuffles once on doc_id; training is two hash aggregations on
 token keys; scoring joins the token stream to the bigram/context tables on
-those keys — broadcast them when the vocabulary is small (the common case:
-LM tables are ~vocab² bounded, far smaller than the corpus), shuffle-join
-otherwise. Head words are skewed, but the joined side is counts (tiny
+those keys. The count tables grow with the corpus vocabulary, so the join
+strategy is ADAPTIVE by default (``broadcast_lm=None``): no hint is
+planted and AQE converts to broadcast at runtime iff the table's ACTUAL
+shuffle size is under the broadcast threshold — small corpora get the
+broadcast plan, big ones a sort-merge join that spills instead of OOMing.
+The r12 memory-pressure sweep measured the forced-broadcast failure this
+replaces: at sf10 under a 2g heap, score_backoff's five broadcast count
+tables OOM'd the executor, while the adaptive plan completes (heap-bounded
+spill). ``broadcast_lm=True`` remains for callers that KNOW the vocabulary
+is bounded. Head words are skewed, but the joined side is counts (tiny
 rows), so AQE's skew-join handles it; nothing is per-document state.
 When train and score read the same corpus, persist (or write out) the
 count tables returned by train_bigram_lm before scoring — they are lazy
@@ -79,7 +86,7 @@ def score_loglik(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
 ) -> DataFrame:
     """Per-document total log2-likelihood under the bigram LM:
     (id, n_tokens, sum_lp) with sum_lp the DECIMAL-exact sum of
@@ -87,7 +94,7 @@ def score_loglik(
     :func:`score_perplexity`, exposed for likelihood-RATIO operators
     (ext/dsir.py) where the exact sums must subtract cleanly."""
     bigrams, contexts, vocab = lm["bigrams"], lm["contexts"], lm["vocab"]
-    if broadcast_lm:
+    if broadcast_lm:  # None (adaptive) and False both leave AQE to pick
         bigrams, contexts = F.broadcast(bigrams), F.broadcast(contexts)
     big = _bigrams(docs, id_col=id_col, text_col=text_col)
     scored = (
@@ -122,7 +129,7 @@ def score_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
 ) -> DataFrame:
     """Per-document bigram perplexity: (id, n_tokens, ppl).
 
@@ -199,7 +206,7 @@ def score_backoff(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_lm: bool = True,
+    broadcast_lm: bool | None = None,
 ) -> DataFrame:
     """Per-document stupid-backoff pseudo-perplexity (id, n_tokens, sppl).
 

@@ -297,11 +297,14 @@ def negative_samples(
     standard hash-negative trade; raise k or re-salt to compensate).
 
     Scale shape: the item table rides a scalable global index
-    (ops/ids.global_row_number — no single-partition window) and is
-    broadcast into the candidate join (negatives sample from a bounded
-    catalog — the usual case; a billion-item catalog shuffles instead of
-    broadcasting, same plan otherwise). |items| enters as a 1-row
-    broadcast, never a driver scalar. Fully hash-replayable in SQL.
+    (ops/ids.global_row_number — no single-partition window); the
+    candidate join against it is ADAPTIVE — no broadcast hint, so AQE
+    converts to broadcast at runtime iff the catalog's actual size is
+    under the threshold, and a huge catalog takes a sort-merge join
+    that spills instead of OOMing (the r12 memory-pressure sweep
+    measured the forced-broadcast variant OOM at sf10 under a 2g heap
+    — a 2M-item index pinned on-heap per executor). |items| enters as
+    a 1-row broadcast, never a driver scalar. Hash-replayable in SQL.
     """
     from assignment_etl_spark.ext.sketch import portable_hash_int
     from assignment_etl_spark.ops.ids import global_row_number
@@ -328,7 +331,7 @@ def negative_samples(
             ).alias("_idx"),
         )
     )
-    withitem = cands.join(F.broadcast(idx), on="_idx").select(user_col, item_col)
+    withitem = cands.join(idx, on="_idx").select(user_col, item_col)
     return withitem.join(
         positives.select(user_col, item_col).distinct(),
         on=[user_col, item_col],

@@ -23,6 +23,30 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _mem_bytes(spec: str) -> int:
+    """'2g' / '512m' / '24g' → bytes (JVM -Xmx spec subset)."""
+    spec = spec.strip().lower()
+    mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}.get(spec[-1], 1)
+    return int(spec[:-1] if spec[-1] in "kmgt" else spec) * mult
+
+
+def broadcast_threshold_bytes(heap_spec: str) -> int:
+    """Broadcast budget scaled to the executor heap: min(64 MB, heap/100).
+
+    A broadcast-hash relation expands ~5-10× over its on-wire estimate
+    (boxed rows + hash table), is pinned on-heap per executor, and is the
+    ONE join input Spark cannot spill — so the threshold must be a
+    function of the heap, not a constant. 64 MB (the engine's historical
+    setting) is right for the default 24 g sandbox heap but lethal at
+    2 g: the r12 memory-pressure sweep measured `negative_sample_parts`
+    OOM at sf10/2g because a 2M-row item index estimated at ~32 MB
+    (< 64 MB → static BHJ) hashed into hundreds of on-heap MB. heap/100
+    keeps the expanded relation ~a few percent of the heap: 2 g → ~21 MB
+    (the index shuffle-joins and spills instead), ≥ 6.4 g → the 64 MB
+    cap (plans unchanged on the default config, bench unaffected)."""
+    return min(64 * 2**20, _mem_bytes(heap_spec) // 100)
+
+
 def get_spark(
     app_name: str = "assignment-etl-spark",
     master: str | None = None,
@@ -47,7 +71,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(broadcast_threshold_bytes(
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+            )),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -253,3 +253,42 @@ def test_good_turing_sgt_degenerate_single_frequency(spark):
     rows = good_turing_counts(corpus).collect()
     assert len(rows) == 1
     assert rows[0].r_star_sgt is None and rows[0].r_star is None
+
+
+def test_broadcast_lm_contract(spark, corpus):
+    """r12 memory-pressure finding: the LM count tables grow with the
+    corpus, so the join strategy must be ADAPTIVE by default — no hint,
+    AQE/static planner decides from sizes — with broadcast_lm=True as
+    the explicit small-vocab override. Pin the contract with the
+    threshold disabled: True still forces broadcast joins (hint beats
+    threshold); the default plants no hint, so no broadcast happens."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lm = train_backoff_lm(corpus)
+        forced = score_backoff(corpus, lm, broadcast_lm=True)
+        adaptive = score_backoff(corpus, lm)
+        from assignment_etl_spark import internals
+
+        forced_plan = internals.executed_plan_string(forced)
+        adaptive_plan = internals.executed_plan_string(adaptive)
+        assert "BroadcastHashJoin" in forced_plan
+        # the 1-row totals crossJoin stays broadcast by design; no
+        # EQUI-join may broadcast without the explicit override
+        assert "BroadcastHashJoin" not in adaptive_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_threshold_scales_with_heap():
+    """Session factory: the broadcast budget is heap-proportional with a
+    64 MB cap — a 64 MB threshold was measured lethal on a 2 g heap
+    (hashed relations expand ~5-10× and cannot spill), while the default
+    24 g sandbox keeps the historical 64 MB (bench plans unchanged)."""
+    from assignment_etl_spark.session import broadcast_threshold_bytes
+
+    assert broadcast_threshold_bytes("24g") == 64 * 2**20
+    assert broadcast_threshold_bytes("6g") < 64 * 2**20  # just under cap
+    assert broadcast_threshold_bytes("2g") == 2**31 // 100
+    assert broadcast_threshold_bytes("512m") == 2**29 // 100
+    assert broadcast_threshold_bytes("1048576") == 2**20 // 100
