@@ -156,9 +156,11 @@ CM_SALT_STEP = 7919  # distinct LCG salt per sketch row
 def portable_str_hash(col: Column) -> Column:
     """31-ary polynomial over codepoints mod P — the simhash/ngram
     family's string hash (ext/dedup.py), exposed for sketch keys. Empty
-    string → 0. ASCII-exact in any engine; for full Unicode parity both
-    engines must agree on code units (the test corpus is ASCII,
-    asserted by the gate family)."""
+    string → 0. Code-point exact: r12 probed Spark's
+    ascii(substring(...)) against CPython ord on BMP and ASTRAL chars
+    (both return full code points), and the UTF-8 HLL register gate
+    (GATES_UTF8 streaming_hll_token_registers) pins the parity on the
+    non-ASCII corpus — not just its ASCII slice."""
     poly = F.aggregate(
         F.sequence(F.lit(1), F.length(col)),
         F.lit(0).cast("long"),

@@ -396,3 +396,65 @@ def test_streaming_quality_replay_matches_python(spark, docs, tmp_path):
         r.doc_id for r in spark.read.parquet(str(tmp_path / "clean")).collect()
     )
     assert kept == sorted(i for i, _pk, *_rest in exp if _pk)
+
+
+def test_streaming_hll_registers_match_batch_and_python(spark, docs, tmp_path):
+    """r12 stateful streaming slice: HLL registers over the UTF-8 token
+    stream must be identical three ways — (1) the streaming max-merge
+    sink (stream_hll_sink, >= 5 micro-batches), (2) the one-shot batch
+    sketch, (3) the CPython oracle replay of the portable hash chain.
+    (1)==(2) proves the sink's claim that max-merge converges to the
+    batch sketch bit-for-bit regardless of batch boundaries; (2)==(3)
+    certifies portable_str_hash's code-point semantics on non-ASCII
+    text (probed: Spark's ascii(substring(..)) returns full code points
+    for BMP AND astral chars, matching CPython ord)."""
+    import json as _json
+
+    from assignment_etl_spark.ext.sketch import hll_sketch, portable_str_hash
+    from assignment_etl_spark.ext.streaming import stream_hll_sink
+
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    n_files = 5
+    for part in range(n_files):
+        with open(src / f"part{part}.jsonl", "w", encoding="utf-8") as fh:
+            for i, t in docs[part::n_files]:
+                fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    def tokens(df):
+        words = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+        return df.select(F.explode(words).alias("token")).select(
+            portable_str_hash(F.col("token")).alias("token_h")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream_hll_sink(
+        tokens(stream),
+        col="token_h",
+        path=str(tmp_path / "regs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        p=10,
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= n_files, "replay must be multi-batch"
+
+    streamed = sorted(
+        (r.idx, r.rho)
+        for r in spark.read.parquet(str(tmp_path / "regs")).collect()
+    )
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    one_shot = sorted(
+        (r.idx, r.rho) for r in hll_sketch(tokens(batch_df), "token_h", p=10).collect()
+    )
+    oracle = O.hll_token_registers(docs)
+    assert streamed == one_shot, "streaming max-merge diverged from batch sketch"
+    assert one_shot == oracle, "engine registers diverged from CPython oracle"
+    committed = json.load(open("/root/repo/GATES_UTF8.json"))
+    assert (
+        O.canon_hash(oracle)
+        == committed["checks"]["streaming_hll_token_registers"]["hash"]
+    )

@@ -704,6 +704,59 @@ def streaming_quality_rows(docs: list[tuple[int, str]]) -> list[tuple]:
     ]
 
 
+# --- portable HLL replica (ext/sketch.py) ------------------------------
+
+_HLL_A, _HLL_B, _HLL_X = 1103515245, 12345, 15  # portable.py constants
+
+
+def str_hash(s: str) -> int:
+    """ext/sketch.portable_str_hash: 31-ary codepoint polynomial mod
+    P31, empty → 0. Spark evaluates it as ascii(substring(...)), which
+    r12 PROBED to return full code points (BMP and astral both match
+    CPython ord), so this replica is exact on the whole corpus — not
+    just its ASCII slice as the engine docstring conservatively
+    claimed."""
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % P31
+    return acc
+
+
+def hash_int(v: int, salt: int = 0) -> int:
+    """ext/sketch.portable_hash_int: LCG + xorshift rounds mod P31."""
+    h = (v + salt) % P31
+    h = (h * _HLL_A + _HLL_B) % P31
+    h = h ^ (h >> _HLL_X)
+    h = (h * _HLL_A + _HLL_B) % P31
+    return h
+
+
+def hll_token_registers(
+    docs: list[tuple[int, str]], p: int = 10
+) -> list[tuple]:
+    """ext/sketch.hll_sketch register table over the corpus token-hash
+    stream (single-space split, empties dropped — the ext/lm._tokens
+    tokenization): sorted (idx, rho) rows. The engine test must land on
+    these registers BOTH one-shot and through the streaming max-merge
+    sink (stream_hll_sink), whatever the micro-batch boundaries."""
+    maxbits = 31 - p
+    regs: dict[int, int] = {}
+    for _i, t in docs:
+        for tok in t.split(" "):
+            if not tok:
+                continue
+            h = hash_int(str_hash(tok))
+            idx = h % (1 << p)
+            w = h >> p
+            rho = maxbits + 1
+            for k in range(1, maxbits + 1):
+                if w >= 1 << (maxbits - k):
+                    rho = k
+                    break
+            regs[idx] = max(regs.get(idx, 0), rho)
+    return sorted(regs.items())
+
+
 # --- manifest ----------------------------------------------------------
 
 def load_fixture() -> list[tuple[int, str]]:
@@ -769,6 +822,11 @@ def checks(docs: list[tuple[int, str]]) -> dict[str, list[tuple]]:
     # corpus through stream_clean_with_quality must reproduce regardless
     # of micro-batch boundaries.
     out["streaming_quality_replay"] = streaming_quality_rows(docs)
+    # r12 second streaming slice: the STATEFUL path — HLL registers over
+    # the token-hash stream, which the streaming max-merge sink must
+    # reproduce bit-for-bit regardless of batch boundaries (max-merge is
+    # idempotent+associative; the oracle replays hash → idx/rho → max).
+    out["streaming_hll_token_registers"] = hll_token_registers(docs)
     return out
 
 
