@@ -22,6 +22,11 @@ contract protects them across Spark versions):
   dropping the origin plan's preserved (product-inflatable) statistics
   (`io/store.stats_severed_local_checkpoint`; the round-11
   BigInteger-planning pathology).
+- ``cache_manager_is_empty / persistent_rdd_ids`` — session-level
+  cache/persistence introspection for the scale sweeps' measurement
+  discipline (tools/scale_curves3) and io/store's fallback-only
+  checkpoint-release id diff (r12: the last raw crossings outside this
+  module, migrated in).
 
 Every caller has a graceful fallback (slower, never wrong), so a Spark
 bump that removes one of these methods degrades silently — scattered
@@ -115,6 +120,21 @@ def severed_from_checkpoint(ck: DataFrame) -> DataFrame:
     return DataFrame(njdf, ck.sparkSession)
 
 
+def cache_manager_is_empty(spark) -> bool:
+    """``sharedState().cacheManager().isEmpty()`` — the scale sweeps'
+    cache-discipline assertion (a clearCache() that silently stopped
+    clearing would corrupt every cross-query measurement)."""
+    return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+
+def persistent_rdd_ids(spark) -> dict[int, object]:
+    """``sc._jsc.getPersistentRDDs()`` as ``{id: jrdd}`` — the scale
+    sweeps' forced checkpoint release and io/store's (fallback-only)
+    pre/post id diff when the LogicalRDD capture path is unavailable."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k): jmap.get(k) for k in jmap.keySet().toArray()}
+
+
 def probe(spark) -> dict[str, str | None]:
     """Exercise every crossing above against the live session.
 
@@ -185,6 +205,22 @@ def probe(spark) -> dict[str, str | None]:
             "checkpoint stats compounding"
         )
 
+    def p_cache_manager():
+        cached = spark.range(2).persist()
+        try:
+            cached.count()
+            assert not cache_manager_is_empty(spark), (
+                "cacheManager blind to a persisted frame"
+            )
+        finally:
+            cached.unpersist(True)
+        assert cache_manager_is_empty(spark), "unpersist not observed"
+
+    def p_persistent_rdd_ids():
+        ids = persistent_rdd_ids(spark)
+        # the probe's own eager localCheckpoint RDD must be visible
+        assert int(jrdd["rdd"].id()) in ids if jrdd.get("rdd") else ids is not None
+
     run("query_execution", p_query_execution)
     run("analyzed_plan", p_analyzed_plan)
     run("optimized_plan_stats", p_optimized_plan_stats)
@@ -192,6 +228,8 @@ def probe(spark) -> dict[str, str | None]:
     run("executed_plan_string", p_executed_plan_string)
     run("checkpoint_rdd", p_checkpoint_rdd)
     run("severed_from_checkpoint", p_severed_from_checkpoint)
+    run("cache_manager_is_empty", p_cache_manager)
+    run("persistent_rdd_ids", p_persistent_rdd_ids)
 
     if jrdd.get("rdd") is not None:
         try:

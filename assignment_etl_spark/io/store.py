@@ -118,13 +118,14 @@ def released_local_checkpoint(df: DataFrame):
     global getPersistentRDDs roundtrip was paid on every call but only
     ever read by the fallback)."""
     global _RDD_CAPTURE_TRUSTED
+    from assignment_etl_spark import internals
+
     spark = df.sparkSession
-    jsc = spark.sparkContext._jsc
     before = None
     with _RDD_CAPTURE_LOCK:
         trusted = _RDD_CAPTURE_TRUSTED
     if not trusted:
-        before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+        before = set(internals.persistent_rdd_ids(spark))
     ck = df.localCheckpoint(eager=True)
     jrdd = None
     try:
@@ -139,10 +140,9 @@ def released_local_checkpoint(df: DataFrame):
         if jrdd is not None:
             jrdd.unpersist(False)
         elif before is not None:
-            jmap = jsc.getPersistentRDDs()
-            for k in jmap.keySet().toArray():
-                if int(k) not in before:
-                    jmap.get(k).unpersist(False)
+            for rid, jr in internals.persistent_rdd_ids(spark).items():
+                if rid not in before:
+                    jr.unpersist(False)
         else:
             # capture succeeded earlier this process but failed now —
             # anomalous (the API is version-level); nothing safe to

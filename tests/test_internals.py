@@ -24,6 +24,8 @@ EXPECTED_CROSSINGS = [
     "executed_plan_string",
     "checkpoint_rdd",
     "severed_from_checkpoint",
+    "cache_manager_is_empty",
+    "persistent_rdd_ids",
 ]
 
 

@@ -113,15 +113,16 @@ def assert_no_cached_frames(spark, qname):
        checkpoints that NO caller could release (fixed at the source:
        driver-round-trip centroids, scoped per-batch checkpoints).
     """
+    from assignment_etl_spark import internals
+
     spark.catalog.clearCache()
-    cm = spark._jsparkSession.sharedState().cacheManager()
-    if not cm.isEmpty():
+    if not internals.cache_manager_is_empty(spark):
         raise AssertionError(
             f"cacheManager not empty before {qname!r} — a prior query "
             "leaked a persisted frame past clearCache()"
         )
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    leftover = list(jmap.keySet().toArray())
+    rdds = internals.persistent_rdd_ids(spark)
+    leftover = list(rdds)
     if leftover:
         print(
             f"# releasing {len(leftover)} checkpoint RDD(s) before "
@@ -130,8 +131,8 @@ def assert_no_cached_frames(spark, qname):
             flush=True,
         )
         for k in leftover:
-            jmap.get(k).unpersist(False)
-    n_rdds = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            rdds[k].unpersist(False)
+    n_rdds = len(internals.persistent_rdd_ids(spark))
     if n_rdds:
         raise AssertionError(
             f"{n_rdds} persistent RDD(s) still alive before {qname!r} "
