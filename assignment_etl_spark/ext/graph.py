@@ -56,7 +56,7 @@ def min_label_rounds(
     edges: DataFrame,
     *,
     rounds: int,
-    checkpoint_every: int | None = 1,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(node, label) after ``rounds`` SYNCHRONOUS min-label propagation
     steps over the undirected closure of (src, dst): every node starts
@@ -66,34 +66,53 @@ def min_label_rounds(
     convergence for dedup); the FIXED-round form here has a
     well-defined, engine-replayable result at any round count — the
     oracle-certifiable shape, same trade as pagerank's fixed
-    iterations. Each round is one join + one aggregate on node keys,
-    O(|E|) per round; labels are localCheckpointed per round to keep
-    plan depth constant."""
+    iterations.
+
+    Dataflow (r12 optimization — guide §2.4/§5): the closure gets a
+    SELF-LOOP per node, which folds "min of own and neighbors' labels"
+    into a single ``min`` over in-edges — so each round is ONE join +
+    ONE aggregate and the labels frame is consumed exactly once per
+    round. That makes the whole propagation a LINEAR lazy lineage:
+    no per-round eager localCheckpoint (the old form used labels twice
+    per round — once in the neighbor join, once in the merge join — so
+    without a barrier every consumer re-evaluated the full upstream,
+    including the LSH candidate join that feeds dedup: measured 58
+    jobs / 145 stages for dedup_keep_best_quality at sf0.1, down to
+    ~2 jobs after this change). The closure itself is reused every
+    round, so it is hash-partitioned by ``src`` once and persisted
+    (CacheManager-managed — strictly better hygiene than the old
+    per-round checkpoint RDDs, which clearCache() could not free).
+    ``checkpoint_every`` remains for DEEP round counts, now via
+    stats-severed checkpoints (io/store) so chained join stats cannot
+    compound; with the default (None) and the engine's fixed
+    rounds=4 callers, no barrier is needed — plan depth is bounded by
+    construction."""
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    for i in range(rounds):
-        neigh = (
-            und.join(labels.withColumnRenamed("node", "src"), on="src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("_nmin"))
-        )
-        labels = (
-            labels.join(neigh, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))
-                ).alias("label"),
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    und2 = (
+        und.unionByName(
+            nodes.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
             )
         )
+        .repartition("src")
+        .persist()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for i in range(rounds):
+        labels = (
+            und2.join(labels.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("label"))
+        )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+            from assignment_etl_spark.io.store import (
+                stats_severed_local_checkpoint,
+            )
+
+            labels = stats_severed_local_checkpoint(labels)
     return labels
 
 

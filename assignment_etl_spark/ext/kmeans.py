@@ -38,8 +38,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from assignment_etl_spark import internals
 
 # Input size (Catalyst plan stats, no job) above which the Lloyd assign
@@ -133,6 +131,47 @@ def stats_unroll(df: DataFrame) -> bool:
     return _stats_bytes(df) >= UNROLL_MIN_BYTES
 
 
+def _dlit(x: float) -> str:
+    """SQL fragment for an EXACT double literal: repr() round-trips the
+    binary double in shortest form, and CAST(string AS DOUBLE) parses
+    with Double.parseDouble (nearest = same bits). Avoids the SQL
+    parser's decimal-literal default for bare numerics."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sq_l2_sql(vcol: str, c: list, dim: int | None) -> str:
+    """SQL text of squared_l2(vcol, literal-centroid) — same Catalyst
+    expressions as the Column form (left-assoc unrolled sum with
+    ``dim``, else the zip_with/aggregate fold), built as ONE string so
+    a k·dim-literal argmin costs one py4j call instead of thousands
+    (measured: 2.2s of driver chatter per assign at k=8·m=4·d=16)."""
+    if dim is not None:
+        return "(" + " + ".join(
+            f"({vcol}[{i}] - {_dlit(c[i])}) * ({vcol}[{i}] - {_dlit(c[i])})"
+            for i in range(dim)
+        ) + ")"
+    arr = ", ".join(_dlit(x) for x in c)
+    return (
+        f"aggregate(zip_with({vcol}, array({arr}), "
+        f"(a, b) -> (a - b) * (a - b)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def argmin_struct_sql(
+    vcol: str, rows: list, dim: int | None
+) -> str:
+    """SQL text of the (dist, cidx) struct-min over literal centroids:
+    ``rows`` is [(cidx, centroid-list)]. array_min over structs
+    compares field-lexicographically (dist first, then cidx, nulls
+    first) — exactly the Lloyd window's orderBy('dist', 'cidx')."""
+    structs = ", ".join(
+        f"named_struct('dist', {_sq_l2_sql(vcol, c, dim)}, 'cidx', {int(cidx)})"
+        for cidx, c in rows
+    )
+    return f"array_min(array({structs}))"
+
+
 def squared_l2(v: Column, c: Column, *, dim: int | None = None) -> Column:
     """Σ(v_i − c_i)² as a left-associated double reduction.
 
@@ -192,7 +231,6 @@ def kmeans(
         (i + 1, list(r.v))
         for i, r in enumerate(pts.orderBy("pid").limit(k).collect())
     ]
-    cents = spark.createDataFrame(cents_rows, cents_schema)
     # the seed collect already paid for the dimension — unroll the
     # distance into codegen for LARGE inputs (bit-identical values);
     # small inputs keep the fold, whose plans build ~0.5s/stage faster
@@ -201,44 +239,54 @@ def kmeans(
         if cents_rows and _stats_bytes(pts) >= UNROLL_MIN_BYTES
         else None
     )
+    d_out = len(cents_rows[0][1]) if cents_rows else 0
 
-    def assign(cents_df: DataFrame) -> DataFrame:
-        d = pts.crossJoin(F.broadcast(cents_df)).select(
-            "pid", "v", "cidx",
-            squared_l2(F.col("v"), F.col("c"), dim=dim).alias("dist"),
-        )
-        wa = Window.partitionBy("pid").orderBy("dist", "cidx")
-        return (
-            d.withColumn("_rn", F.row_number().over(wa))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+    # r12 optimization (guide §2.4): the centroid state is DRIVER-side
+    # between iterations, so the assignment is an argmin over k KNOWN
+    # literal centroids — a pure projection, not a ×k broadcast-join
+    # fanout followed by a per-point window (the old shape shuffled and
+    # sorted n·k rows per assign). The (dist, cidx) struct min replays
+    # the window's orderBy("dist", "cidx") tie-break exactly (struct
+    # ordering is field-lexicographic, nulls first — same as the sort).
+    # The whole argmin is ONE F.expr parse — see _sq_l2_sql.
+    def assign(rows) -> DataFrame:
+        best = F.expr(argmin_struct_sql("v", [(cidx, c) for cidx, c in rows], dim))
+        return pts.withColumn("_m", best).select(
+            "pid", "v", F.col("_m.cidx").alias("cidx"), F.col("_m.dist").alias("dist")
         )
 
     dec = f"decimal(20,{comp_scale})"
     for _ in range(iters):
-        a = assign(cents)
-        dims = (
-            a.select("cidx", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cidx", "pos")
-            .agg(
-                F.sum(F.round(F.col("x"), comp_scale).cast(dec)).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
+        a = assign(cents_rows)
+        # centroid update in ONE aggregate: d per-component decimal sums
+        # + per-component non-null counts, no posexplode (which
+        # multiplied the pre-aggregation row count ×d) and no second
+        # collect_list shuffle — the cluster_centroids pattern. Each
+        # component mean keeps the exact engine arithmetic: decimal sum
+        # → double cast → IEEE division → HALF_UP round, identical to
+        # the old per-(cidx,pos) path.
         newc = (
-            dims.select(
-                "cidx",
-                "pos",
-                F.round(
-                    F.col("s").cast("double") / F.col("n"), mean_round
-                ).alias("m"),
-            )
-            .groupBy("cidx")
+            a.groupBy("cidx")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c")
+                *[
+                    F.expr(
+                        f"sum(CAST(round(v[{i}], {comp_scale}) AS {dec}))"
+                    ).alias(f"_s{i}")
+                    for i in range(d_out)
+                ],
+                *[
+                    F.expr(f"count(v[{i}])").alias(f"_n{i}")
+                    for i in range(d_out)
+                ],
+            )
+            .select(
+                "cidx",
+                F.expr(
+                    "array(" + ", ".join(
+                        f"round(CAST(_s{i} AS DOUBLE) / _n{i}, {mean_round})"
+                        for i in range(d_out)
+                    ) + ")"
+                ).alias("c"),
             )
         )
         # k-row collect (bounded): empty clusters keep their previous
@@ -247,5 +295,5 @@ def kmeans(
         cents_rows = [
             (cidx, new_map.get(cidx, c_old)) for cidx, c_old in cents_rows
         ]
-        cents = spark.createDataFrame(cents_rows, cents_schema)
-    return assign(cents).select("pid", "cidx", "dist"), cents
+    cents = spark.createDataFrame(cents_rows, cents_schema)
+    return assign(cents_rows).select("pid", "cidx", "dist"), cents

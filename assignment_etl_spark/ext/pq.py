@@ -44,13 +44,14 @@ store actually ships.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from assignment_etl_spark.ext.kmeans import (
     UNROLL_MIN_BYTES,
     _stats_bytes,
+    argmin_struct_sql,
     squared_l2,
 )
 
@@ -83,23 +84,41 @@ def _sub_pts(
 
 
 def _assign(
-    pts: DataFrame, cents: DataFrame, *, d_sub: int | None = None
+    pts: DataFrame, cents_rows: list, *, d_sub: int | None = None
 ) -> DataFrame:
-    """Per-(pid, sub) argmin over that subspace's k centroids: the
-    broadcast join fans each subvector out ×k (bounded — k is a model
-    constant), the window keys on (pid, sub) so no partition exceeds k
-    rows. Ties break on cidx, the portable-kmeans rule. ``d_sub``
-    unrolls the distance into codegen (bit-identical values — see
-    squared_l2)."""
-    d = pts.join(F.broadcast(cents), on="sub").select(
-        "pid", "sub", "v", "cidx",
-        squared_l2(F.col("v"), F.col("c"), dim=d_sub).alias("dist"),
-    )
-    w = Window.partitionBy("pid", "sub").orderBy("dist", "cidx")
-    return (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    """Per-(pid, sub) argmin over that subspace's k centroids as a PURE
+    PROJECTION (r12, guide §2.4): the codebook state is driver-side
+    between Lloyd iterations, so each row's argmin is a (dist, cidx)
+    struct min over its subspace's k LITERAL centroids — no ×k
+    broadcast-join fanout and no per-(pid, sub) window shuffle+sort of
+    n·m·k rows (the old shape). The struct min replays the window's
+    orderBy("dist", "cidx") tie-break exactly. ``d_sub`` unrolls the
+    distance into codegen (bit-identical values — see squared_l2)."""
+    by_sub: dict[int, list] = {}
+    for sub, cidx, c in cents_rows:
+        by_sub.setdefault(sub, []).append((cidx, c))
+
+    # CASE sub WHEN ... dispatch: a row evaluates only its own
+    # subspace's k distances (CASE branches are lazy). The whole
+    # m·k·d_sub-literal expression is ONE F.expr parse — building it
+    # through the Column API cost ~2.2s of py4j chatter per assign
+    # (see ext/kmeans._sq_l2_sql).
+    subs = sorted(by_sub)
+    if len(subs) == 1:
+        best_sql = argmin_struct_sql("v", by_sub[subs[0]], d_sub)
+    else:
+        whens = " ".join(
+            f"WHEN {sub} THEN {argmin_struct_sql('v', by_sub[sub], d_sub)}"
+            for sub in subs[1:]
+        )
+        best_sql = (
+            f"CASE sub {whens} "
+            f"ELSE {argmin_struct_sql('v', by_sub[subs[0]], d_sub)} END"
+        )
+    best: Column = F.expr(best_sql)
+    return pts.withColumn("_m", best).select(
+        "pid", "sub", "v",
+        F.col("_m.cidx").alias("cidx"), F.col("_m.dist").alias("dist"),
     )
 
 
@@ -153,36 +172,42 @@ def pq_train(
         .select("sub", "cidx", F.col("v").alias("c"))
         .collect()
     ]
-    cents = spark.createDataFrame(cents_rows, cents_schema)
     dec = f"decimal(20,{comp_scale})"
     for _ in range(iters):
-        a = _assign(pts, cents, d_sub=unroll_dim)
-        dims = (
-            a.select("sub", "cidx", F.posexplode("v").alias("pos", "x"))
-            .groupBy("sub", "cidx", "pos")
-            .agg(
-                F.sum(F.round(F.col("x"), comp_scale).cast(dec)).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-        # the mean is NOT re-rounded: the decimal sum is exact, its
-        # double image is the deterministic nearest double, and the
-        # IEEE division is bit-identical in any engine — whereas a
-        # round-to-9 HERE is where engines diverge (Spark rounds the
-        # shortest string repr HALF_UP, DuckDB multiplies and rounds;
-        # Lloyd means are sums over small counts, which land near
-        # 1e-9 ties systematically — observed at sf0.01)
+        a = _assign(pts, cents_rows, d_sub=unroll_dim)
+        # centroid update in ONE aggregate (r12): d_sub per-component
+        # decimal sums + per-component non-null counts keyed on
+        # (sub, cidx) — no posexplode (which multiplied the
+        # pre-aggregation row count ×d_sub) and no second collect_list
+        # shuffle. The mean is NOT re-rounded: the decimal sum is
+        # exact, its double image is the deterministic nearest double,
+        # and the IEEE division is bit-identical in any engine —
+        # whereas a round-to-9 HERE is where engines diverge (Spark
+        # rounds the shortest string repr HALF_UP, DuckDB multiplies
+        # and rounds; Lloyd means are sums over small counts, which
+        # land near 1e-9 ties systematically — observed at sf0.01)
         newc = (
-            dims.select(
-                "sub", "cidx", "pos",
-                (F.col("s").cast("double") / F.col("n")).alias("mval"),
-            )
-            .groupBy("sub", "cidx")
+            a.groupBy("sub", "cidx")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
-                    lambda s: s["mval"],
-                ).alias("c")
+                *[
+                    F.expr(
+                        f"sum(CAST(round(v[{i}], {comp_scale}) AS {dec}))"
+                    ).alias(f"_s{i}")
+                    for i in range(d_sub)
+                ],
+                *[
+                    F.expr(f"count(v[{i}])").alias(f"_n{i}")
+                    for i in range(d_sub)
+                ],
+            )
+            .select(
+                "sub", "cidx",
+                F.expr(
+                    "array(" + ", ".join(
+                        f"CAST(_s{i} AS DOUBLE) / _n{i}"
+                        for i in range(d_sub)
+                    ) + ")"
+                ).alias("c"),
             )
         )
         # m×k-row collect (bounded): empty cells keep their previous
@@ -192,8 +217,10 @@ def pq_train(
             (sub, cidx, new_map.get((sub, cidx), c_old))
             for sub, cidx, c_old in cents_rows
         ]
-        cents = spark.createDataFrame(cents_rows, cents_schema)
-    codes = _assign(pts, cents, d_sub=unroll_dim).select("pid", "sub", "cidx", "dist")
+    cents = spark.createDataFrame(cents_rows, cents_schema)
+    codes = _assign(pts, cents_rows, d_sub=unroll_dim).select(
+        "pid", "sub", "cidx", "dist"
+    )
     return codes, cents
 
 

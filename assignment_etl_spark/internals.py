@@ -206,6 +206,11 @@ def probe(spark) -> dict[str, str | None]:
         )
 
     def p_cache_manager():
+        # Relative to the session's pre-probe state: a shared session may
+        # legitimately hold other cached frames (test suites, long-lived
+        # pipelines), in which case isEmpty() can only be asserted to
+        # RETURN to its baseline, not to become globally true.
+        was_empty = cache_manager_is_empty(spark)
         cached = spark.range(2).persist()
         try:
             cached.count()
@@ -214,7 +219,9 @@ def probe(spark) -> dict[str, str | None]:
             )
         finally:
             cached.unpersist(True)
-        assert cache_manager_is_empty(spark), "unpersist not observed"
+        assert cache_manager_is_empty(spark) == was_empty, (
+            "unpersist not observed"
+        )
 
     def p_persistent_rdd_ids():
         ids = persistent_rdd_ids(spark)
