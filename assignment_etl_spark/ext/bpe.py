@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 
 PAIR_RE = r"\(([^)]*)\)"
 
+# Merge rounds between symbol-table checkpoints in the trainers: the
+# per-round update is a pure projection (nested literal replace), so
+# lineage between checkpoints is a bounded replace chain — no stats
+# compounding (projections don't multiply sizeInBytes), recompute per
+# pair-count scan ≤ this many rounds of replaces over the vocab-bounded
+# word table, and each skipped checkpoint saves one eager job.
+_CHECKPOINT_EVERY_ROUNDS = 8
+
 
 def word_freq(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(word, n) corpus word-frequency table — the one corpus pass that
@@ -164,6 +172,18 @@ def train_bpe(
     )
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
+    # r12 (guide §2.4/§5): a merge round's symbol update is a PURE
+    # PROJECTION (nested literal replace — the encode_words shape), so
+    # it does not need a materialization barrier every round: chain the
+    # replaces lazily and re-checkpoint only every
+    # _CHECKPOINT_EVERY_ROUNDS rounds. Projection-only lineage cannot
+    # compound join stats (the viterbi pathology), plan depth stays
+    # bounded by the chain cap, and each skipped checkpoint removes one
+    # eager job + one persisted-RDD write per round (measured: the
+    # 10-merge gate ran 35-55 jobs, about half of them per-round
+    # checkpoints; the recompute cost is ≤ cap·batch_k replaces over
+    # the vocab-bounded word table per pair-count scan).
+    chained = 0
     while len(merges) < n_merges:
         k = min(batch_k, n_merges - len(merges))
         window = 1 if k == 1 else max(4 * k, 16)
@@ -188,7 +208,11 @@ def train_bpe(
             col = F.replace(
                 col, F.lit(f"({r.lft})({r.rgt})"), F.lit(f"({r.lft}{r.rgt})")
             )
-        sym = sym.select(col.alias("s"), "n").localCheckpoint(eager=True)
+        sym = sym.select(col.alias("s"), "n")
+        chained += 1
+        if chained >= _CHECKPOINT_EVERY_ROUNDS:
+            sym = sym.localCheckpoint(eager=True)
+            chained = 0
     if stats is not None:
         stats["rounds"] = rounds
     return merges
@@ -335,6 +359,7 @@ def train_wordpiece(
     )
     merges: list[tuple[int, str, str, int, float]] = []
     rounds = 0
+    chained = 0  # see train_bpe: checkpoint every N projection rounds
     while len(merges) < n_merges:
         pc = _pair_counts(sym)
         sc = _symbol_counts(sym)
@@ -374,7 +399,11 @@ def train_wordpiece(
                 F.lit(f"({r.lft}{r.rgt})"),
             ).alias("s"),
             "n",
-        ).localCheckpoint(eager=True)
+        )
+        chained += 1
+        if chained >= _CHECKPOINT_EVERY_ROUNDS:
+            sym = sym.localCheckpoint(eager=True)
+            chained = 0
     if stats is not None:
         stats["rounds"] = rounds
     return merges

@@ -200,6 +200,14 @@ def hits(
     dec = f"decimal(28,{scale})"
 
     def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+        # r12 (guide §5): the input feeds BOTH the norm aggregate and
+        # the rescale projection — without a barrier every half-step
+        # re-evaluated its full upstream twice, compounding to ~2^(2·iters)
+        # subtree evaluations (measured: 47 jobs / 96 stages for one
+        # hits_event_graph action at sf0.1; ~10 stages persisted).
+        # CacheManager-managed, released by the session's clearCache
+        # discipline like every other query-scoped persist.
+        scores = scores.persist()
         norm = scores.agg(F.sum(col).alias("_norm"))
         return scores.crossJoin(F.broadcast(norm)).select(
             "node",

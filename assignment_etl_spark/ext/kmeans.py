@@ -214,6 +214,17 @@ def kmeans(
     a final assignment pass against the final centroids. assignments =
     (pid, cidx, dist); centroids = (cidx, c: array<double>)."""
     spark = df.sparkSession
+    # fan out low-partition inputs (a single-file local parquet) to the
+    # session's parallelism: the r12 projection argmin runs the Lloyd
+    # distance work WHERE THE INPUT SITS — the old join+window shape
+    # paid a shuffle that incidentally rebalanced, so without this
+    # guard a 2-split scan computes every fold on 2 cores (measured at
+    # sf1: ivfpq_search_topk ~15% slower than the window path). Real
+    # cluster layouts arrive with thousands of splits and skip this
+    # (the _sig_frame fan-out precedent).
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     pts = df.select(
         F.col(id_col).alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -141,6 +141,15 @@ def pq_train(
     cents = (sub, cidx, c: array<double> of length d_sub)."""
     if m < 1 or k < 1 or d_sub < 1:
         raise ValueError(f"need m, k, d_sub >= 1, got {m}, {k}, {d_sub}")
+    # fan out low-partition inputs before the projection argmin — the
+    # Lloyd distance work now runs where the input sits (no assign
+    # shuffle to rebalance it); see ext/kmeans.kmeans for the measured
+    # rationale. Checkpoint/shuffle-shaped inputs (the ivfpq residual
+    # frame) already sit at shuffle parallelism and skip this.
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     pts = _sub_pts(df, id_col, vec_col, m, d_sub)
     # same size-gated codegen unroll as ext/kmeans (values identical);
     # the stats verdict is derived from the plan's BASE SCANS, so
@@ -160,7 +169,6 @@ def pq_train(
     # between iterations — severs lineage without persistence (the
     # localCheckpoint it replaces leaked its checkpoint RDDs past
     # clearCache at steady state; see ext/kmeans.py for the full note).
-    spark = df.sparkSession
     cents_schema = "sub int, cidx int, c array<double>"
     cents_rows = [
         (r.sub, r.cidx, list(r.c))
