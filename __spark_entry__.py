@@ -2458,12 +2458,17 @@ def q_rank_agreement_quality_length(spark: SparkSession, sf_dir: str) -> DataFra
     qa = docs.select(
         "doc_id", quality_score(F.col("text")).alias("s")
     ).filter(F.col("s").isNotNull())
-    a = ranked(qa, id_col="doc_id", score_col="s")
+    # both comparators consume BOTH rankings (spearman joins + re-ranks,
+    # rbo joins again) — persist them so the quality-score regex chain
+    # and the two range-exchange rank assignments evaluate once, not
+    # once per consumer (r12, guide §5; CacheManager-managed like every
+    # query-scoped persist)
+    a = ranked(qa, id_col="doc_id", score_col="s").persist()
     b = ranked(
         docs.select("doc_id", F.col("n_chars").cast("double").alias("s")),
         id_col="doc_id",
         score_col="s",
-    )
+    ).persist()
     sp = spearman_rho(a, b, id_col="doc_id")
     rb = rbo_estimate(a, b, id_col="doc_id", p=0.9, depth=50)
     return sp.crossJoin(rb)
@@ -9045,21 +9050,29 @@ def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    # one gram-mining pass, materialized: the decontaminate() filter is
-    # hits >= min_hits by definition, so deriving the post-filter corpus
-    # size from the SAME hits frame halves the work vs re-mining grams
-    # (decontaminate's anti-join path is unit-tested in test_decontam.py)
-    hits = contamination_hits(docs, bench, n=5).localCheckpoint(eager=True)
-    n_docs = docs.count()
+    # one gram-mining pass: the decontaminate() filter is hits >= min_hits
+    # by definition, so deriving the post-filter corpus size from the SAME
+    # hits frame halves the work vs re-mining grams (decontaminate's
+    # anti-join path is unit-tested in test_decontam.py). The hits frame
+    # is consumed exactly ONCE (this aggregate), so it needs no
+    # materialization barrier, and the corpus size rides a 1-row broadcast
+    # instead of a driver count — the whole query is one lazy dataflow
+    # (r12: the old eager localCheckpoint + docs.count() paid two extra
+    # jobs per call and held a checkpoint RDD outside the CacheManager).
+    hits = contamination_hits(docs, bench, n=5)
+    n_docs_row = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
     summary = hits.agg(
         F.count(F.lit(1)).alias("n_contaminated"),
         F.sum("n_hits").alias("total_hits"),
         F.sum("doc_id").alias("id_checksum"),
-        (
-            F.lit(n_docs) - F.count(F.when(F.col("n_hits") >= 2, 1))
-        ).alias("n_clean_min2"),
+        F.count(F.when(F.col("n_hits") >= 2, 1)).alias("_n_min2"),
+    ).crossJoin(F.broadcast(n_docs_row))
+    return summary.select(
+        "n_contaminated",
+        "total_hits",
+        "id_checksum",
+        (F.col("_n_docs") - F.col("_n_min2")).alias("n_clean_min2"),
     )
-    return summary.select("n_contaminated", "total_hits", "id_checksum", "n_clean_min2")
 
 
 SQL_DECONTAMINATE_DOCUMENTS = r"""
@@ -12677,7 +12690,7 @@ def q_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables; unprobed cells are never rescanned. The oracle chains the
     coarse-kmeans CTE block, a residual CTE, the namespaced PQ Lloyd
     block, and the probed-cell ADC replay."""
-    from assignment_etl_spark.ext.kmeans import kmeans, stats_unroll
+    from assignment_etl_spark.ext.kmeans import kmeans
     from assignment_etl_spark.ext.pq import ivfpq_search, pq_train
 
     _prep(spark)
@@ -12704,11 +12717,6 @@ def q_ivfpq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, pq_cents = pq_train(
         res, id_col="pid", vec_col="res",
         m=_PQ_M, d_sub=_PQ_DSUB, k=_PQ_K, iters=_PQ_ITERS,
-        # the checkpoint collapses res's plan to one LogicalRDD leaf
-        # carrying the JOIN's product-inflated estimate, so even the
-        # scan-derived stats gate can't see through it to the base
-        # data: pass the base table's verdict for the codegen unroll
-        unroll=stats_unroll(emb),
     )
     codes_cell = codes.join(res.select("pid", "cell"), on="pid").select(
         "pid", "cell", "sub", "cidx"

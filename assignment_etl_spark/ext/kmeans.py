@@ -242,14 +242,16 @@ def kmeans(
         (i + 1, list(r.v))
         for i, r in enumerate(pts.orderBy("pid").limit(k).collect())
     ]
-    # the seed collect already paid for the dimension — unroll the
-    # distance into codegen for LARGE inputs (bit-identical values);
-    # small inputs keep the fold, whose plans build ~0.5s/stage faster
-    dim = (
-        len(cents_rows[0][1])
-        if cents_rows and _stats_bytes(pts) >= UNROLL_MIN_BYTES
-        else None
-    )
+    # The projection argmin always uses the PORTABLE FOLD: in the old
+    # one-distance-per-joined-row shape the size-gated codegen unroll
+    # won 3.3× at sf10, but the argmin evaluates k distances in ONE
+    # expression — k·dim unrolled terms blow janino's 64 KB method
+    # limit ("Code grows beyond 64 KB"), so the whole projection falls
+    # back to interpreted AND pays a failed compile per stage (measured
+    # at sf10, k=4·dim=64: unrolled first-run 6.8s / warm 1.57s vs fold
+    # 1.3s / 1.02s). squared_l2's dim unroll remains for one-distance
+    # callers (ADC LUTs, ext/projection).
+    dim = None
     d_out = len(cents_rows[0][1]) if cents_rows else 0
 
     # r12 optimization (guide §2.4): the centroid state is DRIVER-side

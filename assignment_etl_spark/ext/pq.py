@@ -49,8 +49,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from assignment_etl_spark.ext.kmeans import (
-    UNROLL_MIN_BYTES,
-    _stats_bytes,
     argmin_struct_sql,
     squared_l2,
 )
@@ -151,14 +149,14 @@ def pq_train(
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     pts = _sub_pts(df, id_col, vec_col, m, d_sub)
-    # same size-gated codegen unroll as ext/kmeans (values identical);
-    # the stats verdict is derived from the plan's BASE SCANS, so
-    # join-product-inflated roots can't mis-gate it; explicit
-    # ``unroll`` still overrides for unknown-stats inputs (a bare
-    # LogicalRDD with sentinel stats keeps the fold by default)
-    if unroll is None:
-        unroll = _stats_bytes(df) >= UNROLL_MIN_BYTES
-    unroll_dim = d_sub if unroll else None
+    # ``unroll`` is retained for API compatibility but no longer
+    # drives the assign: the projection argmin evaluates all m·k
+    # distances in one expression, and unrolling that blows janino's
+    # 64 KB method limit — interpreted fallback PLUS a failed compile
+    # per stage (measured at sf10, m=4·k=8·d=16: unrolled warm 2.0s +
+    # ~4s compile overhead vs fold 1.5s flat). The fold is the faster
+    # AND compilable form at every tested scale; see ext/kmeans.kmeans.
+    unroll_dim = None
     # init: the k smallest ids' subvectors, every subspace — ONE
     # TakeOrderedAndProject over the source table (bounded k rows),
     # exploded after, so no per-subspace window touches the data
