@@ -7451,7 +7451,7 @@ def q_psi_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     total PSI rides the decimal-sum policy — fully SQL-replayable
     including the EPS-floored log terms. The per-bin profile ships with
     the headline number so the drift is explainable, not just flagged."""
-    from assignment_etl_spark.ext.drift import fixed_width_bin, psi, psi_profile
+    from assignment_etl_spark.ext.drift import fixed_width_bin, psi_profile
 
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
@@ -7463,17 +7463,24 @@ def q_psi_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = fixed_width_bin("x", lo=0.0, hi=600000.0, n_bins=12)
     prof = psi_profile(ref, cur, b)
-    total = psi(ref, cur, b)
+    # psi_total replays ext/drift.psi's exact decimal-sum-then-round as
+    # a window over the ≤12-row profile — calling psi() here evaluated
+    # the whole two-sided profile (both orders scans) a second time
+    psi_total = F.round(
+        F.sum(F.col("psi_term").cast("decimal(18,8)"))
+        .over(Window.partitionBy())
+        .cast("double"),
+        6,
+    )
     return (
-        prof.crossJoin(F.broadcast(total.select(F.col("psi").alias("psi_total"))))
-        .select(
+        prof.select(
             "bin",
             "n_ref",
             "n_cur",
             F.round("share_ref", 6).alias("share_ref"),
             F.round("share_cur", 6).alias("share_cur"),
             F.round("psi_term", 6).alias("psi_term"),
-            "psi_total",
+            psi_total.alias("psi_total"),
         )
         .orderBy("bin")
     )

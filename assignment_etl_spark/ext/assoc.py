@@ -62,11 +62,16 @@ def association_rules(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
         .distinct()
+        # four consumers (n_baskets, item supports, both self-join
+        # sides) — persist so the raw scan + distinct shuffle run once
+        .persist()
     )
     n = bi.select("basket").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )
-    item_sup = bi.groupBy("item").agg(F.count(F.lit(1)).alias("sup"))
+    item_sup = bi.groupBy("item").agg(
+        F.count(F.lit(1)).alias("sup")
+    ).persist()  # joined on both the antecedent and consequent side
     a = bi.select(F.col("basket"), F.col("item").alias("ia"))
     b = bi.select(F.col("basket"), F.col("item").alias("ib"))
     # unordered pair counts once (ia < ib), emitted in both directions

@@ -43,10 +43,16 @@ def pmi_collocations(
     toks = docs.select(tokenize(text_col).alias("_l")).withColumn(
         "_n", F.size("_l")
     )
+    # uni feeds three consumers (the _nu total, cx, cy) and bi two (the
+    # _nb total and the scored flow); unpersisted, every consumer
+    # re-tokenizes the corpus from scratch. Persist both count tables —
+    # vocab-sized, far smaller than the corpus — so the two tokenize
+    # passes run once each (query-scoped, CacheManager-managed).
     uni = (
         toks.select(F.explode("_l").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     bigrams = toks.filter(F.col("_n") >= 2).select(
         F.explode(
@@ -59,7 +65,7 @@ def pmi_collocations(
     )
     bi = bigrams.groupBy(
         F.col("p.x").alias("x"), F.col("p.y").alias("y")
-    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    ).agg(F.count(F.lit(1)).alias("n_xy")).persist()
     totals = uni.agg(F.sum("c").alias("_nu")).crossJoin(
         bi.agg(F.sum("n_xy").alias("_nb"))
     )

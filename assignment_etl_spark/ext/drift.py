@@ -55,12 +55,18 @@ def bin_counts(df: DataFrame, bin_col: F.Column) -> DataFrame:
 
 def shares_from_counts(counts: DataFrame, *, round_to: int = 10) -> DataFrame:
     """(bin, n, share) from a (bin, n) table: share = n/total via a
-    1-row broadcast (never a driver scalar)."""
-    total = counts.agg(F.sum("n").alias("_total"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    window over the bin-bounded counts (never a driver scalar). The
+    total used to ride a 1-row broadcast, but its build re-evaluated
+    the counts lineage — a second full scan of the underlying data per
+    call; the window keeps it one pass. Inputs are per-bin count
+    tables (≤ bin-domain rows), never raw data, so the single-partition
+    window is bounded at any scale."""
+    return counts.select(
         "bin",
         "n",
-        F.round(F.col("n") / F.col("_total"), round_to).alias("share"),
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy()), round_to
+        ).alias("share"),
     )
 
 
@@ -194,27 +200,27 @@ def chi_square_independence(
     aggregate (only OBSERVED cells — structural zeros never materialize,
     because chi² = Σ_observed o²/e − n algebraically absorbs them:
     Σ_all (o−e)²/e = Σ_all o²/e − 2n + Σ_all e and zero cells contribute
-    only to Σe = n); marginals re-aggregate the cell table, never the
-    data; expected counts come from broadcast marginal joins. Each
+    only to Σe = n); marginals and the total ride windows over the cell
+    table, never re-aggregating the data. Each
     o²/e term is a single double expression rounded and summed as
     decimal — the determinism policy — so the statistic replays exactly
     in SQL. Compare against the chi-square critical value for
     dof = (|A|−1)(|B|−1) offline."""
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
-    ra = cells.groupBy(col_a).agg(F.sum("o").alias("n_a"))
-    rb = cells.groupBy(col_b).agg(F.sum("o").alias("n_b"))
-    tot = cells.agg(
-        F.sum("o").alias("n"),
-        F.countDistinct(col_a).alias("ka"),
-        F.countDistinct(col_b).alias("kb"),
-    )
+    # Marginals (n_a, n_b) and the grand total n are pure column sums of
+    # the cells table, so they ride windows over the |A|·|B|-bounded
+    # aggregate instead of three more aggregates of it — unpersisted,
+    # each of those re-scanned the raw input (4 scans for 1 statistic);
+    # with windows the input is scanned exactly once. ka/kb fold into
+    # the final global aggregate (cells has one row per observed pair,
+    # so countDistinct there equals the old tot's countDistinct).
     term = F.round(
         F.col("o") * F.col("o") / F.col("_e"), 10
     ).cast("decimal(28,10)")
     return (
-        cells.join(F.broadcast(ra), on=col_a)
-        .join(F.broadcast(rb), on=col_b)
-        .crossJoin(F.broadcast(tot))
+        cells.withColumn("n_a", F.sum("o").over(Window.partitionBy(col_a)))
+        .withColumn("n_b", F.sum("o").over(Window.partitionBy(col_b)))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
         .withColumn(
             "_e", F.col("n_a").cast("double") * F.col("n_b") / F.col("n")
         )
@@ -222,7 +228,9 @@ def chi_square_independence(
             F.round(
                 F.sum(term).cast("double") - F.max("n"), round_to
             ).alias("chi2"),
-            ((F.max("ka") - 1) * (F.max("kb") - 1)).alias("dof"),
+            (
+                (F.countDistinct(col_a) - 1) * (F.countDistinct(col_b) - 1)
+            ).alias("dof"),
             F.max("n").alias("n"),
         )
     )
@@ -281,12 +289,11 @@ def mutual_information(
     """1-row (mi_nats, n): I(A;B) = Σ_ab p_ab·ln(p_ab/(p_a·p_b)) over
     OBSERVED cells only (zero cells contribute 0 to MI exactly, unlike
     chi-square — no identity trick needed). Same one-aggregate +
-    broadcast-marginals shape as chi_square_independence; per-cell terms
+    windowed-marginals shape as chi_square_independence; per-cell terms
     rounded then decimal-summed. MI = 0 ⟺ independent; units are nats."""
     cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
-    ra = cells.groupBy(col_a).agg(F.sum("o").alias("n_a"))
-    rb = cells.groupBy(col_b).agg(F.sum("o").alias("n_b"))
-    tot = cells.agg(F.sum("o").alias("n"))
+    # marginals + total as windows over the bounded cells table (the
+    # chi_square_independence shape): one input scan instead of four
     term = F.round(
         (F.col("o") / F.col("n"))
         * F.log(
@@ -297,9 +304,9 @@ def mutual_information(
         10,
     ).cast("decimal(28,10)")
     return (
-        cells.join(F.broadcast(ra), on=col_a)
-        .join(F.broadcast(rb), on=col_b)
-        .crossJoin(F.broadcast(tot))
+        cells.withColumn("n_a", F.sum("o").over(Window.partitionBy(col_a)))
+        .withColumn("n_b", F.sum("o").over(Window.partitionBy(col_b)))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
         .agg(
             F.round(F.sum(term).cast("double"), round_to).alias("mi_nats"),
             F.max("n").alias("n"),
@@ -432,7 +439,15 @@ def benford_audit(
     scaled = F.abs(
         F.round(F.col(value_col) * (10**decimal_scale), 0).cast("long")
     )
-    digit = F.substring(scaled.cast("string"), 1, 1).cast("int")
+    # the leading digit of a positive integer is 1..9 by construction;
+    # the clamp is an identity that PINS the grouping domain (the plan
+    # auditor's bounded-key idiom), licensing the windowed total below
+    digit = F.least(
+        F.greatest(
+            F.substring(scaled.cast("string"), 1, 1).cast("int"), F.lit(1)
+        ),
+        F.lit(9),
+    )
     counts = (
         df.filter(F.col(value_col).isNotNull() & (scaled > 0))
         .groupBy(digit.alias("digit"))
@@ -444,7 +459,6 @@ def benford_audit(
     counts = spine.join(counts, "digit", "left").select(
         "digit", F.coalesce("n", F.lit(0)).alias("n")
     )
-    total = counts.agg(F.sum("n").alias("_tot"))
     expected = None
     for d in range(1, 10):
         e = F.lit(math.log10(1.0 + 1.0 / d))
@@ -456,7 +470,9 @@ def benford_audit(
     share = F.col("n") / F.col("_tot")
     exp_n = F.col("_exp") * F.col("_tot")
     return (
-        counts.crossJoin(F.broadcast(total))
+        # the 9-row total rides a window over the clamped-digit counts
+        # instead of a broadcast whose build re-scanned the input
+        counts.withColumn("_tot", F.sum("n").over(Window.partitionBy()))
         .withColumn("_exp", expected)
         .select(
             "digit",
@@ -696,18 +712,26 @@ def cusum_changepoint(
         F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(time_col).alias("t"), x.alias("x"))
     w = Window.orderBy("t")
-    cum = s.withColumn(
-        "ct", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("rn", F.row_number().over(w))
-    tot = s.agg(
-        F.count(F.lit(1)).alias("n_buckets"), F.sum("x").alias("tt")
+    # n_buckets/tt ride full-frame windows on the SAME sorted pass that
+    # computes the running sum — the old 1-row broadcast re-evaluated
+    # the pre-aggregated series lineage (a second scan of the raw data)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        s.withColumn(
+            "ct", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_buckets", F.count(F.lit(1)).over(wfull))
+        .withColumn("tt", F.sum("x").over(wfull))
     )
     ns = (
         F.col("n_buckets").cast(dec) * F.col("ct")
         - F.col("rn").cast(dec) * F.col("tt")
     )
     top = (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .select("t", "n_buckets", "tt", F.abs(ns).alias("absns"))
         .orderBy(F.desc("absns"), F.asc("t"))
         .limit(1)
@@ -748,12 +772,17 @@ def theil_sen_trend(
     winsorize gate certifies); each slope is one double division of
     exact inputs, so both engines take the median of identical
     doubles."""
+    # s feeds both sides of the pairwise self-join AND the residual
+    # pass, and m (the O(buckets²) median) feeds both the residual
+    # broadcast and the final row — persist them (calendar-bounded and
+    # 1 row respectively) so the upstream series aggregation and the
+    # pairwise join each evaluate once, not once per consumer
     s = series.filter(
         F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(time_col).cast("double").alias("t"),
         F.col(value_col).cast("double").alias("x"),
-    )
+    ).persist()
     a = s.select(F.col("t").alias("t1"), F.col("x").alias("x1"))
     b = s.select(F.col("t").alias("t2"), F.col("x").alias("x2"))
     pairs = a.join(b, F.col("t1") < F.col("t2")).select(
@@ -764,7 +793,7 @@ def theil_sen_trend(
     m = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.percentile("slope", F.lit(0.5)).alias("m_slope"),
-    )
+    ).persist()
     resid = s.crossJoin(F.broadcast(m)).select(
         (F.col("x") - F.col("m_slope") * F.col("t")).alias("r"),
     )

@@ -84,21 +84,30 @@ def bh_adjust(
     key_cols = key_cols or ["segment"]
     p = F.col(p_col)
     valid = tests.filter(p.isNotNull())
-    m = valid.agg(F.count(F.lit(1)).alias("_m"))
     w = Window.orderBy(p.asc(), *[F.col(c).asc() for c in key_cols])
+    # _m (test count) and _k (the step-up cutoff) ride full-frame
+    # windows on the SAME sorted pass that assigns bh_rank — the old
+    # 1-row broadcasts each re-evaluated the ranked lineage (the
+    # upstream test aggregation ran 3×, plus two extra sorts)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = (
-        valid.crossJoin(F.broadcast(m))
+        valid
         .withColumn("bh_rank", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(wfull))
         .withColumn(
             "bh_critical",
             F.round(F.col("bh_rank") * F.lit(q) / F.col("_m"), 9),
         )
     )
     # step-up: k = max rank whose p <= critical; rejected = rank <= k
-    kmax = ranked.agg(
-        F.max(F.when(p <= F.col("bh_critical"), F.col("bh_rank"))).alias("_k")
-    )
-    out = ranked.crossJoin(F.broadcast(kmax)).withColumn(
+    out = ranked.withColumn(
+        "_k",
+        F.max(F.when(p <= F.col("bh_critical"), F.col("bh_rank"))).over(
+            wfull
+        ),
+    ).withColumn(
         "rejected",
         F.when(F.col("_k").isNotNull(), F.col("bh_rank") <= F.col("_k"))
         .otherwise(F.lit(False)),

@@ -282,6 +282,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("hi"),
         )
         .distinct()
+        # five consumers (both wedge sides, the closing probe, the
+        # degree union, the edge count) — persist so the raw-edge scan
+        # + dedup shuffle run once, not once per consumer
+        .persist()
     )
     e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

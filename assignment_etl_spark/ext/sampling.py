@@ -309,9 +309,13 @@ def negative_samples(
     from assignment_etl_spark.ext.sketch import portable_hash_int
     from assignment_etl_spark.ops.ids import global_row_number
 
+    # consumed by the |items| broadcast AND the candidate join, and
+    # global_row_number itself evaluates its input twice (range-exchange
+    # counts + windowed numbering) — persist so the catalog distinct +
+    # global index build run once, not up to four times
     idx = global_row_number(
         items.select(item_col).distinct(), [item_col], out_col="_idx", start=0
-    )
+    ).persist()
     n_items = idx.agg(F.count(F.lit(1)).alias("_n"))
     users = positives.select(user_col).distinct()
     cands = (
@@ -376,17 +380,19 @@ def temperature_mixture_sample(
         F.sum(F.col(token_col).cast("long")).alias("_n")
     )
     # decimal-sum policy: the weight sum must not depend on which
-    # partition each domain row landed in
-    wsum = totals.agg(
+    # partition each domain row landed in. It rides a window over the
+    # domain-bounded totals table — the old 1-row broadcast's build
+    # re-evaluated the totals lineage, scanning the corpus twice.
+    rates = totals.withColumn(
+        "_wsum",
         F.sum(
             F.round(F.pow(F.col("_n").cast("double"), F.lit(alpha)), 6).cast(
                 "decimal(28,6)"
             )
         )
-        .cast("double")
-        .alias("_wsum")
-    )
-    rates = totals.crossJoin(F.broadcast(wsum)).select(
+        .over(Window.partitionBy())
+        .cast("double"),
+    ).select(
         domain_col,
         F.round(
             F.least(

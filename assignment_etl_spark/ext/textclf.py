@@ -31,7 +31,7 @@ sampling) and ext/lm.py (perplexity filtering).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from assignment_etl_spark.ext.sketch import portable_hash_int, portable_str_hash
@@ -81,14 +81,20 @@ def train_nb_classifier(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("n_neg"),
     )
-    totals = tok.agg(
-        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("tot_pos"),
-        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("tot_neg"),
+    # Class totals are the exact column sums of the per-bucket counts
+    # (every token lands in exactly one bucket), so they ride a window
+    # over the ≤ n_buckets-row aggregate instead of a second full pass
+    # over the exploded token table: one corpus scan per train, not two.
+    # The window's input is the pmod-bounded bucket aggregate, never
+    # sf-proportional rows.
+    wall = Window.partitionBy()
+    totaled = counts.withColumn("tot_pos", F.sum("n_pos").over(wall)).withColumn(
+        "tot_neg", F.sum("n_neg").over(wall)
     )
     a = float(alpha)
     denom_shift = a * n_buckets
     return (
-        counts.crossJoin(F.broadcast(totals))
+        totaled
         .select(
             "bucket",
             F.round(
