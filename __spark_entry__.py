@@ -2202,18 +2202,14 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of correct sign predictions — training AND scoring replayed
     end-to-end by the DuckDB oracle (counts are exact ints, each weight
     one rounded ln expression, scores decimal sums)."""
-    from assignment_etl_spark.ext.textclf import (
-        score_documents_nb,
-        train_nb_classifier,
-    )
+    from assignment_etl_spark.ext.textclf import train_and_score_nb
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     labeled = docs.withColumn("_y", F.col("lang") == "en")
-    weights = train_nb_classifier(
-        labeled, label_col="_y", n_buckets=512
-    )
-    scored = score_documents_nb(docs, weights, n_buckets=512)
+    # shared-tokenize train+score (r12): one persisted corpus explode
+    # feeds both phases; values identical to the separate calls
+    scored = train_and_score_nb(labeled, label_col="_y", n_buckets=512)
     return (
         scored.join(docs.select("doc_id", "lang"), on="doc_id")
         .groupBy("lang")
@@ -2351,17 +2347,17 @@ def q_nb_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle CTE prefix)."""
     from assignment_etl_spark.ext.textclf import (
         score_calibration,
-        score_documents_nb,
-        train_nb_classifier,
+        train_and_score_nb,
     )
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     labeled = docs.withColumn("labeled_en", F.col("lang") == "en")
-    weights = train_nb_classifier(labeled, label_col="labeled_en", n_buckets=512)
-    scored = score_documents_nb(docs, weights, n_buckets=512).join(
-        labeled.select("doc_id", "labeled_en"), on="doc_id"
-    )
+    # shared-tokenize train+score (r12): one persisted corpus explode
+    # feeds both phases; values identical to the separate calls
+    scored = train_and_score_nb(
+        labeled, label_col="labeled_en", n_buckets=512
+    ).join(labeled.select("doc_id", "labeled_en"), on="doc_id")
     return score_calibration(scored, label_col="labeled_en").orderBy("bin")
 
 

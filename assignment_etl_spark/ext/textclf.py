@@ -77,6 +77,17 @@ def train_nb_classifier(
         lab.alias("_y"),
         F.explode(_tokens(F.col(text_col))).alias("_t"),
     ).select("_y", feature_bucket(F.col("_t"), n_buckets, salt).alias("bucket"))
+    return _train_from_tok(
+        tok, n_buckets=n_buckets, alpha=alpha, round_to=round_to
+    )
+
+
+def _train_from_tok(
+    tok: DataFrame, *, n_buckets: int, alpha: float, round_to: int
+) -> DataFrame:
+    """Weight table from a pre-built (_y, bucket) token-bucket stream —
+    the shared tail of :func:`train_nb_classifier` and
+    :func:`train_and_score_nb`."""
     counts = tok.groupBy("bucket").agg(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("n_neg"),
@@ -109,6 +120,51 @@ def train_nb_classifier(
                 round_to,
             ).alias("w"),
         )
+    )
+
+
+def train_and_score_nb(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: int = 0,
+    round_to: int = 6,
+    weight_round_to: int = 9,
+) -> DataFrame:
+    """Train the NB classifier on ``docs`` and score the SAME docs with
+    one shared tokenize pass: the exploded (id, _y, bucket) stream is
+    persisted and feeds both the training aggregate and the scoring
+    aggregate, so the corpus is tokenized once instead of once per
+    phase. Values are bit-identical to
+    ``score_documents_nb(docs, train_nb_classifier(docs, ...), ...)``
+    (same expressions over the same rows). Output: (id, n_tokens,
+    score) with the zero-token NULL-score contract of
+    :func:`score_documents_nb`."""
+    tok = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("_y"),
+        F.explode(_tokens(F.col(text_col))).alias("_t"),
+    ).select(
+        id_col,
+        "_y",
+        feature_bucket(F.col("_t"), n_buckets, salt).alias("bucket"),
+    ).persist()
+    weights = _train_from_tok(
+        tok.select("_y", "bucket"),
+        n_buckets=n_buckets,
+        alpha=alpha,
+        round_to=weight_round_to,
+    )
+    return _score_from_tok(
+        docs.select(id_col),
+        tok.select(id_col, "bucket"),
+        weights,
+        id_col=id_col,
+        round_to=round_to,
     )
 
 
@@ -193,20 +249,16 @@ def label_noise_suspects(
     subset — nothing here is heavier than scoring itself."""
     if topk < 1:
         raise ValueError(f"need topk >= 1, got {topk}")
-    weights = train_nb_classifier(
+    # train-on-self + score-self: the shared-tokenize path (one corpus
+    # explode persisted, consumed by both phases) — bit-identical to
+    # the separate train + score calls it replaces
+    scored = train_and_score_nb(
         docs,
         label_col=label_col,
-        text_col=text_col,
-        n_buckets=n_buckets,
-        alpha=alpha,
-        salt=salt,
-    )
-    scored = score_documents_nb(
-        docs,
-        weights,
         id_col=id_col,
         text_col=text_col,
         n_buckets=n_buckets,
+        alpha=alpha,
         salt=salt,
         round_to=round_to,
     )
@@ -241,13 +293,36 @@ def score_documents_nb(
     multinomial NB). Docs with zero tokens (empty/NULL text) survive
     with n_tokens=0 and a NULL score — a document must never silently
     vanish from a scoring pass. Output: (id, n_tokens, score)."""
-    dec = f"decimal(28,{decimal_scale})"
     tok = docs.select(
         F.col(id_col),
         F.explode(_tokens(F.col(text_col))).alias("_t"),
     ).select(
         id_col, feature_bucket(F.col("_t"), n_buckets, salt).alias("bucket")
     )
+    return _score_from_tok(
+        docs.select(id_col),
+        tok,
+        weights,
+        id_col=id_col,
+        decimal_scale=decimal_scale,
+        round_to=round_to,
+    )
+
+
+def _score_from_tok(
+    ids: DataFrame,
+    tok: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str,
+    decimal_scale: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document score from a pre-built (id, bucket) stream — the
+    shared tail of :func:`score_documents_nb` and
+    :func:`train_and_score_nb`. ``ids`` is the full document spine so
+    zero-token docs survive with n_tokens=0 and a NULL score."""
+    dec = f"decimal(28,{decimal_scale})"
     joined = tok.join(F.broadcast(weights), on="bucket", how="left")
     scored = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -257,7 +332,7 @@ def score_documents_nb(
         ).alias("score"),
     )
     return (
-        docs.select(id_col)
+        ids
         .join(scored, on=id_col, how="left")
         .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)))
     )
