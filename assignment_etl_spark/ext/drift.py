@@ -264,12 +264,15 @@ def column_entropy(
         ).alias("_cv")
     ).select("_cv.column", "_cv.v")
     counts = pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.groupBy("column").agg(F.sum("n").alias("_tot"))
     term = F.round(
         -(F.col("n") / F.col("_tot")) * F.log(F.col("n") / F.col("_tot")), 10
     ).cast("decimal(28,10)")
     return (
-        counts.join(F.broadcast(tot), on="column")
+        # per-column totals ride a window over the counts table — the
+        # old broadcast's build re-ran the explode + count aggregate
+        counts.withColumn(
+            "_tot", F.sum("n").over(Window.partitionBy("column"))
+        )
         .groupBy("column")
         .agg(
             F.count(F.lit(1)).alias("n_distinct"),

@@ -153,11 +153,20 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    sizes = mat.filter(F.col("offset_weeks") == 0).select(
-        "cohort_week", F.col("n_active").alias("cohort_size")
+    # cohort_size = the offset-0 row's n_active, lifted per cohort by a
+    # window over the |weeks|²-bounded matrix — the old broadcast
+    # self-join re-evaluated the whole matrix lineage (stream distinct +
+    # first-week join) to build the sizes side. Every cohort has its
+    # offset-0 row by construction (first = min week), so the values and
+    # the row set match the old inner join exactly.
+    sized = mat.withColumn(
+        "cohort_size",
+        F.max(
+            F.when(F.col("offset_weeks") == 0, F.col("n_active"))
+        ).over(Window.partitionBy("cohort_week")),
     )
     return (
-        mat.join(F.broadcast(sizes), "cohort_week")
+        sized
         .select(
             "cohort_week",
             "offset_weeks",
