@@ -183,7 +183,10 @@ def bm25_search(
         F.size(F.filter(F.col("_toks"), _eq(t))).alias(f"_tf{i}")
         for i, t in enumerate(uniq)
     ]
-    per = base.select(F.col(id_col), F.col("_dl"), *tf_cols)
+    # consumed by the corpus-stats broadcast AND the scoring flow —
+    # persist (one narrow int row per doc) so the tokenize + per-term
+    # counting pass runs once, not once per consumer
+    per = base.select(F.col(id_col), F.col("_dl"), *tf_cols).persist()
     g = per.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_dl").alias("_sdl"),
