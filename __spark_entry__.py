@@ -4031,6 +4031,10 @@ def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # val (the lineitem join + per-part aggregate) feeds both the total
+    # broadcast and the threshold filter — persist so the join runs
+    # once, not once per consumer (part-key-bounded rows)
+    val = val.persist()
     total = val.agg(F.sum("value_dec").alias("total_dec"))
     return (
         val.crossJoin(F.broadcast(total))
@@ -6727,13 +6731,19 @@ def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_id") % 3 == 0), F.col("user_id") % 16
     )
     prof = psi_profile_from_counts(ref, cur)
-    total = prof.agg(
-        F.round(
-            F.sum(F.col("psi_term").cast("decimal(18,8)")).cast("double"), 6
-        ).alias("psi_total")
-    )
+    # the total replays the decimal-sum as a window over the ≤16-row
+    # profile — the old 1-row broadcast re-evaluated the whole profile
+    # (both count sides) to build it (the q_psi_order_drift fix)
     out = (
-        prof.crossJoin(F.broadcast(total))
+        prof.withColumn(
+            "psi_total",
+            F.round(
+                F.sum(F.col("psi_term").cast("decimal(18,8)"))
+                .over(Window.partitionBy())
+                .cast("double"),
+                6,
+            ),
+        )
         .select(
             "bin",
             "n_ref",
@@ -11785,6 +11795,9 @@ def q_survival_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.min(mins).alias("_fmin"), F.max(mins).alias("_lmin"))
+        # NOT persisted: measured 24->49 jobs / 2.9->3.6s — an
+        # InMemoryRelation here defeats the AQE stage reuse inside the
+        # downstream survival-curve cumsum (the kaplan_meier lesson)
     )
     g = per.agg(F.max("_lmin").alias("_gmax"))
     subjects = per.crossJoin(F.broadcast(g)).select(
@@ -12070,7 +12083,7 @@ def q_lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy(F.col("o_custkey").alias("c")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("v")
-    )
+    ).persist()  # consumed by the totals broadcast AND the rank cumsum
     tot = per.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("v").alias("_t")
     )
@@ -12982,7 +12995,7 @@ def q_kaplan_meier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = ev.groupBy("user_id").agg(
         F.min("ts").alias("t0"), F.max("ts").alias("t1")
-    )
+    )  # NOT persisted: measured 16->48 jobs (the kaplan_meier lesson)
     horizon = per_user.agg(F.max("t1").alias("hmax"))
     subjects = per_user.crossJoin(F.broadcast(horizon)).select(
         F.datediff(F.to_date("t1"), F.to_date("t0")).alias("dur"),
