@@ -91,14 +91,27 @@ def lang_scores(col: Column) -> Column:
 
 def detect_language(col: Column) -> Column:
     """argmax of lang_scores; Han-script check first (zh has no whitespace
-    stopwords to count); 'und' when no evidence at all."""
-    scores = lang_scores(col)
-    best = F.array_max(scores.getField("hits"))
-    pick = F.filter(scores, lambda s: s.getField("hits") == best)
+    stopwords to count); 'und' when no evidence at all.
+
+    The argmax is a single ``aggregate`` fold over the scores array with a
+    strict ``>`` (first max wins — LANG_MARKERS order is the documented
+    tie-break) seeded with ('und', 0), so every language's stopword regex
+    is evaluated exactly ONCE per row. The previous
+    filter(scores, hits == array_max(scores)) form inlined the whole
+    7-regex scores array into the lambda PER ELEMENT (~70 regexp passes
+    per row in the physical plan — guide §1.2/§4.1: the distributed plan
+    was fine, the expression tree wasn't). Equivalence: strict > keeps the
+    earliest max (== filter+element_at(1)); all-zero or all-NULL hits
+    never beat the seed, so those rows stay 'und' exactly as before (NULL
+    > 0 is NULL → otherwise-branch)."""
+    best = F.aggregate(
+        lang_scores(col),
+        F.struct(F.lit("und").alias("lang"), F.lit(0).alias("hits")),
+        lambda acc, s: F.when(s.getField("hits") > acc.getField("hits"), s).otherwise(acc),
+    )
     return (
         F.when(F.regexp_count(col, F.lit(CJK_PATTERN)) >= CJK_MIN_HITS, F.lit("zh"))
-        .when(best > 0, F.element_at(pick, 1).getField("lang"))
-        .otherwise(F.lit("und"))
+        .otherwise(best.getField("lang"))
     )
 
 
