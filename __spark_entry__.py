@@ -2457,14 +2457,16 @@ def q_rank_agreement_quality_length(spark: SparkSession, sf_dir: str) -> DataFra
     # both comparators consume BOTH rankings (spearman joins + re-ranks,
     # rbo joins again) — persist them so the quality-score regex chain
     # and the two range-exchange rank assignments evaluate once, not
-    # once per consumer (r12, guide §5; CacheManager-managed like every
-    # query-scoped persist)
-    a = ranked(qa, id_col="doc_id", score_col="s").persist()
-    b = ranked(
+    # once per consumer (r12, guide §5; registered with the scoped-
+    # persist owner, released by release_scoped_caches after the action)
+    from assignment_etl_spark.caching import scoped_persist
+
+    a = scoped_persist(ranked(qa, id_col="doc_id", score_col="s"))
+    b = scoped_persist(ranked(
         docs.select("doc_id", F.col("n_chars").cast("double").alias("s")),
         id_col="doc_id",
         score_col="s",
-    ).persist()
+    ))
     sp = spearman_rho(a, b, id_col="doc_id")
     rb = rbo_estimate(a, b, id_col="doc_id", p=0.9, depth=50)
     return sp.crossJoin(rb)
@@ -4034,7 +4036,9 @@ def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # val (the lineitem join + per-part aggregate) feeds both the total
     # broadcast and the threshold filter — persist so the join runs
     # once, not once per consumer (part-key-bounded rows)
-    val = val.persist()
+    from assignment_etl_spark.caching import scoped_persist
+
+    val = scoped_persist(val)
     total = val.agg(F.sum("value_dec").alias("total_dec"))
     return (
         val.crossJoin(F.broadcast(total))
@@ -5043,6 +5047,7 @@ def q_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFra
     count (bands for survivors, 0 for drops), which pins the delta
     output as well as the drop decisions."""
     from assignment_etl_spark.ext.dedup import (
+        _sig_frame,
         build_band_store,
         incremental_minhash_dedup,
     )
@@ -5051,13 +5056,27 @@ def q_incremental_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFra
     docs = _t(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    store = build_band_store(hist, portable=True)
+    # ONE portable-minhash pass signs the whole corpus (history and
+    # batch are disjoint halves of the same table); the store build, the
+    # batch banding, and the stage-2 keeper-signature fetch all reuse it
+    # (guide §4 / r12 VERDICT ask #1 — was 3 signature passes).
+    # Signatures are deterministic in the text, so verdicts and the
+    # oracle hash are unchanged.
+    all_sig = _sig_frame(
+        docs, text_col="text", id_col="doc_id", num_hashes=32,
+        shingle_n=5, use_numpy=True, portable=True, seed=7,
+    )
+    hist_sig = all_sig.filter(F.col("_id") % 2 == 0)
+    batch_sig = all_sig.filter(F.col("_id") % 2 == 1)
+    store = build_band_store(hist, portable=True, signatures=hist_sig)
     _surv, delta, dropped = incremental_minhash_dedup(
         batch,
         store,
         history_texts=hist,
         jaccard_threshold=0.4,
         portable=True,
+        batch_signatures=batch_sig,
+        history_signatures=hist_sig,
         # eager=False keeps the gate's dataflow lazy (plan-visible) and
         # lets plan-identical caches be reused across bench rounds;
         # eager=True (the production ingest default) releases every
@@ -5214,6 +5233,7 @@ def q_band_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from assignment_etl_spark.ext.dedup import (
+        _sig_frame,
         build_band_store,
         compact_band_store,
         incremental_minhash_dedup,
@@ -5225,11 +5245,21 @@ def q_band_store_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     d = tempfile.mkdtemp(prefix="band_store_gate_")
     path = f"{d}/band_store"
-    build_band_store(hist, portable=True).write.parquet(path)
+    # one shared portable-minhash pass over the whole corpus (same
+    # signature-reuse restructure as q_incremental_minhash_documents —
+    # guide §4); deterministic signatures ⇒ identical index content
+    all_sig = _sig_frame(
+        docs, text_col="text", id_col="doc_id", num_hashes=32,
+        shingle_n=5, use_numpy=True, portable=True, seed=7,
+    )
+    hist_sig = all_sig.filter(F.col("_id") % 2 == 0)
+    batch_sig = all_sig.filter(F.col("_id") % 2 == 1)
+    build_band_store(hist, portable=True, signatures=hist_sig).write.parquet(path)
     store = spark.read.parquet(path)
     _surv, delta, _dropped = incremental_minhash_dedup(
         batch, store, history_texts=hist, jaccard_threshold=0.4,
         portable=True, eager=False,
+        batch_signatures=batch_sig, history_signatures=hist_sig,
     )
     # stage the delta, then blind-append it (a committed batch would do
     # exactly this — the append never reads the store)
@@ -12081,9 +12111,11 @@ def q_lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
-    per = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+    from assignment_etl_spark.caching import scoped_persist
+
+    per = scoped_persist(orders.groupBy(F.col("o_custkey").alias("c")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("v")
-    ).persist()  # consumed by the totals broadcast AND the rank cumsum
+    ))  # consumed by the totals broadcast AND the rank cumsum
     tot = per.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("v").alias("_t")
     )

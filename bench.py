@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from assignment_etl_spark.caching import release_scoped_caches
 from assignment_etl_spark.session import get_spark
 
 HEADLINE = [
@@ -383,10 +384,17 @@ def build_queries(spark) -> dict:
     def _incremental_minhash_production(spark, sf_dir):
         # same swap as minhash_lsh_pairs: the benched callable runs the
         # numpy signature path a 100 TB ingest would run, same dataflow
-        # and output shape as the portable-hash gate
+        # and output shape as the portable-hash gate. ONE Arrow-UDF
+        # minhash pass signs the whole corpus (history and batch are
+        # disjoint halves of the same table); the store build, the batch
+        # banding, and the stage-2 keeper-signature fetch all reuse it
+        # (guide §4: cross the Python boundary once — was 3 passes).
+        # Signatures are a deterministic function of the text, so the
+        # verdicts are identical to the per-side signing.
         from pyspark.sql import functions as F
 
         from assignment_etl_spark.ext.dedup import (
+            _sig_frame,
             build_band_store,
             incremental_minhash_dedup,
         )
@@ -394,10 +402,21 @@ def build_queries(spark) -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         hist = docs.filter(F.col("doc_id") % 2 == 0)
         batch = docs.filter(F.col("doc_id") % 2 == 1)
-        store = build_band_store(hist)
-        _surv, delta, dropped = incremental_minhash_dedup(
-            batch, store, history_texts=hist, jaccard_threshold=0.4
+        all_sig = _sig_frame(
+            docs, text_col="text", id_col="doc_id", num_hashes=32,
+            shingle_n=5, use_numpy=True, portable=False, seed=7,
         )
+        hist_sig = all_sig.filter(F.col("_id") % 2 == 0)
+        batch_sig = all_sig.filter(F.col("_id") % 2 == 1)
+        store = build_band_store(hist, signatures=hist_sig)
+        _surv, delta, dropped = incremental_minhash_dedup(
+            batch, store, history_texts=hist, jaccard_threshold=0.4,
+            batch_signatures=batch_sig, history_signatures=hist_sig,
+        )
+        # eager=True materialized delta/dropped above — the shared
+        # signature cache has served every consumer; release it so the
+        # bench session doesn't accumulate per-rep signature caches
+        all_sig.unpersist()
         delta_counts = delta.groupBy(F.col("keeper_id").alias("doc_id")).agg(
             F.count(F.lit(1)).alias("_n")
         )
@@ -454,6 +473,16 @@ def measure_pass(spark, queries, sf_dir, *, quiet: bool = False):
             t0 = time.perf_counter()
             n = queries[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+            # Honesty fix (r13, VERDICT r12 ask #3): release the query's
+            # scoped persists and clear the cache manager OUTSIDE the
+            # timed window, so reps 2-3 recompute from parquet instead of
+            # riding rep 1's persisted intermediates. min-of-3 now
+            # measures steady-state (codegen-warm, cache-COLD) runs; the
+            # committed baseline was re-measured under the same protocol
+            # (tools/rebaseline_bench.py) so the regression envelope
+            # stays apples-to-apples.
+            release_scoped_caches()
+            spark.catalog.clearCache()
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         runs3[name] = [round(r, 3) for r in runs]
