@@ -62,16 +62,18 @@ def association_rules(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
         .distinct()
-        # four consumers (n_baskets, item supports, both self-join
-        # sides) — persist so the raw scan + distinct shuffle run once
-        .persist()
     )
+    # four consumers (n_baskets, item supports, both self-join
+    # sides) — persist so the raw scan + distinct shuffle run once
+    from assignment_etl_spark.caching import scoped_persist
+
+    bi = scoped_persist(bi)
     n = bi.select("basket").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )
-    item_sup = bi.groupBy("item").agg(
+    item_sup = scoped_persist(bi.groupBy("item").agg(
         F.count(F.lit(1)).alias("sup")
-    ).persist()  # joined on both the antecedent and consequent side
+    ))  # joined on both the antecedent and consequent side
     a = bi.select(F.col("basket"), F.col("item").alias("ia"))
     b = bi.select(F.col("basket"), F.col("item").alias("ib"))
     # unordered pair counts once (ia < ib), emitted in both directions

@@ -48,11 +48,12 @@ def pmi_collocations(
     # re-tokenizes the corpus from scratch. Persist both count tables —
     # vocab-sized, far smaller than the corpus — so the two tokenize
     # passes run once each (query-scoped, CacheManager-managed).
-    uni = (
+    from assignment_etl_spark.caching import scoped_persist
+
+    uni = scoped_persist(
         toks.select(F.explode("_l").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
     bigrams = toks.filter(F.col("_n") >= 2).select(
         F.explode(
@@ -63,9 +64,9 @@ def pmi_collocations(
             )
         ).alias("p")
     )
-    bi = bigrams.groupBy(
+    bi = scoped_persist(bigrams.groupBy(
         F.col("p.x").alias("x"), F.col("p.y").alias("y")
-    ).agg(F.count(F.lit(1)).alias("n_xy")).persist()
+    ).agg(F.count(F.lit(1)).alias("n_xy")))
     totals = uni.agg(F.sum("c").alias("_nu")).crossJoin(
         bi.agg(F.sum("n_xy").alias("_nb"))
     )

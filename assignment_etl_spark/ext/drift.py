@@ -780,12 +780,14 @@ def theil_sen_trend(
     # broadcast and the final row — persist them (calendar-bounded and
     # 1 row respectively) so the upstream series aggregation and the
     # pairwise join each evaluate once, not once per consumer
-    s = series.filter(
+    from assignment_etl_spark.caching import scoped_persist
+
+    s = scoped_persist(series.filter(
         F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(
         F.col(time_col).cast("double").alias("t"),
         F.col(value_col).cast("double").alias("x"),
-    ).persist()
+    ))
     a = s.select(F.col("t").alias("t1"), F.col("x").alias("x1"))
     b = s.select(F.col("t").alias("t2"), F.col("x").alias("x2"))
     pairs = a.join(b, F.col("t1") < F.col("t2")).select(
@@ -793,10 +795,10 @@ def theil_sen_trend(
             "slope"
         )
     )
-    m = pairs.agg(
+    m = scoped_persist(pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.percentile("slope", F.lit(0.5)).alias("m_slope"),
-    ).persist()
+    ))
     resid = s.crossJoin(F.broadcast(m)).select(
         (F.col("x") - F.col("m_slope") * F.col("t")).alias("r"),
     )

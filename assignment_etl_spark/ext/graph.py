@@ -91,14 +91,14 @@ def min_label_rounds(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = und.select(F.col("src").alias("node")).distinct()
-    und2 = (
+    from assignment_etl_spark.caching import scoped_persist
+
+    und2 = scoped_persist(
         und.unionByName(
             nodes.select(
                 F.col("node").alias("src"), F.col("node").alias("dst")
             )
-        )
-        .repartition("src")
-        .persist()
+        ).repartition("src")
     )
     labels = nodes.withColumn("label", F.col("node"))
     for i in range(rounds):
@@ -205,9 +205,13 @@ def hits(
         # re-evaluated its full upstream twice, compounding to ~2^(2·iters)
         # subtree evaluations (measured: 47 jobs / 96 stages for one
         # hits_event_graph action at sf0.1; ~10 stages persisted).
-        # CacheManager-managed, released by the session's clearCache
-        # discipline like every other query-scoped persist.
-        scores = scores.persist()
+        # CacheManager-managed; registered with the scoped-persist
+        # owner so release_scoped_caches() frees every half-step after
+        # the consuming action (r13: the old comment promised a
+        # "clearCache discipline" nothing implemented).
+        from assignment_etl_spark.caching import scoped_persist
+
+        scores = scoped_persist(scores)
         norm = scores.agg(F.sum(col).alias("_norm"))
         return scores.crossJoin(F.broadcast(norm)).select(
             "node",
@@ -275,17 +279,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     the classic skew bound at web scale; at the repo's gate scale the
     raw ordering suffices and keeps the oracle replay one-to-one.
     """
-    canon = (
+    from assignment_etl_spark.caching import scoped_persist
+
+    # five consumers (both wedge sides, the closing probe, the
+    # degree union, the edge count) — persist so the raw-edge scan
+    # + dedup shuffle run once, not once per consumer
+    canon = scoped_persist(
         edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("lo"),
             F.greatest("src", "dst").alias("hi"),
         )
         .distinct()
-        # five consumers (both wedge sides, the closing probe, the
-        # degree union, the edge count) — persist so the raw-edge scan
-        # + dedup shuffle run once, not once per consumer
-        .persist()
     )
     e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))

@@ -186,7 +186,9 @@ def bm25_search(
     # consumed by the corpus-stats broadcast AND the scoring flow —
     # persist (one narrow int row per doc) so the tokenize + per-term
     # counting pass runs once, not once per consumer
-    per = base.select(F.col(id_col), F.col("_dl"), *tf_cols).persist()
+    from assignment_etl_spark.caching import scoped_persist
+
+    per = scoped_persist(base.select(F.col(id_col), F.col("_dl"), *tf_cols))
     g = per.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_dl").alias("_sdl"),

@@ -313,9 +313,11 @@ def negative_samples(
     # global_row_number itself evaluates its input twice (range-exchange
     # counts + windowed numbering) — persist so the catalog distinct +
     # global index build run once, not up to four times
-    idx = global_row_number(
+    from assignment_etl_spark.caching import scoped_persist
+
+    idx = scoped_persist(global_row_number(
         items.select(item_col).distinct(), [item_col], out_col="_idx", start=0
-    ).persist()
+    ))
     n_items = idx.agg(F.count(F.lit(1)).alias("_n"))
     users = positives.select(user_col).distinct()
     cands = (

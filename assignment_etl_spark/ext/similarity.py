@@ -508,7 +508,9 @@ def build_ivf_index(
     # transforms per (query, candidate) PAIR instead of once per vector.
     # The norm column rides along so ivf_topk's cosine needs only the
     # O(dim) dot fold per pair.
-    assigned = (
+    from assignment_etl_spark.caching import scoped_persist
+
+    assigned = scoped_persist(
         model.transform(feats)
         .select(
             "_id",
@@ -516,7 +518,6 @@ def build_ivf_index(
             l2_norm(F.col("_v")).alias("_vn"),
             F.col("prediction").alias("_cell"),
         )
-        .persist()
     )
     centroids = np.stack(model.clusterCenters())
     return assigned, centroids

@@ -144,7 +144,9 @@ def train_and_score_nb(
     (same expressions over the same rows). Output: (id, n_tokens,
     score) with the zero-token NULL-score contract of
     :func:`score_documents_nb`."""
-    tok = docs.select(
+    from assignment_etl_spark.caching import scoped_persist
+
+    tok = scoped_persist(docs.select(
         F.col(id_col),
         F.col(label_col).alias("_y"),
         F.explode(_tokens(F.col(text_col))).alias("_t"),
@@ -152,7 +154,7 @@ def train_and_score_nb(
         id_col,
         "_y",
         feature_bucket(F.col("_t"), n_buckets, salt).alias("bucket"),
-    ).persist()
+    ))
     weights = _train_from_tok(
         tok.select("_y", "bucket"),
         n_buckets=n_buckets,

@@ -191,7 +191,9 @@ def fuzzy_join_audited(
 
     l = left.withColumn(BLOCK_COL, left_block)
     r = right.withColumn(BLOCK_COL, right_block)
-    hot = _hot_blocks(l, r, max_block).persist()
+    from assignment_etl_spark.caching import scoped_persist
+
+    hot = scoped_persist(_hot_blocks(l, r, max_block))
     logs = log_frame(
         hot,
         filename=F.lit(filename),

@@ -258,7 +258,9 @@ def normalize_weights(
     persist=True; leave False for single-output composition."""
     with_struct = with_weight_struct(df, column, height_col, out="_w")
     if persist:
-        with_struct = with_struct.persist()
+        from assignment_etl_spark.caching import scoped_persist
+
+        with_struct = scoped_persist(with_struct)
     clean = with_struct.withColumn("weight_kg", F.col("_w.weight_kg")).drop("_w")
     logs = log_frame(
         with_struct.filter(F.col("_w.flagged")),
