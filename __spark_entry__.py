@@ -2868,7 +2868,13 @@ def q_hits_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         _event_type_edges(_t(spark, sf_dir, "events"))
         # materialize the (tiny) edge list once: every normalize barrier
         # inside hits() launches its own broadcast job, and without this
-        # each of those jobs would re-run the events window + distinct
+        # each of those jobs would re-run the events window + distinct.
+        # r13 tried-and-reverted: a lazy scoped persist instead of this
+        # eager checkpoint measured WORSE (2.2s -> 3.3s, 91 -> 197
+        # stages) — the checkpoint also TRUNCATES LINEAGE, and without
+        # it every HITS half-step's plan re-embeds the window+distinct
+        # subtree, inflating driver analysis time across the 4
+        # normalize barriers
         .localCheckpoint(eager=True)
     )
     # per-iteration checkpoints: hub and auth each reference the other's
@@ -9174,7 +9180,10 @@ def q_dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialized once: both policies re-read this 150k-doc corpus,
         # and recomputing the collect_list shuffle per policy doubles the
-        # dominant cost of the whole query
+        # dominant cost of the whole query. (r13 A/B: replacing this with
+        # the lazy lines persist alone measured SLOWER — 2.68s -> 3.08s —
+        # because the union's branches race on the uncached corpus while
+        # the cache is still populating; the eager barrier stays.)
         .localCheckpoint(eager=True)
     )
 

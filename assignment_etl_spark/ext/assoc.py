@@ -64,7 +64,11 @@ def association_rules(
         .distinct()
     )
     # four consumers (n_baskets, item supports, both self-join
-    # sides) — persist so the raw scan + distinct shuffle run once
+    # sides) — persist so the raw scan + distinct shuffle run once.
+    # Re-A/B'd cache-cold in r13 (the r12 driver run flagged this query
+    # 0.80x, but its min-of-3 was warm-biased): persists ON 1.06s sf0.1
+    # / 2.44s sf10 vs OFF 1.40s / 5.52s — the persists win 2.3x at sf10,
+    # keep them.
     from assignment_etl_spark.caching import scoped_persist
 
     bi = scoped_persist(bi)

@@ -1416,6 +1416,15 @@ def dedup_lines(
     # the pattern (\Q...\E) so metachar separators ('.', '|') split
     # literally and the round-trip stays symmetric
     sep_pat = f"\\Q{sep}\\E"
+    # r13 tried-and-reverted: persisting this exploded (id, pos, line)
+    # frame (to share it between drop_frequent's two consumers and
+    # across the two-policy caller via plan canonicalization) measured
+    # WORSE at both certified scales — sf0.1 2.05s -> 3.10s, sf10
+    # 36.8s -> 41.7s — because the exploded frame is larger than the
+    # (already-checkpointed) corpus it derives from: writing it to
+    # storage costs more than re-running split+posexplode from the
+    # in-memory corpus blocks. Guide §5: cache only when recompute is
+    # the more expensive side; here it is not.
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_pat)).alias("pos", "line"),

@@ -225,10 +225,15 @@ def kmeans(
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    pts = df.select(
+    from assignment_etl_spark.caching import scoped_persist
+
+    # consumed once per Lloyd iteration plus the final assignment pass
+    # (iters+1 evaluations of the scan + cast) — persist so the source
+    # is read once (r13, guide §5; released via release_scoped_caches)
+    pts = scoped_persist(df.select(
         F.col(id_col).alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ))
     # Centroid state lives on the DRIVER between iterations (k rows —
     # bounded by construction), re-shipped as a broadcast-sized literal
     # table each step. This is the classic Lloyd's hand-off: it severs

@@ -148,7 +148,12 @@ def pq_train(
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    pts = _sub_pts(df, id_col, vec_col, m, d_sub)
+    from assignment_etl_spark.caching import scoped_persist
+
+    # consumed once per Lloyd iteration plus the final encode pass —
+    # persist the exploded subvector frame so the slice explode runs
+    # once (r13, guide §5; released via release_scoped_caches)
+    pts = scoped_persist(_sub_pts(df, id_col, vec_col, m, d_sub))
     # ``unroll`` is retained for API compatibility but no longer
     # drives the assign: the projection argmin evaluates all m·k
     # distances in one expression, and unrolling that blows janino's

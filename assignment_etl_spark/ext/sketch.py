@@ -89,12 +89,22 @@ def hll_sketch(
     by_keys = [by] if isinstance(by, str) else list(by or [])
     m = 1 << p
     maxbits = HASH_BITS - p
+    # Same staging as kll_sketch (r13): _rho references its word once
+    # per CASE branch, so inlining the hash re-evaluated it ~(HASH_BITS
+    # - p)x per row; stage the hash and the shifted word as stored
+    # columns so each is computed once. Identical values, fewer evals.
     h = portable_hash_int(F.col(col), salt)
     return (
-        df.select(
+        df.select(*by_keys, h.alias("_h"))
+        .select(
             *by_keys,
-            F.pmod(h, F.lit(m)).alias("idx"),
-            _rho(F.shiftright(h, p), maxbits).alias("rho"),
+            F.pmod(F.col("_h"), F.lit(m)).alias("idx"),
+            F.shiftright(F.col("_h"), p).alias("_w"),
+        )
+        .select(
+            *by_keys,
+            "idx",
+            _rho(F.col("_w"), maxbits).alias("rho"),
         )
         .groupBy(*by_keys, "idx")
         .agg(F.max("rho").alias("rho"))
@@ -507,11 +517,21 @@ def kll_sketch(
         raise ValueError(f"need cap >= 2, got {cap}")
     if not 1 <= max_level <= 62:
         raise ValueError(f"need 1 <= max_level <= 62, got {max_level}")
+    # Stage the hash as a stored column before the level chain: _rho
+    # references its argument once per CASE branch, so the inlined form
+    # re-evaluated the 4-round portable hash ~31x per row (r13, guide
+    # §1.2 — same expression-duplication class as detect_language).
+    # CollapseProject keeps the staging (non-cheap producer, >1 use);
+    # values are identical, only the evaluation count changes.
     h = portable_hash_int(F.col(id_col), salt)
-    items = df.filter(F.col(col).isNotNull()).select(
-        _kll_level(h, max_level).alias("lvl"),
-        F.col(col).alias("value"),
-        F.lit(0).alias("trim"),
+    items = (
+        df.filter(F.col(col).isNotNull())
+        .select(h.alias("_h"), F.col(col).alias("value"))
+        .select(
+            _kll_level(F.col("_h"), max_level).alias("lvl"),
+            F.col("value"),
+            F.lit(0).alias("trim"),
+        )
     )
     return _kll_trim(items, cap, max_level)
 

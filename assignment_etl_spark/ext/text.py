@@ -384,18 +384,39 @@ def c4_line_filter(
             & ~F.lower(ln).contains("javascript")
         )
 
-    lines = F.split(F.col(text_col), sep_pat)
-    kept = F.filter(lines, line_ok)
+    # Stage the two heavy array expressions — split(text) and the
+    # per-line regex filter — in their own projections. The final
+    # projection references each several times (text/n_kept/page_kept/
+    # drop_reason), and inlined they were re-evaluated PER REFERENCE:
+    # the physical plan ran filter(split(text), line_ok) 5x and
+    # split(text) 7x per row (r13, guide §1.2 — the distributed plan was
+    # already map-only; the expression tree wasn't). CollapseProject
+    # keeps the staging because non-cheap producer expressions consumed
+    # more than once are never re-inlined, so each document is now split
+    # once and line-filtered once. Downstream references (size,
+    # array_join, when-branches) are O(1)/single-pass over the staged
+    # arrays. Same expressions, same outputs — only the evaluation count
+    # changes.
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(F.col(text_col), sep_pat).alias("_lines"),
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("_lines"),
+        F.filter(F.col("_lines"), line_ok).alias("_kept"),
+    )
     has_brace = F.col(text_col).contains("{")
     has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
-    n_kept = F.size(kept)
+    n_kept = F.size(F.col("_kept"))
     page_kept = ~has_brace & ~has_lorem & (n_kept >= min_lines)
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        F.when(page_kept, F.array_join(kept, sep)).otherwise(F.lit("")).alias(
-            text_col
-        ),
-        F.size(lines).alias("n_lines"),
+        F.when(page_kept, F.array_join(F.col("_kept"), sep))
+        .otherwise(F.lit(""))
+        .alias(text_col),
+        F.size(F.col("_lines")).alias("n_lines"),
         F.when(page_kept, n_kept).otherwise(F.lit(0)).alias("n_kept"),
         page_kept.alias("page_kept"),
         F.when(has_brace, F.lit("brace"))

@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import bench as bench_mod  # noqa: E402
+from assignment_etl_spark.caching import release_scoped_caches  # noqa: E402
 from assignment_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -37,6 +38,9 @@ def profile(spark, name, fn, sf_dir, runs=3):
         n = df.count()
         t2 = time.perf_counter()
         sc.setJobGroup(None, None)
+        # match bench.py's honest min-of-3 (r13): reps are cache-cold
+        release_scoped_caches()
+        spark.catalog.clearCache()
         job_ids = tracker.getJobIdsForGroup(group)
         stages = 0
         for jid in job_ids:
