@@ -10584,12 +10584,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    # corpus = docs plus re-keyed copies of every 10th doc, built as ONE
+    # conditional explode instead of a union of two scans (r13, guide
+    # §2.4/§6: the plan read documents.parquet twice to synthesize the
+    # same rows; now 2 scans -> 1). Row set identical: every doc emits
+    # itself, and doc_id % 10 == 0 additionally emits the +1M re-key.
+    base = F.struct(F.col("doc_id"), F.col("text"))
+    rekey = F.struct(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
     )
-    out = curate_corpus(
-        docs.unionByName(dups), min_quality=0.5, langs=("en",)
-    )
+    corpus = docs.select(
+        F.explode(
+            F.when(F.col("doc_id") % 10 == 0, F.array(base, rekey)).otherwise(
+                F.array(base)
+            )
+        ).alias("_d")
+    ).select("_d.doc_id", "_d.text")
+    out = curate_corpus(corpus, min_quality=0.5, langs=("en",))
     return (
         out.groupBy("status")
         .agg(

@@ -442,6 +442,11 @@ def minhash_lsh_pairs(
     )
     banded = _with_bands(sig, num_hashes=num_hashes, bands=bands, portable=portable)
 
+    # Deliberately dedup-then-est (r13 tried-and-reverted the map-side
+    # est cut): the band self-join emits many duplicate collisions per
+    # pair on template-heavy corpora (~9.5x at sf10), so per-collision
+    # est evaluation cost more than shuffling the signature payload
+    # through the dedup saved — see incremental_minhash_dedup stage 1.
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -554,7 +559,15 @@ def _verify_edges(
     substring is O(len²)/row interpreted), then join the (small) gram
     frames onto the edges. A doc in k edges would otherwise shingle
     k times — measured 23s → 4s at sf0.1 on 2.9k edges over 2.5k docs.
-    Keeps every pre-existing edge column and adds ``jaccard``."""
+    Keeps every pre-existing edge column and adds ``jaccard``.
+
+    r13 tried-and-reverted: sharing ONE persisted gram frame across
+    both sides of the self-join case (verify_pairs_exact) measured
+    WORSE at sf10 (54s -> 66s for the incremental gate) — the
+    union-distinct id shuffle plus the cache-write serialize the two
+    gram passes, which otherwise run as independent parallel subtrees
+    of the same job. Two passes of a vectorized Arrow UDF beat one
+    pass forced through a persist barrier here."""
     gram = make_gram_set_udf(shingle_n)
     ga = (
         left_texts.join(
@@ -874,7 +887,14 @@ def incremental_minhash_dedup(
     )
     banded = _with_bands(sig, num_hashes=num_hashes, bands=bands, portable=portable)
 
-    # stage 1: within-batch (minhash_dedup contract)
+    # stage 1: within-batch (minhash_dedup contract). Deliberately
+    # dedup-then-est (r13 tried-and-reverted the map-side est cut,
+    # guide §2.3's shuffle-fewer-bytes instinct): on template-heavy
+    # corpora the band self-join emits ~9.5x duplicate collisions per
+    # pair (sf10: 2.73M collision rows -> 287k pairs), so computing est
+    # per collision row before the dedup cost MORE than shuffling the
+    # two 32-hash signature arrays per row saved (measured 4.5s -> 6.8s
+    # for this stage at sf10; same pair set either way).
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
