@@ -66,9 +66,19 @@ def test_delete_by_keys_releases_checkpoints(spark, tmp_path):
 
 
 def test_kmeans_and_pq_leave_no_persistent_rdds(spark):
+    # r13: the Lloyd input (pts) is now a REGISTRY-OWNED scoped persist
+    # (consumed once per iteration + the final assign — measured 1.2x at
+    # sf10 on ivfpq/pq_adc), so the lifecycle contract is "released by
+    # release_scoped_caches", not "never persists". Checkpoint RDDs —
+    # the r12 leak class this test was written for — must still never
+    # appear: those live outside the registry AND outside the cache
+    # manager, which is exactly why the trainers avoid them.
+    from assignment_etl_spark.caching import release_scoped_caches
     from assignment_etl_spark.ext.kmeans import kmeans
     from assignment_etl_spark.ext.pq import pq_train
 
+    release_scoped_caches()
+    base = _persistent_rdd_count(spark)
     emb = spark.createDataFrame(
         [
             (i, [float((i * 7 + j * 3) % 11) for j in range(8)])
@@ -78,10 +88,12 @@ def test_kmeans_and_pq_leave_no_persistent_rdds(spark):
     )
     a, c = kmeans(emb, k=3, iters=2)
     a.count(), c.count()
-    assert _persistent_rdd_count(spark) == 0
+    release_scoped_caches()
+    assert _persistent_rdd_count(spark) == base
     codes, cents = pq_train(emb, m=2, k=4, d_sub=4)
     codes.count(), cents.count()
-    assert _persistent_rdd_count(spark) == 0
+    release_scoped_caches()
+    assert _persistent_rdd_count(spark) == base
 
 
 def test_stream_upsert_sink_releases_per_batch_checkpoints(spark, tmp_path):
