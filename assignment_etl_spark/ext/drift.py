@@ -58,9 +58,15 @@ def shares_from_counts(counts: DataFrame, *, round_to: int = 10) -> DataFrame:
     window over the bin-bounded counts (never a driver scalar). The
     total used to ride a 1-row broadcast, but its build re-evaluated
     the counts lineage — a second full scan of the underlying data per
-    call; the window keeps it one pass. Inputs are per-bin count
-    tables (≤ bin-domain rows), never raw data, so the single-partition
-    window is bounded at any scale."""
+    call; the window keeps it one pass.
+
+    CONTRACT: ``counts`` must be a BOUNDED per-bin count table
+    (≤ bin-domain rows — the bin_counts/bin_shares shape), never raw
+    data. The empty-frame global window single-partitions its input;
+    on a bounded counts table that is free at any scale, but a caller
+    passing an unbounded frame would silently funnel it through one
+    task (r12 ADVICE — the requirement is part of this function's
+    public contract, not an implementation detail)."""
     return counts.select(
         "bin",
         "n",

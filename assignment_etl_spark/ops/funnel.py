@@ -129,8 +129,9 @@ def cohort_retention(
     a groupBy on the user key, the cohort label joins back on that same
     key (co-partitioned, no extra exchange in practice), and the matrix
     is one count aggregate. Cohort sizes are the offset-0 column —
-    derived by a broadcast self-join of the (small) matrix, never a
-    rescan of the stream. The matrix is |weeks|² rows at most:
+    lifted with a max-when window over cohort_week on the (small)
+    matrix itself (r12), never a rescan of the stream or a second
+    evaluation of the matrix. The matrix is |weeks|² rows at most:
     driver-safe to render, oracle-safe to hash.
 
     Weeks are ISO ``date_trunc('week')`` Mondays in both engines;
